@@ -1,0 +1,85 @@
+"""ontoweaver_spark — a PySpark-native declarative table->knowledge-graph
+mapping engine with the capabilities of oncodash/ontoweaver (reference at
+/root/reference, v1.8.13), re-architected Spark-first.
+
+A YAML mapping turns each input row into a subject node, maps columns to
+object nodes + typed edges or to properties, then a fusion stage merges
+duplicates — but here the mapping compiles to declarative DataFrame
+projections (zero-shuffle extraction) plus two groupBy aggregations
+(fusion), instead of the reference's per-row Python interpretation.
+
+Public API (mirrors the reference's ``extract`` / ``reconciliate`` /
+``weave`` entry points, /root/reference/src/ontoweaver/__init__.py:309-558):
+
+    from ontoweaver_spark import extract, reconciliate, weave
+    nodes, edges = extract(df, mapping_dict_or_yaml, affix="none")
+    fnodes, fedges = reconciliate(nodes, edges, reconciliate_sep=",")
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+from pyspark.sql import DataFrame
+
+from .compiler import ExtractResult, compile_mapping, with_row_index
+from .fusion import (
+    FusionError,
+    format_for_export,
+    reconciliate,
+    reconciliate_edges,
+    reconciliate_nodes,
+)
+from .ids import affix_id
+from .nulls import is_not_null
+from .registry import import_from_path, register, register_all
+from .session import get_spark, tune_session
+from .spec import MappingError, MappingSpec, TransformerSpec, load_mapping, parse_mapping
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "extract", "reconciliate", "reconciliate_nodes", "reconciliate_edges",
+    "weave", "format_for_export", "compile_mapping", "with_row_index",
+    "load_mapping", "parse_mapping", "MappingSpec", "TransformerSpec",
+    "MappingError", "FusionError", "register", "register_all",
+    "import_from_path", "get_spark", "tune_session", "affix_id",
+    "is_not_null",
+]
+
+
+def extract(
+    df: DataFrame,
+    mapping: Union[dict, str, MappingSpec],
+    affix: str = "none",
+    type_affix_sep: str = ":",
+) -> tuple[DataFrame, DataFrame]:
+    """Run a mapping over a DataFrame -> raw (pre-fusion) nodes and edges.
+
+    Analog of ``ontoweaver.extract_table``
+    (/root/reference/src/ontoweaver/__init__.py:533-558).
+    """
+    res = compile_mapping(df, mapping, affix=affix, type_affix_sep=type_affix_sep)
+    return res.nodes, res.edges
+
+
+def weave(
+    df: DataFrame,
+    mapping: Union[dict, str, MappingSpec],
+    affix: str = "none",
+    type_affix_sep: str = ":",
+    reconciliate_sep: str = "|",
+    raise_errors: bool = True,
+    salt: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """extract + reconciliate in one call (analog of ``ontoweaver.weave``,
+    /root/reference/src/ontoweaver/__init__.py:309-355). Returns fused
+    (nodes, edges) with properties still as array<string>; apply
+    :func:`format_for_export` to render final scalar/joined strings."""
+    nodes, edges = extract(df, mapping, affix=affix, type_affix_sep=type_affix_sep)
+    return reconciliate(
+        nodes, edges,
+        reconciliate_sep=reconciliate_sep,
+        raise_errors=raise_errors,
+        salt=salt,
+    )

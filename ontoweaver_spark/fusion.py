@@ -1,0 +1,151 @@
+"""Reconciliation / fusion: the engine's only shuffle stage.
+
+Reproduces the reference fusion semantics
+(/root/reference/src/ontoweaver/fusion.py:146-255) as groupBy aggregations:
+
+- nodes congregate on **ID alone** (serialize.ID, fusion.py:173-177);
+  label merge = EnsureIdentical (merge.py:254-265) -> conflicting labels for
+  one ID raise (or are kept sorted-first when ``raise_errors=False``);
+  properties merge = per-key set union (merge.dictry.Append, merge.py:166-202).
+- edges congregate on (src, dst, label) (serialize.SourceTargetLabel);
+  ID merge = OrderedSet joined with the separator (merge.py:348-371);
+  src/dst = UseLast; properties = set union.
+
+Determinism note: the reference's property union is a Python ``set`` whose
+join order is nondeterministic (merge.py:196-202) and its OrderedSet keeps
+encounter order, which is not reproducible under distributed execution. We
+emit **sorted** unions — deterministic at any parallelism — and golden
+comparisons treat multi-valued properties as sets (same policy as the
+reference's own tests, /root/reference/tests/testing_functions.py:28-59).
+
+Scale: hub entities (very frequent IDs at 10^12-doc scale) skew the
+groupBy. Defense layers: (1) AQE skew handling, (2) optional salted
+two-phase aggregation — partial per-(key, salt) distinct-union, then final
+per-key merge — enabled with ``salt > 1``. collect_list/collect_set also
+merge partially map-side, so post-salt state is bounded by distinct values
+per key, not by duplicate count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class FusionError(ValueError):
+    """Label conflict under EnsureIdentical (merge.py:254-265)."""
+
+
+def _merge_props(df: DataFrame, keys: list[str], salt: int = 0) -> DataFrame:
+    """Merge ``properties`` (map<string,array<string>>) per key-tuple:
+    per-property-name distinct sorted union of all values. Also collects the
+    distinct ``label`` set per key-tuple as ``_all_labels``.
+
+    Shuffle shape: one hash aggregation on (keys..., prop key) then one on
+    (keys...), both AQE-coalesced; with ``salt>1`` an extra pre-aggregation
+    on (keys..., prop key, salt) splits hub keys across tasks first.
+    """
+    label = F.col("label") if "label" in df.columns else F.lit(None).cast("string")
+    exploded = df.select(
+        *keys,
+        label.alias("_lbl"),
+        F.explode_outer("properties").alias("key", "vals"),
+    )
+
+    if salt and salt > 1:
+        pre = exploded.withColumn(
+            "_salt",
+            F.pmod(
+                F.xxhash64(F.coalesce(F.concat_ws("\x1f", F.col("vals")), F.lit(""))),
+                F.lit(salt),
+            ),
+        ).groupBy(*keys, "key", "_salt").agg(
+            F.array_distinct(F.flatten(F.collect_list("vals"))).alias("vals"),
+            F.collect_set("_lbl").alias("_lbls"),
+        )
+        per_prop = pre.groupBy(*keys, "key").agg(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("vals")))).alias("vals"),
+            F.array_distinct(F.flatten(F.collect_list("_lbls"))).alias("_lbls"),
+        )
+    else:
+        per_prop = exploded.groupBy(*keys, "key").agg(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("vals")))).alias("vals"),
+            F.collect_set("_lbl").alias("_lbls"),
+        )
+
+    return per_prop.groupBy(*keys).agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.when(F.col("key").isNotNull(), F.struct(F.col("key"), F.col("vals")))
+            )
+        ).alias("properties"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("_lbls")))).alias("_all_labels"),
+    )
+
+
+def reconciliate_nodes(
+    nodes: DataFrame, raise_errors: bool = True, salt: int = 0
+) -> DataFrame:
+    """Group nodes by ID; merge labels (EnsureIdentical) and properties
+    (set union). Output schema matches the input (id, label, properties)."""
+    merged = _merge_props(nodes, ["id"], salt=salt)
+    out = merged.select(
+        "id",
+        F.element_at("_all_labels", 1).alias("label"),
+        F.size("_all_labels").alias("_n_labels"),
+        "properties",
+    )
+    if raise_errors:
+        sample = out.where(F.col("_n_labels") > 1).select("id").limit(5).collect()
+        if sample:
+            ids = [r["id"] for r in sample]
+            raise FusionError(f"nodes with conflicting labels for the same ID, e.g. {ids}")
+    return out.drop("_n_labels")
+
+
+def reconciliate_edges(
+    edges: DataFrame, reconciliate_sep: str = "|", salt: int = 0
+) -> DataFrame:
+    """Group edges by (src, dst, label); fuse IDs as a sorted distinct join
+    (reference OrderedSet keeps encounter order — see module docstring)."""
+    keys = ["src", "dst", "label"]
+    ids = edges.groupBy(*keys).agg(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.collect_list("id"))), reconciliate_sep
+        ).alias("id")
+    )
+    merged = _merge_props(edges.drop("id"), keys, salt=salt).drop("_all_labels")
+    return ids.join(merged, keys, "left").select("id", *keys, "properties")
+
+
+def reconciliate(
+    nodes: DataFrame,
+    edges: DataFrame,
+    reconciliate_sep: str = "|",
+    raise_errors: bool = True,
+    salt: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """Full reconciliation (fusion.reconciliate, fusion.py:258-300).
+
+    Node IDs merge with UseKey, so the edge remap stage is a no-op by
+    construction (the reference asserts the same, fusion.py:283-285).
+    """
+    fnodes = reconciliate_nodes(nodes, raise_errors=raise_errors, salt=salt)
+    fedges = reconciliate_edges(edges, reconciliate_sep=reconciliate_sep, salt=salt)
+    return fnodes, fedges
+
+
+def format_for_export(df: DataFrame, sep: str = "|") -> DataFrame:
+    """Render properties map<string,array<string>> -> map<string,string>:
+    single-item lists collapse to the scalar
+    (/root/reference/src/ontoweaver/iterative.py:196-201); multi-item lists
+    join with the separator (merge.dictry.Append.get, merge.py:196-202)."""
+    return df.withColumn(
+        "properties",
+        F.transform_values(
+            "properties",
+            lambda k, v: F.when(F.size(v) == 1, F.element_at(v, 1)).otherwise(
+                F.array_join(v, sep)
+            ),
+        ),
+    )

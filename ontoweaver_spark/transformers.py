@@ -1,0 +1,287 @@
+"""Transformer operator algebra -> Spark Column expressions.
+
+Each reference transformer (/root/reference/src/ontoweaver/transformer.py)
+is compiled to ONE Column expression producing an ``array<string>`` of
+candidate values per input row — a whole-partition, codegen-friendly
+re-expression of the reference's per-row generators. Multi-yield operators
+(multi-column ``map``, ``split``) become arrays that the compiler later
+explodes; the null-skip contract (`base.is_not_null`) is applied by the
+compiler as an array filter.
+
+Some operators need *pre-stages* (DataFrame-level rewrites applied before
+the projection), e.g. ``translate`` with a large table compiles to a
+broadcast join instead of an in-plan map literal.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import registry
+from .maths_grammar import compile_maths
+from .nulls import is_not_null
+from .spec import TransformerSpec
+
+ROW_ID_COL = "_ow_row_id"
+
+# Above this many entries, `translate` compiles to a broadcast join instead
+# of an in-plan map literal (which would bloat the serialized plan).
+TRANSLATE_INLINE_MAX = 2000
+
+
+class CompileError(ValueError):
+    pass
+
+
+@dataclass
+class CompiledValues:
+    """values: array<string> candidate values per row (pre null-filter);
+    prestages: DataFrame rewrites to apply before selecting `values`."""
+
+    values: Column
+    prestages: list[Callable[[DataFrame], DataFrame]] = field(default_factory=list)
+
+
+def _strip_ws(c: Column) -> Column:
+    # Python str.strip() semantics (all whitespace), not F.trim (spaces only).
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def _strip_chars(c: Column, chars: str) -> Column:
+    """Python ``str.strip(chars)`` semantics: remove leading/trailing chars
+    belonging to the set. Empty set -> unchanged (reference `replace` uses
+    ``.strip(substitute)`` with default substitute "",
+    /root/reference/src/ontoweaver/transformer.py:1010-1012)."""
+    if not chars:
+        return c
+    cls = re.escape(chars).replace("]", r"\]")
+    return F.regexp_replace(c, f"^[{cls}]+|[{cls}]+$", "")
+
+
+def _split_regex(separator: str) -> str:
+    """The reference splits with ``re.split(repr(sep)[1:-1], val)``
+    (/root/reference/src/ontoweaver/transformer.py:187-188): the separator is
+    a *regex* whose control characters are repr-escaped. Replicated verbatim
+    for parity (including the quirk that ``sep="."`` matches any char)."""
+    if separator is None:
+        separator = ","
+    return repr(separator)[1:-1]
+
+
+def _case_op(op: str, c: Column) -> Column:
+    if op == "lower":
+        return F.lower(c)
+    if op == "upper":
+        # Reference `upper` has a bug and lowercases
+        # (/root/reference/src/ontoweaver/transformer.py:671); we implement
+        # the *documented* uppercase semantics.
+        return F.upper(c)
+    # capitalize / lower_capitalize: Python str.capitalize() — first char
+    # upper, rest lower. NOT Spark initcap (which capitalizes every word).
+    return F.concat(
+        F.upper(F.substring(c, 1, 1)),
+        F.lower(F.substring(c, 2, 2147483646)),
+    )
+
+
+def _split_arrays(t: TransformerSpec) -> Column:
+    rx = _split_regex(t.params.get("separator"))
+    parts = []
+    for col in t.columns:
+        c = F.col(col)
+        parts.append(
+            F.when(is_not_null(c), F.transform(F.split(c, rx), _strip_ws))
+            .otherwise(F.array().cast("array<string>"))
+        )
+    return parts[0] if len(parts) == 1 else F.flatten(F.array(*parts))
+
+
+def _cat_format_expr(fmt: str) -> Column:
+    pieces = re.split(r"(\{[^{}]+\})", fmt)
+    cols = []
+    for p in pieces:
+        if not p:
+            continue
+        if p.startswith("{") and p.endswith("}"):
+            cols.append(F.col(p[1:-1]))
+        else:
+            cols.append(F.lit(p))
+    return F.concat(*cols) if cols else F.lit("")
+
+
+def _load_translations(t: TransformerSpec) -> dict[str, str]:
+    """Resolve the translation dict (inline or from a small file), mirroring
+    /root/reference/src/ontoweaver/transformer.py:760-880."""
+    translations = t.params.get("translations")
+    translations_file = t.params.get("translations_file")
+    if translations and translations_file:
+        raise CompileError("translate: cannot set both `translations` and `translations_file`")
+    if translations:
+        return {str(k): str(v) for k, v in dict(translations).items()}
+    if not translations_file:
+        raise CompileError("translate: needs `translations` or `translations_file`")
+    frm, to = t.params.get("translate_from"), t.params.get("translate_to")
+    if not frm or not to:
+        raise CompileError("translate: `translations_file` needs `translate_from` and `translate_to`")
+    import pandas as pd
+    sep = t.params.get("sep", ",")
+    if sep == "TAB":
+        sep = "\t"
+    if str(translations_file).endswith(".parquet"):
+        tdf = pd.read_parquet(translations_file)
+    else:
+        tdf = pd.read_csv(translations_file, sep=sep, dtype=str)
+    for needed in (frm, to):
+        if needed not in tdf.columns:
+            raise CompileError(f"translate: column {needed!r} not in {translations_file}")
+    out: dict[str, str] = {}
+    for f_, t_ in zip(tdf[frm], tdf[to]):
+        if f_ and t_ and str(f_) != "nan" and str(t_) != "nan":
+            out[str(f_)] = str(t_)
+    return out
+
+
+def _translate_lookup(t: TransformerSpec, tag: str):
+    """Return (fn(Column)->Column mapped-or-null, prestages).
+
+    Small dicts inline as a map literal (shipped with the plan — effectively
+    a broadcast); large dicts become a real ``broadcast()`` hash join on a
+    derived column, the scalable path for file-backed tables."""
+    table = _load_translations(t)
+    on_unknown = t.params.get("on_unknown_value", "skip")
+    if on_unknown not in ("skip", "keep", "error"):
+        raise CompileError(f"translate: bad on_unknown_value {on_unknown!r}")
+
+    def apply_policy(mapped: Column, original: Column) -> Column:
+        if on_unknown == "keep":
+            return F.coalesce(mapped, original)
+        # skip / error: unknown -> null (filtered out); `error` additionally
+        # surfaces through pipeline metrics (unknown-count accumulator).
+        return mapped
+
+    if len(table) <= TRANSLATE_INLINE_MAX:
+        items = []
+        for k, v in table.items():
+            items.append(F.lit(k))
+            items.append(F.lit(v))
+        m = F.create_map(*items)
+        return (lambda c: apply_policy(F.element_at(m, c), c)), []
+
+    derived = f"_ow_trans_{tag}"
+    src_col = t.columns[0]
+
+    def prestage(df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        tdf = spark.createDataFrame(
+            [(k, v) for k, v in table.items()], schema=f"`{src_col}` string, `{derived}` string"
+        )
+        return df.join(F.broadcast(tdf), on=src_col, how="left")
+
+    return (lambda c: apply_policy(F.col(derived), c)), [prestage]
+
+
+def compile_values(t: TransformerSpec, tag: str = "t") -> CompiledValues:
+    """Compile one transformer spec to its candidate-values expression."""
+    op = t.op
+    cols = [F.col(c) for c in t.columns]
+
+    if op in registry.USER_TRANSFORMERS:
+        out = registry.USER_TRANSFORMERS[op](t)
+        if isinstance(out, CompiledValues):
+            return out
+        return CompiledValues(out)
+
+    if op == "map":
+        return CompiledValues(F.array(*cols))
+
+    if op == "split":
+        return CompiledValues(_split_arrays(t))
+
+    if op == "cat":
+        return CompiledValues(F.array(F.concat_ws("", *cols)))
+
+    if op == "cat_format":
+        fmt = t.params.get("format_string")
+        if not fmt:
+            raise CompileError("cat_format: needs `format_string`")
+        return CompiledValues(F.array(_cat_format_expr(fmt)))
+
+    if op == "rowIndex":
+        return CompiledValues(F.array(F.col(ROW_ID_COL).cast("string")))
+
+    if op == "string":
+        if "value" not in t.params:
+            raise CompileError("string: needs `value`")
+        return CompiledValues(F.array(F.lit(str(t.params["value"]))))
+
+    if op in ("lower", "upper", "capitalize", "lower_capitalize"):
+        return CompiledValues(F.array(*[_case_op(op, c) for c in cols]))
+
+    if op == "translate":
+        lookup, pre = _translate_lookup(t, tag)
+        return CompiledValues(F.array(*[lookup(c) for c in cols]), pre)
+
+    if op == "split_translate":
+        lookup, pre = _translate_lookup(t, tag)
+        return CompiledValues(F.transform(_split_arrays(t), lookup), pre)
+
+    if op == "replace":
+        forbidden = t.params.get("forbidden", r"[^a-zA-Z0-9_`.()]")
+        substitute = t.params.get("substitute", "")
+        return CompiledValues(F.array(*[
+            _strip_chars(F.regexp_replace(c, forbidden, substitute), substitute)
+            for c in cols
+        ]))
+
+    if op == "split_replace":
+        forbidden = t.params.get("forbidden", r"[^a-zA-Z0-9_`.()]")
+        substitute = t.params.get("substitute", "")
+        return CompiledValues(F.transform(
+            _split_arrays(t),
+            lambda x: _strip_chars(F.regexp_replace(x, forbidden, substitute), substitute),
+        ))
+
+    if op == "boolean":
+        consider_true = [str(x) for x in t.params.get("consider_true") or []]
+        consider_false = [str(x) for x in t.params.get("consider_false") or []]
+        if not consider_true or not consider_false:
+            raise CompileError("boolean: needs non-empty `consider_true` and `consider_false`")
+        if set(consider_true) & set(consider_false):
+            raise CompileError("boolean: overlapping consider_true/consider_false")
+        out_t = str(t.params.get("output_true", "true"))
+        out_f = str(t.params.get("output_false", "false"))
+        if out_t == out_f:
+            raise CompileError("boolean: output_true == output_false")
+
+        def boo(c: Column) -> Column:
+            return (
+                F.when(c.isin(consider_true), F.lit(out_t))
+                .when(c.isin(consider_false), F.lit(out_f))
+            )
+        return CompiledValues(F.array(*[boo(c) for c in cols]))
+
+    if op == "nested":
+        if len(t.columns) < 2:
+            raise CompileError("nested: needs a column then at least one key")
+        path = "$." + ".".join(t.columns[1:])
+        return CompiledValues(F.array(F.get_json_object(cols[0], path)))
+
+    if op == "split_nested":
+        if len(t.columns) < 2:
+            raise CompileError("split_nested: needs a column then at least one key")
+        path = "$." + ".".join(t.columns[1:])
+        split_spec = TransformerSpec(op="split", columns=t.columns[:1], params=t.params)
+        return CompiledValues(F.transform(
+            _split_arrays(split_spec), lambda x: F.get_json_object(x, path)
+        ))
+
+    if op == "maths":
+        sql = compile_maths(t.params.get("operation"))
+        return CompiledValues(F.array(F.expr(sql).cast("string")))
+
+    raise CompileError(f"unknown transformer operator {op!r}")
