@@ -216,11 +216,13 @@ def compile_mapping(
                 bucket[name] = vals
 
     if spec.metadata or spec.source_columns_key:
+        node_types = set(spec.node_type_names())
         for type_name in spec.mapped_types():
             bucket = props_by_type.setdefault(type_name, {})
             for k, v in spec.metadata.items():
                 bucket[k] = F.array(F.lit(v))
-            if spec.source_columns_key:
+            # source-column names attach to node types only
+            if spec.source_columns_key and type_name in node_types:
                 cols = spec.columns_for_type(type_name)
                 if cols:
                     bucket[spec.source_columns_key] = F.array(F.lit(", ".join(cols)))

@@ -1,0 +1,202 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+All variants are declarative DataFrame plans (no Python UDFs) designed for
+the shuffle shapes that survive 100 TB:
+
+- **exact**: one hash-aggregate on a 60-bit content fingerprint.
+- **MinHash + LSH**: shingle -> K minhashes -> B bands -> candidate pairs
+  from same-band buckets (the only join is on band keys, which are small),
+  then exact Jaccard verification on the candidates only.
+- **SimHash**: 16-bit signed-sum signature via one explode + aggregation.
+- **n-gram Jaccard**: exact pairwise similarity restricted to
+  shingle-sharing pairs (inverted-index join, never a cross join).
+- **embedding near-dup**: cosine over candidate pairs; see similarity.py
+  for the bucketed ANN variant.
+
+Hashing uses md5-prefix integers so DuckDB oracles reproduce results
+exactly (see textops.md5_int).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textops import md5_int, tokens
+
+
+def shingles(c: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of the text (array<string>)."""
+    toks = tokens(c)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]))
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (whitespace-normalized) documents.
+    Returns (fingerprint, n_docs, doc_ids sorted, canonical_id=min)."""
+    from .textops import fingerprint
+
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+            F.array_sort(F.collect_list(id_col)).alias("doc_ids"),
+        )
+    )
+
+
+def minhash_signature(c: Column, num_hashes: int = 16, shingle_k: int = 3) -> Column:
+    """array<bigint> of minhashes: h_i = min over shingles of
+    md5_int(i || \\x1f || shingle). Entirely JVM-side per row."""
+    sh = shingles(c, shingle_k)
+    return F.array(*[
+        F.array_min(
+            F.transform(sh, lambda s, i=i: md5_int(F.concat(F.lit(f"{i}\x1f"), s)))
+        )
+        for i in range(num_hashes)
+    ])
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """One row per (doc, band): band key = md5 of the band's minhash slice.
+    Docs sharing a band key are near-dup candidates."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_k)
+    with_sig = df.select(F.col(id_col), sig.alias("sig"))
+    band_cols = []
+    for b in range(bands):
+        piece = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", F.transform(piece, lambda x: x.cast("string")))).alias("band_key"),
+            )
+        )
+    return with_sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing at least one LSH band."""
+    banded = minhash_bands(df, text_col, id_col, num_hashes, bands, shingle_k)
+    left = banded.select(F.col(id_col).alias("a"), "band", "band_key")
+    right = banded.select(F.col(id_col).alias("b"), "band", "band_key")
+    return (
+        left.join(right, ["band", "band_key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for every pair sharing >=1 shingle
+    (inverted-index join — shuffle keyed on shingle, never a cross join).
+    Returns (a, b, jaccard rounded to 4)."""
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")
+    ).select(F.col(id_col), F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+
+    left = sh.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"), "shingle")
+    right = sh.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"), "shingle")
+    inter = (
+        left.join(right, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = inter.select(
+        "a", "b",
+        F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4).alias("jaccard"),
+    )
+    return jac.where(F.col("jaccard") >= threshold) if threshold > 0 else jac
+
+
+def simhash(c: Column, bits: int = 16) -> Column:
+    """SimHash over whitespace tokens: bit b set when the signed sum of
+    token-hash bit b is positive. One HOF aggregate per row, JVM-side."""
+    toks = F.array_distinct(tokens(c))
+    hashes = F.transform(toks, md5_int)
+    # bit loops unrolled in Python: shiftright needs literal bit counts
+    bit_sums = F.aggregate(
+        hashes,
+        F.array(*[F.lit(0).cast("long") for _ in range(bits)]),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                .otherwise(F.lit(-1)).cast("long")
+                for b in range(bits)
+            ]),
+            lambda x, y: x + y,
+        ),
+    )
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    return F.aggregate(
+        F.zip_with(bit_sums, powers, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """Groups of documents with identical simhash signatures."""
+    return (
+        df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.array_sort(F.collect_list(id_col)).alias("doc_ids"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-dup pairs among embeddings. The pair generation is a
+    self-join on a coarse sign-bucket (first 8 dimension signs) so the
+    candidate set stays near-linear; exact cosine verifies candidates."""
+    from .similarity import cosine, sign_bucket
+
+    base = df.select(
+        F.col(id_col), F.col(vec_col).alias("v"), sign_bucket(F.col(vec_col)).alias("bucket")
+    )
+    a = base.select(F.col(id_col).alias("a"), F.col("v").alias("va"), "bucket")
+    b = base.select(F.col(id_col).alias("b"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,126 @@
+"""Deterministic synthetic Common-Crawl-style pages table + the north-star
+web-KG mapping.
+
+Input contract (BASELINE.json ``input_hint``): one table
+``pages(url string, warc_ts timestamp, html binary, text string, lang string)``.
+The generator is pure Column expressions over ``spark.range(n)`` — fully
+distributed and deterministic for any scale (no driver-side data, no RNG
+state), so the same (n, seed) always produces byte-identical rows.
+
+Skew realism: hosts follow a heavy-tailed distribution (hub sites own a
+large share of pages) so the fusion stage sees the hub-entity skew that a
+10^12-document corpus would produce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# deterministic word inventory for page text
+_WORDS = [
+    "graph", "table", "spark", "stream", "window", "batch", "merge", "join",
+    "query", "index", "shard", "vector", "token", "crawl", "parse", "fetch",
+    "cache", "store", "scale", "plan",
+]
+_TLDS = ["com", "org", "net", "io", "dev"]
+_LANGS = ["en", "en", "en", "es", "fr", "de", "pt", "it"]  # en-heavy
+_KEYWORDS = [
+    "analytics", "database", "pipeline", "search", "ranking", "crawler",
+    "spark", "etl", "graphs", "ontology", "mapping", "dedup",
+]
+
+N_HOSTS = 1000  # host id space; traffic concentrates on low ids (hubs)
+
+
+def _pick(arr: list[str], idx_col):
+    return F.element_at(F.array(*[F.lit(x) for x in arr]), (idx_col % len(arr) + 1).cast("int"))
+
+
+def generate_pages(spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
+    """Build the synthetic pages table with n rows."""
+    df = spark.range(0, n, 1, partitions or max(4, n // 250_000 or 4))
+    i = F.col("id")
+    h = F.abs(F.xxhash64(i.cast("string"), F.lit(seed)))
+
+    # heavy-tailed host: host_id = floor(N / (1 + (h % 9973) mod sqrt-ish)) —
+    # approximate zipf by inverting a uniform draw
+    u = (h % 100_000) / 100_000.0
+    host_id = F.floor(F.pow(F.lit(N_HOSTS).cast("double"), u)).cast("long")
+    host = F.concat(F.lit("site"), host_id.cast("string"), F.lit("."), _pick(_TLDS, host_id))
+
+    path = F.concat(F.lit("p"), (h % 100_000_000).cast("string"))
+    url = F.concat(F.lit("https://"), host, F.lit("/"), path)
+
+    lang = _pick(_LANGS, h % 7919)
+
+    # 3 outlinks to other (deterministic) hosts — the triple-extraction payload
+    def linkref(k: int):
+        hk = F.abs(F.xxhash64(i.cast("string"), F.lit(seed + k)))
+        lhost_id = F.floor(F.pow(F.lit(N_HOSTS).cast("double"), (hk % 100_000) / 100_000.0)).cast("long")
+        return F.concat(
+            F.lit("https://site"), lhost_id.cast("string"), F.lit("."),
+            _pick(_TLDS, lhost_id), F.lit("/p"), (hk % 100_000_000).cast("string"),
+        )
+
+    kw1 = _pick(_KEYWORDS, h % 101)
+    kw2 = _pick(_KEYWORDS, h % 103)
+    body = F.concat_ws(
+        " ",
+        *[_pick(_WORDS, (h % (53 + 7 * k))) for k in range(12)],
+    )
+    text = F.concat(
+        body,
+        F.lit(". keywords: "), kw1, F.lit(", "), kw2,
+        F.lit(". links: "), linkref(1), F.lit(" "), linkref(2), F.lit(" "), linkref(3),
+        F.lit("."),
+    )
+
+    warc_ts = F.timestamp_seconds(F.lit(1704067200) + (h % 31_536_000))  # 2024
+
+    return df.select(
+        url.alias("url"),
+        warc_ts.alias("warc_ts"),
+        F.encode(text, "utf-8").alias("html"),
+        text.alias("text"),
+        lang.alias("lang"),
+    )
+
+
+# --- north-star mapping: pages -> web knowledge graph -----------------------
+# Subject = the page (url); objects = host site, language, keywords, linked
+# pages; canonicalization via lower/replace; the page keeps its text and
+# fetch timestamp as properties (the byte-identical text invariant rides on
+# the `text` property).
+WEB_KG_MAPPING = {
+    "row": {"map": {"id_from_column": "url", "to_subject": "page"}},
+    "transformers": [
+        {"regex_extract": {
+            "column": "url", "pattern": r"^https?://([^/]+)/", "group": 1,
+            "to_object": "site", "via_relation": "hosted_on",
+        }},
+        {"lower": {"column": "lang", "to_object": "language", "via_relation": "in_language"}},
+        {"regex_extract_all": {
+            "column": "text", "pattern": r"keywords: ([a-z]+), ([a-z]+)\.", "group": 1,
+            "to_object": "keyword", "via_relation": "has_keyword",
+        }},
+        {"regex_extract_all": {
+            "column": "text", "pattern": r"keywords: ([a-z]+), ([a-z]+)\.", "group": 2,
+            "to_object": "keyword", "via_relation": "has_keyword",
+        }},
+        {"regex_extract_all": {
+            "column": "text", "pattern": r"(https?://[^\s.,]+[^\s.,])", "group": 1,
+            "to_object": "page", "via_relation": "links_to",
+        }},
+        {"map": {"column": "text", "to_properties": ["text"]}},
+        {"map": {"column": "warc_ts", "to_properties": ["fetched_at"]}},
+        {"token_count": {"column": "text", "to_properties": ["n_tokens"]}},
+    ],
+}
+
+
+def web_kg(pages: DataFrame, salt: int = 0):
+    """Run the north-star pipeline: pages -> fused (nodes, edges)."""
+    from . import weave
+
+    return weave(pages, WEB_KG_MAPPING, affix="none", raise_errors=False, salt=salt)

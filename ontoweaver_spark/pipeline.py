@@ -1,0 +1,183 @@
+"""End-to-end pipeline: read -> extract -> (checkpoint) -> fuse -> write,
+with per-partition lineage + metrics and chunk-level resume.
+
+The reference funnels everything into BioCypher writers
+(/root/reference/src/ontoweaver/__init__.py:640-673) with no checkpointing;
+this module is the Spark-native analog required by the north rule:
+
+- **Phase 1 (extract)** is a row-local flatMap, embarrassingly parallel: the
+  input is split into deterministic chunks (hash of a stable key); each
+  chunk's raw nodes/edges are written to a staging area and recorded in a
+  JSON manifest with lineage (input path, mapping hash, chunk id) and
+  metrics (rows in, nodes/edges out). A re-run skips chunks already in the
+  manifest — extraction work is never repeated after a crash.
+- **Phase 2 (fuse)** reads all staged chunks and runs the global
+  reconciliation, writing final nodes/edges parquet partitioned by label
+  (partition pruning for per-type consumers) plus a run manifest.
+
+At cluster scale each phase is one spark-submit-able job; staging parquet
+plays the role of an Iceberg snapshot boundary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .compiler import compile_mapping
+from .fusion import reconciliate
+from .spec import MappingSpec, load_mapping
+
+
+@dataclass
+class RunReport:
+    out_dir: str
+    mapping_hash: str
+    chunks_total: int = 0
+    chunks_resumed: int = 0
+    chunks_extracted: int = 0
+    rows_in: int = 0
+    raw_nodes: int = 0
+    raw_edges: int = 0
+    fused_nodes: int = 0
+    fused_edges: int = 0
+    seconds: float = 0.0
+    partition_metrics: list = field(default_factory=list)
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest.json")
+
+
+def _load_manifest(out_dir: str) -> dict:
+    p = _manifest_path(out_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"chunks": {}, "final": None}
+
+
+def _save_manifest(out_dir: str, manifest: dict) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = _manifest_path(out_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, _manifest_path(out_dir))
+
+
+def partition_metrics(df: DataFrame) -> list[dict]:
+    """Per-partition row counts (lineage metric; executed as one cheap job)."""
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("partition"))
+        .agg(F.count("*").alias("rows"))
+        .collect()
+    )
+    return [r.asDict() for r in rows]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_df: Union[DataFrame, str],
+    mapping: Union[dict, str, MappingSpec],
+    out_dir: str,
+    affix: str = "none",
+    type_affix_sep: str = ":",
+    reconciliate_sep: str = "|",
+    chunk_key: Optional[str] = None,
+    n_chunks: int = 1,
+    salt: int = 0,
+    raise_errors: bool = False,
+) -> RunReport:
+    """Run the full pipeline with checkpoint/resume.
+
+    ``chunk_key``: stable column used to split the input into resumable
+    chunks (e.g. ``url``). With ``n_chunks=1`` staging is a single snapshot.
+    """
+    t0 = time.time()
+    if isinstance(input_df, str):
+        input_df = spark.read.parquet(input_df)
+    spec = mapping if isinstance(mapping, MappingSpec) else load_mapping(mapping)
+    mhash = spec.spec_hash()
+
+    staging = os.path.join(out_dir, "staging")
+    manifest = _load_manifest(out_dir)
+    if manifest.get("mapping_hash") not in (None, mhash):
+        # different mapping -> prior staging is invalid
+        manifest = {"chunks": {}, "final": None}
+    manifest["mapping_hash"] = mhash
+
+    report = RunReport(out_dir=out_dir, mapping_hash=mhash, chunks_total=n_chunks)
+
+    # ---- phase 1: chunked extraction with resume ---------------------------
+    for chunk in range(n_chunks):
+        ckey = str(chunk)
+        node_path = os.path.join(staging, f"chunk-{chunk}", "nodes")
+        edge_path = os.path.join(staging, f"chunk-{chunk}", "edges")
+        if manifest["chunks"].get(ckey, {}).get("done"):
+            report.chunks_resumed += 1
+            continue
+
+        part = input_df
+        if n_chunks > 1:
+            key = F.col(chunk_key) if chunk_key else F.concat_ws("\x1f", *input_df.columns)
+            part = input_df.where(F.pmod(F.xxhash64(key), F.lit(n_chunks)) == chunk)
+
+        res = compile_mapping(part, spec, affix=affix, type_affix_sep=type_affix_sep)
+        res.nodes.write.mode("overwrite").parquet(node_path)
+        res.edges.write.mode("overwrite").parquet(edge_path)
+
+        pm = partition_metrics(part)
+        n_rows = sum(m["rows"] for m in pm)
+        n_nodes = spark.read.parquet(node_path).count()
+        n_edges = spark.read.parquet(edge_path).count()
+        manifest["chunks"][ckey] = {
+            "done": True,
+            "rows_in": n_rows,
+            "nodes": n_nodes,
+            "edges": n_edges,
+            "partitions": pm,
+            "lineage": {"mapping_hash": mhash, "chunk": chunk, "n_chunks": n_chunks},
+            "ts": time.time(),
+        }
+        _save_manifest(out_dir, manifest)
+        report.chunks_extracted += 1
+        report.partition_metrics.extend(pm)
+
+    report.rows_in = sum(c.get("rows_in", 0) for c in manifest["chunks"].values())
+    report.raw_nodes = sum(c.get("nodes", 0) for c in manifest["chunks"].values())
+    report.raw_edges = sum(c.get("edges", 0) for c in manifest["chunks"].values())
+
+    # ---- phase 2: global fusion + final write -------------------------------
+    node_paths = [os.path.join(staging, f"chunk-{c}", "nodes") for c in range(n_chunks)]
+    edge_paths = [os.path.join(staging, f"chunk-{c}", "edges") for c in range(n_chunks)]
+    raw_nodes = spark.read.parquet(*node_paths)
+    raw_edges = spark.read.parquet(*edge_paths)
+    fnodes, fedges = reconciliate(
+        raw_nodes, raw_edges,
+        reconciliate_sep=reconciliate_sep, raise_errors=raise_errors, salt=salt,
+    )
+    final_nodes = os.path.join(out_dir, "nodes")
+    final_edges = os.path.join(out_dir, "edges")
+    fnodes.write.mode("overwrite").partitionBy("label").parquet(final_nodes)
+    fedges.write.mode("overwrite").partitionBy("label").parquet(final_edges)
+
+    report.fused_nodes = spark.read.parquet(final_nodes).count()
+    report.fused_edges = spark.read.parquet(final_edges).count()
+    report.seconds = time.time() - t0
+
+    manifest["final"] = {
+        "nodes": report.fused_nodes,
+        "edges": report.fused_edges,
+        "nodes_path": final_nodes,
+        "edges_path": final_edges,
+        "seconds": report.seconds,
+        "ts": time.time(),
+    }
+    _save_manifest(out_dir, manifest)
+    return report

@@ -56,6 +56,8 @@ KNOWN_OPS = {
     "map", "split", "cat", "cat_format", "rowIndex", "nested", "split_nested",
     "capitalize", "lower", "upper", "lower_capitalize", "translate", "string",
     "replace", "boolean", "split_translate", "split_replace", "maths",
+    # engine-native extensions (web-text extraction)
+    "regex_extract", "regex_extract_all", "token_count",
 }
 
 
@@ -143,7 +145,13 @@ class TransformerSpec:
         return out
 
     def referenced_columns(self) -> list[str]:
-        cols = list(self.columns)
+        """DataFrame columns this transformer reads. For nested ops only the
+        first entry is a column — the rest are JSON path keys
+        (/root/reference/src/ontoweaver/transformer.py:442-537)."""
+        if self.op in ("nested", "split_nested"):
+            cols = list(self.columns[:1])
+        else:
+            cols = list(self.columns)
         if self.match_column and self.match_column not in cols:
             cols.append(self.match_column)
         return cols
@@ -193,6 +201,24 @@ class MappingSpec:
                     if col not in cols:
                         cols.append(col)
         return cols
+
+    def node_type_names(self) -> list[str]:
+        """Node type names only (subject/object declared + final types) —
+        ``add_source_column_names_as`` attaches to nodes, never to edges
+        (observed in /root/reference/tests/test_final_type.py goldens)."""
+        out: list[str] = []
+
+        def add(name: Optional[str]):
+            if name and name not in out:
+                out.append(name)
+
+        for t in [self.subject, *self.transformers]:
+            for n in t.possible_node_types():
+                add(n)
+            add(t.final_type)
+            for c in t.match:
+                add(c.final_type)
+        return out
 
     def mapped_types(self) -> list[str]:
         """Every element type name the mapping can produce (pre-final + final)."""

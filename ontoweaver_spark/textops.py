@@ -1,0 +1,107 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+Everything is built from ``pyspark.sql.functions`` (JVM-side, whole-stage
+codegen) — no Python UDFs. Hashes use an md5-prefix integer so a DuckDB
+oracle can reproduce results bit-for-bit:
+Spark ``conv(substr(md5(x),1,15),16,10)::bigint`` ==
+DuckDB ``('0x'||substr(md5(x),1,15))::BIGINT``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# language marker words (deterministic n-gram-ish heuristic; shared with the
+# DuckDB oracle — keep in sync with oracle_sql in __spark_entry__.py)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "with"],
+    "es": ["el", "la", "de", "que", "con"],
+    "fr": ["le", "la", "et", "est", "dans"],
+    "de": ["der", "die", "und", "ist", "mit"],
+}
+
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def md5_int(c: Column) -> Column:
+    """60-bit integer from the md5 hex prefix (oracle-reproducible hash)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c))
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    """Sub-word-ish token count: split on whitespace AND punctuation/digit
+    boundaries (a cheap BPE stand-in for budget estimation)."""
+    return F.size(
+        F.filter(
+            F.split(c, r"[\s]+|(?=[^\w\s])|(?<=[^\w\s])"),
+            lambda x: x != "",
+        )
+    )
+
+
+def marker_count(c: Column, words: list[str]) -> Column:
+    """Occurrences of any marker word (word-bounded) in lowercased text."""
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(pattern), F.lit(1)))
+
+
+def lang_id(c: Column) -> Column:
+    """Pick the language whose marker words occur most often; ties resolve
+    in fixed key order; no hits -> 'und'."""
+    best_lang = F.lit("und")
+    best_score = F.lit(0).cast("int")
+    for lang in sorted(LANG_MARKERS):  # fixed order => deterministic ties
+        score = marker_count(c, LANG_MARKERS[lang])
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def quality_score(c: Column) -> Column:
+    """Composite quality in [0,1]: length factor, punctuation sanity,
+    stopword presence. Deterministic; rounded to 4 decimals so the DuckDB
+    oracle matches despite float formatting."""
+    n_chars = F.length(c).cast("double")
+    n_toks = token_count(c).cast("double")
+    stop_hits = marker_count(c, STOPWORDS).cast("double")
+    punct = (n_chars - F.length(F.regexp_replace(c, r"[.,;:!?]", ""))).cast("double")
+
+    length_factor = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1.0))
+    punct_factor = F.when(punct_ratio < 0.1, F.lit(1.0)).otherwise(F.lit(1.0) - punct_ratio)
+    stop_factor = F.least(stop_hits / F.greatest(n_toks, F.lit(1.0)) * 5.0, F.lit(1.0))
+    return F.round(
+        length_factor * 0.4 + punct_factor * 0.3 + stop_factor * 0.3, 4
+    )
+
+
+def fingerprint(c: Column) -> Column:
+    """Document fingerprint: md5-int of whitespace-normalized lowercase text
+    (exact-dup detection key; stable across engines)."""
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return md5_int(normalized)
+
+
+def text_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """All features at once over a documents-like table."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_subtokens"),
+        lang_id(c).alias("lang_pred"),
+        quality_score(c).alias("quality"),
+        fingerprint(c).alias("fingerprint"),
+    )

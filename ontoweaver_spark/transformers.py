@@ -64,13 +64,16 @@ def _strip_chars(c: Column, chars: str) -> Column:
 
 
 def _split_regex(separator: str) -> str:
-    """The reference splits with ``re.split(repr(sep)[1:-1], val)``
-    (/root/reference/src/ontoweaver/transformer.py:187-188): the separator is
-    a *regex* whose control characters are repr-escaped. Replicated verbatim
-    for parity (including the quirk that ``sep="."`` matches any char)."""
+    """The separator is a regex, as in the reference
+    (``re.split(repr(sep)[1:-1], val)``,
+    /root/reference/src/ontoweaver/transformer.py:187-188). Deviation: the
+    reference repr-escapes the pattern, which doubles user backslashes and
+    silently breaks regex-intent separators like ``\\|``; we pass the
+    pattern through unchanged — identical behavior for every separator the
+    reference's own tests use ("; ", ";", ", ")."""
     if separator is None:
         separator = ","
-    return repr(separator)[1:-1]
+    return separator
 
 
 def _case_op(op: str, c: Column) -> Column:
@@ -283,5 +286,31 @@ def compile_values(t: TransformerSpec, tag: str = "t") -> CompiledValues:
     if op == "maths":
         sql = compile_maths(t.params.get("operation"))
         return CompiledValues(F.array(F.expr(sql).cast("string")))
+
+    # --- engine-native extensions (beyond the reference's operator set;
+    # needed for web-text triple extraction where cell values are long
+    # unstructured strings rather than pre-parsed CSV cells) -------------
+    if op == "regex_extract":
+        pattern = t.params.get("pattern")
+        group = int(t.params.get("group", 1))
+        if not pattern:
+            raise CompileError("regex_extract: needs `pattern`")
+        return CompiledValues(F.array(*[
+            F.nullif(F.regexp_extract(c, pattern, group), F.lit("")) for c in cols
+        ]))
+
+    if op == "regex_extract_all":
+        pattern = t.params.get("pattern")
+        group = int(t.params.get("group", 1))
+        if not pattern:
+            raise CompileError("regex_extract_all: needs `pattern`")
+        parts = [F.regexp_extract_all(c, F.lit(pattern), F.lit(group)) for c in cols]
+        return CompiledValues(parts[0] if len(parts) == 1 else F.flatten(F.array(*parts)))
+
+    if op == "token_count":
+        # whitespace token count as a string value (text-quality feature)
+        return CompiledValues(F.array(*[
+            F.size(F.split(F.trim(c), r"\s+")).cast("string") for c in cols
+        ]))
 
     raise CompileError(f"unknown transformer operator {op!r}")

@@ -1,0 +1,81 @@
+"""North-star pipeline tests: synthetic pages -> web KG, the byte-identical
+text invariant, and checkpoint/resume with lineage metrics."""
+
+import json
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from ontoweaver_spark.pages import WEB_KG_MAPPING, generate_pages, web_kg
+from ontoweaver_spark.pipeline import run_pipeline
+
+
+def test_pages_deterministic(spark):
+    a = generate_pages(spark, 300, seed=42).orderBy("url").collect()
+    b = generate_pages(spark, 300, seed=42).orderBy("url").collect()
+    assert a == b
+    c = generate_pages(spark, 300, seed=7).orderBy("url").collect()
+    assert a != c
+    # schema matches the input_hint contract
+    assert [f.name for f in generate_pages(spark, 1).schema.fields] == [
+        "url", "warc_ts", "html", "text", "lang"
+    ]
+    types = {f.name: f.dataType.simpleString() for f in generate_pages(spark, 1).schema.fields}
+    assert types == {
+        "url": "string", "warc_ts": "timestamp", "html": "binary",
+        "text": "string", "lang": "string",
+    }
+
+
+def test_web_kg_and_text_invariant(spark):
+    pages = generate_pages(spark, 500, seed=42)
+    fnodes, fedges = web_kg(pages)
+
+    labels = {r["label"] for r in fnodes.select("label").distinct().collect()}
+    assert labels == {"page", "site", "language", "keyword"}
+    elabels = {r["label"] for r in fedges.select("label").distinct().collect()}
+    assert elabels == {"hosted_on", "in_language", "has_keyword", "links_to"}
+
+    # per-row invariant: byte-identical extracted text per url
+    page_text = fnodes.where(F.col("label") == "page").select(
+        F.col("id").alias("url"),
+        F.element_at(F.col("properties")["text"], 1).alias("out_text"),
+    )
+    j = pages.select("url", "text").join(page_text, "url", "left")
+    assert j.where(F.col("out_text").isNull()).count() == 0
+    assert j.where(F.col("text") != F.col("out_text")).count() == 0
+
+
+def test_pipeline_checkpoint_resume(spark, tmp_path):
+    out = str(tmp_path / "kg_out")
+    pages = generate_pages(spark, 400, seed=42)
+
+    rep1 = run_pipeline(spark, pages, WEB_KG_MAPPING, out, n_chunks=3, chunk_key="url")
+    assert rep1.chunks_extracted == 3 and rep1.chunks_resumed == 0
+    assert rep1.fused_nodes > 0 and rep1.fused_edges > 0
+    assert rep1.rows_in == 400
+
+    # resume: nothing re-extracted
+    rep2 = run_pipeline(spark, pages, WEB_KG_MAPPING, out, n_chunks=3, chunk_key="url")
+    assert rep2.chunks_extracted == 0 and rep2.chunks_resumed == 3
+    assert rep2.fused_nodes == rep1.fused_nodes
+    assert rep2.fused_edges == rep1.fused_edges
+
+    # manifest carries lineage + per-partition metrics
+    with open(os.path.join(out, "_manifest.json")) as f:
+        manifest = json.load(f)
+    assert manifest["mapping_hash"] == rep1.mapping_hash
+    assert set(manifest["chunks"]) == {"0", "1", "2"}
+    for c in manifest["chunks"].values():
+        assert c["done"] and "partitions" in c and c["lineage"]["mapping_hash"]
+    assert manifest["final"]["nodes"] == rep1.fused_nodes
+
+    # final tables are label-partitioned (partition pruning for consumers)
+    assert any(d.startswith("label=") for d in os.listdir(os.path.join(out, "nodes")))
+
+    # chunked extraction == unchunked extraction (partition-invariance)
+    out2 = str(tmp_path / "kg_out_onechunk")
+    rep3 = run_pipeline(spark, pages, WEB_KG_MAPPING, out2, n_chunks=1)
+    assert rep3.fused_nodes == rep1.fused_nodes
+    assert rep3.fused_edges == rep1.fused_edges

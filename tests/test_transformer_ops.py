@@ -1,0 +1,195 @@
+"""Unit tests for the transformer operator algebra — one tiny mapping per
+operator, exercising the compiled Column expressions end-to-end through
+``extract`` (mirrors the reference's per-transformer unit tests,
+SURVEY.md §5 pattern 2)."""
+
+import yaml
+
+from ontoweaver_spark import extract
+
+BASE_ROW = {"row": {"map": {"id_from_column": "k", "to_subject": "subj"}}}
+
+
+def _run(spark, rows, schema, transformer_yaml, affix="none"):
+    df = spark.createDataFrame(rows, schema)
+    mapping = dict(BASE_ROW)
+    mapping["transformers"] = yaml.safe_load(transformer_yaml)
+    nodes, edges = extract(df, mapping, affix=affix)
+    return nodes, edges
+
+
+def _object_ids(nodes, label="obj"):
+    return sorted(r["id"] for r in nodes.collect() if r["label"] == label)
+
+
+def test_map_multi_column(spark):
+    nodes, _ = _run(
+        spark, [("k1", "a", "b")], "k string, c1 string, c2 string",
+        "- map: {columns: [c1, c2], to_object: obj, via_relation: rel}",
+    )
+    assert _object_ids(nodes) == ["a", "b"]
+
+
+def test_split_separator_and_trim(spark):
+    nodes, _ = _run(
+        spark, [("k1", "x ; y;z ")], "k string, c string",
+        '- split: {column: c, separator: ";", to_object: obj, via_relation: rel}',
+    )
+    assert _object_ids(nodes) == ["x", "y", "z"]
+
+
+def test_cat(spark):
+    nodes, _ = _run(
+        spark, [("k1", "foo", "bar")], "k string, c1 string, c2 string",
+        "- cat: {columns: [c1, c2], to_object: obj, via_relation: rel}",
+    )
+    assert _object_ids(nodes) == ["foobar"]
+
+
+def test_cat_format(spark):
+    nodes, _ = _run(
+        spark, [("k1", "foo", "bar")], "k string, c1 string, c2 string",
+        '- cat_format: {columns: [c1, c2], format_string: "{c1}-X-{c2}", to_object: obj, via_relation: rel}',
+    )
+    assert _object_ids(nodes) == ["foo-X-bar"]
+
+
+def test_string_constant(spark):
+    nodes, _ = _run(
+        spark, [("k1", "v")], "k string, c string",
+        '- string: {value: "const", to_object: obj, via_relation: rel}',
+    )
+    assert _object_ids(nodes) == ["const"]
+
+
+def test_case_operators(spark):
+    nodes, _ = _run(
+        spark, [("k1", "hELLo wOrLD")], "k string, c string",
+        """
+- lower: {column: c, to_object: lo, via_relation: rel}
+- upper: {column: c, to_object: up, via_relation: rel}
+- capitalize: {column: c, to_object: cap, via_relation: rel}
+- lower_capitalize: {column: c, to_object: lc, via_relation: rel}
+""",
+    )
+    assert _object_ids(nodes, "lo") == ["hello world"]
+    # documented uppercase semantics (the reference's own `upper` has a
+    # lowercase bug, transformer.py:671)
+    assert _object_ids(nodes, "up") == ["HELLO WORLD"]
+    # Python str.capitalize, not initcap
+    assert _object_ids(nodes, "cap") == ["Hello world"]
+    assert _object_ids(nodes, "lc") == ["Hello world"]
+
+
+def test_translate_policies(spark):
+    rows = [("k1", "AA"), ("k2", "BB"), ("k3", "ZZ")]
+    # skip (default): unknown ZZ dropped
+    nodes, _ = _run(
+        spark, rows, "k string, c string",
+        "- translate: {column: c, translations: {AA: alpha, BB: beta}, to_object: obj, via_relation: rel}",
+    )
+    assert _object_ids(nodes) == ["alpha", "beta"]
+    # keep: unknown passes through
+    nodes, _ = _run(
+        spark, rows, "k string, c string",
+        "- translate: {column: c, translations: {AA: alpha, BB: beta}, on_unknown_value: keep, to_object: obj, via_relation: rel}",
+    )
+    assert _object_ids(nodes) == ["ZZ", "alpha", "beta"]
+
+
+def test_split_translate(spark):
+    nodes, _ = _run(
+        spark, [("k1", "a;b;q")], "k string, c string",
+        '- split_translate: {column: c, separator: ";", translations: {a: "1", b: "2"}, to_object: obj, via_relation: rel}',
+    )
+    assert _object_ids(nodes) == ["1", "2"]
+
+
+def test_replace_default_and_custom(spark):
+    # default forbidden [^a-zA-Z0-9_`.()] removes specials
+    nodes, _ = _run(
+        spark, [("k1", "he!!o w@rld")], "k string, c string",
+        "- replace: {column: c, to_object: obj, via_relation: rel}",
+    )
+    assert _object_ids(nodes) == ["heowrld"]
+    # custom substitute + strip(substitute) semantics
+    nodes, _ = _run(
+        spark, [("k1", "!!ab!cd!!")], "k string, c string",
+        '- replace: {column: c, forbidden: "[!]", substitute: "_", to_object: obj, via_relation: rel}',
+    )
+    assert _object_ids(nodes) == ["ab_cd"]
+
+
+def test_split_replace(spark):
+    nodes, _ = _run(
+        spark, [("k1", "a@x;b#y")], "k string, c string",
+        '- split_replace: {column: c, separator: ";", to_object: obj, via_relation: rel}',
+    )
+    assert _object_ids(nodes) == ["ax", "by"]
+
+
+def test_boolean(spark):
+    rows = [("k1", "y"), ("k2", "n"), ("k3", "?")]
+    nodes, _ = _run(
+        spark, rows, "k string, c string",
+        '- boolean: {column: c, consider_true: [y, yes], consider_false: [n, no], output_true: "T", output_false: "F", to_object: obj, via_relation: rel}',
+    )
+    # unknown "?" bypassed (reference logs and skips)
+    assert _object_ids(nodes) == ["F", "T"]
+
+
+def test_nested_json(spark):
+    nodes, _ = _run(
+        spark, [("k1", '{"a": {"b": "deep"}}')], "k string, c string",
+        "- nested: {columns: [c, a, b], to_object: obj, via_relation: rel}",
+    )
+    assert _object_ids(nodes) == ["deep"]
+
+
+def test_split_nested(spark):
+    nodes, _ = _run(
+        spark, [("k1", '{"v": "one"}|{"v": "two"}')], "k string, c string",
+        '- split_nested: {columns: [c, v], separator: "\\\\|", to_object: obj, via_relation: rel}',
+    )
+    assert _object_ids(nodes) == ["one", "two"]
+
+
+def test_maths(spark):
+    nodes, _ = _run(
+        spark, [("k1", "3", "4")], "k string, a string, b string",
+        '- maths: {columns: [a, b], operation: "{a}^2 + {b} * 2 - abs(0-1)", to_object: obj, via_relation: rel}',
+    )
+    assert _object_ids(nodes) == ["16.0"]
+
+
+def test_null_skip_semantics(spark):
+    # "", "nan", "NaN", "None", NULL all skip; "0" does not
+    rows = [("k1", ""), ("k2", "nan"), ("k3", "NaN"), ("k4", "None"),
+            ("k5", None), ("k6", "0")]
+    nodes, _ = _run(
+        spark, rows, "k string, c string",
+        "- map: {column: c, to_object: obj, via_relation: rel}",
+    )
+    assert _object_ids(nodes) == ["0"]
+
+
+def test_user_registered_transformer(spark):
+    # UDF surface: compile hook returning an array<string> Column
+    from pyspark.sql import functions as F
+
+    from ontoweaver_spark import register
+    from ontoweaver_spark.registry import unregister
+
+    def repeat_twice(spec):
+        c = F.col(spec.columns[0])
+        return F.array(c, F.concat(c, c))
+
+    register("repeat_twice", repeat_twice)
+    try:
+        nodes, _ = _run(
+            spark, [("k1", "ab")], "k string, c string",
+            "- repeat_twice: {column: c, to_object: obj, via_relation: rel}",
+        )
+        assert _object_ids(nodes) == ["ab", "abab"]
+    finally:
+        unregister("repeat_twice")
