@@ -1,0 +1,104 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
+ "sf": ..., "triples_per_sec": ..., ...}
+
+The headline is the KG-construction pipeline (the north-star workload):
+extract + fuse over the documents table and over a synthetic CC-style pages
+table, plus the training-data ops (dedup, text features, ANN).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PAGES_N = int(os.environ.get("OW_BENCH_PAGES", "200000"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from ontoweaver_spark import weave
+    from ontoweaver_spark.pages import generate_pages, web_kg
+    from ontoweaver_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="ontoweaver-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 16),
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "24g"},
+    )
+
+    import __spark_entry__ as entrymod
+
+    timings: dict[str, float] = {}
+    counters: dict[str, int] = {}
+
+    def bench(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        if out is not None:
+            counters[name] = out
+
+    # q1: KG over documents (extract + fusion + materialize)
+    def kg_documents():
+        fnodes, fedges = entrymod._kg(spark, SF_DIR)
+        return fnodes.count() + fedges.count()
+
+    # q2: KG over synthetic pages (triple extraction at web shape)
+    def kg_pages():
+        pages = generate_pages(spark, PAGES_N, seed=42, partitions=max(CPUS, 16))
+        fnodes, fedges = web_kg(pages)
+        return fnodes.count() + fedges.count()
+
+    # q3-q8: operator suite from the driver contract
+    qs = entrymod.queries()
+    bench("kg_documents", kg_documents)
+    bench("kg_pages", kg_pages)
+    for name in ["dedup_exact", "dedup_minhash", "dedup_jaccard", "dedup_simhash",
+                 "text_features", "ann_topk", "ann_topk_bucketed", "t_split",
+                 "t_maths", "kg_fusion_props"]:
+        bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
+
+    # triples/sec: raw extracted edges from the pages KG per second of the
+    # pages run (edges == (subj, pred, obj) triples)
+    pages_triples = None
+    t0 = time.time()
+    from ontoweaver_spark import extract
+    from ontoweaver_spark.pages import WEB_KG_MAPPING
+
+    pages = generate_pages(spark, PAGES_N, seed=42, partitions=max(CPUS, 16))
+    _, edges = extract(pages, WEB_KG_MAPPING, affix="none")
+    pages_triples = edges.count()
+    extract_sec = time.time() - t0
+    timings["pages_extract_only"] = round(extract_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "kg_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "pages_n": PAGES_N,
+        "triples": pages_triples,
+        "triples_per_sec": round(pages_triples / extract_sec, 1) if extract_sec else None,
+        "counts": counters,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

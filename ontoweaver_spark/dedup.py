@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textops import md5_int, tokens
+from .textops import md5_int, round_ieee, tokens
 
 
 def shingles(c: Column, k: int = 3) -> Column:
@@ -134,7 +134,7 @@ def jaccard_pairs(
     )
     jac = inter.select(
         "a", "b",
-        F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4).alias("jaccard"),
+        round_ieee(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4).alias("jaccard"),
     )
     return jac.where(F.col("jaccard") >= threshold) if threshold > 0 else jac
 
@@ -197,6 +197,6 @@ def embedding_near_duplicates(
     return (
         a.join(b, "bucket")
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"))
+        .select("a", "b", round_ieee(cosine(F.col("va"), F.col("vb")), 4).alias("cos"))
         .where(F.col("cos") >= threshold)
     )

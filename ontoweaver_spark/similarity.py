@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .textops import round_ieee
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -61,7 +63,7 @@ def topk_bruteforce(
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = c.join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id")).select(
-        "probe_id", "neighbor_id", F.round(cosine(F.col("pv"), F.col("cv")), 4).alias("cos")
+        "probe_id", "neighbor_id", round_ieee(cosine(F.col("pv"), F.col("cv")), 4).alias("cos")
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -94,7 +96,7 @@ def topk_bucketed(
     scored = c.join(F.broadcast(p), "bucket").where(
         F.col("probe_id") != F.col("neighbor_id")
     ).select(
-        "probe_id", "neighbor_id", F.round(cosine(F.col("pv"), F.col("cv")), 4).alias("cos")
+        "probe_id", "neighbor_id", round_ieee(cosine(F.col("pv"), F.col("cv")), 4).alias("cos")
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

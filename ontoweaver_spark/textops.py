@@ -30,6 +30,15 @@ def md5_int(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
 
+def round_ieee(c: Column, digits: int = 4) -> Column:
+    """Engine-portable rounding: ``floor(x*10^d + 0.5)/10^d`` evaluates in
+    pure IEEE double ops, so Spark and DuckDB produce bit-identical results
+    (Spark's F.round rounds the shortest *decimal* repr HALF_UP, which
+    disagrees with binary rounding on .5 boundaries)."""
+    scale = float(10 ** digits)
+    return F.floor(c * scale + F.lit(0.5)) / scale
+
+
 def tokens(c: Column) -> Column:
     """Whitespace tokenization of trimmed text."""
     return F.split(F.trim(c), r"\s+")
@@ -82,7 +91,7 @@ def quality_score(c: Column) -> Column:
     punct_ratio = punct / F.greatest(n_chars, F.lit(1.0))
     punct_factor = F.when(punct_ratio < 0.1, F.lit(1.0)).otherwise(F.lit(1.0) - punct_ratio)
     stop_factor = F.least(stop_hits / F.greatest(n_toks, F.lit(1.0)) * 5.0, F.lit(1.0))
-    return F.round(
+    return round_ieee(
         length_factor * 0.4 + punct_factor * 0.3 + stop_factor * 0.3, 4
     )
 
