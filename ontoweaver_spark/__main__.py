@@ -1,0 +1,95 @@
+"""CLI: the ``ontoweave`` analog (/root/reference/src/ontoweaver/ontoweave.py).
+
+    python -m ontoweaver_spark DATA:MAPPING [DATA:MAPPING ...] \
+        --out OUT_DIR [--affix none|prefix|suffix] [--affix-sep :] \
+        [--reconciliate-sep "|"] [--chunks N] [--salt K] \
+        [--register module.py] [--sub-sample PCT] [--master local[*]]
+
+Each DATA:MAPPING pair is extracted; results union before one global
+reconciliation (multi-source fusion, reference __init__.py:504-530); final
+nodes/edges land in OUT_DIR as label-partitioned parquet with a manifest.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="ontoweaver_spark", description=__doc__)
+    ap.add_argument("pairs", nargs="+", metavar="DATA:MAPPING",
+                    help="input table path and mapping YAML, colon-separated")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--affix", default="none", choices=["none", "prefix", "suffix"])
+    ap.add_argument("--affix-sep", default=":")
+    ap.add_argument("--reconciliate-sep", default="|")
+    ap.add_argument("--chunks", type=int, default=1, help="resumable extraction chunks")
+    ap.add_argument("--salt", type=int, default=0, help="fusion salt partitions (hub skew)")
+    ap.add_argument("--register", action="append", default=[],
+                    help="user transformer module path (may repeat)")
+    ap.add_argument("--sub-sample", type=float, default=None, help="percent sample")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--sort", default=None, choices=["ascend", "descend"],
+                    help="sort output by id before writing")
+    args = ap.parse_args(argv)
+
+    from . import registry
+    from .fusion import reconciliate
+    from .loaders import read_table, sub_sample
+    from .pipeline import _save_manifest
+    from .session import get_spark
+    from .spec import load_mapping
+
+    for mod in args.register:
+        registry.import_from_path(mod)
+
+    spark = get_spark(app_name="ontoweave-spark", master=args.master)
+
+    from .compiler import compile_mapping
+
+    all_nodes, all_edges = None, None
+    for pair in args.pairs:
+        data_path, _, mapping_path = pair.rpartition(":")
+        if not data_path:
+            ap.error(f"expected DATA:MAPPING, got {pair!r}")
+        df = read_table(spark, data_path)
+        if args.sub_sample:
+            df = sub_sample(df, args.sub_sample)
+        res = compile_mapping(
+            df, load_mapping(mapping_path),
+            affix=args.affix, type_affix_sep=args.affix_sep,
+        )
+        all_nodes = res.nodes if all_nodes is None else all_nodes.unionByName(res.nodes)
+        all_edges = res.edges if all_edges is None else all_edges.unionByName(res.edges)
+
+    fnodes, fedges = reconciliate(
+        all_nodes, all_edges,
+        reconciliate_sep=args.reconciliate_sep, raise_errors=False, salt=args.salt,
+    )
+    if args.sort:
+        asc = args.sort == "ascend"
+        fnodes = fnodes.orderBy(fnodes.id.asc() if asc else fnodes.id.desc())
+        fedges = fedges.orderBy(fedges.id.asc() if asc else fedges.id.desc())
+
+    import os
+    nodes_path, edges_path = os.path.join(args.out, "nodes"), os.path.join(args.out, "edges")
+    fnodes.write.mode("overwrite").partitionBy("label").parquet(nodes_path)
+    fedges.write.mode("overwrite").partitionBy("label").parquet(edges_path)
+    n, e = (
+        spark.read.parquet(nodes_path).count(),
+        spark.read.parquet(edges_path).count(),
+    )
+    _save_manifest(args.out, {
+        "chunks": {}, "final": {"nodes": n, "edges": e,
+                                "nodes_path": nodes_path, "edges_path": edges_path},
+        "inputs": args.pairs,
+    })
+    print(json.dumps({"nodes": n, "edges": e, "out": args.out}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

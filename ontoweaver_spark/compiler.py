@@ -36,7 +36,12 @@ from pyspark.sql import functions as F
 from .ids import affix_id
 from .nulls import is_not_null
 from .spec import MappingSpec, TransformerSpec, load_mapping
-from .transformers import ROW_ID_COL, CompiledValues, compile_values
+from .transformers import (
+    ROW_ID_COL,
+    CompiledCandidates,
+    CompiledValues,
+    compile_values,
+)
 
 CAND_TYPE = (
     "array<struct<value:string,label:string,edge:string,final:string,"
@@ -154,7 +159,15 @@ def compile_mapping(
 
     # Canonical string cell domain (reference loads everything dtype=str,
     # loader.py:173-216) + column pruning: keep only referenced columns.
-    used = [c for c in spec.all_columns() if c in df.columns]
+    # User transformers with no declared columns are opaque — they may read
+    # any column, so pruning is disabled for those mappings.
+    from .registry import USER_TRANSFORMERS
+
+    opaque_user = any(
+        t.op in USER_TRANSFORMERS and not t.columns
+        for t in [spec.subject, *spec.transformers, *spec.properties]
+    )
+    used = df.columns if opaque_user else [c for c in spec.all_columns() if c in df.columns]
     prepared = df.select(*[F.col(c).cast("string").alias(c) for c in used]) if used else df
     if spec.uses_row_index():
         prepared = with_row_index(df).select(
@@ -192,6 +205,23 @@ def compile_mapping(
     for i, t in enumerate(spec.transformers):
         cv = compile_values(t, tag=f"t{i}")
         prestages += cv.prestages
+        if isinstance(cv, CompiledCandidates):
+            # user transformer did its own branching; attach fs/tidx
+            fs_lit = F.lit(t.from_subject) if t.from_subject else _null_str()
+
+            def retag(c, fs_lit=fs_lit, i=i):
+                return F.struct(
+                    c["value"].alias("value"), c["label"].alias("label"),
+                    c["edge"].alias("edge"), c["final"].alias("final"),
+                    c["rev"].alias("rev"), fs_lit.alias("fs"), F.lit(i).alias("tidx"),
+                )
+
+            cand = F.filter(
+                F.transform(cv.candidates, lambda c: retag(c)),
+                lambda c: c["label"].isNotNull() & is_not_null(c["value"]),
+            )
+            cand_arrays.append(cand)
+            continue
         vals = F.filter(cv.values, is_not_null)
         cand = F.filter(
             F.transform(vals, _make_candidate_fn(t, i)),
@@ -245,13 +275,25 @@ def compile_mapping(
     for stage in prestages:
         prepared = stage(prepared)
 
+    # The _ow_barrier column is non-deterministic, which stops Catalyst's
+    # CollapseProject from merging stage 2 back into stage 1: without it the
+    # candidate/props expressions (regex extraction over full text) get
+    # inlined into every node/edge struct — measured 45 copies of
+    # regexp_extract_all and a 300 KB plan that fell out of whole-stage
+    # codegen (17x slower). With the barrier each row computes extraction
+    # exactly once and stage 2 only shuffles struct references.
+    # NB: no .where here — a plan-level Filter gets predicate-pushed below
+    # this projection with full expression substitution (measured 42 copies
+    # of the extraction regexes in one pushed Filter). Row validity is
+    # handled in stage 2 by emitting empty node/edge arrays instead.
     stage1 = prepared.select(
         sval.alias("_sval"),
         sub_label.alias("_slabel"),
         sub_eff.alias("_seff"),
         candidates.alias("_cands"),
         props_map_expr.alias("_props"),
-    ).where(F.col("_sval").isNotNull() & F.col("_slabel").isNotNull())
+        F.rand(42).alias("_ow_barrier"),
+    )
 
     sval = F.col("_sval")
     sub_label = F.col("_slabel")
@@ -329,6 +371,12 @@ def compile_mapping(
         return F.concat(forward, reverse)
 
     all_edges = F.flatten(F.transform(candidates, mk_edges))
+
+    # invalid subject -> whole row skipped (iterative.py:255-330), expressed
+    # as empty arrays so no Filter node exists for Catalyst to push down
+    row_ok = sval.isNotNull() & sub_label.isNotNull()
+    all_nodes = F.when(row_ok, all_nodes).otherwise(F.slice(all_nodes, 1, 0))
+    all_edges = F.when(row_ok, all_edges).otherwise(F.slice(all_edges, 1, 0))
 
     assembled = stage1.select(all_nodes.alias("_nodes"), all_edges.alias("_edges"))
 

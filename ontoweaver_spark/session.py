@@ -20,6 +20,14 @@ ENGINE_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # InferFiltersFromGenerate turns our explode(_edges) into a
+    # size(_edges)>0 predicate that predicate-pushdown then substitutes all
+    # the way to the scan — duplicating the entire extraction expression
+    # (measured: a 600 KB Filter with 84 copies of the extraction regexes,
+    # evaluating every row's assembly twice). The filter saves nothing for
+    # this workload, so exclude the rule.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
 }
 
 

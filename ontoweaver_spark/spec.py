@@ -312,11 +312,12 @@ def _parse_transformer(op: str, body: dict, role: str) -> TransformerSpec:
         prop_names=prop_names,
         prop_for=prop_for,
     )
-    if op not in KNOWN_OPS and op not in _user_registry():
+    is_user = op in _user_registry()
+    if op not in KNOWN_OPS and not is_user:
         raise MappingError(f"unknown transformer operator {op!r}")
-    if op != "rowIndex" and op != "string" and not spec.columns and not spec.is_property:
+    if op not in ("rowIndex", "string") and not is_user and not spec.columns and not spec.is_property:
         raise MappingError(f"transformer {op!r} needs at least one column")
-    if not spec.is_property and role == "object":
+    if not spec.is_property and role == "object" and not is_user:
         if not spec.node_type and not any(c.node_type for c in spec.match):
             raise MappingError(f"object transformer {op!r} declares no target type")
     return spec
@@ -343,6 +344,10 @@ def parse_mapping(config: dict) -> MappingSpec:
     transformers: list[TransformerSpec] = []
     properties: list[TransformerSpec] = []
     for entry in config.get("transformers", []) or []:
+        if isinstance(entry, str):
+            # bare user-transformer name (reference allows `- OmniPath`,
+            # tests/custom_transformer/mapping.yaml)
+            entry = {entry: {}}
         if not isinstance(entry, dict) or len(entry) != 1:
             raise MappingError(f"each transformer entry must be a single `op: {{...}}` pair, got {entry!r}")
         (op, body), = entry.items()

@@ -1,0 +1,73 @@
+"""Structured Streaming front-end for the extraction pipeline.
+
+The reference is batch-only (SURVEY.md §2.5); this is an engine extension:
+because extraction is a row-local flatMap (zero shuffles), the SAME compiled
+mapping runs unchanged on a streaming DataFrame — nodes/edges append to
+staging sinks continuously, and fusion runs per micro-batch (foreachBatch
+merging into the staging area) or as a terminal batch job over the staged
+output (the pipeline's phase 2), which is the scalable pattern: continuous
+cheap extraction, periodic global reconciliation.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .compiler import compile_mapping
+from .spec import MappingSpec, load_mapping
+
+
+def stream_extract(
+    stream_df: DataFrame,
+    mapping: Union[dict, str, MappingSpec],
+    affix: str = "none",
+    type_affix_sep: str = ":",
+) -> tuple[DataFrame, DataFrame]:
+    """Compile the mapping against a streaming DataFrame -> streaming
+    (nodes, edges). Works because the extraction plan is stateless
+    (projection + explode only). ``rowIndex`` subjects are rejected — a
+    global contiguous index does not exist on an unbounded stream."""
+    spec = mapping if isinstance(mapping, MappingSpec) else load_mapping(mapping)
+    if spec.uses_row_index():
+        raise ValueError(
+            "rowIndex subjects are not defined on unbounded streams; "
+            "use a content-derived subject (e.g. url) instead"
+        )
+    res = compile_mapping(stream_df, spec, affix=affix, type_affix_sep=type_affix_sep)
+    return res.nodes, res.edges
+
+
+def stream_pages_to_staging(
+    spark: SparkSession,
+    source_dir: str,
+    mapping: Union[dict, str, MappingSpec],
+    out_dir: str,
+    schema: Optional[str] = None,
+    affix: str = "none",
+    trigger_available_now: bool = True,
+):
+    """File-source streaming: watch ``source_dir`` for new parquet page
+    files, extract continuously, append raw nodes/edges to staging parquet
+    with checkpointing (exactly-once file-source semantics). Returns the
+    two streaming queries."""
+    reader = spark.readStream
+    if schema:
+        reader = reader.schema(schema)
+    stream = reader.parquet(source_dir)
+    nodes, edges = stream_extract(stream, mapping, affix=affix)
+
+    queries = []
+    for name, df in (("nodes", nodes), ("edges", edges)):
+        writer = (
+            df.writeStream.format("parquet")
+            .option("path", os.path.join(out_dir, "staging_stream", name))
+            .option("checkpointLocation", os.path.join(out_dir, "_checkpoints", name))
+            .outputMode("append")
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        queries.append(writer.start())
+    return queries

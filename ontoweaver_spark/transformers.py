@@ -47,6 +47,22 @@ class CompiledValues:
     prestages: list[Callable[[DataFrame], DataFrame]] = field(default_factory=list)
 
 
+@dataclass
+class CompiledCandidates:
+    """Fully-typed candidates from a user transformer (the UDTF surface):
+    ``candidates`` is a Column of
+    ``array<struct<value:string,label:string,edge:string,final:string,rev:string>>``
+    — the user hook does its own branching (the reference's custom
+    transformers yield (value, edge_t, node_t, rev) 4-tuples with
+    row-dependent types, e.g.
+    /root/reference/tests/custom_transformer/custom.py:36-103). Build it
+    from Column expressions, or from a vectorized pandas UDF returning the
+    same struct array."""
+
+    candidates: Column
+    prestages: list[Callable[[DataFrame], DataFrame]] = field(default_factory=list)
+
+
 def _strip_ws(c: Column) -> Column:
     # Python str.strip() semantics (all whitespace), not F.trim (spaces only).
     return F.regexp_replace(c, r"^\s+|\s+$", "")
@@ -195,7 +211,7 @@ def compile_values(t: TransformerSpec, tag: str = "t") -> CompiledValues:
 
     if op in registry.USER_TRANSFORMERS:
         out = registry.USER_TRANSFORMERS[op](t)
-        if isinstance(out, CompiledValues):
+        if isinstance(out, (CompiledValues, CompiledCandidates)):
             return out
         return CompiledValues(out)
 

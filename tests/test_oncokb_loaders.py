@@ -1,0 +1,92 @@
+"""F3 (oncokb wide real-world table) structural parity + loader coverage.
+
+The reference's oncokb golden (test_parallel_mapping.py) is stale against
+its own data.csv, so this test asserts structural invariants derived from
+the 2-row fixture directly: label counts, split fan-out, from_subject edge
+re-rooting, and per-type property attachment.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontoweaver_spark import weave
+from ontoweaver_spark.fusion import format_for_export
+from ontoweaver_spark.loaders import read_json_queries, read_table, sub_sample
+
+REF = "/root/reference/tests"
+
+
+@pytest.mark.skipif(not os.path.exists(f"{REF}/oncokb/data.csv"), reason="fixture absent")
+def test_oncokb_structural(spark):
+    # the fixture CSV is malformed (41 header columns, 39 data fields — the
+    # reference's own test for it is DISABLED); repair by re-inserting the
+    # two missing empty middle fields so columns align as intended
+    import csv as _csv
+
+    with open(f"{REF}/oncokb/data.csv") as f:
+        r = _csv.reader(f)
+        header = next(r)
+        rows = []
+        for row in r:
+            while len(row) < len(header):
+                row.insert(34, "")
+            rows.append(tuple(row))
+    schema = ", ".join(f"`{c}` string" for c in header)
+    df = spark.createDataFrame(rows, schema)
+    assert all(t == "string" for t in dict(df.dtypes).values())
+    fnodes, fedges = weave(
+        df, f"{REF}/oncokb/mapping.yaml", affix="suffix", reconciliate_sep=","
+    )
+    nodes = {(r["id"], r["label"]) for r in fnodes.collect()}
+
+    by_label = {}
+    for _, label in nodes:
+        by_label[label] = by_label.get(label, 0) + 1
+
+    # 2 rows -> 2 variants (rowIndex subjects)
+    assert by_label["variant"] == 2
+    # split(citationPMids, ","): row1 has 9 pmids, row2's 2 are a subset -> 9
+    assert by_label["publication"] == 9
+    # split(treatments, ";") -> 4 drugs row1, 3 row2 (subset) -> 4 distinct
+    assert by_label["drug"] == 4
+    assert ("Telisotuzumab Vedotin:drug", "drug") in nodes
+    assert ("Crizotinib:drug", "drug") in nodes
+
+    # from_subject: sample -> edge sample_to_patient re-rooted at the sample
+    stp = {(r["src"], r["dst"]) for r in
+           fedges.where(F.col("label") == "sample_to_patient").collect()}
+    assert stp == {("91:sample", "33:patient"), ("92:sample", "34:patient")}
+
+    # properties attach per type: entrez_gene_id on gene_hugo
+    gene = format_for_export(fnodes, ",").where(F.col("id") == "MET:gene_hugo").collect()[0]
+    assert gene["properties"]["entrez_gene_id"] == "4233"
+    # variant carries version property
+    variant = format_for_export(fnodes, ",").where(F.col("id") == "0:variant").collect()[0]
+    assert variant["properties"]["version"] == "v3.14"
+
+
+def test_json_queries_loader(spark):
+    text = '{"data": [{"variant": 0, "patient": "A", "age": 12}, {"variant": 1, "patient": "B", "age": 13}]}'
+    df = read_json_queries(
+        spark, text,
+        {"variant_id": "data[*].variant", "patient": "data[*].patient", "age": "data[*].age"},
+    )
+    rows = sorted((r["variant_id"], r["patient"], r["age"]) for r in df.collect())
+    assert rows == [("0", "A", "12"), ("1", "B", "13")]
+
+    fnodes, fedges = weave(df, {
+        "row": {"map": {"id_from_column": "variant_id", "to_subject": "variant"}},
+        "transformers": [
+            {"map": {"column": "patient", "to_object": "patient", "via_relation": "has"}},
+        ],
+    })
+    assert fnodes.count() == 4 and fedges.count() == 2
+
+
+def test_sub_sample(spark):
+    df = spark.range(1000)
+    n = sub_sample(df, 10.0).count()
+    assert 40 < n < 200  # ~10%
+    assert sub_sample(df, 10.0).count() == n  # seeded -> stable

@@ -1,0 +1,98 @@
+"""Streaming extraction, multimodal plumbing, and CLI end-to-end tests."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontoweaver_spark.multimodal import (
+    frame_sample,
+    image_features,
+    synthetic_media,
+)
+from ontoweaver_spark.pages import WEB_KG_MAPPING, generate_pages
+from ontoweaver_spark.streaming import stream_extract, stream_pages_to_staging
+
+
+def test_stream_extract_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "pages_in")
+    out = str(tmp_path / "stream_out")
+    pages = generate_pages(spark, 300, seed=42)
+    pages.write.parquet(src)
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+    queries = stream_pages_to_staging(spark, src, WEB_KG_MAPPING, out, schema=schema)
+    for q in queries:
+        q.awaitTermination(120)
+
+    streamed_nodes = spark.read.parquet(f"{out}/staging_stream/nodes")
+    streamed_edges = spark.read.parquet(f"{out}/staging_stream/edges")
+
+    from ontoweaver_spark import extract
+
+    bn, be = extract(pages, WEB_KG_MAPPING, affix="none")
+    assert streamed_nodes.count() == bn.count()
+    assert streamed_edges.count() == be.count()
+    # content identical (order-insensitive)
+    assert streamed_edges.select("src", "dst", "label").exceptAll(
+        be.select("src", "dst", "label")
+    ).count() == 0
+
+
+def test_stream_rejects_row_index(spark):
+    stream = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="rowIndex"):
+        stream_extract(stream, {
+            "row": {"rowIndex": {"to_subject": "s"}},
+            "transformers": [
+                {"map": {"column": "value", "to_object": "v", "via_relation": "r"}}
+            ],
+        })
+
+
+def test_multimodal_image_features(spark):
+    media = synthetic_media(spark, 90)
+    feats = image_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30  # one third are images
+    assert all(r["n_bytes"] > 0 and r["width"] >= 16 for r in rows)
+    # deterministic: same payload -> same features
+    again = {r["media_id"]: r["phash"] for r in image_features(media).collect()}
+    assert all(again[r["media_id"]] == r["phash"] for r in rows)
+
+
+def test_multimodal_frame_sample(spark):
+    media = synthetic_media(spark, 90)
+    frames = frame_sample(media, every_n=10)
+    pdf = frames.toPandas()
+    assert set(pdf["frame_idx"].unique()) <= set(range(0, 100, 10))
+    # every video contributes ceil(n_frames/10) sampled frames
+    vids = media.where(F.col("kind") == "video").select(
+        "media_id", F.col("meta.n_frames").alias("nf")
+    ).collect()
+    expected = sum((r["nf"] + 9) // 10 for r in vids)
+    assert len(pdf) == expected
+
+
+def test_cli_end_to_end(tmp_path):
+    # build a tiny csv + mapping, run the module CLI in a subprocess
+    data = tmp_path / "data.csv"
+    data.write_text("variant_id,patient\n0,A\n1,B\n2,C\n")
+    mapping = tmp_path / "mapping.yaml"
+    mapping.write_text(
+        "row:\n  map:\n    id_from_column: variant_id\n    to_subject: variant\n"
+        "transformers:\n  - map:\n      column: patient\n      to_object: patient\n"
+        "      via_relation: patient_has_variant\n"
+    )
+    out = tmp_path / "out"
+    proc = subprocess.run(
+        [sys.executable, "-m", "ontoweaver_spark", f"{data}:{mapping}",
+         "--out", str(out), "--affix", "suffix", "--master", "local[2]"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["nodes"] == 6 and result["edges"] == 3
+    assert (out / "_manifest.json").exists()
