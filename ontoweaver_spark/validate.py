@@ -1,0 +1,116 @@
+"""Input / output validation (reference validate.py analog).
+
+The reference validates the input table with user-declared pandera schemas
+(/root/reference/src/ontoweaver/validate.py:17-126, parsed at
+mapping.py:128-143) and each transformer's output values either with pandera
+or with the fast-path ``SimpleOutputValidator`` — the `is_not_null` rule
+(/root/reference/src/ontoweaver/validate.py:207-228, chosen at
+base.py:824-831). pandera is row-at-a-time pandas; here a rule compiles to
+ONE Column predicate so validation is a codegen-friendly scan with no
+Python in the loop, and "errors" are counted, quarantined, or fatal.
+
+Rule vocabulary (subset of the pandera checks the reference docs show:
+str_matches, isin, in_range, not_nullable — docs/sections/validation):
+
+    rules = {
+        "lang": {"isin": ["en", "es"], "required": True},
+        "n_chars": {"in_range": [1, 10000]},
+        "text": {"str_matches": r"\\S"},
+    }
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .nulls import is_not_null
+
+
+def compile_rule(col: str, rule: dict) -> Column:
+    """One column's rule dict -> boolean Column (True = valid)."""
+    c = F.col(col)
+    pred = F.lit(True)
+    if rule.get("required"):
+        pred = pred & is_not_null(c)
+    if "isin" in rule:
+        allowed = [str(x) for x in rule["isin"]]
+        pred = pred & (c.isNull() | c.cast("string").isin(allowed))
+    if "str_matches" in rule:
+        pred = pred & (c.isNull() | c.cast("string").rlike(str(rule["str_matches"])))
+    if "in_range" in rule:
+        lo, hi = rule["in_range"]
+        d = c.cast("double")
+        pred = pred & (c.isNull() | ((d >= float(lo)) & (d <= float(hi))))
+    return pred
+
+
+def validity(rules: dict[str, dict]) -> Column:
+    """AND of all per-column rules (one whole-row predicate)."""
+    pred = F.lit(True)
+    for col in sorted(rules):
+        pred = pred & compile_rule(col, rules[col])
+    return pred
+
+
+@dataclass
+class ValidationReport:
+    total: int
+    valid: int
+    invalid: int
+    per_rule: dict[str, int]  # column -> invalid count
+
+
+def validate_input(
+    df: DataFrame, rules: dict[str, dict], raise_errors: bool = False
+) -> tuple[DataFrame, ValidationReport]:
+    """Split the input into (valid rows, report). One aggregation pass
+    computes the overall and per-rule violation counts (conditional sums,
+    no extra scans per rule); the returned DataFrame filters lazily.
+
+    ``raise_errors=True`` mirrors the reference's hard failure on input
+    schema violation (validate.py:112-126)."""
+    aggs = [
+        F.count("*").alias("_total"),
+        F.sum(validity(rules).cast("long")).alias("_valid"),
+    ]
+    for col in sorted(rules):
+        aggs.append(F.sum((~compile_rule(col, rules[col])).cast("long")).alias(f"_bad_{col}"))
+    row = df.agg(*aggs).collect()[0]
+    report = ValidationReport(
+        total=row["_total"],
+        valid=row["_valid"] or 0,
+        invalid=row["_total"] - (row["_valid"] or 0),
+        per_rule={col: row[f"_bad_{col}"] or 0 for col in sorted(rules)},
+    )
+    if raise_errors and report.invalid:
+        raise ValueError(
+            f"input validation failed: {report.invalid}/{report.total} rows invalid; "
+            f"per-rule: {report.per_rule}"
+        )
+    return df.where(validity(rules)), report
+
+
+def quarantine(df: DataFrame, rules: dict[str, dict]) -> DataFrame:
+    """Rows that violate at least one rule, tagged with the failing columns
+    (the quarantine side of a split pipeline; write it next to the run
+    manifest for debugging at scale)."""
+    fails = F.array_compact(
+        F.array(*[
+            F.when(~compile_rule(col, rules[col]), F.lit(col))
+            for col in sorted(rules)
+        ])
+    )
+    return df.withColumn("_failed_rules", fails).where(F.size("_failed_rules") > 0)
+
+
+def output_validity(value: Column, rule: dict | None = None) -> Column:
+    """Per-value output validation: the SimpleOutputValidator `is_not_null`
+    fast path (validate.py:207-228), optionally strengthened with a
+    str_matches pattern (the pandera variant, validate.py:130-153)."""
+    pred = is_not_null(value)
+    if rule and "str_matches" in rule:
+        pred = pred & value.rlike(str(rule["str_matches"]))
+    return pred
