@@ -34,7 +34,7 @@ def main() -> None:
     spark = get_spark(
         app_name="ontoweaver-bench",
         master=f"local[{CPUS}]",
-        shuffle_partitions=max(CPUS, 16),
+        shuffle_partitions=max(CPUS * 8, 64),
         extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "24g"},
     )
 

@@ -31,7 +31,9 @@ from .fusion import (
     reconciliate_nodes,
 )
 from .ids import affix_id
+from .linking import canonical_entity, canonical_url, comention_edges, link_entities
 from .nulls import is_not_null
+from .validate import quarantine, validate_input
 from .registry import import_from_path, register, register_all
 from .session import get_spark, tune_session
 from .spec import MappingError, MappingSpec, TransformerSpec, load_mapping, parse_mapping
@@ -44,7 +46,8 @@ __all__ = [
     "load_mapping", "parse_mapping", "MappingSpec", "TransformerSpec",
     "MappingError", "FusionError", "register", "register_all",
     "import_from_path", "get_spark", "tune_session", "affix_id",
-    "is_not_null",
+    "is_not_null", "canonical_url", "canonical_entity", "link_entities",
+    "comention_edges", "validate_input", "quarantine",
 ]
 
 

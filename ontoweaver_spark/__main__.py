@@ -49,6 +49,30 @@ def main(argv=None) -> int:
 
     from .compiler import compile_mapping
 
+    if args.chunks > 1:
+        # resumable chunked path (single source): manifest-tracked extraction
+        if len(args.pairs) != 1:
+            ap.error("--chunks requires exactly one DATA:MAPPING pair")
+        from .pipeline import run_pipeline
+
+        data_path, _, mapping_path = args.pairs[0].rpartition(":")
+        df = read_table(spark, data_path)
+        if args.sub_sample:
+            df = sub_sample(df, args.sub_sample)
+        report = run_pipeline(
+            spark, df, load_mapping(mapping_path), args.out,
+            affix=args.affix, type_affix_sep=args.affix_sep,
+            reconciliate_sep=args.reconciliate_sep,
+            n_chunks=args.chunks, salt=args.salt,
+        )
+        print(json.dumps({
+            "nodes": report.fused_nodes, "edges": report.fused_edges,
+            "out": args.out, "chunks_resumed": report.chunks_resumed,
+            "chunks_extracted": report.chunks_extracted,
+        }))
+        spark.stop()
+        return 0
+
     all_nodes, all_edges = None, None
     for pair in args.pairs:
         data_path, _, mapping_path = pair.rpartition(":")

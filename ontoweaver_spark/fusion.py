@@ -107,19 +107,27 @@ def _merge_props(
 
 
 def reconciliate_nodes(
-    nodes: DataFrame, raise_errors: bool = True, salt: int = 0
+    nodes: DataFrame, raise_errors: bool = True, salt: int = 0, label_merger=None
 ) -> DataFrame:
-    """Group nodes by ID; merge labels (EnsureIdentical) and properties
-    (set union). Output schema matches the input (id, label, properties)."""
+    """Group nodes by ID; merge labels (EnsureIdentical by default, or a
+    custom merger such as ``mergers.SpecificType`` for ontology-LCA
+    resolution) and properties (set union). Output schema matches the input
+    (id, label, properties)."""
     merged = _merge_props(nodes, ["id"], salt=salt)
+    label_expr = (
+        label_merger(F.col("_all_labels"))
+        if label_merger is not None
+        else F.element_at("_all_labels", 1)
+    )
     out = merged.select(
         "id",
-        F.element_at("_all_labels", 1).alias("label"),
-        F.size("_all_labels").alias("_n_labels"),
+        label_expr.alias("label"),
+        (F.size("_all_labels") if label_merger is None else F.lit(1)).alias("_n_labels"),
         "properties",
     )
     if raise_errors:
-        sample = out.where(F.col("_n_labels") > 1).select("id").limit(5).collect()
+        bad = (F.col("_n_labels") > 1) | F.col("label").isNull()
+        sample = out.where(bad).select("id").limit(5).collect()
         if sample:
             ids = [r["id"] for r in sample]
             raise FusionError(f"nodes with conflicting labels for the same ID, e.g. {ids}")
@@ -155,6 +163,30 @@ def reconciliate(
     fnodes = reconciliate_nodes(nodes, raise_errors=raise_errors, salt=salt)
     fedges = reconciliate_edges(edges, reconciliate_sep=reconciliate_sep, salt=salt)
     return fnodes, fedges
+
+
+def remap_edges(edges: DataFrame, id_mapping: DataFrame) -> DataFrame:
+    """Rewrite edge endpoints through a node ID mapping (old_id -> new_id) —
+    the analog of ``fusion.remap_edges``
+    (/root/reference/src/ontoweaver/fusion.py:112-143), needed when node IDs
+    merge with a non-default merger so fused nodes carry a new canonical ID.
+
+    Two left joins against the (small) mapping; it is broadcast so the edge
+    side — the big side — never shuffles. With the default UseKey node
+    merger the mapping is empty and this is a no-op (the reference asserts
+    the same, fusion.py:283-285)."""
+    m = F.broadcast(id_mapping.select(
+        F.col("old_id").alias("_ow_old"), F.col("new_id").alias("_ow_new")
+    ))
+    out = (
+        edges.join(m, edges["src"] == F.col("_ow_old"), "left")
+        .withColumn("src", F.coalesce(F.col("_ow_new"), F.col("src")))
+        .drop("_ow_old", "_ow_new")
+        .join(m, F.col("dst") == F.col("_ow_old"), "left")
+        .withColumn("dst", F.coalesce(F.col("_ow_new"), F.col("dst")))
+        .drop("_ow_old", "_ow_new")
+    )
+    return out
 
 
 def format_for_export(df: DataFrame, sep: str = "|") -> DataFrame:

@@ -102,6 +102,44 @@ def read_json_queries(
     return spark.createDataFrame(data, schema)
 
 
+def read_xml_queries(
+    spark: SparkSession, path_or_text: str, columns: dict[str, str]
+) -> DataFrame:
+    """XML document -> table via per-column XPath queries (the reference's
+    XML loader, /root/reference/src/ontoweaver/xml.py:22-74). Each query
+    must select the same number of elements; column i of row j is the text
+    of query i's j-th hit. Config-sized documents parse driver-side (the
+    reference reads them whole too); row-shaped XML at scale should land in
+    Parquet upstream instead."""
+    import xml.etree.ElementTree as ET
+
+    text = path_or_text
+    if not path_or_text.lstrip().startswith("<"):
+        with open(path_or_text) as f:
+            text = f.read()
+    root = ET.fromstring(text)
+
+    hits = {}
+    for name, xpath in columns.items():
+        found = root.findall(xpath)
+        hits[name] = [
+            (e.text if hasattr(e, "text") else str(e)) for e in found
+        ]
+    lengths = {name: len(v) for name, v in hits.items()}
+    if len(set(lengths.values())) > 1:
+        raise ValueError(f"XPath queries select differing row counts: {lengths}")
+    n = next(iter(lengths.values()), 0)
+    data = [
+        tuple(
+            None if hits[name][j] is None else str(hits[name][j]).strip()
+            for name in columns
+        )
+        for j in range(n)
+    ]
+    schema = ", ".join(f"`{name}` string" for name in columns)
+    return spark.createDataFrame(data, schema)
+
+
 def _dig(obj, dotted: str):
     for part in dotted.split("."):
         if not isinstance(obj, dict) or part not in obj:

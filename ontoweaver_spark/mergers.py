@@ -64,6 +64,73 @@ def NumericMin() -> Merger:
     ).cast("string")
 
 
+def _ancestor_chains(parents: dict[str, str]) -> "Column":
+    """child->parent edges -> map literal {type: [type, parent, ..., root]}.
+
+    Chains are precomputed driver-side and shipped in-plan (ontologies are
+    broadcast-sized by construction)."""
+    chains: dict[str, list[str]] = {}
+    for t in set(parents) | set(parents.values()):
+        chain, seen = [t], {t}
+        while chain[-1] in parents and parents[chain[-1]] not in seen:
+            chain.append(parents[chain[-1]])
+            seen.add(chain[-1])
+        chains[t] = chain
+    entries = []
+    for t in sorted(chains):
+        entries.append(F.lit(t))
+        entries.append(F.array(*[F.lit(x) for x in chains[t]]))
+    return F.create_map(*entries)
+
+
+def _pairwise_fold(vals: Column, step) -> Column:
+    return F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        step,
+    )
+
+
+def SpecificType(parents: dict[str, str]) -> Merger:
+    """Conflicting labels merge pairwise to their lowest common ancestor in
+    the type hierarchy — ``merge.string.SpecificType``
+    (/root/reference/src/ontoweaver/merge.py:268-306, pairwise
+    ``nx.lowest_common_ancestor``). ``parents`` is the child->parent edge
+    dict. Unknown labels get the single-element chain [label]; labels with
+    no common ancestor merge to NULL (the reference raises FusionError —
+    detect with ``isNull``)."""
+    chain_map = _ancestor_chains(parents)
+
+    def chain_of(label: Column) -> Column:
+        return F.coalesce(F.element_at(chain_map, label), F.array(label))
+
+    def lca(a: Column, b: Column) -> Column:
+        cb = chain_of(b)
+        return F.get(F.filter(chain_of(a), lambda x: F.array_contains(cb, x)), 0)
+
+    return lambda vals: _pairwise_fold(vals, lca)
+
+
+def GenericType(parents: dict[str, str]) -> Merger:
+    """The reversed-hierarchy variant — ``merge.string.GenericType``
+    (/root/reference/src/ontoweaver/merge.py:308-345, LCA on
+    ``nx.reverse(graph)``): in a tree the pairwise common *descendant* is
+    whichever label lies on the other's ancestor chain (the deeper one),
+    else NULL."""
+    chain_map = _ancestor_chains(parents)
+
+    def chain_of(label: Column) -> Column:
+        return F.coalesce(F.element_at(chain_map, label), F.array(label))
+
+    def lcd(a: Column, b: Column) -> Column:
+        return (
+            F.when(F.array_contains(chain_of(b), a), b)
+            .when(F.array_contains(chain_of(a), b), a)
+        )
+
+    return lambda vals: _pairwise_fold(vals, lcd)
+
+
 def render_properties(
     df,
     sep: str = "|",

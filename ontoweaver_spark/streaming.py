@@ -40,6 +40,24 @@ def stream_extract(
     return res.nodes, res.edges
 
 
+def stream_dedup_pages(
+    stream_df: DataFrame,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming URL-level dedup for a continuous crawl feed: keep the first
+    page seen per ``key`` within the watermark horizon.
+
+    Idiomatic Structured Streaming — ``withWatermark`` bounds the dedup
+    state store (keys older than the horizon are evicted), so state stays
+    proportional to the key arrival rate x horizon, not to the total
+    10^12-key history. Exact global dedup across all time belongs to the
+    batch fusion stage; this trims intra-window repeats before they hit
+    staging."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicates([key])
+
+
 def stream_pages_to_staging(
     spark: SparkSession,
     source_dir: str,

@@ -96,3 +96,30 @@ def test_cli_end_to_end(tmp_path):
     result = json.loads(proc.stdout.strip().splitlines()[-1])
     assert result["nodes"] == 6 and result["edges"] == 3
     assert (out / "_manifest.json").exists()
+
+
+def test_stream_dedup_pages(spark, tmp_path):
+    from ontoweaver_spark.streaming import stream_dedup_pages
+
+    src = str(tmp_path / "dups_in")
+    out = str(tmp_path / "dedup_out")
+    pages = generate_pages(spark, 200, seed=42)
+    # duplicate the whole feed: every url arrives twice
+    pages.unionAll(pages).write.parquet(src)
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = stream_dedup_pages(stream, key="url", ts_col="warc_ts")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    n_urls = pages.select("url").distinct().count()
+    assert got.count() == n_urls
+    assert got.select("url").distinct().count() == n_urls
