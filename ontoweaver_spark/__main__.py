@@ -33,6 +33,9 @@ def main(argv=None) -> int:
     ap.add_argument("--master", default=None)
     ap.add_argument("--sort", default=None, choices=["ascend", "descend"],
                     help="sort output by id before writing")
+    ap.add_argument("--auto-schema", default=None, metavar="PATH",
+                    help="derive a schema YAML from the mapping(s) and exit "
+                         "(the reference's --auto-schema analog)")
     args = ap.parse_args(argv)
 
     from . import registry
@@ -44,6 +47,17 @@ def main(argv=None) -> int:
 
     for mod in args.register:
         registry.import_from_path(mod)
+
+    if args.auto_schema:
+        import yaml
+        schema: dict = {}
+        for pair in args.pairs:
+            _, _, mapping_path = pair.rpartition(":")
+            schema.update(load_mapping(mapping_path).autoschema())
+        with open(args.auto_schema, "w") as f:
+            yaml.safe_dump(schema, f, sort_keys=True)
+        print(json.dumps({"auto_schema": args.auto_schema, "types": len(schema)}))
+        return 0
 
     spark = get_spark(app_name="ontoweave-spark", master=args.master)
 

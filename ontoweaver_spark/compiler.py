@@ -157,6 +157,14 @@ def compile_mapping(
     if missing:
         raise ValueError(f"mapping references missing columns: {missing}")
 
+    if spec.input_rules:
+        # mapping-level `validate:` section — applied BEFORE the string-cast
+        # projection so simple predicates (isin / in_range on native types)
+        # push down to the parquet scan
+        from .validate import validity
+
+        df = df.where(validity(spec.input_rules))
+
     # Canonical string cell domain (reference loads everything dtype=str,
     # loader.py:173-216) + column pruning: keep only referenced columns.
     # User transformers with no declared columns are opaque — they may read

@@ -165,6 +165,38 @@ def reconciliate(
     return fnodes, fedges
 
 
+def suggest_salt(
+    df: DataFrame,
+    keys: list[str],
+    sample_fraction: float = 0.01,
+    rows_per_task: int = 2_000_000,
+    max_salt: int = 256,
+    seed: int = 42,
+) -> int:
+    """Heavy-hitter pre-pass: estimate the hottest fusion key from a sample
+    and return a salt factor that splits it into ~``rows_per_task``-row
+    partial groups (SURVEY.md §7 hub-skew plan).
+
+    Cost: one pass over a 1% sample with a partial-aggregated groupBy —
+    cheap relative to fusion itself, and the sample never leaves the
+    executors except for one max row. Hub entities at web scale (a URL
+    linked from 10^8 pages) otherwise put their whole group into one
+    reducer task; ``salt=k`` bounds per-task group size at hot/k.
+    """
+    est = (
+        df.sample(fraction=sample_fraction, seed=seed)
+        .groupBy(*keys)
+        .count()
+        .agg(F.max("count").alias("hot"))
+        .collect()[0]["hot"]
+    )
+    if not est:
+        return 0
+    hottest = est / sample_fraction  # scale sample count to full data
+    salt = int(hottest // rows_per_task) + 1
+    return 0 if salt <= 1 else min(salt, max_salt)
+
+
 def remap_edges(edges: DataFrame, id_mapping: DataFrame) -> DataFrame:
     """Rewrite edge endpoints through a node ID mapping (old_id -> new_id) —
     the analog of ``fusion.remap_edges``

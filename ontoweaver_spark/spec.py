@@ -166,6 +166,10 @@ class MappingSpec:
     properties: list[TransformerSpec] = field(default_factory=list)
     metadata: dict = field(default_factory=dict)          # static key -> value
     source_columns_key: Optional[str] = None              # add_source_column_names_as
+    # input validation rules: column -> rule dict (the reference's pandera
+    # `validate:` mapping section, /root/reference/src/ontoweaver/mapping.py:128-143,
+    # compiled by ontoweaver_spark.validate)
+    input_rules: dict = field(default_factory=dict)
 
     def subject_types(self) -> list[str]:
         return self.subject.possible_node_types()
@@ -237,6 +241,83 @@ class MappingSpec:
             for c in t.match:
                 add(c.final_type)
         return out
+
+    def autoschema(self) -> dict:
+        """Derive a schema summary from the mapping — the analog of the
+        reference's ``--auto-schema`` BioCypher schema generation
+        (/root/reference/src/ontoweaver/__init__.py:91-306): one entry per
+        node type (with its property names) and per edge type (with its
+        possible source/target type sets). Serializable straight to YAML.
+        """
+        def effective_nodes(t: TransformerSpec) -> list[str]:
+            if t.final_type:
+                return [t.final_type]
+            out = []
+            for c in t.match:
+                out.append(c.final_type or c.node_type)
+            if not t.match and t.node_type:
+                out.append(t.node_type)
+            return [x for x in out if x]
+
+        props_of: dict[str, list[str]] = {}
+        for p in self.properties:
+            for tname in p.prop_for:
+                bucket = props_of.setdefault(tname, [])
+                for n in p.prop_names:
+                    if n not in bucket:
+                        bucket.append(n)
+        for k in self.metadata:
+            for tname in self.mapped_types():
+                props_of.setdefault(tname, [])
+                if k not in props_of[tname]:
+                    props_of[tname].append(k)
+
+        schema: dict = {}
+        subject_nodes = effective_nodes(self.subject)
+        for n in subject_nodes:
+            schema[n] = {
+                "represented_as": "node",
+                "properties": sorted(props_of.get(n, [])),
+            }
+        for t in self.transformers:
+            targets = effective_nodes(t)
+            for n in targets:
+                schema.setdefault(n, {
+                    "represented_as": "node",
+                    "properties": sorted(props_of.get(n, [])),
+                })
+            sources = [t.from_subject] if t.from_subject else subject_nodes
+            reverse_names = {t.reverse_edge, *[c.reverse_edge for c in t.match]}
+            for e in t.possible_edge_types():
+                if e in reverse_names:
+                    continue
+                entry = schema.setdefault(e, {
+                    "represented_as": "edge",
+                    "source": [], "target": [],
+                    "properties": sorted(props_of.get(e, [])),
+                })
+                for s in sources:
+                    if s not in entry["source"]:
+                        entry["source"].append(s)
+                for n in targets:
+                    if n not in entry["target"]:
+                        entry["target"].append(n)
+            if t.reverse_edge or any(c.reverse_edge for c in t.match):
+                for rev in {t.reverse_edge, *[c.reverse_edge for c in t.match]}:
+                    if not rev:
+                        continue
+                    entry = schema.setdefault(rev, {
+                        "represented_as": "edge",
+                        "source": [], "target": [],
+                        "properties": sorted(props_of.get(rev, [])),
+                    })
+                    for n in targets:
+                        if n not in entry["source"]:
+                            entry["source"].append(n)
+                    for s in sources:
+                        if s not in entry["target"]:
+                            entry["target"].append(s)
+        return schema
 
     def spec_hash(self) -> str:
         """Deterministic hash of the mapping (for lineage manifests)."""
@@ -366,12 +447,20 @@ def parse_mapping(config: dict) -> MappingSpec:
             else:
                 metadata[str(k)] = str(v)
 
+    input_rules = config.get("validate") or {}
+    if input_rules and not (
+        isinstance(input_rules, dict)
+        and all(isinstance(v, dict) for v in input_rules.values())
+    ):
+        raise MappingError("`validate` must map column names to rule dicts")
+
     spec = MappingSpec(
         subject=subject,
         transformers=transformers,
         properties=properties,
         metadata=metadata,
         source_columns_key=source_columns_key,
+        input_rules=dict(input_rules),
     )
 
     # Resolve property targets: `for_objects` omitted -> attach to the row

@@ -42,8 +42,14 @@ def compile_rule(col: str, rule: dict) -> Column:
         pred = pred & (c.isNull() | c.cast("string").rlike(str(rule["str_matches"])))
     if "in_range" in rule:
         lo, hi = rule["in_range"]
-        d = c.cast("double")
-        pred = pred & (c.isNull() | ((d >= float(lo)) & (d <= float(hi))))
+        if float(lo).is_integer() and float(hi).is_integer():
+            # integral bounds compare against the native column type — a
+            # cast-to-double here would block parquet predicate pushdown
+            rng = (c >= int(lo)) & (c <= int(hi))
+        else:
+            d = c.cast("double")
+            rng = (d >= float(lo)) & (d <= float(hi))
+        pred = pred & (c.isNull() | rng)
     return pred
 
 
