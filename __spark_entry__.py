@@ -450,6 +450,40 @@ def q_t_split_translate(spark, sf_dir):
     )
 
 
+def q_kg_two_sources(spark, sf_dir):
+    """Multi-source fusion (reference tests/test_2_databases.py family):
+    customer nodes extracted from TWO tables union before one global
+    reconciliation; properties merge across sources."""
+    from ontoweaver_spark import compile_mapping, reconciliate
+    from ontoweaver_spark.fusion import format_for_export
+
+    _tune(spark)
+    m_cust = {
+        "row": {"map": {"id_from_column": "c_custkey", "to_subject": "customer"}},
+        "transformers": [
+            {"map": {"column": "c_mktsegment", "to_properties": ["segment"]}},
+        ],
+    }
+    m_orders = {
+        "row": {"map": {"id_from_column": "o_custkey", "to_subject": "customer"}},
+        "transformers": [
+            {"map": {"column": "o_orderpriority", "to_properties": ["priorities"]}},
+        ],
+    }
+    r1 = compile_mapping(spark.read.parquet(f"{sf_dir}/customer.parquet"), m_cust)
+    r2 = compile_mapping(spark.read.parquet(f"{sf_dir}/orders.parquet"), m_orders)
+    fnodes, _ = reconciliate(
+        r1.nodes.unionByName(r2.nodes), r1.edges.unionByName(r2.edges),
+        reconciliate_sep=",", raise_errors=False,
+    )
+    out = format_for_export(fnodes, sep=",")
+    return out.select(
+        F.col("id").alias("custkey"),
+        F.col("properties")["segment"].alias("segment"),
+        F.col("properties")["priorities"].alias("priorities"),
+    )
+
+
 # ---- entity linking / canonicalization / co-mention ------------------------
 
 ALIAS_ROWS = [(f"SRC{i}", f"origin-{i}") for i in range(10)]
@@ -624,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_reverse_edge": q_kg_reverse_edge,
         "kg_final_type": q_kg_final_type,
         "kg_affix_prefix": q_kg_affix_prefix,
+        "kg_two_sources": q_kg_two_sources,
         "t_cat": q_t_cat,
         "t_string": q_t_string,
         "t_split_translate": q_t_split_translate,
@@ -868,6 +903,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             UNION ALL SELECT DISTINCT 'language___' || lang, 'language' FROM documents
             UNION ALL SELECT DISTINCT 'source___' || source, 'source' FROM documents
+        """,
+        "kg_two_sources": """
+            SELECT c.c_custkey::VARCHAR AS custkey,
+                   any_value(c.c_mktsegment) AS segment,
+                   string_agg(DISTINCT o.o_orderpriority, ','
+                              ORDER BY o.o_orderpriority) AS priorities
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY 1
         """,
         "t_cat": """
             SELECT DISTINCT n_name || n_regionkey::VARCHAR AS tag FROM nation

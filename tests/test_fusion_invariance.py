@@ -1,0 +1,106 @@
+"""Distributed-correctness properties of fusion: the result must be
+invariant to how the input is partitioned, chunked, or salted — the
+property that makes the chunked/resumable pipeline and the salted skew path
+safe at any cluster size."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ontoweaver_spark.fusion import reconciliate_edges, reconciliate_nodes
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+node_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c", "d"]),            # id (collisions likely)
+        st.sampled_from(["T"]),                            # one label (no conflict)
+        st.dictionaries(
+            st.sampled_from(["p", "q"]),
+            st.lists(st.sampled_from(["1", "2", "3"]), min_size=1, max_size=2),
+            max_size=2,
+        ),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _canon_nodes(df):
+    rows = df.collect()
+    return sorted(
+        (r["id"], r["label"], tuple(sorted((k, tuple(v)) for k, v in (r["properties"] or {}).items())))
+        for r in rows
+    )
+
+
+@given(node_rows, st.integers(min_value=1, max_value=6), st.sampled_from([0, 2, 8]))
+@settings(**SETTINGS)
+def test_node_fusion_partition_and_salt_invariant(spark, rows, nparts, salt):
+    df = spark.createDataFrame(
+        rows, "id string, label string, properties map<string,array<string>>"
+    )
+    base = _canon_nodes(reconciliate_nodes(df.coalesce(1), raise_errors=False))
+    re_parted = _canon_nodes(
+        reconciliate_nodes(df.repartition(nparts, "id"), raise_errors=False, salt=salt)
+    )
+    assert base == re_parted
+
+
+edge_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["e1", "e2", "e3"]),               # id
+        st.sampled_from(["x", "y"]),                        # src
+        st.sampled_from(["x", "z"]),                        # dst
+        st.sampled_from(["r", "s"]),                        # label
+        st.dictionaries(
+            st.sampled_from(["p"]),
+            st.lists(st.sampled_from(["1", "2"]), min_size=1, max_size=2),
+            max_size=1,
+        ),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _canon_edges(df):
+    rows = df.collect()
+    return sorted(
+        (r["id"], r["src"], r["dst"], r["label"],
+         tuple(sorted((k, tuple(v)) for k, v in (r["properties"] or {}).items())))
+        for r in rows
+    )
+
+
+@given(edge_rows, st.integers(min_value=1, max_value=6), st.sampled_from([0, 4]))
+@settings(**SETTINGS)
+def test_edge_fusion_partition_and_salt_invariant(spark, rows, nparts, salt):
+    df = spark.createDataFrame(
+        rows,
+        "id string, src string, dst string, label string, properties map<string,array<string>>",
+    )
+    base = _canon_edges(reconciliate_edges(df.coalesce(1)))
+    re_parted = _canon_edges(reconciliate_edges(df.repartition(nparts), salt=salt))
+    assert base == re_parted
+
+
+@given(node_rows)
+@settings(**SETTINGS)
+def test_chunked_union_equals_whole(spark, rows):
+    """fusion(union of chunk extractions) == fusion(whole) — the resume
+    correctness property of pipeline.run_pipeline's chunking."""
+    df = spark.createDataFrame(
+        rows, "id string, label string, properties map<string,array<string>>"
+    )
+    whole = _canon_nodes(reconciliate_nodes(df, raise_errors=False))
+    c0 = df.where(F.pmod(F.xxhash64("id"), F.lit(2)) == 0)
+    c1 = df.where(F.pmod(F.xxhash64("id"), F.lit(2)) == 1)
+    chunked = _canon_nodes(
+        reconciliate_nodes(c0.unionByName(c1), raise_errors=False)
+    )
+    assert whole == chunked
