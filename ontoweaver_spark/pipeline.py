@@ -154,6 +154,22 @@ def run_pipeline(
     report.raw_edges = sum(c.get("edges", 0) for c in manifest["chunks"].values())
 
     # ---- phase 2: global fusion + final write -------------------------------
+    fusion_conf = {"reconciliate_sep": reconciliate_sep, "salt": salt,
+                   "n_chunks": n_chunks}
+    final = manifest.get("final")
+    if (
+        report.chunks_extracted == 0
+        and final
+        and final.get("fusion_conf") == fusion_conf
+    ):
+        # full resume: no chunk re-extracted and the fused snapshot was
+        # built from exactly these chunks with the same fusion parameters —
+        # reuse it instead of re-shuffling the staged output
+        report.fused_nodes = final["nodes"]
+        report.fused_edges = final["edges"]
+        report.seconds = time.time() - t0
+        return report
+
     node_paths = [os.path.join(staging, f"chunk-{c}", "nodes") for c in range(n_chunks)]
     edge_paths = [os.path.join(staging, f"chunk-{c}", "edges") for c in range(n_chunks)]
     raw_nodes = spark.read.parquet(*node_paths)
@@ -176,6 +192,7 @@ def run_pipeline(
         "edges": report.fused_edges,
         "nodes_path": final_nodes,
         "edges_path": final_edges,
+        "fusion_conf": fusion_conf,
         "seconds": report.seconds,
         "ts": time.time(),
     }

@@ -58,6 +58,51 @@ def stream_dedup_pages(
     return stream_df.withWatermark(ts_col, watermark).dropDuplicates([key])
 
 
+HOST_STATS_SCHEMA = "host string, n_pages long, n_batches long"
+_HOST_STATE_SCHEMA = "n_pages long, n_batches long"
+
+
+def host_crawl_stats(stream_df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    running per-host page counts over a continuous crawl feed — the crawl
+    accounting a 10^12-document ingest needs (budget enforcement, hub
+    monitoring). State is one small row per host (GroupState, stored in the
+    state store, checkpointed with the query); each micro-batch emits the
+    updated totals for hosts it touched.
+
+    The reference is batch-only (SURVEY.md §2.5); this is the engine-native
+    pattern for operators Spark's built-ins can't express statelessly.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        if state.exists:
+            total, batches = state.get
+        else:
+            total, batches = 0, 0
+        total += n
+        batches += 1
+        state.update((total, batches))
+        yield pd.DataFrame({"host": [key[0]], "n_pages": [total], "n_batches": [batches]})
+
+    with_host = stream_df.withColumn(
+        "_host", F.regexp_extract(F.col(url_col), r"^https?://([^/]+)", 1)
+    )
+    return with_host.groupBy("_host").applyInPandasWithState(
+        update,
+        outputStructType=HOST_STATS_SCHEMA,
+        stateStructType=_HOST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_pages_to_staging(
     spark: SparkSession,
     source_dir: str,

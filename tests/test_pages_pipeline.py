@@ -62,6 +62,14 @@ def test_pipeline_checkpoint_resume(spark, tmp_path):
     assert rep2.fused_nodes == rep1.fused_nodes
     assert rep2.fused_edges == rep1.fused_edges
 
+    # changed fusion params invalidate the fused-snapshot skip and re-fuse
+    rep2b = run_pipeline(spark, pages, WEB_KG_MAPPING, out, n_chunks=3,
+                         chunk_key="url", salt=2)
+    assert rep2b.chunks_resumed == 3
+    assert rep2b.fused_nodes == rep1.fused_nodes  # salt-invariant result
+    with open(os.path.join(out, "_manifest.json")) as f:
+        assert json.load(f)["final"]["fusion_conf"]["salt"] == 2
+
     # manifest carries lineage + per-partition metrics
     with open(os.path.join(out, "_manifest.json")) as f:
         manifest = json.load(f)

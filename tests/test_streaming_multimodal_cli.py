@@ -123,3 +123,37 @@ def test_stream_dedup_pages(spark, tmp_path):
     n_urls = pages.select("url").distinct().count()
     assert got.count() == n_urls
     assert got.select("url").distinct().count() == n_urls
+
+
+def test_host_crawl_stats_stateful(spark, tmp_path):
+    from ontoweaver_spark.streaming import host_crawl_stats
+
+    src = str(tmp_path / "crawl_in")
+    pages = generate_pages(spark, 300, seed=42)
+    pages.write.parquet(src)
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    stats = host_crawl_stats(stream)
+    q = (
+        stats.writeStream.format("memory").queryName("host_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["host"]: r["n_pages"]
+        for r in spark.sql(
+            "SELECT host, max(n_pages) AS n_pages FROM host_stats GROUP BY host"
+        ).collect()
+    }
+    want = {
+        r["host"]: r["n"]
+        for r in pages.selectExpr(
+            "regexp_extract(url, '^https?://([^/]+)', 1) AS host"
+        ).groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
