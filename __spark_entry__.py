@@ -631,6 +631,15 @@ def q_ann_topk_bucketed(spark, sf_dir):
     return topk_bucketed(emb, probes, k=5)
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    from ontoweaver_spark.similarity import topk_ivf
+
+    _tune(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.where(F.col("vec_id") < 5)
+    return topk_ivf(emb, probes, k=5, n_centroids=8, nprobe=2)
+
+
 def q_emb_near_dup(spark, sf_dir):
     from ontoweaver_spark.dedup import embedding_near_duplicates
 
@@ -674,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features": q_text_features,
         "ann_topk": q_ann_topk,
         "ann_topk_bucketed": q_ann_topk_bucketed,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "emb_near_dup": q_emb_near_dup,
     }
 
@@ -795,6 +805,55 @@ _COS_SQL = (
     "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) "
     "* 10000 + 0.5) / 10000)"
 )
+
+def _cos_raw_sql(x: str, y: str) -> str:
+    """Unrounded cosine between two FLOAT[] expressions (double promotion
+    and summation order match similarity.cosine bit-for-bit)."""
+    return (
+        f"(list_dot_product({x}::DOUBLE[], {y}::DOUBLE[]) / "
+        f"(sqrt(list_dot_product({x}::DOUBLE[], {x}::DOUBLE[])) * "
+        f"sqrt(list_dot_product({y}::DOUBLE[], {y}::DOUBLE[]))))"
+    )
+
+
+def _ivf_sql(n_centroids: int = 8, nprobe: int = 2, k: int = 5) -> str:
+    """CTE SQL reproducing similarity.topk_ivf: deterministic centroids =
+    lowest-id vectors; assignment ties -> lowest cid; probe-list ties ->
+    highest cid (matches the reversed array_sort)."""
+    cos_ac = _cos_raw_sql("a.embedding", "c.cvec")
+    cos_bc = _cos_raw_sql("b.embedding", "c.cvec")
+    cos_pa = (
+        "(floor((" + _cos_raw_sql("a.cv", "p.pv") + ") * 10000 + 0.5) / 10000)"
+    )
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      ORDER BY vec_id LIMIT {n_centroids}
+    ), assign AS (
+      SELECT neighbor_id, cv, cid AS list_id FROM (
+        SELECT a.vec_id AS neighbor_id, a.embedding AS cv, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {cos_ac} DESC, c.cid ASC) AS rn
+        FROM embeddings a CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), plists AS (
+      SELECT probe_id, pv, cid AS list_id FROM (
+        SELECT b.vec_id AS probe_id, b.embedding AS pv, c.cid,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {cos_bc} DESC, c.cid DESC) AS rn
+        FROM embeddings b CROSS JOIN cents c WHERE b.vec_id < 5
+      ) WHERE rn <= {nprobe}
+    ), scored AS (
+      SELECT p.probe_id, a.neighbor_id, {cos_pa} AS cos
+      FROM assign a JOIN plists p USING (list_id)
+      WHERE p.probe_id <> a.neighbor_id
+    )
+    SELECT probe_id, neighbor_id, cos, rank FROM (
+      SELECT *, row_number() OVER
+        (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}"""
+
 
 _BUCKET_SQL = "".join(
     f"(CASE WHEN {{t}}.embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END) || "
@@ -1018,6 +1077,7 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             ) WHERE rank <= 5
         """,
+        "ann_topk_ivf": _ivf_sql(),
         "emb_near_dup": f"""
             SELECT a.vec_id AS a, b.vec_id AS b, {_COS_SQL} AS cos
             FROM embeddings a JOIN embeddings b
