@@ -66,8 +66,9 @@ def main() -> None:
     bench("kg_documents", kg_documents)
     bench("kg_pages", kg_pages)
     for name in ["dedup_exact", "dedup_minhash", "dedup_jaccard", "dedup_simhash",
-                 "text_features", "ann_topk", "ann_topk_bucketed", "t_split",
-                 "t_maths", "kg_fusion_props"]:
+                 "text_features", "ann_topk", "ann_topk_bucketed", "ann_topk_ivf",
+                 "t_split", "t_maths", "kg_fusion_props", "kg_two_sources",
+                 "entity_link", "comention", "kg_match_branch"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the

@@ -58,6 +58,30 @@ def stream_dedup_pages(
     return stream_df.withWatermark(ts_col, watermark).dropDuplicates([key])
 
 
+def windowed_crawl_rate(
+    stream_df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked windowed aggregation: pages per (host, event-time
+    window). Late pages within the watermark horizon still update their
+    window; older state is evicted, so state size is bounded by
+    (hosts x horizon/window) regardless of total stream length. Output is
+    append-able once a window passes the watermark (the standard
+    late-data-tolerant crawl-rate metric)."""
+    from pyspark.sql import functions as F
+
+    host = F.regexp_extract(F.col(url_col), r"^https?://([^/]+)", 1)
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), host.alias("host"))
+        .agg(F.count("*").alias("n_pages"))
+        .select(F.col("win.start").alias("window_start"), "host", "n_pages")
+    )
+
+
 HOST_STATS_SCHEMA = "host string, n_pages long, n_batches long"
 _HOST_STATE_SCHEMA = "n_pages long, n_batches long"
 

@@ -157,3 +157,36 @@ def test_host_crawl_stats_stateful(spark, tmp_path):
         ).groupBy("host").agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_windowed_crawl_rate(spark, tmp_path):
+    from ontoweaver_spark.streaming import windowed_crawl_rate
+
+    src = str(tmp_path / "rate_in")
+    pages = generate_pages(spark, 300, seed=42)
+    pages.write.parquet(src)
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    rates = windowed_crawl_rate(stream, window="30 days", watermark="1 day")
+    q = (
+        rates.writeStream.format("memory").queryName("crawl_rate")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("SELECT sum(n_pages) AS n FROM crawl_rate").collect()[0]["n"]
+    # append mode emits only windows fully past the watermark; with a
+    # 30-day window over one year of synthetic timestamps, all but the
+    # last (still-open) window have closed
+    batch = windowed_crawl_rate(
+        spark.read.parquet(src), window="30 days", watermark="1 day"
+    )
+    max_start = batch.agg(F.max("window_start")).collect()[0][0]
+    expected = batch.where(F.col("window_start") < max_start).agg(
+        F.sum("n_pages")
+    ).collect()[0][0]
+    assert got is not None and got >= expected
