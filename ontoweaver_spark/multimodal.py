@@ -76,6 +76,75 @@ def image_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     )
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "media_id bigint, sample_rate int, n_bytes int, duration_s double, loudness double"
+)
+
+RESIZE_SCHEMA = "media_id bigint, width int, height int, payload binary"
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract audio via mapInPandas. Decode is the same
+    deterministic stub pattern as images (no codec libs in this container);
+    duration derives from payload length at the metadata sample rate, the
+    schema/batch plumbing is the production shape."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n_bytes = [len(p or b"") for p in pdf["payload"]]
+            sr = [int(s or 16000) for s in pdf["sample_rate"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].values,
+                "sample_rate": sr,
+                "n_bytes": n_bytes,
+                # stub decode: 2 bytes/sample mono
+                "duration_s": [round(n / (2 * s), 4) for n, s in zip(n_bytes, sr)],
+                "loudness": [
+                    round(hashlib.md5(p or b"").digest()[3] / 255.0, 4)
+                    for p in pdf["payload"]
+                ],
+            })
+
+    return (
+        media.where(F.col("kind") == "audio")
+        .select("media_id", "payload", F.col("meta.sample_rate").alias("sample_rate"))
+        .mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA)
+    )
+
+
+def image_resize(media: DataFrame, max_dim: int = 64) -> DataFrame:
+    """Resize images to fit ``max_dim`` (aspect-preserving). The pixel
+    resample is stubbed (payload hashed to a deterministic thumbnail
+    token); dimension math and the Arrow-batched plumbing are real."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ws, hs, payloads = [], [], []
+            for w, h, p in zip(pdf["width"], pdf["height"], pdf["payload"]):
+                w, h = int(w or 1), int(h or 1)
+                scale = min(1.0, max_dim / max(w, h))
+                ws.append(max(1, int(w * scale)))
+                hs.append(max(1, int(h * scale)))
+                payloads.append(hashlib.md5((p or b"") + b"|thumb").digest())
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].values,
+                "width": ws, "height": hs, "payload": payloads,
+            })
+
+    return (
+        media.where(F.col("kind") == "image")
+        .select(
+            "media_id", "payload",
+            F.col("meta.width").alias("width"), F.col("meta.height").alias("height"),
+        )
+        .mapInPandas(resize, schema=RESIZE_SCHEMA)
+    )
+
+
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Sample every Nth frame of video payloads (stubbed frame extraction:
     deterministic hash per sampled frame index). One output row per

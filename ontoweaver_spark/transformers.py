@@ -64,8 +64,11 @@ class CompiledCandidates:
 
 
 def _strip_ws(c: Column) -> Column:
-    # Python str.strip() semantics (all whitespace), not F.trim (spaces only).
-    return F.regexp_replace(c, r"^\s+|\s+$", "")
+    # Python str.strip() semantics: ALL Unicode whitespace (incl. \xa0),
+    # not F.trim (ASCII space only) and not Java's default ASCII \s —
+    # (?U) switches the Java regex to Unicode character classes.
+    # Found by the hypothesis parity test (tests/test_property_parity.py).
+    return F.regexp_replace(c, r"(?U)(^\s+|\s+$)", "")
 
 
 def _strip_chars(c: Column, chars: str) -> Column:

@@ -190,3 +190,20 @@ def test_windowed_crawl_rate(spark, tmp_path):
         F.sum("n_pages")
     ).collect()[0][0]
     assert got is not None and got >= expected
+
+
+def test_audio_features_and_resize(spark):
+    from ontoweaver_spark.multimodal import audio_features, image_resize
+
+    media = synthetic_media(spark, 60)
+    audio = audio_features(media).collect()
+    assert len(audio) == media.where(F.col("kind") == "audio").count()
+    for r in audio:
+        assert r["duration_s"] == round(r["n_bytes"] / (2 * r["sample_rate"]), 4)
+        assert 0.0 <= r["loudness"] <= 1.0
+
+    thumbs = image_resize(media, max_dim=64).collect()
+    assert len(thumbs) == media.where(F.col("kind") == "image").count()
+    for r in thumbs:
+        assert max(r["width"], r["height"]) <= 64
+        assert len(r["payload"]) == 16  # stub thumbnail token
