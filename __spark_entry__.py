@@ -599,6 +599,15 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: jaccard>=0.8 pairs -> iterative connected
+    components (min-label propagation with lineage checkpoints)."""
+    from ontoweaver_spark.dedup import duplicate_clusters
+
+    _tune(spark)
+    return duplicate_clusters(_docs(spark, sf_dir), threshold=0.8)
+
+
 def q_text_features(spark, sf_dir):
     from ontoweaver_spark.textops import fingerprint, lang_id, quality_score, token_count
 
@@ -680,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "text_features": q_text_features,
         "ann_topk": q_ann_topk,
         "ann_topk_bucketed": q_ann_topk_bucketed,
@@ -1044,6 +1054,27 @@ def oracle_sql() -> dict[str, str]:
                          * 10000 + 0.5) / 10000 >= 0.8
         """,
         "dedup_simhash": _simhash_sql(),
+        "dedup_clusters": _shingle_sql().replace("WITH toks", "WITH RECURSIVE toks") + """
+          , jp AS (
+            SELECT l.doc_id AS a, r.doc_id AS b
+            FROM sh l
+            JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+            JOIN counts ca ON ca.doc_id = l.doc_id
+            JOIN counts cb ON cb.doc_id = r.doc_id
+            GROUP BY l.doc_id, r.doc_id
+            HAVING floor(count(*)::DOUBLE /
+                         (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*))
+                         * 10000 + 0.5) / 10000 >= 0.8
+          ), und AS (
+            SELECT a, b FROM jp UNION SELECT b, a FROM jp
+          ), reach(x, y) AS (
+            SELECT a, b FROM und
+            UNION
+            SELECT r.x, u.b FROM reach r JOIN und u ON r.y = u.a
+          )
+          SELECT x AS doc_id, least(x, min(y)) AS cluster_id
+          FROM reach GROUP BY x
+        """,
         "text_features": f"""
             SELECT doc_id,
                    {n_tokens_sql} AS n_tokens,

@@ -156,6 +156,69 @@ def jaccard_pairs(
     return jac.where(F.col("jaccard") >= threshold) if threshold > 0 else jac
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair list via iterative
+    min-label propagation: every vertex repeatedly adopts the smallest
+    label among itself and its neighbors until a fixpoint.
+
+    This is THE iterative-algorithm shape Spark needs care with:
+    - each round is one shuffle (groupBy vertex) — rounds are bounded by
+      the component diameter, and near-dup clusters are shallow (2-5);
+    - ``localCheckpoint`` every round truncates the lineage so the plan
+      does not grow exponentially across iterations;
+    - convergence is detected with one count per round (changed labels).
+
+    Returns (vertex, component) where component = min vertex id in the
+    component. Vertices not present in ``pairs`` are their own singleton
+    components — callers union them in if needed.
+    """
+    und = pairs.selectExpr(f"{a_col} AS v", f"{b_col} AS w").unionAll(
+        pairs.selectExpr(f"{b_col} AS v", f"{a_col} AS w")
+    ).distinct()
+    labels = und.select("v").distinct().withColumn("label", F.col("v"))
+
+    for _ in range(max_iterations):
+        # each vertex receives its neighbors' labels, keeps the min
+        incoming = (
+            und.join(labels.withColumnRenamed("v", "w2"), und["w"] == F.col("w2"))
+            .select(F.col("v"), F.col("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(incoming, "v", "left")
+            .groupBy("v")
+            .agg(F.least(F.first("label"), F.min("nlabel")).alias("new_label"),
+                 F.first("label").alias("label"))
+        )
+        changed = new_labels.where(F.col("new_label") != F.col("label")).count()
+        labels = new_labels.select("v", F.col("new_label").alias("label")).localCheckpoint()
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("vertex"), F.col("label").alias("component"))
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-duplicate clusters: jaccard >= threshold pairs -> connected
+    components -> (doc_id, cluster_id = min doc id in cluster). Only
+    documents that belong to some >=2-doc cluster appear; the canonical
+    keep-one policy is "keep cluster_id, drop the rest"."""
+    pairs = jaccard_pairs(df, text_col, id_col, shingle_k, threshold).select("a", "b")
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("vertex").alias(id_col), F.col("component").alias("cluster_id")
+    )
+
+
 def simhash(c: Column, bits: int = 16) -> Column:
     """SimHash over whitespace tokens: bit b set when the signed sum of
     token-hash bit b is positive. One HOF aggregate per row, JVM-side."""

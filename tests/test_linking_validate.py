@@ -92,3 +92,22 @@ def test_validate_input_counts_and_quarantine(spark):
         assert False, "expected raise"
     except ValueError as e:
         assert "4/5" in str(e)
+
+
+def test_connected_components_chain_and_cycle(spark):
+    from ontoweaver_spark.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (diameter 3), cycle 10-11-12-10, pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21)],
+        "a long, b long",
+    )
+    got = {
+        (r["vertex"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
