@@ -157,3 +157,53 @@ def test_maths_parity(spark, pairs, template):
 
     for g, (x, y) in zip(got, pairs):
         assert abs(g - model(x, y)) < 1e-6 * max(1.0, abs(model(x, y)))
+
+
+# model of transformer.boolean (/root/reference/src/ontoweaver/transformer.py:1058-1202)
+@given(st.lists(cells, min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_boolean_parity(spark, vals):
+    from ontoweaver_spark.spec import TransformerSpec
+    from ontoweaver_spark.transformers import compile_values
+
+    spec = TransformerSpec(
+        op="boolean", columns=["c"],
+        params={"consider_true": ["yes", "1"], "consider_false": ["no", "0"],
+                "output_true": "T", "output_false": "F"},
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "c string")
+    cv = compile_values(spec)
+    got = [
+        r["o"] for r in df.select(F.element_at(cv.values, 1).alias("o")).collect()
+    ]
+    want = [
+        "T" if v in ("yes", "1") else "F" if v in ("no", "0") else None
+        for v in vals
+    ]
+    assert got == want
+
+
+# model of transformer.translate skip/keep policies (transformer.py:697-910)
+@given(st.lists(cells, min_size=1, max_size=20), st.sampled_from(["skip", "keep"]))
+@settings(**SETTINGS)
+def test_translate_parity(spark, vals, policy):
+    from ontoweaver_spark.spec import TransformerSpec
+    from ontoweaver_spark.transformers import compile_values
+
+    table = {"a": "A", "nan": "NAN-mapped", "": "EMPTY"}
+    spec = TransformerSpec(
+        op="translate", columns=["c"],
+        params={"translations": table, "on_unknown_value": policy},
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "c string")
+    cv = compile_values(spec)
+    got = [
+        r["o"] for r in df.select(F.element_at(cv.values, 1).alias("o")).collect()
+    ]
+
+    def model(v):
+        if v in table:
+            return table[v]
+        return v if policy == "keep" else None
+
+    assert got == [model(v) for v in vals]
