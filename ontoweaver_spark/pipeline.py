@@ -81,6 +81,37 @@ def partition_metrics(df: DataFrame) -> list[dict]:
     return [r.asDict() for r in rows]
 
 
+def write_bucketed_graph(
+    fnodes: DataFrame,
+    fedges: DataFrame,
+    database: str = "kg",
+    n_buckets: int = 64,
+) -> None:
+    """Materialize the fused graph as bucketed tables: nodes bucketed by
+    ``id``, edges bucketed by ``src`` (the common join key for traversals).
+
+    A downstream edge->node join on pre-bucketed tables needs NO shuffle —
+    both sides are already hash-partitioned on the join key on disk
+    (SortMergeJoin with zero Exchange; verified in
+    tests/test_bucketed_graph.py). At 100 TB this turns every
+    neighborhood-expansion query from a full-graph shuffle into a
+    partition-local merge. Bucket count should match the downstream
+    parallelism target (buckets = max useful tasks for the join).
+    """
+    spark = fnodes.sparkSession
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    (
+        fnodes.write.mode("overwrite")
+        .bucketBy(n_buckets, "id").sortBy("id")
+        .saveAsTable(f"{database}.nodes")
+    )
+    (
+        fedges.write.mode("overwrite")
+        .bucketBy(n_buckets, "src").sortBy("src")
+        .saveAsTable(f"{database}.edges")
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     input_df: Union[DataFrame, str],
