@@ -828,8 +828,8 @@ def _cos_raw_sql(x: str, y: str) -> str:
 
 def _ivf_sql(n_centroids: int = 8, nprobe: int = 2, k: int = 5) -> str:
     """CTE SQL reproducing similarity.topk_ivf: deterministic centroids =
-    lowest-id vectors; assignment ties -> lowest cid; probe-list ties ->
-    highest cid (matches the reversed array_sort)."""
+    lowest-id vectors; assignment AND probe-list ties -> lowest cid (the
+    shared _centroid_scores sort key is (cos, -cid))."""
     cos_ac = _cos_raw_sql("a.embedding", "c.cvec")
     cos_bc = _cos_raw_sql("b.embedding", "c.cvec")
     cos_pa = (
@@ -850,7 +850,7 @@ def _ivf_sql(n_centroids: int = 8, nprobe: int = 2, k: int = 5) -> str:
       SELECT probe_id, pv, cid AS list_id FROM (
         SELECT b.vec_id AS probe_id, b.embedding AS pv, c.cid,
                row_number() OVER (PARTITION BY b.vec_id
-                                  ORDER BY {cos_bc} DESC, c.cid DESC) AS rn
+                                  ORDER BY {cos_bc} DESC, c.cid ASC) AS rn
         FROM embeddings b CROSS JOIN cents c WHERE b.vec_id < 5
       ) WHERE rn <= {nprobe}
     ), scored AS (

@@ -73,23 +73,36 @@ def topk_bruteforce(
     )
 
 
+def _centroid_scores(v: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<cos,neg_cid>> of cosine(v, centroid) for every centroid.
+
+    The centroids enter the plan as ONE literal array<struct> and the cosine
+    is ONE shared `transform` lambda — the expression tree is O(dims *
+    n_centroids) literals + O(1) lambdas. Inlining a separate cosine
+    expression per centroid (the previous shape) costs seconds of Catalyst
+    analysis/codegen per query at n=8, and a when-cascade threading
+    `best_cos` through predicate + otherwise doubles the tree per centroid
+    (2^n copies after optimizer inlining — measured 10x slower than brute
+    force). `neg_cid` so that max-by-sort ties resolve to the LOWEST cid."""
+    cent_arr = F.array(*[
+        F.struct(
+            F.lit(-cid).alias("neg_cid"),
+            F.array(*[F.lit(float(x)) for x in cvec]).alias("cvec"),
+        )
+        for cid, cvec in centroids
+    ])
+    return F.transform(
+        cent_arr,
+        lambda c: F.struct(cosine(v, c["cvec"]).alias("cos"), c["neg_cid"].alias("neg_cid")),
+    )
+
+
 def assign_centroid(v: Column, centroids: list[tuple[int, list[float]]]) -> Column:
-    """Nearest-centroid id by cosine (ties -> lowest centroid id). The
-    centroid set is small by construction, so the argmax unrolls to a
-    when-cascade of JVM expressions — no UDF, no shuffle."""
-    best_id, best_cos = F.lit(centroids[0][0]), F.lit(-2.0)
-    first = True
-    for cid, cvec in centroids:
-        cv = F.array(*[F.lit(float(x)) for x in cvec])
-        cos = cosine(v, cv)
-        if first:
-            best_id, best_cos = F.lit(cid), cos
-            first = False
-        else:
-            better = cos > best_cos
-            best_id = F.when(better, F.lit(cid)).otherwise(best_id)
-            best_cos = F.when(better, cos).otherwise(best_cos)
-    return best_id
+    """Nearest-centroid id by cosine (ties -> lowest centroid id); one
+    array_sort argmax over the shared-lambda score array — no UDF, no
+    shuffle, linear expression size."""
+    best = F.element_at(F.array_sort(_centroid_scores(v, centroids)), -1)
+    return -best["neg_cid"]
 
 
 def topk_ivf(
@@ -111,31 +124,42 @@ def topk_ivf(
     the corpus is hash-partitioned once by list id; probes (small) broadcast
     with their probe-list array pre-exploded — at 100 TB this is one narrow
     join keyed on the list id, never a cross join.
+
+    The centroid set travels as DATA — a one-row array<struct> broadcast
+    cross-joined onto both sides — never as expression literals. (Embedding
+    n_centroids copies of the vectors in the plan costs seconds of Catalyst
+    analysis at n=8 and is unusable at a realistic n=4096; the broadcast
+    keeps the expression tree O(1) and needs no driver collect at all.)
     """
-    cents = [
-        (r[id_col], list(r[vec_col]))
-        for r in corpus.orderBy(id_col).limit(n_centroids).collect()
-    ]
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        assign_centroid(F.col(vec_col), cents).alias("list_id"),
+    cents1 = (
+        corpus.orderBy(id_col).limit(n_centroids)
+        .agg(F.collect_list(
+            F.struct((-F.col(id_col)).alias("neg_cid"), F.col(vec_col).alias("cvec"))
+        ).alias("cents"))
     )
 
-    # per-probe nprobe nearest centroid lists, exploded to (probe, list_id)
-    def probe_lists(v: Column) -> Column:
-        scored = F.array(*[
-            F.struct(cosine(v, F.array(*[F.lit(float(x)) for x in cvec])).alias("cos"),
-                     F.lit(cid).alias("cid"))
-            for cid, cvec in cents
-        ])
-        ordered = F.reverse(F.array_sort(scored))  # by (cos, cid) desc
-        return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["cid"])
+    def scores(v: Column) -> Column:
+        # array<struct<cos,neg_cid>>; ONE shared cosine lambda. array_sort's
+        # last element = max cos, ties -> max neg_cid = lowest cid.
+        return F.array_sort(F.transform(
+            F.col("cents"),
+            lambda s: F.struct(cosine(v, s["cvec"]).alias("cos"),
+                               s["neg_cid"].alias("neg_cid")),
+        ))
 
-    p = probes.select(
+    c = corpus.crossJoin(F.broadcast(cents1)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        (-F.element_at(scores(F.col(vec_col)), -1)["neg_cid"]).alias("list_id"),
+    )
+    # per-probe nprobe nearest centroid lists, exploded to (probe, list_id)
+    p = probes.crossJoin(F.broadcast(cents1)).select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("pv"),
-        F.explode(probe_lists(F.col(vec_col))).alias("list_id"),
+        F.explode(F.transform(
+            F.slice(F.reverse(scores(F.col(vec_col))), 1, nprobe),
+            lambda s: -s["neg_cid"],
+        )).alias("list_id"),
     )
     scored = c.join(F.broadcast(p), "list_id").where(
         F.col("probe_id") != F.col("neighbor_id")

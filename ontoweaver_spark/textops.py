@@ -67,15 +67,23 @@ def marker_count(c: Column, words: list[str]) -> Column:
 
 def lang_id(c: Column) -> Column:
     """Pick the language whose marker words occur most often; ties resolve
-    in fixed key order; no hits -> 'und'."""
-    best_lang = F.lit("und")
-    best_score = F.lit(0).cast("int")
-    for lang in sorted(LANG_MARKERS):  # fixed order => deterministic ties
-        score = marker_count(c, LANG_MARKERS[lang])
-        is_better = score > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    return best_lang
+    in fixed key order; no hits -> 'und'.
+
+    Implemented as one array<struct<score,neg_rank,lang>> sort (linear in
+    the language count) rather than a when-cascade that threads best_score
+    through predicate + otherwise — that shape doubles the expression tree
+    per branch (see assign_centroid in similarity.py)."""
+    langs = sorted(LANG_MARKERS)  # fixed order => deterministic ties
+    scored = F.array(*[
+        F.struct(
+            marker_count(c, LANG_MARKERS[lang]).alias("score"),
+            F.lit(-i).alias("neg_rank"),  # on score ties, earliest lang wins
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(langs)
+    ])
+    best = F.element_at(F.array_sort(scored), -1)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
 def quality_score(c: Column) -> Column:
