@@ -43,8 +43,25 @@ def _tune(spark: SparkSession) -> SparkSession:
     return tune_session(spark)
 
 
+def _spread(spark, df):
+    """Ensure at least defaultParallelism partitions. Spark splits scans by
+    BYTES (maxPartitionBytes), so a byte-small but compute-heavy table
+    (shingling/hashing/regex per row) lands on ONE core of 32 — measured
+    7.4s for the shingle explode alone at sf0.1. At real scale the scan has
+    more splits than cores and this is a no-op; the shuffle it adds here
+    moves kilobytes."""
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _emb(spark, sf_dir):
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 # --------------------------------------------------------------------------
@@ -553,16 +570,39 @@ def q_validate_docs(spark, sf_dir):
 
 
 def q_pages_web_kg(spark, sf_dir):
-    """North-star pipeline at web shape: deterministic CC-style pages ->
-    canonicalized triple extraction -> fusion. No SQL oracle (the input is
-    engine-generated, not a driver table) — rows-only check; full semantics
-    are covered by tests/test_pages_pipeline.py."""
-    from ontoweaver_spark.pages import generate_pages, web_kg
+    """North-star pipeline, fully hash-verified: a pages table (url,
+    warc_ts, html, text, lang) is derived from the driver's documents
+    parquet by ANSI-SQL-expressible expressions, then run through the FULL
+    WEB_KG_MAPPING (regex host extraction, language, keyword + outlink
+    regexp_extract_all, text/fetched_at/n_tokens properties) and fusion.
+    Returns the whole fused graph — nodes with their merged properties plus
+    edges — in one frame the DuckDB oracle reproduces bit-for-bit."""
+    from ontoweaver_spark.fusion import format_for_export
+    from ontoweaver_spark.pages import pages_from_documents, web_kg
 
     _tune(spark)
-    pages = generate_pages(spark, 2000, seed=42, partitions=8)
+    pages = pages_from_documents(_docs(spark, sf_dir))
     fnodes, fedges = web_kg(pages)
-    return fnodes.groupBy("label").agg(F.count("*").alias("n"))
+    nodes = format_for_export(fnodes, sep=",")
+    n = nodes.select(
+        F.lit("node").alias("kind"),
+        F.col("id"),
+        F.col("label"),
+        F.lit("").alias("dst"),
+        F.coalesce(F.col("properties")["text"], F.lit("")).alias("p_text"),
+        F.coalesce(F.col("properties")["n_tokens"], F.lit("")).alias("p_n_tokens"),
+        F.coalesce(F.col("properties")["fetched_at"], F.lit("")).alias("p_fetched_at"),
+    )
+    e = fedges.select(
+        F.lit("edge").alias("kind"),
+        F.col("src").alias("id"),
+        F.col("label"),
+        F.col("dst"),
+        F.lit("").alias("p_text"),
+        F.lit("").alias("p_n_tokens"),
+        F.lit("").alias("p_fetched_at"),
+    )
+    return n.unionByName(e)
 
 
 # ---- training-data ops -----------------------------------------------------
@@ -587,7 +627,9 @@ def q_dedup_jaccard(spark, sf_dir):
     from ontoweaver_spark.dedup import jaccard_pairs
 
     _tune(spark)
-    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+    # max_shingle_df: the stop-shingle cap that bounds the inverted-index
+    # join at O(df*cap) instead of O(df^2) per hot shingle
+    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.8, max_shingle_df=20)
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -626,7 +668,7 @@ def q_ann_topk(spark, sf_dir):
     from ontoweaver_spark.similarity import topk_bruteforce
 
     _tune(spark)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     probes = emb.where(F.col("vec_id") < 5)
     return topk_bruteforce(emb, probes, k=5)
 
@@ -635,7 +677,7 @@ def q_ann_topk_bucketed(spark, sf_dir):
     from ontoweaver_spark.similarity import topk_bucketed
 
     _tune(spark)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     probes = emb.where(F.col("vec_id") < 5)
     return topk_bucketed(emb, probes, k=5)
 
@@ -644,7 +686,7 @@ def q_ann_topk_ivf(spark, sf_dir):
     from ontoweaver_spark.similarity import topk_ivf
 
     _tune(spark)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     probes = emb.where(F.col("vec_id") < 5)
     return topk_ivf(emb, probes, k=5, n_centroids=8, nprobe=2)
 
@@ -653,7 +695,7 @@ def q_emb_near_dup(spark, sf_dir):
     from ontoweaver_spark.dedup import embedding_near_duplicates
 
     _tune(spark)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return embedding_near_duplicates(emb, threshold=0.3)
 
 
@@ -739,17 +781,31 @@ def _minhash_sql_parts(num_hashes: int = 16, bands: int = 4, k: int = 3) -> str:
     )"""
 
 
-def _shingle_sql(k: int = 3) -> str:
-    return f"""
+def _shingle_sql(k: int = 3, max_df: int | None = None) -> str:
+    """Shared shingle CTEs; with ``max_df`` the stop-shingle filter drops
+    shingles in more than max_df docs BEFORE the per-doc counts (matching
+    dedup.jaccard_pairs(max_shingle_df=...))."""
+    base = f"""
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
       FROM documents
-    ), sh AS (
+    ), sh0 AS (
       SELECT DISTINCT doc_id, s
       FROM toks, UNNEST(list_transform(
         range(1, greatest(len(l) - {k - 1}, 1) + 1),
         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]
       )) AS t(s)
+    )"""
+    if max_df is None:
+        return base + """, sh AS (
+      SELECT * FROM sh0
+    ), counts AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    )"""
+    return base + f""", hot AS (
+      SELECT s FROM sh0 GROUP BY s HAVING count(*) > {max_df}
+    ), sh AS (
+      SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)
     ), counts AS (
       SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
     )"""
@@ -1020,6 +1076,81 @@ def oracle_sql() -> dict[str, str]:
             FROM ents l JOIN ents r ON l.doc_id = r.doc_id AND l.e < r.e
             GROUP BY 1, 2
         """,
+        "pages_web_kg": r"""
+            WITH pages AS (
+              SELECT
+                'https://' || source || '.example/p' || doc_id::VARCHAR AS url,
+                CAST(make_timestamp((1704067200 + doc_id) * 1000000) AS VARCHAR)
+                  AS fetched_at,
+                text || '. keywords: kw' || lang || ', ' || split_part(text, ' ', 1)
+                     || '. links: https://hub' || ((doc_id*7)%97)::VARCHAR
+                     || '/p' || ((doc_id*13)%997)::VARCHAR
+                     || ' https://hub' || ((doc_id*11)%97)::VARCHAR
+                     || '/p' || ((doc_id*17)%997)::VARCHAR || '.' AS text,
+                lang
+              FROM documents
+            ), links AS (
+              SELECT DISTINCT url, l AS dst FROM (
+                SELECT url, unnest(regexp_extract_all(
+                  text, '(https?://[^\s.,]+[^\s.,])', 1)) AS l FROM pages)
+            ), kw1 AS (
+              SELECT url, regexp_extract(text,
+                'keywords: ([a-z]+), ([a-z]+)\.', 1) AS kw FROM pages
+            ), kw2 AS (
+              SELECT url, regexp_extract(text,
+                'keywords: ([a-z]+), ([a-z]+)\.', 2) AS kw FROM pages
+            ), contrib AS (
+              -- engine semantics: to_properties targets the subject TYPE
+              -- ('page'), so every page node a row emits — the subject AND
+              -- its links_to targets — carries that row's properties;
+              -- fusion then set-unions them (sorted distinct, ','-joined)
+              SELECT url AS page_id, text, fetched_at,
+                     len(regexp_split_to_array(trim(text), '\s+'))::VARCHAR
+                       AS n_toks
+              FROM pages
+              UNION ALL
+              SELECT l.dst, p.text, p.fetched_at,
+                     len(regexp_split_to_array(trim(p.text), '\s+'))::VARCHAR
+              FROM links l JOIN pages p ON p.url = l.url
+            ), page_nodes AS (
+              SELECT page_id AS id,
+                     array_to_string(list_sort(list_distinct(list(text))), ',')
+                       AS p_text,
+                     array_to_string(list_sort(list_distinct(list(n_toks))), ',')
+                       AS p_n_tokens,
+                     array_to_string(list_sort(list_distinct(list(fetched_at))), ',')
+                       AS p_fetched_at
+              FROM contrib GROUP BY 1
+            ), nodes AS (
+              SELECT id, 'page' AS label, p_text, p_n_tokens, p_fetched_at
+              FROM page_nodes
+              UNION ALL
+              SELECT DISTINCT regexp_extract(url, '^https?://([^/]+)/', 1),
+                     'site', '', '', '' FROM pages
+              UNION ALL
+              SELECT DISTINCT lang, 'language', '', '', '' FROM pages
+              UNION ALL
+              SELECT DISTINCT kw, 'keyword', '', '', ''
+              FROM (SELECT kw FROM kw1 UNION ALL SELECT kw FROM kw2)
+              WHERE kw <> ''
+            ), edges AS (
+              SELECT url AS id, 'hosted_on' AS label,
+                     regexp_extract(url, '^https?://([^/]+)/', 1) AS dst
+              FROM pages
+              UNION
+              SELECT url, 'in_language', lang FROM pages
+              UNION
+              SELECT url, 'has_keyword', kw FROM kw1 WHERE kw <> ''
+              UNION
+              SELECT url, 'has_keyword', kw FROM kw2 WHERE kw <> ''
+              UNION
+              SELECT url, 'links_to', dst FROM links
+            )
+            SELECT 'node' AS kind, id, label, '' AS dst,
+                   p_text, p_n_tokens, p_fetched_at FROM nodes
+            UNION ALL
+            SELECT 'edge', id, label, dst, '', '', '' FROM edges
+        """,
         "validate_docs": f"""
             SELECT count(*) AS total,
                    count(*) FILTER (WHERE {_VALID_LANG} AND {_VALID_NCHARS}
@@ -1039,7 +1170,7 @@ def oracle_sql() -> dict[str, str]:
             FROM banded l JOIN banded r
               ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
         """,
-        "dedup_jaccard": _shingle_sql() + """
+        "dedup_jaccard": _shingle_sql(max_df=20) + """
             SELECT l.doc_id AS a, r.doc_id AS b,
                    floor(count(*)::DOUBLE /
                          (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*))
@@ -1054,14 +1185,24 @@ def oracle_sql() -> dict[str, str]:
                          * 10000 + 0.5) / 10000 >= 0.8
         """,
         "dedup_simhash": _simhash_sql(),
-        "dedup_clusters": _shingle_sql().replace("WITH toks", "WITH RECURSIVE toks") + """
-          , jp AS (
-            SELECT l.doc_id AS a, r.doc_id AS b
-            FROM sh l
-            JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
-            JOIN counts ca ON ca.doc_id = l.doc_id
-            JOIN counts cb ON cb.doc_id = r.doc_id
-            GROUP BY l.doc_id, r.doc_id
+        "dedup_clusters": _minhash_sql_parts().replace("WITH toks", "WITH RECURSIVE toks") + """
+          , counts AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+          ), cand AS (
+            -- LSH candidate pairs (same as the dedup_minhash oracle)
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.band_key = r.band_key
+             AND l.doc_id < r.doc_id
+          ), jp AS (
+            -- exact-Jaccard verification restricted to LSH candidates
+            SELECT c.a, c.b
+            FROM cand c
+            JOIN sh la ON la.doc_id = c.a
+            JOIN sh lb ON lb.doc_id = c.b AND lb.s = la.s
+            JOIN counts ca ON ca.doc_id = c.a
+            JOIN counts cb ON cb.doc_id = c.b
+            GROUP BY c.a, c.b
             HAVING floor(count(*)::DOUBLE /
                          (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*))
                          * 10000 + 0.5) / 10000 >= 0.8

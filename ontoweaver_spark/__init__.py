@@ -56,13 +56,21 @@ def extract(
     mapping: Union[dict, str, MappingSpec],
     affix: str = "none",
     type_affix_sep: str = ":",
+    validate_mode: str = "raise",
 ) -> tuple[DataFrame, DataFrame]:
     """Run a mapping over a DataFrame -> raw (pre-fusion) nodes and edges.
 
     Analog of ``ontoweaver.extract_table``
-    (/root/reference/src/ontoweaver/__init__.py:533-558).
+    (/root/reference/src/ontoweaver/__init__.py:533-558). A mapping-level
+    ``validate:`` section fails loudly on invalid rows by default
+    (``validate_mode="raise"``, matching the reference's InputValidator);
+    pass ``"filter"`` to silently drop or ``"report"`` for counted drops
+    (see :func:`ontoweaver_spark.compiler.compile_mapping`).
     """
-    res = compile_mapping(df, mapping, affix=affix, type_affix_sep=type_affix_sep)
+    res = compile_mapping(
+        df, mapping, affix=affix, type_affix_sep=type_affix_sep,
+        validate_mode=validate_mode,
+    )
     return res.nodes, res.edges
 
 
@@ -74,12 +82,16 @@ def weave(
     reconciliate_sep: str = "|",
     raise_errors: bool = True,
     salt: int = 0,
+    validate_mode: str = "raise",
 ) -> tuple[DataFrame, DataFrame]:
     """extract + reconciliate in one call (analog of ``ontoweaver.weave``,
     /root/reference/src/ontoweaver/__init__.py:309-355). Returns fused
     (nodes, edges) with properties still as array<string>; apply
     :func:`format_for_export` to render final scalar/joined strings."""
-    nodes, edges = extract(df, mapping, affix=affix, type_affix_sep=type_affix_sep)
+    nodes, edges = extract(
+        df, mapping, affix=affix, type_affix_sep=type_affix_sep,
+        validate_mode=validate_mode,
+    )
     return reconciliate(
         nodes, edges,
         reconciliate_sep=reconciliate_sep,

@@ -132,6 +132,7 @@ def _branch_field(t: TransformerSpec, value: Column, field: str) -> Column:
 class ExtractResult:
     nodes: DataFrame  # id, label, properties map<string,array<string>>
     edges: DataFrame  # id, src, dst, label, properties
+    validation_report: object = None  # ValidationReport when validate_mode="report"
 
 
 def _empty_props() -> Column:
@@ -145,11 +146,26 @@ def compile_mapping(
     mapping: Union[dict, str, MappingSpec],
     affix: str = "none",
     type_affix_sep: str = ":",
+    validate_mode: str = "raise",
 ) -> ExtractResult:
     """Compile and apply a mapping to an input DataFrame.
 
     Returns raw (pre-fusion) nodes/edges DataFrames; run
     :func:`ontoweaver_spark.fusion.reconciliate` to deduplicate and merge.
+
+    ``validate_mode`` controls what a mapping-level ``validate:`` section
+    does with invalid rows (the reference's InputValidator raises by
+    default — reference validate.py ``__call__`` with raise_errors=True —
+    so silent dropping must be an explicit opt-in):
+
+    - ``"raise"`` (default): the job fails on the FIRST invalid row, naming
+      the violated rule columns. Implemented as a runtime ``raise_error``
+      guard inside the scan filter — fail-loud costs zero extra jobs/scans
+      at any scale.
+    - ``"filter"``: silently drop invalid rows (predicates push down to the
+      parquet scan).
+    - ``"report"``: eagerly count violations (one aggregation pass), drop
+      invalid rows, and attach the :class:`ValidationReport` to the result.
     """
     spec = mapping if isinstance(mapping, MappingSpec) else load_mapping(mapping)
 
@@ -157,13 +173,35 @@ def compile_mapping(
     if missing:
         raise ValueError(f"mapping references missing columns: {missing}")
 
+    validation_report = None
     if spec.input_rules:
         # mapping-level `validate:` section — applied BEFORE the string-cast
         # projection so simple predicates (isin / in_range on native types)
         # push down to the parquet scan
-        from .validate import validity
+        from .validate import compile_rule, validate_input, validity
 
-        df = df.where(validity(spec.input_rules))
+        if validate_mode == "filter":
+            df = df.where(validity(spec.input_rules))
+        elif validate_mode == "report":
+            df, validation_report = validate_input(df, spec.input_rules)
+        elif validate_mode == "raise":
+            fails = F.array_compact(F.array(*[
+                F.when(~compile_rule(c, spec.input_rules[c]), F.lit(c))
+                for c in sorted(spec.input_rules)
+            ]))
+            df = df.where(
+                F.when(validity(spec.input_rules), F.lit(True)).otherwise(
+                    F.raise_error(F.concat(
+                        F.lit("input validation failed (violated rule column(s): "),
+                        F.concat_ws(",", fails),
+                        F.lit("); use validate_mode='filter'/'report' to drop instead"),
+                    )).cast("boolean")
+                )
+            )
+        else:
+            raise ValueError(
+                f"validate_mode must be raise|filter|report, got {validate_mode!r}"
+            )
 
     # Canonical string cell domain (reference loads everything dtype=str,
     # loader.py:173-216) + column pruning: keep only referenced columns.
@@ -390,4 +428,4 @@ def compile_mapping(
 
     nodes = assembled.select(F.explode("_nodes").alias("n")).select("n.*")
     edges = assembled.select(F.explode("_edges").alias("e")).select("e.*")
-    return ExtractResult(nodes=nodes, edges=edges)
+    return ExtractResult(nodes=nodes, edges=edges, validation_report=validation_report)

@@ -133,13 +133,37 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.0,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for every pair sharing >=1 shingle
     (inverted-index join — shuffle keyed on shingle, never a cross join).
-    Returns (a, b, jaccard rounded to 4)."""
+    Returns (a, b, jaccard rounded to 4).
+
+    ``max_shingle_df`` is the standard stop-shingle filter: shingles whose
+    document frequency exceeds the cap are dropped from BOTH the inverted
+    index and the per-doc shingle counts (similarity is computed over the
+    filtered shingle universe). Without it the join produces O(df^2)
+    candidate rows per shingle — one boilerplate shingle in 10^7 documents
+    means 10^14 join rows at 100 TB. Cost of the cap: one pre-aggregate +
+    a broadcast anti-join + one per-doc recount."""
     sh = df.select(
-        F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")
-    ).select(F.col(id_col), F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("shingle")
+    )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        # hot set is tiny by construction (only shingles in >cap docs)
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+        sh = sh.join(counts, id_col)
+    else:
+        # single-pass: per-doc count rides along with the explode
+        sh = df.select(
+            F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")
+        ).select(F.col(id_col), F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
 
     left = sh.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"), "shingle")
     right = sh.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"), "shingle")
@@ -177,11 +201,15 @@ def connected_components(
     component. Vertices not present in ``pairs`` are their own singleton
     components — callers union them in if needed.
     """
+    # materialize the edge list once — every iteration joins against `und`,
+    # and without this each round would re-execute the entire upstream
+    # pair-generation plan (minhash + verify) from scratch
     und = pairs.selectExpr(f"{a_col} AS v", f"{b_col} AS w").unionAll(
         pairs.selectExpr(f"{b_col} AS v", f"{a_col} AS w")
-    ).distinct()
+    ).distinct().localCheckpoint()
     labels = und.select("v").distinct().withColumn("label", F.col("v"))
 
+    changed = -1
     for _ in range(max_iterations):
         # each vertex receives its neighbors' labels, keeps the min
         incoming = (
@@ -198,7 +226,49 @@ def connected_components(
         labels = new_labels.select("v", F.col("new_label").alias("label")).localCheckpoint()
         if changed == 0:
             break
+    if changed != 0:
+        # returning silently would split one component into several —
+        # downstream "keep one per cluster" would then keep too many
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iterations (component diameter exceeds the cap)"
+        )
     return labels.select(F.col("v").alias("vertex"), F.col("label").alias("component"))
+
+
+def verified_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs verified by exact Jaccard: (a, b, jaccard).
+
+    The pair universe is ``minhash_candidates`` (band-bucket join — the
+    candidate count is LSH-bounded), NOT the raw shingle inverted index
+    whose hot-shingle O(df^2) blowup is quadratic at 100 TB. Each candidate
+    pair's exact Jaccard comes from joining the two per-doc shingle arrays
+    and intersecting locally — two hash joins keyed on doc id, per-pair
+    compute stays partition-local."""
+    cand = minhash_candidates(df, text_col, id_col, num_hashes, bands, shingle_k)
+    sets_ = df.select(F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    return (
+        cand.join(sets_.select(F.col(id_col).alias("a"), F.col("sh").alias("sa")), "a")
+        .join(sets_.select(F.col(id_col).alias("b"), F.col("sh").alias("sb")), "b")
+        .withColumn("_i", inter)
+        .select(
+            "a", "b",
+            round_ieee(
+                F.col("_i") / (F.size("sa") + F.size("sb") - F.col("_i")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 def duplicate_clusters(
@@ -207,12 +277,23 @@ def duplicate_clusters(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
 ) -> DataFrame:
-    """Near-duplicate clusters: jaccard >= threshold pairs -> connected
-    components -> (doc_id, cluster_id = min doc id in cluster). Only
-    documents that belong to some >=2-doc cluster appear; the canonical
-    keep-one policy is "keep cluster_id, drop the rest"."""
-    pairs = jaccard_pairs(df, text_col, id_col, shingle_k, threshold).select("a", "b")
+    """Near-duplicate clusters: LSH-candidate pairs with exact-verified
+    jaccard >= threshold -> connected components -> (doc_id, cluster_id =
+    min doc id in cluster). Only documents that belong to some >=2-doc
+    cluster appear; the canonical keep-one policy is "keep cluster_id,
+    drop the rest".
+
+    Pairs come from :func:`verified_candidates` (minhash LSH + exact
+    verify), the scale path — not from the all-sharing-pairs inverted
+    index. A pair missed by every LSH band (possible below ~(1/bands)^
+    (bands/num_hashes) similarity) is also missed here; at threshold 0.8
+    with 16 hashes / 4 bands the band-collision probability is ~0.996."""
+    pairs = verified_candidates(
+        df, text_col, id_col, threshold, shingle_k, num_hashes, bands
+    ).select("a", "b")
     cc = connected_components(pairs)
     return cc.select(
         F.col("vertex").alias(id_col), F.col("component").alias("cluster_id")

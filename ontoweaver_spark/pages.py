@@ -124,3 +124,46 @@ def web_kg(pages: DataFrame, salt: int = 0):
     from . import weave
 
     return weave(pages, WEB_KG_MAPPING, affix="none", raise_errors=False, salt=salt)
+
+
+def pages_from_documents(docs: DataFrame) -> DataFrame:
+    """Derive the contract pages table ``(url, warc_ts, html, text, lang)``
+    deterministically from a driver ``documents`` table.
+
+    Every expression here is plain ANSI SQL (concat / modulo / split_part),
+    so a DuckDB oracle can rebuild the byte-identical input from the same
+    parquet — this is what makes the flagship web-KG pipeline hash-
+    verifiable end to end (extraction + fusion included), unlike the
+    xxhash64-based synthetic generator above which only Spark can evaluate.
+
+    The synthesized text embeds the three extraction payloads of
+    WEB_KG_MAPPING: a keyword clause (``kw<lang>`` keeps keyword node ids
+    letters-only AND disjoint from language node ids — affix="none" fuses
+    nodes by raw id, so an id shared across labels would be a label
+    conflict), and two dot-free outlinks whose hub/path ids are small
+    moduli of doc_id (collisions across docs are intentional — they
+    exercise node fusion of link targets)."""
+    i = F.col("doc_id")
+    first_word = F.element_at(F.split(F.col("text"), " "), 1)
+
+    def link(a: int, b: int):
+        return F.concat(
+            F.lit("https://hub"), ((i * a) % 97).cast("string"),
+            F.lit("/p"), ((i * b) % 997).cast("string"),
+        )
+
+    text = F.concat(
+        F.col("text"),
+        F.lit(". keywords: kw"), F.col("lang"), F.lit(", "), first_word,
+        F.lit(". links: "), link(7, 13), F.lit(" "), link(11, 17), F.lit("."),
+    )
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example/p"), i.cast("string")
+    )
+    return docs.select(
+        url.alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + i).alias("warc_ts"),
+        F.encode(text, "utf-8").alias("html"),
+        text.alias("text"),
+        F.col("lang").alias("lang"),
+    )

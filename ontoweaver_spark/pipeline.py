@@ -124,11 +124,17 @@ def run_pipeline(
     n_chunks: int = 1,
     salt: int = 0,
     raise_errors: bool = False,
+    validate_mode: str = "report",
 ) -> RunReport:
     """Run the full pipeline with checkpoint/resume.
 
     ``chunk_key``: stable column used to split the input into resumable
     chunks (e.g. ``url``). With ``n_chunks=1`` staging is a single snapshot.
+
+    ``validate_mode``: what a mapping-level ``validate:`` section does with
+    invalid rows — the pipeline default is ``"report"`` (drop + surface the
+    per-rule violation counts in the manifest); ``"raise"`` matches the
+    reference's fail-loud InputValidator; ``"filter"`` drops silently.
     """
     t0 = time.time()
     if isinstance(input_df, str):
@@ -138,14 +144,60 @@ def run_pipeline(
 
     staging = os.path.join(out_dir, "staging")
     manifest = _load_manifest(out_dir)
-    if manifest.get("mapping_hash") not in (None, mhash):
-        # different mapping -> prior staging is invalid
+    # ANY parameter that affects chunk content invalidates the resume —
+    # re-running the same out_dir with a different --affix must not reuse
+    # chunks extracted under the old one
+    extract_conf = {
+        "mapping_hash": mhash, "affix": affix, "type_affix_sep": type_affix_sep,
+        "n_chunks": n_chunks, "chunk_key": chunk_key,
+        "validate_mode": validate_mode,
+    }
+    prior = manifest.get("extract_conf") or (
+        # legacy manifests keyed only on mapping_hash: treat as mismatched
+        # unless it is genuinely the same spec with default everything
+        None if manifest.get("mapping_hash") is None else {"legacy": True}
+    )
+    if prior not in (None, extract_conf):
         manifest = {"chunks": {}, "final": None}
+    manifest["extract_conf"] = extract_conf
     manifest["mapping_hash"] = mhash
 
     report = RunReport(out_dir=out_dir, mapping_hash=mhash, chunks_total=n_chunks)
 
+    # ---- phase 0: input validation (once, surfaced in the manifest) --------
+    if spec.input_rules and validate_mode == "report":
+        from .validate import validate_input
+
+        input_df, vreport = validate_input(input_df, spec.input_rules)
+        manifest["validation"] = {
+            "total": vreport.total, "valid": vreport.valid,
+            "invalid": vreport.invalid, "per_rule": vreport.per_rule,
+        }
+        # rules already applied; chunks compile with a plain filter (no-op)
+        chunk_validate_mode = "filter"
+    else:
+        chunk_validate_mode = validate_mode
+
     # ---- phase 1: chunked extraction with resume ---------------------------
+    # Multi-chunk runs stage the input ONCE, written partitioned by chunk id
+    # (one full input scan total). Each chunk's extraction then reads only
+    # its own partition directory (partition pruning) — the previous
+    # where(pmod(hash)) approach re-scanned the ENTIRE input once per chunk:
+    # n_chunks full scans of a 100 TB table.
+    todo = [c for c in range(n_chunks) if not manifest["chunks"].get(str(c), {}).get("done")]
+    if n_chunks > 1 and todo:
+        stage_in = os.path.join(out_dir, "staging_input")
+        if not manifest.get("input_staged"):
+            key = F.col(chunk_key) if chunk_key else F.concat_ws("\x1f", *input_df.columns)
+            (
+                input_df
+                .withColumn("_ow_chunk", F.pmod(F.xxhash64(key), F.lit(n_chunks)))
+                .write.mode("overwrite").partitionBy("_ow_chunk").parquet(stage_in)
+            )
+            manifest["input_staged"] = True
+            _save_manifest(out_dir, manifest)
+        staged_input = spark.read.parquet(stage_in)
+
     for chunk in range(n_chunks):
         ckey = str(chunk)
         node_path = os.path.join(staging, f"chunk-{chunk}", "nodes")
@@ -154,12 +206,15 @@ def run_pipeline(
             report.chunks_resumed += 1
             continue
 
-        part = input_df
         if n_chunks > 1:
-            key = F.col(chunk_key) if chunk_key else F.concat_ws("\x1f", *input_df.columns)
-            part = input_df.where(F.pmod(F.xxhash64(key), F.lit(n_chunks)) == chunk)
+            part = staged_input.where(F.col("_ow_chunk") == chunk).drop("_ow_chunk")
+        else:
+            part = input_df
 
-        res = compile_mapping(part, spec, affix=affix, type_affix_sep=type_affix_sep)
+        res = compile_mapping(
+            part, spec, affix=affix, type_affix_sep=type_affix_sep,
+            validate_mode=chunk_validate_mode,
+        )
         res.nodes.write.mode("overwrite").parquet(node_path)
         res.edges.write.mode("overwrite").parquet(edge_path)
 
@@ -173,7 +228,7 @@ def run_pipeline(
             "nodes": n_nodes,
             "edges": n_edges,
             "partitions": pm,
-            "lineage": {"mapping_hash": mhash, "chunk": chunk, "n_chunks": n_chunks},
+            "lineage": {**extract_conf, "chunk": chunk},
             "ts": time.time(),
         }
         _save_manifest(out_dir, manifest)

@@ -453,6 +453,24 @@ def parse_mapping(config: dict) -> MappingSpec:
         and all(isinstance(v, dict) for v in input_rules.values())
     ):
         raise MappingError("`validate` must map column names to rule dicts")
+    if input_rules:
+        # fail at parse time on misspelled rules / pasted pandera schemas
+        # (a top-level `columns:` key satisfies the dict-of-dicts shape but
+        # would otherwise silently validate nothing)
+        from .validate import KNOWN_RULE_KEYS
+
+        for col, rule in input_rules.items():
+            unknown = set(rule) - KNOWN_RULE_KEYS
+            if unknown:
+                hint = (
+                    " (pandera-format sections are not supported; declare "
+                    "{column: {required/isin/str_matches/in_range: ...}})"
+                    if col == "columns" else ""
+                )
+                raise MappingError(
+                    f"unknown validation rule key(s) {sorted(unknown)} for "
+                    f"column {col!r}; known: {sorted(KNOWN_RULE_KEYS)}{hint}"
+                )
 
     spec = MappingSpec(
         subject=subject,

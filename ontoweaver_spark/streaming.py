@@ -49,13 +49,16 @@ def stream_dedup_pages(
     """Streaming URL-level dedup for a continuous crawl feed: keep the first
     page seen per ``key`` within the watermark horizon.
 
-    Idiomatic Structured Streaming — ``withWatermark`` bounds the dedup
-    state store (keys older than the horizon are evicted), so state stays
-    proportional to the key arrival rate x horizon, not to the total
-    10^12-key history. Exact global dedup across all time belongs to the
-    batch fusion stage; this trims intra-window repeats before they hit
-    staging."""
-    return stream_df.withWatermark(ts_col, watermark).dropDuplicates([key])
+    Idiomatic Structured Streaming — ``dropDuplicatesWithinWatermark``
+    evicts a key's state once the watermark passes the event time at which
+    it was first seen, so state stays proportional to the key arrival rate
+    x horizon, not to the total 10^12-key history. (Plain
+    ``dropDuplicates([key])`` would only evict state if the event-time
+    column were PART of the dedup key — with a key-only dedup its state
+    grows without bound on a continuous feed.) Exact global dedup across
+    all time belongs to the batch fusion stage; this trims intra-window
+    repeats before they hit staging."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark([key])
 
 
 def windowed_crawl_rate(

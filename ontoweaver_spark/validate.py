@@ -29,8 +29,29 @@ from pyspark.sql import functions as F
 from .nulls import is_not_null
 
 
+#: the full rule vocabulary — anything else is a typo or an untranslated
+#: pandera schema and must fail loudly, not compile to lit(True)
+KNOWN_RULE_KEYS = frozenset({"required", "isin", "str_matches", "in_range"})
+
+
 def compile_rule(col: str, rule: dict) -> Column:
-    """One column's rule dict -> boolean Column (True = valid)."""
+    """One column's rule dict -> boolean Column (True = valid).
+
+    Raises ``ValueError`` on rule keys outside :data:`KNOWN_RULE_KEYS` — a
+    silent pass on a misspelled rule ('is_in', 'str_match') or on a pasted
+    pandera section would validate nothing while claiming to."""
+    unknown = set(rule) - KNOWN_RULE_KEYS
+    if unknown:
+        hint = ""
+        if {"columns", "checks", "dtype", "nullable"} & set(rule):
+            hint = (
+                " (this looks like a pandera schema section — declare rules as "
+                "{column: {required/isin/str_matches/in_range: ...}} instead)"
+            )
+        raise ValueError(
+            f"unknown validation rule key(s) {sorted(unknown)} for column {col!r}; "
+            f"known keys: {sorted(KNOWN_RULE_KEYS)}{hint}"
+        )
     c = F.col(col)
     pred = F.lit(True)
     if rule.get("required"):

@@ -87,3 +87,16 @@ def test_pipeline_checkpoint_resume(spark, tmp_path):
     rep3 = run_pipeline(spark, pages, WEB_KG_MAPPING, out2, n_chunks=1)
     assert rep3.fused_nodes == rep1.fused_nodes
     assert rep3.fused_edges == rep1.fused_edges
+
+    # multi-chunk staging writes the input ONCE, partitioned by chunk id
+    # (one scan total, not one scan per chunk)
+    stage_in = os.path.join(out, "staging_input")
+    assert any(d.startswith("_ow_chunk=") for d in os.listdir(stage_in))
+
+    # an extraction-affecting parameter change (affix) must invalidate the
+    # chunk resume AND the fused snapshot — stale reuse returned old ids
+    rep4 = run_pipeline(spark, pages, WEB_KG_MAPPING, out, n_chunks=3,
+                        chunk_key="url", affix="suffix")
+    assert rep4.chunks_extracted == 3 and rep4.chunks_resumed == 0
+    suffixed = spark.read.parquet(os.path.join(out, "nodes"))
+    assert suffixed.where(F.col("id").contains(":page")).count() > 0

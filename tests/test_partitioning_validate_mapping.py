@@ -55,16 +55,39 @@ def test_mapping_level_validate_rules(spark):
             "id": {"required": True},
         },
     }
-    nodes, edges = extract(df, mapping, affix="none")
+    import pytest
+
+    # default mode mirrors the reference's InputValidator: fail loudly on
+    # the first invalid row, naming the violated rule column
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    nodes_raise, _ = extract(df, mapping, affix="none")
+    with pytest.raises(SparkRuntimeException, match="input validation failed"):
+        nodes_raise.collect()
+
+    # filter mode: silent drop (opt-in)
+    nodes, edges = extract(df, mapping, affix="none", validate_mode="filter")
     got = {r["id"] for r in nodes.where(F.col("label") == "thing").collect()}
     assert got == {"a"}  # b: bad lang, c: out of range, None id: required
 
-    # invalid rule shape -> MappingError
-    import pytest
+    # report mode: dropped rows counted per rule
+    from ontoweaver_spark.compiler import compile_mapping
 
+    res = compile_mapping(df, mapping, validate_mode="report")
+    assert res.validation_report.total == 4
+    assert res.validation_report.invalid == 3
+    assert res.validation_report.per_rule == {"id": 1, "lang": 1, "n": 1}
+    assert {r["id"] for r in res.nodes.where(F.col("label") == "thing").collect()} == {"a"}
+
+    # invalid rule shape -> MappingError
     from ontoweaver_spark.spec import MappingError, load_mapping
     with pytest.raises(MappingError, match="validate"):
         load_mapping({**mapping, "validate": {"lang": "en"}})
+    # misspelled rule key / pasted pandera section -> MappingError at parse
+    with pytest.raises(MappingError, match="unknown validation rule"):
+        load_mapping({**mapping, "validate": {"lang": {"is_in": ["en"]}}})
+    with pytest.raises(MappingError, match="pandera"):
+        load_mapping({**mapping, "validate": {"columns": {"lang": {"dtype": "str"}}}})
 
 
 def test_validate_rules_push_to_scan(spark, tmp_path):
@@ -81,7 +104,8 @@ def test_validate_rules_push_to_scan(spark, tmp_path):
         ],
         "validate": {"id": {"in_range": [0, 50]}},
     }
-    nodes, _ = extract(spark.read.parquet(p), mapping, affix="none")
+    nodes, _ = extract(spark.read.parquet(p), mapping, affix="none",
+                       validate_mode="filter")
     plan = nodes._jdf.queryExecution().executedPlan().toString()
     scan = next(l for l in plan.splitlines() if "FileScan" in l)
     assert "PushedFilters: [" in scan and "GreaterThanOrEqual(id" in scan, scan[:400]
