@@ -107,9 +107,15 @@ def main(argv=None) -> int:
         reconciliate_sep=args.reconciliate_sep, raise_errors=False, salt=args.salt,
     )
     if args.sort:
+        # natural order like the reference's natsort --sort
+        # (ontoweave.py:405-412): id2 before id10
+        from .ids import natural_sort_key
+
         asc = args.sort == "ascend"
-        fnodes = fnodes.orderBy(fnodes.id.asc() if asc else fnodes.id.desc())
-        fedges = fedges.orderBy(fedges.id.asc() if asc else fedges.id.desc())
+        key_n = natural_sort_key(fnodes.id)
+        key_e = natural_sort_key(fedges.id)
+        fnodes = fnodes.orderBy(key_n.asc() if asc else key_n.desc())
+        fedges = fedges.orderBy(key_e.asc() if asc else key_e.desc())
 
     import os
     nodes_path, edges_path = os.path.join(args.out, "nodes"), os.path.join(args.out, "edges")

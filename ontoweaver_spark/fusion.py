@@ -221,6 +221,23 @@ def remap_edges(edges: DataFrame, id_mapping: DataFrame) -> DataFrame:
     return out
 
 
+CONFLICT_MARKER = "!CONFLICT!"
+
+
+def has_property_conflict(df: DataFrame, props_col: str = "properties") -> "Column":
+    """Boolean Column: any property value carries the EnsureIdentical
+    conflict marker (mergers.EnsureIdentical renders disagreeing values as
+    ``!CONFLICT!a|b`` because a per-row raise is not expressible
+    mid-aggregation). Use it to COUNT conflicts into run metrics instead of
+    letting them pass silently. Handles both the pre-render
+    map<string,array<string>> and the rendered map<string,string> shapes."""
+    vtype = df.schema[props_col].dataType.valueType.simpleString()
+    vals = F.map_values(props_col)
+    if vtype.startswith("array"):
+        vals = F.flatten(vals)
+    return F.exists(vals, lambda v: v.startswith(CONFLICT_MARKER))
+
+
 def format_for_export(df: DataFrame, sep: str = "|") -> DataFrame:
     """Render properties map<string,array<string>> -> map<string,string>:
     single-item lists collapse to the scalar

@@ -26,3 +26,24 @@ def affix_id(name: Column, type_: Column, affix: str = "none", sep: str = ":") -
     if affix == "suffix":
         return F.concat(name, F.lit(sep), type_)
     return name
+
+
+def natural_sort_key(c: Column, num_width: int = 20) -> Column:
+    """Natural-order sort key: every digit run in the string is left-padded
+    with zeros to ``num_width``, so lexicographic order on the key equals
+    human numeric order (``id2`` < ``id10``). Matches the reference's
+    natsort-based ``--sort`` (/root/reference/src/ontoweaver/ontoweave.py:405-412)
+    as a pure Column expression — the sort stays a normal Spark range-
+    partitioned sort on a derived key, no Python comparator.
+
+    Digit runs longer than ``num_width`` compare by their (truncated)
+    suffix — 20 digits exceeds any realistic identifier."""
+    marked = F.regexp_replace(c, r"(\d+)", "\x00$1\x00")
+    parts = F.split(marked, "\x00")
+    return F.concat_ws(
+        "",
+        F.transform(
+            parts,
+            lambda p: F.when(p.rlike("^[0-9]+$"), F.lpad(p, num_width, "0")).otherwise(p),
+        ),
+    )

@@ -151,3 +151,160 @@ def _dig(obj, dotted: str):
 def sub_sample(df: DataFrame, pct: float, seed: int = 42) -> DataFrame:
     """--sub-sample analog (/root/reference/src/ontoweaver/__init__.py:415-420)."""
     return df.sample(fraction=pct / 100.0, seed=seed)
+
+
+# --------------------------------------------------------------------------
+# RDF triples (reference loader.py:318-421 loads ontologies through rdflib;
+# here N-Triples / line-oriented Turtle parse DISTRIBUTED as one
+# spark.read.text + regexp projection — no Python in the loop, any size.
+# OWL reasoning/BioCypher export stay out of scope, SURVEY.md §2.2.)
+# --------------------------------------------------------------------------
+
+# subject: <uri>, _:blank, or prefixed name; predicate: <uri>, `a`, or
+# prefixed name; object: anything up to the final dot
+_PNAME = r'[\w.-]*:[^\s<>"]+'
+_NT_RE = rf"^\s*(<[^>]*>|_:\S+|{_PNAME})\s+(<[^>]*>|a|{_PNAME})\s+(.*?)\s*\.\s*$"
+
+
+def read_rdf_triples(spark: SparkSession, path: str) -> DataFrame:
+    """N-Triples (``.nt``) or line-oriented Turtle (``.ttl`` subset:
+    ``@prefix`` declarations, prefixed names, ``a`` for rdf:type, one triple
+    per line) -> DataFrame ``(subject, predicate, object, object_kind,
+    object_lang, object_datatype)``.
+
+    URIs are returned without angle brackets, literals as their unescaped
+    lexical value with language/datatype split into their own columns —
+    the flat triple table a mapping can consume directly. Multi-line Turtle
+    statements (``;``/``,`` continuations) are rejected with a clear error:
+    convert with any Turtle tool to N-Triples for those."""
+    lines = spark.read.text(path).select(F.col("value").alias("line"))
+    body = lines.where(
+        ~F.trim("line").startswith("#")
+        & ~F.trim("line").startswith("@prefix")
+        & ~F.trim("line").startswith("@base")
+        & (F.trim("line") != "")
+    )
+
+    bad = body.where(~F.col("line").rlike(_NT_RE)).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"unparseable RDF line (multi-line Turtle statements are not "
+            f"supported — convert to N-Triples): {bad[0]['line']!r}"
+        )
+
+    # @prefix table is config-sized by definition — collect and expand
+    # inline (a handful of string replaces in the projection)
+    prefixes = {
+        m.group(1): m.group(2)
+        for r in lines.where(F.trim("line").startswith("@prefix")).collect()
+        if (m := re.match(r"@prefix\s+([\w-]*):\s*<([^>]*)>\s*\.", r["line"].strip()))
+    }
+
+    def strip_uri(c):
+        return F.when(
+            c.startswith("<"), F.regexp_extract(c, r"^<(.*)>$", 1)
+        ).otherwise(c)
+
+    def expand_prefixed(c):
+        out = strip_uri(c)
+        for p, uri in sorted(prefixes.items(), key=lambda kv: -len(kv[0])):
+            is_pref = out.rlike(rf"^{re.escape(p)}:")
+            out = F.when(
+                is_pref, F.concat(F.lit(uri), F.substring(out, len(p) + 2, 1 << 20))
+            ).otherwise(out)
+        return out
+
+    s = F.regexp_extract("line", _NT_RE, 1)
+    p = F.regexp_extract("line", _NT_RE, 2)
+    o = F.regexp_extract("line", _NT_RE, 3)
+
+    pred = F.when(
+        p == "a", F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+    ).otherwise(expand_prefixed(p))
+
+    is_literal = o.startswith('"')
+    lex = F.regexp_extract(o, r'^"((?:[^"\\]|\\.)*)"', 1)
+    unescaped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(lex, r"\\n", "\n"), r"\\t", "\t"),
+            r'\\"', '"',
+        ),
+        r"\\\\", r"\\",
+    )
+    lang = F.regexp_extract(o, r'"@([A-Za-z0-9-]+)\s*$', 1)
+    dtype = expand_prefixed(F.regexp_extract(o, r'"\^\^(\S+)\s*$', 1))
+
+    obj = F.when(is_literal, unescaped).otherwise(expand_prefixed(o))
+    kind = (
+        F.when(is_literal, F.lit("literal"))
+        .when(o.startswith("_:"), F.lit("blank"))
+        .otherwise(F.lit("uri"))
+    )
+    return body.select(
+        expand_prefixed(s).alias("subject"),
+        pred.alias("predicate"),
+        obj.alias("object"),
+        kind.alias("object_kind"),
+        F.when(lang != "", lang).alias("object_lang"),
+        F.when(dtype != "", dtype).alias("object_datatype"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exotic pandas formats (reference loader.py:198-216): Excel / SAS / SPSS /
+# Stata / Feather / Pickle / HDF. These are inherently driver-side,
+# config-sized inputs — a documented size bound guards the createDataFrame.
+# --------------------------------------------------------------------------
+
+PANDAS_FORMAT_MAX_BYTES = 512 * 1024 * 1024
+
+_PANDAS_READERS = {
+    ".xlsx": ("read_excel", "openpyxl"),
+    ".xls": ("read_excel", "xlrd"),
+    ".sas7bdat": ("read_sas", None),
+    ".xpt": ("read_sas", None),
+    ".sav": ("read_spss", "pyreadstat"),
+    ".dta": ("read_stata", None),
+    ".feather": ("read_feather", "pyarrow"),
+    ".pickle": ("read_pickle", None),
+    ".pkl": ("read_pickle", None),
+    ".h5": ("read_hdf", "tables"),
+    ".hdf5": ("read_hdf", "tables"),
+}
+
+
+def read_pandas_format(spark: SparkSession, path: str, **reader_kwargs) -> DataFrame:
+    """Load one of the reference's pandas-backed file formats
+    (loader.py:198-216) through a driver-side pandas read ->
+    ``createDataFrame`` with string cells.
+
+    These formats are not splittable and have no Spark datasource — they are
+    the reference's config/fixture inputs, bounded here at
+    ``PANDAS_FORMAT_MAX_BYTES``. Anything row-shaped at scale belongs in
+    parquet. Optional engines (openpyxl, pyreadstat, tables) raise a clear
+    ImportError naming the missing package when absent."""
+    import os
+
+    import pandas as pd
+
+    ext = next((e for e in _PANDAS_READERS if path.lower().endswith(e)), None)
+    if ext is None:
+        raise ValueError(
+            f"unsupported pandas format for {path!r}; known: {sorted(_PANDAS_READERS)}"
+        )
+    size = os.path.getsize(path)
+    if size > PANDAS_FORMAT_MAX_BYTES:
+        raise ValueError(
+            f"{path} is {size} bytes — over the {PANDAS_FORMAT_MAX_BYTES}-byte "
+            "driver-side bound for pandas formats; convert to parquet for Spark-side loading"
+        )
+    reader_name, engine_pkg = _PANDAS_READERS[ext]
+    try:
+        pdf = getattr(pd, reader_name)(path, **reader_kwargs)
+    except ImportError as e:
+        raise ImportError(
+            f"reading {ext} needs the optional package "
+            f"{engine_pkg or '(see pandas docs)'}: {e}"
+        ) from e
+    pdf = pdf.astype(str).where(pdf.notna(), None)
+    return as_string_cells(spark.createDataFrame(pdf))

@@ -5,11 +5,13 @@ a metadata struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched pandas functions over ``mapInPandas`` so each task processes
 whole record batches without JVM<->Python row churn.
 
-The image/audio codec libraries are not available in this container, so the
-DECODE step is stubbed with a deterministic fake (clearly marked); the
-Spark-side plumbing — schema, batch iteration, partitioning, UDF signatures
-— is real and tested. Swapping the stub for Pillow/ffmpeg is a one-function
-change per modality.
+Decoding is feature-gated per modality: Pillow is used when importable;
+without it a REAL pure-stdlib decoder handles 8-bit non-interlaced PNG
+(struct + zlib + scanline unfilter) and RIFF/WAVE audio (wave module);
+only payloads no available decoder understands fall back to a
+deterministic stub (clearly marked fake). The Spark-side plumbing —
+schema, batch iteration, partitioning, UDF signatures — is real and
+tested either way. ffmpeg-class video decode remains stubbed.
 """
 
 from __future__ import annotations
@@ -36,8 +38,8 @@ FRAME_SAMPLE_SCHEMA = "media_id bigint, frame_idx int, frame_hash bigint"
 
 def _decode_image_stub(payload: bytes) -> dict:
     """STUB decode: deterministic fake pixel statistics derived from the
-    payload hash. Replace with a real decoder (PIL.Image.open) when the
-    codec libraries are present — the call signature is the contract."""
+    payload hash — the last-resort fallback for formats no available
+    decoder handles (clearly marked; the call signature is the contract)."""
     h = hashlib.md5(payload or b"").digest()
     return {
         "width": 16 + h[0],
@@ -45,6 +47,114 @@ def _decode_image_stub(payload: bytes) -> dict:
         "brightness": h[2] / 255.0,
         "phash": int.from_bytes(h[4:12], "big", signed=True),
     }
+
+
+try:  # feature gate: prefer Pillow when the container has it
+    from PIL import Image as _PILImage
+except ImportError:
+    _PILImage = None
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_MAX_DECOMPRESSED = 64 * 1024 * 1024
+# color type -> samples per pixel (8-bit, non-interlaced support)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _decode_png(payload: bytes) -> dict | None:
+    """REAL minimal PNG decode in pure stdlib (struct + zlib): parses IHDR
+    for dimensions, inflates IDAT, reverses the per-scanline filters, and
+    computes mean brightness + an md5-based pixel hash. Supports 8-bit
+    non-interlaced gray/gray+alpha/RGB/RGBA — the shapes a training
+    pipeline's thumbnails actually use. Returns None for anything else so
+    the caller can fall through."""
+    import struct
+    import zlib
+
+    if not payload or not payload.startswith(_PNG_SIG):
+        return None
+    pos, width = len(_PNG_SIG), None
+    idat = b""
+    try:
+        while pos + 8 <= len(payload):
+            (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
+            data = payload[pos + 8:pos + 8 + length]
+            pos += 12 + length  # len + type + data + crc
+            if ctype == b"IHDR":
+                width, height, depth, color, _, _, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+                    return None
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+        if width is None or not idat:
+            return None
+        raw = zlib.decompress(idat, bufsize=1 << 16)
+        if len(raw) > _PNG_MAX_DECOMPRESSED:
+            return None
+        ch = _PNG_CHANNELS[color]
+        stride = width * ch
+        if len(raw) != height * (stride + 1):
+            return None
+        out = bytearray()
+        prev = bytearray(stride)
+        for y in range(height):
+            off = y * (stride + 1)
+            filt, line = raw[off], bytearray(raw[off + 1:off + 1 + stride])
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if filt == 1:
+                    line[x] = (line[x] + a) & 0xFF
+                elif filt == 2:
+                    line[x] = (line[x] + b) & 0xFF
+                elif filt == 3:
+                    line[x] = (line[x] + (a + b) // 2) & 0xFF
+                elif filt == 4:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    line[x] = (line[x] + pr) & 0xFF
+            out += line
+            prev = line
+        h = hashlib.md5(bytes(out)).digest()
+        return {
+            "width": width,
+            "height": height,
+            "brightness": (sum(out) / len(out)) / 255.0 if out else 0.0,
+            "phash": int.from_bytes(h[:8], "big", signed=True),
+        }
+    except Exception:
+        return None
+
+
+def decode_image(payload: bytes) -> dict:
+    """Decode dispatcher: Pillow when importable -> pure-stdlib PNG decoder
+    -> deterministic stub (marked fake). Each stage is REAL when it fires;
+    only the final fallback fabricates values."""
+    if _PILImage is not None and payload:
+        try:
+            import io
+
+            img = _PILImage.open(io.BytesIO(payload))
+            gray = img.convert("L")
+            px = list(gray.getdata())
+            h = hashlib.md5(gray.tobytes()).digest()
+            return {
+                "width": img.width,
+                "height": img.height,
+                "brightness": (sum(px) / len(px)) / 255.0 if px else 0.0,
+                "phash": int.from_bytes(h[:8], "big", signed=True),
+            }
+        except Exception:
+            pass
+    png = _decode_png(payload)
+    if png is not None:
+        return png
+    return _decode_image_stub(payload)
 
 
 def image_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
@@ -59,7 +169,7 @@ def image_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            feats = [_decode_image_stub(p) for p in pdf["payload"]]
+            feats = [decode_image(p) for p in pdf["payload"]]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"].values,
                 "width": [f["width"] for f in feats],
@@ -83,28 +193,59 @@ AUDIO_FEATURES_SCHEMA = (
 RESIZE_SCHEMA = "media_id bigint, width int, height int, payload binary"
 
 
+def decode_audio(payload: bytes, default_sr: int = 16000) -> dict:
+    """Audio decode dispatcher: REAL stdlib WAV decode (wave module — rate,
+    frame count, RMS loudness over 16-bit PCM) when the payload is
+    RIFF/WAVE; deterministic stub otherwise (no external codec libs)."""
+    if payload and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        try:
+            import io
+            import struct
+            import wave
+
+            with wave.open(io.BytesIO(payload)) as w:
+                sr = w.getframerate()
+                nframes = w.getnframes()
+                width = w.getsampwidth()
+                frames = w.readframes(nframes)
+            duration = nframes / sr if sr else 0.0
+            loud = 0.0
+            if width == 2 and frames:
+                samples = struct.unpack(f"<{len(frames) // 2}h", frames)
+                rms = (sum(s * s for s in samples) / len(samples)) ** 0.5
+                loud = rms / 32768.0
+            return {"sample_rate": sr, "duration_s": duration, "loudness": loud}
+        except Exception:
+            pass
+    # STUB: 2 bytes/sample mono at the metadata sample rate, hash loudness
+    n = len(payload or b"")
+    return {
+        "sample_rate": default_sr,
+        "duration_s": n / (2 * default_sr),
+        "loudness": hashlib.md5(payload or b"").digest()[3] / 255.0,
+    }
+
+
 def audio_features(media: DataFrame) -> DataFrame:
-    """Decode + feature-extract audio via mapInPandas. Decode is the same
-    deterministic stub pattern as images (no codec libs in this container);
-    duration derives from payload length at the metadata sample rate, the
-    schema/batch plumbing is the production shape."""
+    """Decode + feature-extract audio via mapInPandas: real stdlib WAV
+    decode when the payload is RIFF/WAVE, deterministic stub for other
+    formats (no external codec libs in this container); the schema/batch
+    plumbing is the production shape either way."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            n_bytes = [len(p or b"") for p in pdf["payload"]]
-            sr = [int(s or 16000) for s in pdf["sample_rate"]]
+            feats = [
+                decode_audio(p, int(s or 16000))
+                for p, s in zip(pdf["payload"], pdf["sample_rate"])
+            ]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"].values,
-                "sample_rate": sr,
-                "n_bytes": n_bytes,
-                # stub decode: 2 bytes/sample mono
-                "duration_s": [round(n / (2 * s), 4) for n, s in zip(n_bytes, sr)],
-                "loudness": [
-                    round(hashlib.md5(p or b"").digest()[3] / 255.0, 4)
-                    for p in pdf["payload"]
-                ],
+                "sample_rate": [f["sample_rate"] for f in feats],
+                "n_bytes": [len(p or b"") for p in pdf["payload"]],
+                "duration_s": [round(f["duration_s"], 4) for f in feats],
+                "loudness": [round(f["loudness"], 4) for f in feats],
             })
 
     return (

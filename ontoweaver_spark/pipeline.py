@@ -30,7 +30,7 @@ from typing import Optional, Union
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .compiler import compile_mapping
+from .compiler import EDGE_SCHEMA, NODE_SCHEMA, compile_mapping
 from .fusion import reconciliate
 from .spec import MappingSpec, load_mapping
 
@@ -47,6 +47,8 @@ class RunReport:
     raw_edges: int = 0
     fused_nodes: int = 0
     fused_edges: int = 0
+    node_property_conflicts: int = 0
+    edge_property_conflicts: int = 0
     seconds: float = 0.0
     partition_metrics: list = field(default_factory=list)
 
@@ -125,6 +127,7 @@ def run_pipeline(
     salt: int = 0,
     raise_errors: bool = False,
     validate_mode: str = "report",
+    property_mergers: Optional[dict] = None,
 ) -> RunReport:
     """Run the full pipeline with checkpoint/resume.
 
@@ -135,6 +138,11 @@ def run_pipeline(
     invalid rows — the pipeline default is ``"report"`` (drop + surface the
     per-rule violation counts in the manifest); ``"raise"`` matches the
     reference's fail-loud InputValidator; ``"filter"`` drops silently.
+
+    ``property_mergers``: optional {property name -> mergers.Merger} applied
+    to the fused nodes before writing (``mergers.render_properties``); any
+    ``EnsureIdentical`` conflicts they render are counted into the manifest
+    as ``property_conflicts`` instead of merging silently.
     """
     t0 = time.time()
     if isinstance(input_df, str):
@@ -220,8 +228,10 @@ def run_pipeline(
 
         pm = partition_metrics(part)
         n_rows = sum(m["rows"] for m in pm)
-        n_nodes = spark.read.parquet(node_path).count()
-        n_edges = spark.read.parquet(edge_path).count()
+        # explicit schemas: an edge-less mapping writes an EMPTY parquet
+        # directory whose schema cannot be inferred back
+        n_nodes = spark.read.schema(NODE_SCHEMA).parquet(node_path).count()
+        n_edges = spark.read.schema(EDGE_SCHEMA).parquet(edge_path).count()
         manifest["chunks"][ckey] = {
             "done": True,
             "rows_in": n_rows,
@@ -241,7 +251,12 @@ def run_pipeline(
 
     # ---- phase 2: global fusion + final write -------------------------------
     fusion_conf = {"reconciliate_sep": reconciliate_sep, "salt": salt,
-                   "n_chunks": n_chunks}
+                   "n_chunks": n_chunks,
+                   # merger functions aren't hashable across runs; keying on
+                   # the property-name set invalidates the snapshot when the
+                   # merged property SET changes (same-name merger swaps
+                   # still require a fresh out_dir)
+                   "property_mergers": sorted(property_mergers or [])}
     final = manifest.get("final")
     if (
         report.chunks_extracted == 0
@@ -253,29 +268,58 @@ def run_pipeline(
         # reuse it instead of re-shuffling the staged output
         report.fused_nodes = final["nodes"]
         report.fused_edges = final["edges"]
+        pc = final.get("property_conflicts") or {}
+        report.node_property_conflicts = pc.get("nodes", 0)
+        report.edge_property_conflicts = pc.get("edges", 0)
         report.seconds = time.time() - t0
         return report
 
     node_paths = [os.path.join(staging, f"chunk-{c}", "nodes") for c in range(n_chunks)]
     edge_paths = [os.path.join(staging, f"chunk-{c}", "edges") for c in range(n_chunks)]
-    raw_nodes = spark.read.parquet(*node_paths)
-    raw_edges = spark.read.parquet(*edge_paths)
+    raw_nodes = spark.read.schema(NODE_SCHEMA).parquet(*node_paths)
+    raw_edges = spark.read.schema(EDGE_SCHEMA).parquet(*edge_paths)
     fnodes, fedges = reconciliate(
         raw_nodes, raw_edges,
         reconciliate_sep=reconciliate_sep, raise_errors=raise_errors, salt=salt,
     )
+    if property_mergers:
+        from .mergers import render_properties
+
+        fnodes = render_properties(fnodes, sep=reconciliate_sep,
+                                   prop_mergers=property_mergers)
     final_nodes = os.path.join(out_dir, "nodes")
     final_edges = os.path.join(out_dir, "edges")
     fnodes.write.mode("overwrite").partitionBy("label").parquet(final_nodes)
     fedges.write.mode("overwrite").partitionBy("label").parquet(final_edges)
 
-    report.fused_nodes = spark.read.parquet(final_nodes).count()
-    report.fused_edges = spark.read.parquet(final_edges).count()
+    # one aggregation per table: total + EnsureIdentical conflict count
+    # (conflicts render as !CONFLICT!-marked values; counting them here
+    # surfaces what would otherwise merge silently)
+    from .fusion import has_property_conflict
+
+    def _count_with_conflicts(path: str, schema) -> tuple[int, int]:
+        # explicit schema: an empty table (edge-less mapping) writes a
+        # directory whose schema cannot be inferred back
+        t = spark.read.schema(schema).parquet(path)
+        row = t.agg(
+            F.count("*").alias("n"),
+            F.sum(has_property_conflict(t).cast("long")).alias("c"),
+        ).collect()[0]
+        return row["n"], row["c"] or 0
+
+    report.fused_nodes, report.node_property_conflicts = _count_with_conflicts(
+        final_nodes, fnodes.schema)
+    report.fused_edges, report.edge_property_conflicts = _count_with_conflicts(
+        final_edges, fedges.schema)
     report.seconds = time.time() - t0
 
     manifest["final"] = {
         "nodes": report.fused_nodes,
         "edges": report.fused_edges,
+        "property_conflicts": {
+            "nodes": report.node_property_conflicts,
+            "edges": report.edge_property_conflicts,
+        },
         "nodes_path": final_nodes,
         "edges_path": final_edges,
         "fusion_conf": fusion_conf,

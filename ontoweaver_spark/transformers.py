@@ -33,6 +33,11 @@ ROW_ID_COL = "_ow_row_id"
 # of an in-plan map literal (which would bloat the serialized plan).
 TRANSLATE_INLINE_MAX = 2000
 
+# Above this many bytes, a `translations_file` is read by SPARK and
+# broadcast-joined directly — never loaded driver-side through pandas
+# (a multi-GB alias table at 100 TB would OOM the driver dict).
+TRANSLATE_FILE_SPARK_MIN_BYTES = 32 * 1024 * 1024
+
 
 class CompileError(ValueError):
     pass
@@ -168,12 +173,82 @@ def _load_translations(t: TransformerSpec) -> dict[str, str]:
     return out
 
 
+def _spark_file_translation_prestage(t: TransformerSpec, derived: str):
+    """Prestage that reads ``translations_file`` with ``spark.read`` and
+    broadcast-joins it — the alias table never materializes on the driver.
+    Mirrors ``_load_translations`` semantics: string-typed cells, null/'nan'
+    entries dropped, LAST occurrence of a duplicate key wins (dict-build
+    order)."""
+    path = str(t.params["translations_file"])
+    frm, to = str(t.params["translate_from"]), str(t.params["translate_to"])
+    sep = t.params.get("sep", ",")
+    if sep == "TAB":
+        sep = "\t"
+    src_col = t.columns[0]
+
+    def prestage(df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        if path.endswith(".parquet"):
+            raw = spark.read.parquet(path)
+        else:
+            raw = spark.read.csv(path, sep=sep, header=True, inferSchema=False)
+        for needed in (frm, to):
+            if needed not in raw.columns:
+                raise CompileError(f"translate: column {needed!r} not in {path}")
+        k, v = F.col(frm).cast("string"), F.col(to).cast("string")
+        pairs = raw.select(
+            k.alias("_ow_k"), v.alias("_ow_v"),
+            # file order proxy: increasing within and across splits of one
+            # file, so max_by picks the last occurrence like the dict build
+            F.monotonically_increasing_id().alias("_ow_ord"),
+        ).where(
+            k.isNotNull() & v.isNotNull() & (k != "nan") & (v != "nan")
+            & (k != "") & (v != "")
+        )
+        tdf = pairs.groupBy("_ow_k").agg(
+            F.max_by("_ow_v", "_ow_ord").alias(derived)
+        ).withColumnRenamed("_ow_k", src_col)
+        return df.join(F.broadcast(tdf), on=src_col, how="left")
+
+    return prestage
+
+
 def _translate_lookup(t: TransformerSpec, tag: str):
     """Return (fn(Column)->Column mapped-or-null, prestages).
 
     Small dicts inline as a map literal (shipped with the plan — effectively
     a broadcast); large dicts become a real ``broadcast()`` hash join on a
-    derived column, the scalable path for file-backed tables."""
+    derived column; file-backed tables above
+    ``TRANSLATE_FILE_SPARK_MIN_BYTES`` are read BY SPARK and broadcast-
+    joined without ever touching the driver (the 100-TB-safe path)."""
+    on_unknown_early = t.params.get("on_unknown_value", "skip")
+    if on_unknown_early not in ("skip", "keep", "error"):
+        raise CompileError(f"translate: bad on_unknown_value {on_unknown_early!r}")
+
+    tfile = t.params.get("translations_file")
+    if tfile and not t.params.get("translations"):
+        frm, to = t.params.get("translate_from"), t.params.get("translate_to")
+        if not frm or not to:
+            raise CompileError(
+                "translate: `translations_file` needs `translate_from` and `translate_to`"
+            )
+        import os as _os
+
+        try:
+            big = _os.path.getsize(str(tfile)) >= TRANSLATE_FILE_SPARK_MIN_BYTES
+        except OSError:
+            big = True  # non-local path (hdfs/s3): always the Spark path
+        if big:
+            derived = f"_ow_trans_{tag}"
+
+            def apply_file_policy(c: Column) -> Column:
+                mapped = F.col(derived)
+                return F.coalesce(mapped, c) if on_unknown_early == "keep" else mapped
+
+            return (lambda c: apply_file_policy(c)), [
+                _spark_file_translation_prestage(t, derived)
+            ]
+
     table = _load_translations(t)
     on_unknown = t.params.get("on_unknown_value", "skip")
     if on_unknown not in ("skip", "keep", "error"):

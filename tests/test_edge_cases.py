@@ -82,3 +82,15 @@ def test_missing_column_rejected(spark):
     df = spark.createDataFrame([("a",)], "id string")
     with pytest.raises(ValueError, match="missing columns"):
         extract(df, MAPPING)
+
+
+def test_natural_sort_key(spark):
+    """--sort order must be natural (id2 < id10), like the reference's
+    natsort (ontoweave.py:405-412)."""
+    from ontoweaver_spark.ids import natural_sort_key
+
+    df = spark.createDataFrame(
+        [("id10",), ("id2",), ("a",), ("id2b1",), ("id2b10",)], "id string"
+    )
+    out = [r["id"] for r in df.orderBy(natural_sort_key(F.col("id"))).collect()]
+    assert out == ["a", "id2", "id2b1", "id2b10", "id10"]

@@ -90,3 +90,92 @@ def test_sub_sample(spark):
     n = sub_sample(df, 10.0).count()
     assert 40 < n < 200  # ~10%
     assert sub_sample(df, 10.0).count() == n  # seeded -> stable
+
+
+def test_rdf_nt_loader(spark, tmp_path):
+    """N-Triples parse distributed into a flat (s, p, o, ...) table
+    (reference loader.py:318-421 rdflib surface; OWL reasoning out of scope)."""
+    from ontoweaver_spark.loaders import read_rdf_triples
+
+    nt = tmp_path / "g.nt"
+    nt.write_text(
+        '<http://x/a> <http://x/name> "Alice" .\n'
+        "# a comment\n"
+        '<http://x/a> <http://x/knows> <http://x/b> .\n'
+        '_:b1 <http://x/name> "B\\"ob"@en .\n'
+        '<http://x/a> <http://x/age> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+    )
+    rows = {
+        (r["subject"], r["predicate"], r["object"], r["object_kind"],
+         r["object_lang"], r["object_datatype"])
+        for r in read_rdf_triples(spark, str(nt)).collect()
+    }
+    assert ("http://x/a", "http://x/name", "Alice", "literal", None, None) in rows
+    assert ("http://x/a", "http://x/knows", "http://x/b", "uri", None, None) in rows
+    assert ("_:b1", "http://x/name", 'B"ob', "literal", "en", None) in rows
+    assert (
+        "http://x/a", "http://x/age", "42", "literal", None,
+        "http://www.w3.org/2001/XMLSchema#integer",
+    ) in rows
+
+
+def test_rdf_ttl_prefixes_and_a(spark, tmp_path):
+    from ontoweaver_spark.loaders import read_rdf_triples
+
+    ttl = tmp_path / "g.ttl"
+    ttl.write_text(
+        "@prefix ex: <http://example.org/> .\n"
+        "@prefix foaf: <http://xmlns.com/foaf/0.1/> .\n"
+        "ex:alice a foaf:Person .\n"
+        'ex:alice foaf:name "Alice" .\n'
+    )
+    rows = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in read_rdf_triples(spark, str(ttl)).collect()
+    }
+    assert (
+        "http://example.org/alice",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        "http://xmlns.com/foaf/0.1/Person",
+    ) in rows
+    assert (
+        "http://example.org/alice", "http://xmlns.com/foaf/0.1/name", "Alice"
+    ) in rows
+
+    # multi-line Turtle rejected loudly, not mis-parsed
+    import pytest
+
+    bad = tmp_path / "bad.ttl"
+    bad.write_text("@prefix ex: <http://example.org/> .\nex:a ex:p ex:b ;\n")
+    with pytest.raises(ValueError, match="N-Triples"):
+        read_rdf_triples(spark, str(bad))
+
+
+def test_pandas_format_loaders(spark, tmp_path):
+    """Exotic pandas formats (reference loader.py:198-216) through the
+    driver-side shim; formats whose engines exist in this container."""
+    import pandas as pd
+
+    from ontoweaver_spark.loaders import read_pandas_format
+
+    pdf = pd.DataFrame({"id": [1, 2], "name": ["x", "y"]})
+
+    fth = tmp_path / "t.feather"
+    pdf.to_feather(fth)
+    got = read_pandas_format(spark, str(fth))
+    assert {tuple(r) for r in got.collect()} == {("1", "x"), ("2", "y")}
+
+    pkl = tmp_path / "t.pkl"
+    pdf.to_pickle(pkl)
+    got = read_pandas_format(spark, str(pkl))
+    assert {tuple(r) for r in got.collect()} == {("1", "x"), ("2", "y")}
+
+    dta = tmp_path / "t.dta"
+    pdf.to_stata(dta, write_index=False)
+    got = read_pandas_format(spark, str(dta))
+    assert {tuple(r) for r in got.collect()} == {("1", "x"), ("2", "y")}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported pandas format"):
+        read_pandas_format(spark, "x.unknownext")

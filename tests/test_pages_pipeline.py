@@ -100,3 +100,29 @@ def test_pipeline_checkpoint_resume(spark, tmp_path):
     assert rep4.chunks_extracted == 3 and rep4.chunks_resumed == 0
     suffixed = spark.read.parquet(os.path.join(out, "nodes"))
     assert suffixed.where(F.col("id").contains(":page")).count() > 0
+
+
+def test_pipeline_property_conflict_metrics(spark, tmp_path):
+    """EnsureIdentical conflicts must surface as counts in the manifest,
+    not merge silently (the reference raises per element, merge.py:254-265)."""
+    from ontoweaver_spark.mergers import EnsureIdentical
+
+    out = str(tmp_path / "conf_out")
+    df = spark.createDataFrame(
+        [("a", "v1"), ("a", "v2"), ("b", "same"), ("b", "same")],
+        "k string, val string",
+    )
+    mapping = {
+        "row": {"map": {"id_from_column": "k", "to_subject": "thing"}},
+        "transformers": [{"map": {"column": "val", "to_properties": ["val"]}}],
+    }
+    rep = run_pipeline(
+        spark, df, mapping, out,
+        property_mergers={"val": EnsureIdentical()},
+    )
+    assert rep.fused_nodes == 2
+    assert rep.node_property_conflicts == 1  # node 'a': v1 vs v2
+    assert rep.edge_property_conflicts == 0
+    with open(os.path.join(out, "_manifest.json")) as f:
+        m = json.load(f)
+    assert m["final"]["property_conflicts"] == {"nodes": 1, "edges": 0}

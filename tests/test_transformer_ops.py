@@ -97,6 +97,40 @@ def test_translate_policies(spark):
     assert _object_ids(nodes) == ["ZZ", "alpha", "beta"]
 
 
+def test_translate_file_spark_path(spark, tmp_path, monkeypatch):
+    """Above TRANSLATE_FILE_SPARK_MIN_BYTES the alias table is read by
+    Spark and broadcast-joined — the driver-side pandas loader must never
+    run, and results must match the small-file dict path (including
+    last-occurrence-wins on duplicate keys and the keep policy)."""
+    import pandas as pd
+
+    from ontoweaver_spark import transformers as tmod
+
+    f = tmp_path / "aliases.csv"
+    f.write_text("frm,to\nAA,old_alpha\nBB,beta\nAA,alpha\n,\nnan,nan\n")
+    yaml_t = (
+        f'- translate: {{column: c, translations_file: "{f}", translate_from: frm, '
+        f'translate_to: to, on_unknown_value: keep, to_object: obj, via_relation: rel}}'
+    )
+    rows = [("k1", "AA"), ("k2", "BB"), ("k3", "ZZ")]
+
+    # small-file (driver dict) result as the baseline
+    baseline, _ = _run(spark, rows, "k string, c string", yaml_t)
+    assert _object_ids(baseline) == ["ZZ", "alpha", "beta"]
+
+    # force the Spark-read path and forbid pandas entirely
+    monkeypatch.setattr(tmod, "TRANSLATE_FILE_SPARK_MIN_BYTES", 0)
+
+    def _boom(*a, **k):  # the alias table must not materialize driver-side
+        raise AssertionError("pandas loader called on the Spark path")
+
+    monkeypatch.setattr(pd, "read_csv", _boom)
+    monkeypatch.setattr(pd, "read_parquet", _boom)
+
+    nodes, _ = _run(spark, rows, "k string, c string", yaml_t)
+    assert _object_ids(nodes) == ["ZZ", "alpha", "beta"]
+
+
 def test_split_translate(spark):
     nodes, _ = _run(
         spark, [("k1", "a;b;q")], "k string, c string",
