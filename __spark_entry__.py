@@ -57,7 +57,13 @@ def _spread(spark, df):
 
 
 def _docs(spark, sf_dir):
-    return _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_spread(spark, sf_dir):
+    # for the shingle/hash-heavy ops only — the KG extraction path is
+    # cheaper without the extra exchange (measured +1.2s at sf0.1)
+    return _spread(spark, _docs(spark, sf_dir))
 
 
 def _emb(spark, sf_dir):
@@ -611,7 +617,7 @@ def q_dedup_exact(spark, sf_dir):
     from ontoweaver_spark.dedup import exact_duplicates
 
     _tune(spark)
-    return exact_duplicates(_docs(spark, sf_dir)).select(
+    return exact_duplicates(_docs_spread(spark, sf_dir)).select(
         "fingerprint", "n_docs", "canonical_id"
     )
 
@@ -620,7 +626,7 @@ def q_dedup_minhash(spark, sf_dir):
     from ontoweaver_spark.dedup import minhash_candidates
 
     _tune(spark)
-    return minhash_candidates(_docs(spark, sf_dir))
+    return minhash_candidates(_docs_spread(spark, sf_dir))
 
 
 def q_dedup_jaccard(spark, sf_dir):
@@ -629,7 +635,7 @@ def q_dedup_jaccard(spark, sf_dir):
     _tune(spark)
     # max_shingle_df: the stop-shingle cap that bounds the inverted-index
     # join at O(df*cap) instead of O(df^2) per hot shingle
-    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.8, max_shingle_df=20)
+    return jaccard_pairs(_docs_spread(spark, sf_dir), threshold=0.8, max_shingle_df=20)
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -641,13 +647,22 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+def q_dedup_verified(spark, sf_dir):
+    """LSH candidates + exact-Jaccard verification (the scale path that
+    duplicate_clusters feeds from), surfaced as its own checked operator."""
+    from ontoweaver_spark.dedup import verified_candidates
+
+    _tune(spark)
+    return verified_candidates(_docs_spread(spark, sf_dir), threshold=0.5)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clusters: jaccard>=0.8 pairs -> iterative connected
     components (min-label propagation with lineage checkpoints)."""
     from ontoweaver_spark.dedup import duplicate_clusters
 
     _tune(spark)
-    return duplicate_clusters(_docs(spark, sf_dir), threshold=0.8)
+    return duplicate_clusters(_docs_spread(spark, sf_dir), threshold=0.8)
 
 
 def q_text_features(spark, sf_dir):
@@ -731,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_verified": q_dedup_verified,
         "dedup_clusters": q_dedup_clusters,
         "text_features": q_text_features,
         "ann_topk": q_ann_topk,
@@ -1185,6 +1201,29 @@ def oracle_sql() -> dict[str, str]:
                          * 10000 + 0.5) / 10000 >= 0.8
         """,
         "dedup_simhash": _simhash_sql(),
+        "dedup_verified": _minhash_sql_parts() + """
+          , counts AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+          ), cand AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.band_key = r.band_key
+             AND l.doc_id < r.doc_id
+          )
+          SELECT c.a, c.b,
+                 floor(count(*)::DOUBLE /
+                       (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*))
+                       * 10000 + 0.5) / 10000 AS jaccard
+          FROM cand c
+          JOIN sh la ON la.doc_id = c.a
+          JOIN sh lb ON lb.doc_id = c.b AND lb.s = la.s
+          JOIN counts ca ON ca.doc_id = c.a
+          JOIN counts cb ON cb.doc_id = c.b
+          GROUP BY c.a, c.b
+          HAVING floor(count(*)::DOUBLE /
+                       (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*))
+                       * 10000 + 0.5) / 10000 >= 0.5
+        """,
         "dedup_clusters": _minhash_sql_parts().replace("WITH toks", "WITH RECURSIVE toks") + """
           , counts AS (
             SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id

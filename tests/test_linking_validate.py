@@ -111,3 +111,34 @@ def test_connected_components_chain_and_cycle(spark):
         (10, 10), (11, 10), (12, 10),
         (20, 20), (21, 20),
     }
+
+
+def test_jaccard_stop_shingle_cap(spark):
+    """max_shingle_df drops boilerplate shingles from BOTH the inverted
+    index and the per-doc counts: similarity is over the filtered universe."""
+    from ontoweaver_spark.dedup import jaccard_pairs
+
+    # every doc shares the 'x y z' boilerplate; docs 1/2 also share 'a b c'
+    rows = [
+        (1, "a b c x y z"),
+        (2, "a b c x y z"),
+        (3, "p q r x y z"),
+        (4, "s t u x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # uncapped: the boilerplate connects everything
+    uncapped = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in jaccard_pairs(df, shingle_k=3).collect()
+    }
+    assert len(uncapped) == 6  # all pairs share >=1 shingle
+
+    # cap 3: shingles in all 4 docs drop ('x y z', 'c x y'? only those with
+    # df>3); docs 1-2 still pair on their private shingles at jaccard 1.0
+    capped = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in jaccard_pairs(df, shingle_k=3, max_shingle_df=3).collect()
+    }
+    assert (1, 2) in capped and capped[(1, 2)] == 1.0
+    assert (3, 4) not in capped  # only shared boilerplate, now filtered
