@@ -14,7 +14,44 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+
+def _external_defaults(ap: argparse.ArgumentParser) -> dict:
+    """Defaults from a config file + ``ONTOWEAVE_*`` env vars (the
+    reference CLI gets both via jsonargparse, ontoweave.py:151-220;
+    precedence here matches it: CLI flag > env var > config file > coded
+    default). Config file: ``$ONTOWEAVE_CONFIG`` if set, else
+    ``$XDG_CONFIG_HOME/ontoweave_spark/config.yaml``. String defaults are
+    type-converted by argparse exactly like command-line values."""
+    import yaml
+
+    cfg: dict = {}
+    explicit = os.environ.get("ONTOWEAVE_CONFIG")
+    xdg = os.path.join(
+        os.environ.get("XDG_CONFIG_HOME", os.path.expanduser("~/.config")),
+        "ontoweave_spark", "config.yaml",
+    )
+    for path in ([explicit] if explicit else [xdg]):
+        if path and os.path.exists(path):
+            with open(path) as f:
+                loaded = yaml.safe_load(f) or {}
+            if not isinstance(loaded, dict):
+                raise SystemExit(f"config file {path} must be a YAML mapping")
+            cfg.update({str(k).replace("-", "_"): v for k, v in loaded.items()})
+            break
+
+    out: dict = {}
+    for action in ap._actions:
+        if not action.option_strings or action.dest == argparse.SUPPRESS:
+            continue
+        if action.dest in cfg:
+            out[action.dest] = cfg[action.dest]
+        env = os.environ.get("ONTOWEAVE_" + action.dest.upper())
+        if env is not None:
+            out[action.dest] = env
+    return out
 
 
 def main(argv=None) -> int:
@@ -36,6 +73,16 @@ def main(argv=None) -> int:
     ap.add_argument("--auto-schema", default=None, metavar="PATH",
                     help="derive a schema YAML from the mapping(s) and exit "
                          "(the reference's --auto-schema analog)")
+    ap.add_argument("--validate-only", action="store_true",
+                    help="run only the mappings' validate: rules over each "
+                         "input, print per-source violation counts, exit "
+                         "(non-zero when any row is invalid)")
+    ap.add_argument("--validate", default="raise",
+                    choices=["raise", "filter", "report"], dest="validate_mode",
+                    help="what invalid rows do during extraction: raise "
+                         "(reference-parity fail-loud), filter (drop), "
+                         "report (drop + counts)")
+    ap.set_defaults(**_external_defaults(ap))
     args = ap.parse_args(argv)
 
     from . import registry
@@ -61,6 +108,28 @@ def main(argv=None) -> int:
 
     spark = get_spark(app_name="ontoweave-spark", master=args.master)
 
+    if args.validate_only:
+        # reference --validate-only: check the inputs, report, don't build
+        from .validate import validate_input
+
+        reports, any_invalid = {}, False
+        for pair in args.pairs:
+            data_path, _, mapping_path = pair.rpartition(":")
+            spec = load_mapping(mapping_path)
+            df = read_table(spark, data_path)
+            if not spec.input_rules:
+                reports[pair] = {"rules": 0}
+                continue
+            _, rep = validate_input(df, spec.input_rules)
+            any_invalid = any_invalid or rep.invalid > 0
+            reports[pair] = {
+                "total": rep.total, "valid": rep.valid,
+                "invalid": rep.invalid, "per_rule": rep.per_rule,
+            }
+        print(json.dumps({"validate_only": reports}))
+        spark.stop()
+        return 1 if any_invalid else 0
+
     from .compiler import compile_mapping
 
     if args.chunks > 1:
@@ -78,6 +147,7 @@ def main(argv=None) -> int:
             affix=args.affix, type_affix_sep=args.affix_sep,
             reconciliate_sep=args.reconciliate_sep,
             n_chunks=args.chunks, salt=args.salt,
+            validate_mode=args.validate_mode,
         )
         print(json.dumps({
             "nodes": report.fused_nodes, "edges": report.fused_edges,
@@ -98,6 +168,7 @@ def main(argv=None) -> int:
         res = compile_mapping(
             df, load_mapping(mapping_path),
             affix=args.affix, type_affix_sep=args.affix_sep,
+            validate_mode=args.validate_mode,
         )
         all_nodes = res.nodes if all_nodes is None else all_nodes.unionByName(res.nodes)
         all_edges = res.edges if all_edges is None else all_edges.unionByName(res.edges)

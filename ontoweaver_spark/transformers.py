@@ -213,6 +213,21 @@ def _spark_file_translation_prestage(t: TransformerSpec, derived: str):
     return prestage
 
 
+def _raise_on_unknown(mapped: Column, original: Column) -> Column:
+    """translate on_unknown_value=error: fail the JOB on the first unknown
+    value, naming it — runtime raise_error parity with the reference's
+    TransformerDataError (transformer.py translate error path), zero extra
+    scans. Null/invalid originals still pass through as null (the row-skip
+    contract runs downstream, not here)."""
+    return F.when(
+        is_not_null(original) & mapped.isNull(),
+        F.raise_error(F.concat(
+            F.lit("translate: no translation for value '"), original,
+            F.lit("' (on_unknown_value=error)"),
+        )).cast("string"),
+    ).otherwise(mapped)
+
+
 def _translate_lookup(t: TransformerSpec, tag: str):
     """Return (fn(Column)->Column mapped-or-null, prestages).
 
@@ -243,7 +258,11 @@ def _translate_lookup(t: TransformerSpec, tag: str):
 
             def apply_file_policy(c: Column) -> Column:
                 mapped = F.col(derived)
-                return F.coalesce(mapped, c) if on_unknown_early == "keep" else mapped
+                if on_unknown_early == "keep":
+                    return F.coalesce(mapped, c)
+                if on_unknown_early == "error":
+                    return _raise_on_unknown(mapped, c)
+                return mapped
 
             return (lambda c: apply_file_policy(c)), [
                 _spark_file_translation_prestage(t, derived)
@@ -257,9 +276,9 @@ def _translate_lookup(t: TransformerSpec, tag: str):
     def apply_policy(mapped: Column, original: Column) -> Column:
         if on_unknown == "keep":
             return F.coalesce(mapped, original)
-        # skip / error: unknown -> null (filtered out); `error` additionally
-        # surfaces through pipeline metrics (unknown-count accumulator).
-        return mapped
+        if on_unknown == "error":
+            return _raise_on_unknown(mapped, original)
+        return mapped  # skip: unknown -> null (filtered by the null contract)
 
     if len(table) <= TRANSLATE_INLINE_MAX:
         items = []

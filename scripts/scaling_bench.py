@@ -4,7 +4,7 @@ vs 4N executors) on the same input and report throughput at both plus
 efficiency = (T_N / T_4N) / 4.
 
 Usage: python scripts/scaling_bench.py [n_pages] [low_cpus] [high_cpus]
-Writes BENCH/BASELINE.md and prints one JSON line.
+Writes BENCH/SCALING.json and prints one JSON line.
 
 Each level runs in its own subprocess so every measurement gets a fresh JVM.
 """
@@ -44,9 +44,14 @@ pages.count()  # materialize input outside the timed section
 # JVM (~15 s measured, identical at every parallelism level). A cluster job
 # over 10^12 documents pays them once against hours of runtime; timing them
 # here would measure JVM startup, not the engine. Steady state = median of
-# 3 timed runs.
-def timed(fn, runs=3):
-    fn()  # warm-up (uncounted)
+# 3 timed runs after TWO untimed warm-ups: at high core counts the job
+# fans into many short codegen stages and C2-JIT compilation takes 2-3
+# full iterations to saturate (measured 135 -> 50 -> 40 -> 34 -> 34 s at
+# local[16]); one warm-up under-reports the high level and the efficiency
+# with it.
+def timed(fn, runs=3, warmups=2):
+    for _ in range(warmups):
+        fn()
     times = []
     for _ in range(runs):
         t0 = time.time()
@@ -109,52 +114,11 @@ def main() -> None:
     print(json.dumps(result))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(f"""# BENCH/BASELINE — measured numbers
-
-North-rule scaling evidence: the same KG-construction job (synthetic pages
--> triple extraction -> fusion) at two parallelism levels on the same input
-(local[{low}] vs local[{high}], the sandbox stand-in for N vs 4N executors).
-
-Input: {n:,} synthetic CC-style pages (deterministic, seed=42), cached
-before timing so both levels read identical in-memory input. Timing is
-steady state: one untimed warm-up (driver plan optimization + whole-stage
-codegen + JIT are per-JVM constants, ~15 s at any core count — amortized to
-zero over an hours-long 10^12-document job), then the median of 3 runs.
-
-| level | extract (s) | extract triples/s | extract+fuse (s) |
-|---|---|---|---|
-| local[{low}] | {r_low['extract_sec']} | {r_low['triples_per_sec']} | {r_low['full_sec']} |
-| local[{high}] | {r_high['extract_sec']} | {r_high['triples_per_sec']} | {r_high['full_sec']} |
-
-- triples extracted: {r_low['triples']:,}
-- **scaling efficiency (extract, {low}->{high} cores): {eff_extract:.3f}**
-- **scaling efficiency (extract+fusion, {low}->{high} cores): {eff_full:.3f}**
-- target (north rule): >= 0.8 between N and 4N
-
-Reproduce: `python scripts/scaling_bench.py {n} {low} {high}`
-
-## Hardware calibration (why the evidence pair is {low} vs {high} cores)
-
-Raw CPU scaling of this sandbox (independent busy-loop processes, no
-shared state — the physical ceiling for ANY engine):
-
-| procs | aggregate Mops/s | efficiency vs 1 proc |
-|---|---|---|
-| 1 | 31.4 | 1.00 |
-| 8 | 244.3 | 0.97 |
-| 16 | 459.0 | 0.91 |
-| 32 | 728.5 | 0.73 |
-
-The host delivers only ~2.98x going 8->32 processes (0.75 hardware
-efficiency), so an 8-vs-32 measurement bounds every engine at <=0.75
-regardless of code quality; 4->16 is linear (0.91-0.97). The engine's
-efficiency is therefore evidenced on the linear region of the box. On a
-real multi-executor cluster, N vs 4N executors adds machines rather than
-oversubscribing one socket, which is the regime the extraction (zero
-shuffle, embarrassingly parallel) and the salted fusion aggregates are
-designed for.
-""")
+    # Raw numbers land in SCALING.json; BENCH/BASELINE.md is hand-maintained
+    # (it carries calibration / skew / resume sections that a full rewrite
+    # here would destroy) and cites this file.
+    with open(os.path.join(REPO, "BENCH", "SCALING.json"), "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
 
 
 if __name__ == "__main__":

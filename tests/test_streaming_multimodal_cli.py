@@ -1,6 +1,7 @@
 """Streaming extraction, multimodal plumbing, and CLI end-to-end tests."""
 
 import json
+import os
 import subprocess
 import sys
 
@@ -289,3 +290,55 @@ def test_real_wav_decode(spark):
     assert row["sample_rate"] == 16000
     assert abs(row["duration_s"] - 0.1) < 1e-4
     assert abs(row["loudness"] - 0.25) < 1e-4
+
+
+def test_cli_validate_only_and_env_defaults(tmp_path):
+    """--validate-only reports per-source violation counts and exits
+    non-zero on invalid rows; ONTOWEAVE_* env vars and the XDG config file
+    provide argument defaults (reference jsonargparse surface)."""
+    data = tmp_path / "d.csv"
+    data.write_text("id,lang\na,en\nb,xx\nc,en\n")
+    mapping = tmp_path / "m.yaml"
+    mapping.write_text(
+        "row:\n  map:\n    id_from_column: id\n    to_subject: thing\n"
+        "transformers:\n  - map:\n      column: lang\n      to_object: language\n"
+        "      via_relation: in_lang\n"
+        "validate:\n  lang:\n    isin: [en, es]\n"
+    )
+    env = dict(os.environ)
+    env["ONTOWEAVE_MASTER"] = "local[2]"  # exercised via env, not flag
+    proc = subprocess.run(
+        [sys.executable, "-m", "ontoweaver_spark", f"{data}:{mapping}",
+         "--out", str(tmp_path / "never"), "--validate-only"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo", env=env,
+    )
+    assert proc.returncode == 1, proc.stderr[-2000:]  # invalid rows present
+    rep = json.loads(proc.stdout.strip().splitlines()[-1])["validate_only"]
+    (src_rep,) = rep.values()
+    assert src_rep["total"] == 3 and src_rep["invalid"] == 1
+    assert src_rep["per_rule"] == {"lang": 1}
+
+    # config file supplies --affix; extraction default (raise) trips on the
+    # invalid row, and --validate filter drops it instead
+    cfgdir = tmp_path / "xdg" / "ontoweave_spark"
+    cfgdir.mkdir(parents=True)
+    (cfgdir / "config.yaml").write_text("affix: suffix\n")
+    env["XDG_CONFIG_HOME"] = str(tmp_path / "xdg")
+    out = tmp_path / "out"
+    proc2 = subprocess.run(
+        [sys.executable, "-m", "ontoweaver_spark", f"{data}:{mapping}",
+         "--out", str(out), "--validate", "filter"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo", env=env,
+    )
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    result = json.loads(proc2.stdout.strip().splitlines()[-1])
+    assert result["nodes"] == 3  # 2 things + 1 language node ('en')
+    # config-file affix applied: ids carry the :type suffix
+    import pandas as pd  # noqa: F401
+    import pyarrow.parquet as pq
+    import glob as _glob
+    files = _glob.glob(str(out / "nodes" / "**" / "*.parquet"), recursive=True)
+    ids = set()
+    for f in files:
+        ids.update(pq.read_table(f, columns=["id"]).to_pandas()["id"])
+    assert any(i.endswith(":thing") for i in ids), ids

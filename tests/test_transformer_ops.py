@@ -227,3 +227,24 @@ def test_user_registered_transformer(spark):
         assert _object_ids(nodes) == ["ab", "abab"]
     finally:
         unregister("repeat_twice")
+
+
+def test_translate_error_policy_raises(spark):
+    """on_unknown_value=error must fail the job naming the unknown value
+    (reference TransformerDataError parity), not silently skip."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    nodes, _ = _run(
+        spark, [("k1", "AA"), ("k2", "ZZ")], "k string, c string",
+        "- translate: {column: c, translations: {AA: alpha}, on_unknown_value: error, to_object: obj, via_relation: rel}",
+    )
+    with pytest.raises(SparkRuntimeException, match="no translation for value 'ZZ'"):
+        nodes.collect()
+
+    # known-only input passes through fine
+    nodes_ok, _ = _run(
+        spark, [("k1", "AA")], "k string, c string",
+        "- translate: {column: c, translations: {AA: alpha}, on_unknown_value: error, to_object: obj, via_relation: rel}",
+    )
+    assert _object_ids(nodes_ok) == ["alpha"]
