@@ -714,6 +714,85 @@ def q_emb_near_dup(spark, sf_dir):
     return embedding_near_duplicates(emb, threshold=0.3)
 
 
+def _part_tree_edges(spark, sf_dir):
+    """Deterministic type hierarchy derived from the part table: key k is a
+    subclass of k // 2 (a binary tree over the partkeys, ~log2(n) deep) —
+    the same derive-from-driver-parquet trick as pages_web_kg so the
+    closure is oracle-checkable."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return part.where(F.col("p_partkey") >= 2).select(
+        F.col("p_partkey").cast("bigint").alias("child"),
+        F.floor(F.col("p_partkey") / 2).cast("bigint").alias("parent"),
+    )
+
+
+def q_onto_closure(spark, sf_dir):
+    """Subclass transitive closure via path doubling (ontology.py) —
+    the reference's rdfs:subClassOf ancestor walk, distributed."""
+    from ontoweaver_spark.ontology import subclass_closure
+
+    _tune(spark)
+    return subclass_closure(_part_tree_edges(spark, sf_dir))
+
+
+def q_onto_automap(spark, sf_dir):
+    """Family-automap semantics: each partkey label maps to its nearest
+    ancestor among the declared targets (keys 1..15), self at depth 0."""
+    from ontoweaver_spark.ontology import automap_to_targets, subclass_closure
+
+    _tune(spark)
+    edges = _part_tree_edges(spark, sf_dir)
+    closure = subclass_closure(edges)
+    labeled = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").cast("bigint").alias("p_partkey"),
+        F.col("p_partkey").cast("string").alias("label"),
+    )
+    targets = spark.range(1, 16).select(F.col("id").cast("string").alias("target"))
+    return (
+        automap_to_targets(labeled, closure, targets)
+        .select("p_partkey", "nearest_type", "type_dist")
+        # keys with no target ancestor (partkey 0 sits outside the tree) map
+        # to NULL; drop them here so the oracle stays an inner join — the
+        # NULL contract is pytest-covered (test_automap_nearest_target)
+        .where(F.col("nearest_type").isNotNull())
+    )
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified downsampling (rebalance the head language);
+    pure filter, zero shuffle, reproducible under any partitioning."""
+    from ontoweaver_spark.sampling import stratified_sample
+
+    _tune(spark)
+    return stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        strata_col="lang",
+        fractions={"en": 0.2, "de": 0.5},
+        key_col="doc_id",
+        seed=7,
+    )
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic leakage-safe train/eval split by key hash."""
+    from ontoweaver_spark.sampling import hash_split
+
+    _tune(spark)
+    return hash_split(
+        _docs(spark, sf_dir).select("doc_id"), key_col="doc_id",
+        eval_fraction=0.1, seed=3,
+    )
+
+
+def q_top_ngrams(spark, sf_dir):
+    """Per-language top-k vocabulary head (map-side-combined count + tiny
+    top-k window)."""
+    from ontoweaver_spark.textops import top_tokens
+
+    _tune(spark)
+    return top_tokens(_docs_spread(spark, sf_dir), k=5, min_len=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -753,6 +832,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bucketed": q_ann_topk_bucketed,
         "ann_topk_ivf": q_ann_topk_ivf,
         "emb_near_dup": q_emb_near_dup,
+        "onto_closure": q_onto_closure,
+        "onto_automap": q_onto_automap,
+        "sample_stratified": q_sample_stratified,
+        "hash_split": q_hash_split,
+        "top_ngrams": q_top_ngrams,
     }
 
 
@@ -1289,6 +1373,79 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
         "ann_topk_ivf": _ivf_sql(),
+        "onto_closure": """
+            WITH RECURSIVE e AS (
+              SELECT p_partkey::BIGINT AS child, (p_partkey // 2)::BIGINT AS parent
+              FROM part WHERE p_partkey >= 2
+            ), c(descendant, ancestor, depth) AS (
+              SELECT child, parent, 1 FROM e
+              UNION
+              SELECT c.descendant, e.parent, c.depth + 1
+              FROM c JOIN e ON c.ancestor = e.child
+            )
+            SELECT descendant::VARCHAR AS descendant,
+                   ancestor::VARCHAR AS ancestor,
+                   min(depth)::INTEGER AS depth
+            FROM c GROUP BY 1, 2
+        """,
+        "onto_automap": """
+            WITH RECURSIVE e AS (
+              SELECT p_partkey::BIGINT AS child, (p_partkey // 2)::BIGINT AS parent
+              FROM part WHERE p_partkey >= 2
+            ), c(descendant, ancestor, depth) AS (
+              SELECT child, parent, 1 FROM e
+              UNION
+              SELECT c.descendant, e.parent, c.depth + 1
+              FROM c JOIN e ON c.ancestor = e.child
+            ), hits AS (
+              SELECT p_partkey::BIGINT AS descendant,
+                     p_partkey::BIGINT AS ancestor, 0 AS depth FROM part
+              UNION ALL
+              SELECT descendant, ancestor, min(depth) FROM c GROUP BY 1, 2
+            ), ranked AS (
+              SELECT descendant, ancestor, depth,
+                     row_number() OVER (
+                       PARTITION BY descendant
+                       ORDER BY depth, ancestor::VARCHAR
+                     ) AS rn
+              FROM hits WHERE ancestor BETWEEN 1 AND 15
+            )
+            SELECT p.p_partkey::BIGINT AS p_partkey,
+                   r.ancestor::VARCHAR AS nearest_type,
+                   r.depth::INTEGER AS type_dist
+            FROM part p JOIN ranked r ON r.descendant = p.p_partkey AND r.rn = 1
+        """,
+        "sample_stratified": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {_SQL_MD5INT.format(x="'7:' || doc_id::VARCHAR")} % 1000000
+                  < (CASE lang WHEN 'en' THEN 0.2 WHEN 'de' THEN 0.5
+                     ELSE 1.0 END) * 1000000
+        """,
+        "hash_split": f"""
+            SELECT doc_id,
+                   CASE WHEN {_SQL_MD5INT.format(x="'3:' || doc_id::VARCHAR")}
+                        % 1000000 < 0.1 * 1000000
+                        THEN 'eval' ELSE 'train' END AS split
+            FROM documents
+        """,
+        "top_ngrams": """
+            WITH toks AS (
+              SELECT lang AS stratum, t.token
+              FROM documents,
+                   UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t(token)
+            ), counts AS (
+              SELECT stratum, token, count(*) AS cnt
+              FROM toks WHERE length(token) >= 2
+              GROUP BY stratum, token
+            ), ranked AS (
+              SELECT stratum, token, cnt,
+                     CAST(row_number() OVER (
+                       PARTITION BY stratum ORDER BY cnt DESC, token ASC
+                     ) AS INTEGER) AS "rank"
+              FROM counts
+            )
+            SELECT stratum, token, cnt, "rank" FROM ranked WHERE "rank" <= 5
+        """,
         "emb_near_dup": f"""
             SELECT a.vec_id AS a, b.vec_id AS b, {_COS_SQL} AS cos
             FROM embeddings a JOIN embeddings b

@@ -1,0 +1,141 @@
+"""Ontology type-hierarchy operators: distributed subclass transitive
+closure and nearest-ancestor automapping.
+
+Covers the reference's ontology-subtype surface (reference
+``src/ontoweaver/owl.py:1-218`` builds an rdflib graph and walks
+``rdfs:subClassOf`` parents per node; its ``test_ontology_subtypes.py`` and
+``test_family_automap.py`` map instance types to the closest ancestor the
+mapping declares) without the rdflib/biocypher dependency: the hierarchy is
+a plain (child, parent) DataFrame — loadable from ``loaders.read_rdf_triples``
+— and the closure/automap are DataFrame joins, so they distribute.
+
+Scale shape: the closure uses **path doubling** (round k holds every pair at
+distance <= 2^k with its exact minimum depth), so a hierarchy of depth d
+needs ceil(log2 d) self-join rounds, not d — an ontology 40 levels deep
+closes in 6 shuffles. Each round min-aggregates on (descendant, ancestor)
+and ``localCheckpoint``s to truncate lineage, the same iterative-algorithm
+hygiene as ``dedup.connected_components``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+RDFS_SUBCLASSOF = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+
+
+def subclass_edges_from_triples(
+    triples: DataFrame,
+    predicate: str = RDFS_SUBCLASSOF,
+) -> DataFrame:
+    """(subject, predicate, object) triples -> (child, parent) hierarchy
+    edges, keeping only URI-object rows of the given predicate (the flat
+    table ``loaders.read_rdf_triples`` produces)."""
+    out = triples.where(F.col("predicate") == predicate)
+    if "object_kind" in triples.columns:
+        out = out.where(F.col("object_kind") == "uri")
+    return out.select(
+        F.col("subject").alias("child"), F.col("object").alias("parent")
+    )
+
+
+def subclass_closure(
+    edges: DataFrame,
+    child_col: str = "child",
+    parent_col: str = "parent",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Transitive closure of a (child, parent) hierarchy ->
+    ``(descendant, ancestor, depth)`` with depth = minimum edge count.
+
+    Path doubling: R_{k+1} = min-depth(R_k UNION R_k JOIN R_k), so round k
+    covers every path of length <= 2^k exactly — ``max_rounds=12`` handles
+    hierarchies 4096 levels deep. Works on DAGs (multiple parents fine);
+    cycles still terminate (pair set and min depths are finite) and show up
+    as rows with ``descendant == ancestor``. Raises if the closure is still
+    growing after ``max_rounds`` — silently returning a partial closure
+    would make automap pick a too-near ancestor downstream.
+    """
+    reach = (
+        edges.select(
+            F.col(child_col).cast("string").alias("d"),
+            F.col(parent_col).cast("string").alias("a"),
+        )
+        .where(F.col("d").isNotNull() & F.col("a").isNotNull())
+        .distinct()
+        .withColumn("depth", F.lit(1))
+        .localCheckpoint()
+    )
+
+    prev_rows, prev_depth_sum = -1, -1
+    for _ in range(max_rounds):
+        mid = reach.select(
+            F.col("d").alias("m"), F.col("a").alias("a2"), F.col("depth").alias("dep2")
+        )
+        doubled = reach.join(mid, reach["a"] == mid["m"]).select(
+            "d", F.col("a2").alias("a"), (F.col("depth") + F.col("dep2")).alias("depth")
+        )
+        reach = (
+            reach.unionByName(doubled)
+            .groupBy("d", "a")
+            .agg(F.min("depth").alias("depth"))
+            .localCheckpoint()
+        )
+        stats = reach.agg(
+            F.count("*").alias("n"), F.sum("depth").alias("s")
+        ).first()
+        if (stats["n"], stats["s"]) == (prev_rows, prev_depth_sum):
+            return reach.select(
+                F.col("d").alias("descendant"),
+                F.col("a").alias("ancestor"),
+                F.col("depth").cast("int").alias("depth"),
+            )
+        prev_rows, prev_depth_sum = stats["n"], stats["s"]
+    raise RuntimeError(
+        f"subclass_closure still growing after {max_rounds} doubling rounds "
+        f"(covers depth {2 ** max_rounds}); raise max_rounds"
+    )
+
+
+def automap_to_targets(
+    labeled: DataFrame,
+    closure: DataFrame,
+    targets: DataFrame,
+    label_col: str = "label",
+) -> DataFrame:
+    """Map each row's type label to its NEAREST ancestor among ``targets``
+    (one column ``target``) — the reference's family-automap semantics: an
+    instance typed with a deep subclass is emitted under the closest class
+    the mapping actually declares. A label that is itself a target maps to
+    itself (depth 0); labels with no target ancestor get ``nearest_type``
+    NULL (callers drop or error). Adds ``nearest_type`` and ``type_dist``.
+
+    Shape: self-pairs (depth 0) union the closure, semi-joined to targets
+    (broadcast — a mapping declares config-sized type sets), then one
+    ``min_by(ancestor, depth)`` aggregation per distinct label; the result
+    relabels via a broadcast join, so the big table is never shuffled.
+    """
+    lbl = F.col(label_col).cast("string")
+    labels = labeled.select(lbl.alias("_lbl")).where(F.col("_lbl").isNotNull()).distinct()
+    self_pairs = labels.select(
+        F.col("_lbl").alias("descendant"),
+        F.col("_lbl").alias("ancestor"),
+        F.lit(0).alias("depth"),
+    )
+    tgt = F.broadcast(targets.select(F.col("target").cast("string")).distinct())
+    hits = (
+        self_pairs.unionByName(closure.select("descendant", "ancestor", "depth"))
+        .join(tgt, F.col("ancestor") == F.col("target"))
+        .groupBy("descendant")
+        # struct-min: nearest depth, ties broken by ancestor name — a DAG
+        # label with two same-depth target parents must map deterministically
+        .agg(F.min(F.struct("depth", "ancestor")).alias("_best"))
+        .select(
+            "descendant",
+            F.col("_best.ancestor").alias("nearest_type"),
+            F.col("_best.depth").cast("int").alias("type_dist"),
+        )
+    )
+    return labeled.join(
+        F.broadcast(hits), lbl == hits["descendant"], "left"
+    ).drop("descendant")

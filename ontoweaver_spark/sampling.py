@@ -1,0 +1,75 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100-TB corpus is rebalanced (downsample the head language, upsample rare
+domains) and split (train/eval) BEFORE any expensive stage. Both are pure
+per-row filters here — zero shuffle, fully pushable below downstream ops —
+and deterministic: the keep/drop decision is a function of (key, seed)
+only, so re-runs, resumed chunks, and different partitionings all select
+the same rows (the same invariance contract as the fusion stage).
+
+The hash is the md5-prefix integer (``textops.md5_int``) rather than
+xxhash64 so every sample is reproducible in any engine that has md5 —
+including the DuckDB oracle that verifies these operators bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .textops import md5_int
+
+_BUCKETS = 1_000_000
+
+
+def _bucket(key: Column, seed: int) -> Column:
+    """Stable per-row bucket in [0, 1e6): md5 of 'seed:key'."""
+    return F.pmod(
+        md5_int(F.concat_ws(":", F.lit(str(seed)), key.cast("string"))),
+        F.lit(_BUCKETS),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically:
+    row kept iff ``hash(seed, key) mod 1e6 < fraction * 1e6``.
+
+    ``fractions`` maps stratum value -> keep fraction (e.g. ``{"en": 0.1}``
+    to downsample English 10x); unlisted strata keep ``default_fraction``.
+    Unlike ``df.sampleBy`` (per-partition RNG: result changes with
+    partitioning and Spark version) this is a pure Column predicate —
+    reproducible anywhere, pushable to the scan, and exact per row: the
+    same document is kept or dropped regardless of where it lands.
+    """
+    frac = F.lit(float(default_fraction))
+    for value, f in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == value, F.lit(float(f))).otherwise(frac)
+    return df.where(_bucket(F.col(key_col), seed) < frac * _BUCKETS)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    eval_fraction: float = 0.01,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic train/eval split: adds ``split`` ('train' | 'eval').
+
+    Split by KEY hash, not row position, so (a) all duplicates / versions
+    of a document land on the same side (no train-eval leakage through
+    near-identical rows sharing a key), and (b) the assignment survives
+    re-partitioning, appends, and resumes.
+    """
+    return df.withColumn(
+        "split",
+        F.when(
+            _bucket(F.col(key_col), seed) < F.lit(float(eval_fraction)) * _BUCKETS,
+            F.lit("eval"),
+        ).otherwise(F.lit("train")),
+    )

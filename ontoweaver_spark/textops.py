@@ -122,3 +122,32 @@ def text_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         quality_score(c).alias("quality"),
         fingerprint(c).alias("fingerprint"),
     )
+
+def top_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    strata_col: str = "lang",
+    k: int = 10,
+    min_len: int = 2,
+) -> DataFrame:
+    """Top-k most frequent tokens per stratum (vocabulary head per
+    language) -> ``(stratum, token, cnt, rank)``, deterministic tie-break
+    by token.
+
+    The corpus-scale shape: explode is map-side, the (stratum, token)
+    count aggregates with a map-side partial (hot tokens like 'the' never
+    concentrate raw rows on one reducer — partials arrive pre-summed), and
+    the top-k window runs over the tiny distinct-token aggregate, not the
+    corpus. One real shuffle on the wide data."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(strata_col).alias("stratum"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    ).where(F.length("token") >= min_len)
+    counts = toks.groupBy("stratum", "token").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("stratum").orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -1,0 +1,164 @@
+"""Ontology closure/automap and deterministic sampling operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontoweaver_spark.ontology import (
+    automap_to_targets,
+    subclass_closure,
+    subclass_edges_from_triples,
+)
+from ontoweaver_spark.sampling import hash_split, stratified_sample
+from ontoweaver_spark.textops import top_tokens
+
+
+def test_subclass_closure_chain_and_dag(spark):
+    # chain a->b->c->d plus a DAG edge a->x (two parents for a)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "x")],
+        "child string, parent string",
+    )
+    got = {
+        (r["descendant"], r["ancestor"]): r["depth"]
+        for r in subclass_closure(edges).collect()
+    }
+    assert got == {
+        ("a", "b"): 1, ("a", "c"): 2, ("a", "d"): 3, ("a", "x"): 1,
+        ("b", "c"): 1, ("b", "d"): 2,
+        ("c", "d"): 1,
+    }
+
+
+def test_subclass_closure_min_depth_on_shortcut(spark):
+    # two paths a->...->z: length 3 and a direct shortcut; min depth wins
+    edges = spark.createDataFrame(
+        [("a", "m"), ("m", "n"), ("n", "z"), ("a", "z")],
+        "child string, parent string",
+    )
+    got = {
+        (r["descendant"], r["ancestor"]): r["depth"]
+        for r in subclass_closure(edges).collect()
+    }
+    assert got[("a", "z")] == 1  # shortcut, not the length-3 path
+
+
+def test_subclass_closure_deep_chain_log_rounds(spark):
+    # depth-40 chain must close within the doubling budget (2^12 >> 40)
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i + 1}") for i in range(40)],
+        "child string, parent string",
+    )
+    closure = subclass_closure(edges)
+    assert closure.count() == 40 * 41 // 2
+    top = closure.where(
+        (F.col("descendant") == "n0") & (F.col("ancestor") == "n40")
+    ).first()
+    assert top["depth"] == 40
+
+
+def test_subclass_edges_from_triples(spark):
+    triples = spark.createDataFrame(
+        [
+            ("Dog", "http://www.w3.org/2000/01/rdf-schema#subClassOf", "Mammal", "uri"),
+            ("Mammal", "http://www.w3.org/2000/01/rdf-schema#subClassOf", "Animal", "uri"),
+            ("Dog", "http://example.org/label", "dog", "literal"),
+        ],
+        "subject string, predicate string, object string, object_kind string",
+    )
+    edges = subclass_edges_from_triples(triples)
+    assert {(r["child"], r["parent"]) for r in edges.collect()} == {
+        ("Dog", "Mammal"), ("Mammal", "Animal"),
+    }
+
+
+def test_automap_nearest_target_and_null(spark):
+    # hierarchy: dog->mammal->animal, rock (no ancestors)
+    edges = spark.createDataFrame(
+        [("dog", "mammal"), ("mammal", "animal")],
+        "child string, parent string",
+    )
+    closure = subclass_closure(edges)
+    labeled = spark.createDataFrame(
+        [(1, "dog"), (2, "mammal"), (3, "rock")], "id long, label string"
+    )
+    targets = spark.createDataFrame([("mammal",), ("animal",)], "target string")
+    rows = {
+        r["id"]: (r["nearest_type"], r["type_dist"])
+        for r in automap_to_targets(labeled, closure, targets).collect()
+    }
+    assert rows[1] == ("mammal", 1)   # nearest, not animal at depth 2
+    assert rows[2] == ("mammal", 0)   # a target maps to itself
+    assert rows[3] == (None, None)    # no target ancestor
+
+
+def test_automap_dag_tie_breaks_by_name(spark):
+    # child has TWO depth-1 target parents: deterministic name tie-break
+    edges = spark.createDataFrame(
+        [("c", "pb"), ("c", "pa")], "child string, parent string"
+    )
+    closure = subclass_closure(edges)
+    labeled = spark.createDataFrame([(1, "c")], "id long, label string")
+    targets = spark.createDataFrame([("pa",), ("pb",)], "target string")
+    row = automap_to_targets(labeled, closure, targets).first()
+    assert (row["nearest_type"], row["type_dist"]) == ("pa", 1)
+
+
+def test_stratified_sample_deterministic_and_partition_invariant(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(3000)],
+        "doc_id long, lang string",
+    )
+    kept1 = {
+        r["doc_id"]
+        for r in stratified_sample(
+            df, "lang", {"en": 0.2}, "doc_id", seed=7
+        ).collect()
+    }
+    kept2 = {
+        r["doc_id"]
+        for r in stratified_sample(
+            df.repartition(13), "lang", {"en": 0.2}, "doc_id", seed=7
+        ).collect()
+    }
+    assert kept1 == kept2  # same rows regardless of partitioning
+    en_total = 2000
+    en_kept = sum(1 for i in kept1 if i % 3)
+    assert 0.15 * en_total < en_kept < 0.25 * en_total  # ~20%
+    assert sum(1 for i in kept1 if i % 3 == 0) == 1000  # default keeps all
+
+
+def test_hash_split_leakage_safe(spark):
+    # duplicate keys must land on the same side
+    df = spark.createDataFrame(
+        [(i % 500, i) for i in range(2000)], "doc_id long, row long"
+    )
+    sides = (
+        hash_split(df, "doc_id", eval_fraction=0.2, seed=3)
+        .groupBy("doc_id")
+        .agg(F.countDistinct("split").alias("n"))
+    )
+    assert sides.where(F.col("n") > 1).count() == 0
+    n_eval = (
+        hash_split(df.select("doc_id").distinct(), "doc_id", 0.2, seed=3)
+        .where(F.col("split") == "eval")
+        .count()
+    )
+    assert 50 < n_eval < 150  # ~100 of 500
+
+
+def test_top_tokens_ranking_and_ties(spark):
+    df = spark.createDataFrame(
+        [
+            ("en", "zz aa zz bb aa zz"),
+            ("en", "bb cc"),
+            ("fr", "oui oui non"),
+        ],
+        "lang string, text string",
+    )
+    rows = top_tokens(df, "text", "lang", k=2).collect()
+    got = {(r["stratum"], r["rank"]): (r["token"], r["cnt"]) for r in rows}
+    assert got[("en", 1)] == ("zz", 3)
+    # aa and bb both have cnt=2 -> tie broken by token name
+    assert got[("en", 2)] == ("aa", 2)
+    assert got[("fr", 1)] == ("oui", 2)
+    assert got[("fr", 2)] == ("non", 1)
