@@ -784,6 +784,15 @@ def q_hash_split(spark, sf_dir):
     )
 
 
+def q_rep_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals (top-bigram fraction,
+    duplicate-token fraction) per document."""
+    from ontoweaver_spark.textops import repetition_signals
+
+    _tune(spark)
+    return repetition_signals(_docs_spread(spark, sf_dir))
+
+
 def q_top_ngrams(spark, sf_dir):
     """Per-language top-k vocabulary head (map-side-combined count + tiny
     top-k window)."""
@@ -837,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "hash_split": q_hash_split,
         "top_ngrams": q_top_ngrams,
+        "rep_signals": q_rep_signals,
     }
 
 
@@ -1427,6 +1437,31 @@ def oracle_sql() -> dict[str, str]:
                         % 1000000 < 0.1 * 1000000
                         THEN 'eval' ELSE 'train' END AS split
             FROM documents
+        """,
+        "rep_signals": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+              FROM documents
+            ), base AS (
+              SELECT doc_id, l FROM toks WHERE len(l) >= 2
+            ), bg AS (
+              SELECT doc_id, l[i] || ' ' || l[i + 1] AS b
+              FROM base, UNNEST(range(1, len(l))) AS t(i)
+            ), cnt AS (
+              SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2
+            ), agg AS (
+              SELECT doc_id, max(c) AS mx, sum(c)::BIGINT AS tot
+              FROM cnt GROUP BY 1
+            ), tok AS (
+              SELECT doc_id, len(l) AS n, len(list_distinct(l)) AS nd FROM base
+            )
+            SELECT a.doc_id,
+                   a.tot AS n_bigrams,
+                   floor(a.mx::DOUBLE / a.tot * 10000 + 0.5) / 10000
+                     AS top_bigram_frac,
+                   floor((t.n - t.nd)::DOUBLE / t.n * 10000 + 0.5) / 10000
+                     AS dup_token_frac
+            FROM agg a JOIN tok t ON t.doc_id = a.doc_id
         """,
         "top_ngrams": """
             WITH toks AS (

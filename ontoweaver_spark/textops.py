@@ -151,3 +151,42 @@ def top_tokens(
         counts.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition quality signals (the Gopher-rules family:
+    boilerplate and SEO spam show up as repeated n-grams long before a
+    human label exists) -> ``(id, n_bigrams, top_bigram_frac,
+    dup_token_frac)``. Documents with < 2 tokens produce no bigrams and
+    are dropped (nothing to measure).
+
+    Scale shape: the bigram explode is map-side; both aggregations are
+    keyed by doc_id (+bigram), which is unique-ish by construction — no
+    hub keys, map-side partials absorb the count. The duplicate-token
+    fraction never leaves the row (one ``array_distinct`` HOF)."""
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("l")).where(F.size("l") >= 2)
+    n = F.size("l")
+    bigrams = F.transform(
+        F.slice("l", 1, n - 1),
+        lambda x, i: F.concat(x, F.lit(" "), F.element_at(F.col("l"), i + F.lit(2))),
+    )
+    per_doc_tokens = base.select(
+        id_col, n.alias("n_toks"), F.size(F.array_distinct("l")).alias("n_distinct")
+    )
+    counts = (
+        base.select(id_col, F.explode(bigrams).alias("b"))
+        .groupBy(id_col, "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+    )
+    return counts.join(per_doc_tokens, id_col).select(
+        id_col,
+        F.col("tot").alias("n_bigrams"),
+        round_ieee(F.col("mx") / F.col("tot"), 4).alias("top_bigram_frac"),
+        round_ieee(
+            (F.col("n_toks") - F.col("n_distinct")) / F.col("n_toks"), 4
+        ).alias("dup_token_frac"),
+    )

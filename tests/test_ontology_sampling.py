@@ -162,3 +162,24 @@ def test_top_tokens_ranking_and_ties(spark):
     assert got[("en", 2)] == ("aa", 2)
     assert got[("fr", 1)] == ("oui", 2)
     assert got[("fr", 2)] == ("non", 1)
+
+
+def test_repetition_signals(spark):
+    from ontoweaver_spark.textops import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),        # 3 bigrams, all "spam spam"
+            (2, "all words are different ok"), # 4 distinct bigrams
+            (3, "one"),                        # <2 tokens -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_bigrams"] == 3
+    assert rows[1]["top_bigram_frac"] == 1.0
+    assert rows[1]["dup_token_frac"] == 0.75   # 4 tokens, 1 distinct
+    assert rows[2]["n_bigrams"] == 4
+    assert rows[2]["top_bigram_frac"] == 0.25
+    assert rows[2]["dup_token_frac"] == 0.0
