@@ -161,10 +161,12 @@ def repetition_signals(
     dup_token_frac)``. Documents with < 2 tokens produce no bigrams and
     are dropped (nothing to measure).
 
-    Scale shape: the bigram explode is map-side; both aggregations are
-    keyed by doc_id (+bigram), which is unique-ish by construction — no
-    hub keys, map-side partials absorb the count. The duplicate-token
-    fraction never leaves the row (one ``array_distinct`` HOF)."""
+    Scale shape: ONE scan of the corpus. The duplicate-token fraction is
+    computed row-local (``array_distinct`` HOF) before the bigram explode
+    and rides through both aggregations as a ``first()`` (it is constant
+    per doc_id), so there is no second scan and no join. The explode is
+    map-side; both aggregations are keyed by doc_id (+bigram), unique-ish
+    by construction — no hub keys, map-side partials absorb the counts."""
     toks = tokens(F.col(text_col))
     base = df.select(F.col(id_col), toks.alias("l")).where(F.size("l") >= 2)
     n = F.size("l")
@@ -172,21 +174,23 @@ def repetition_signals(
         F.slice("l", 1, n - 1),
         lambda x, i: F.concat(x, F.lit(" "), F.element_at(F.col("l"), i + F.lit(2))),
     )
-    per_doc_tokens = base.select(
-        id_col, n.alias("n_toks"), F.size(F.array_distinct("l")).alias("n_distinct")
+    dup_frac = round_ieee(
+        (n - F.size(F.array_distinct("l"))) / n, 4
     )
-    counts = (
-        base.select(id_col, F.explode(bigrams).alias("b"))
+    return (
+        base.select(id_col, dup_frac.alias("df_"), F.explode(bigrams).alias("b"))
         .groupBy(id_col, "b")
-        .agg(F.count("*").alias("c"))
+        .agg(F.count("*").alias("c"), F.first("df_").alias("df_"))
         .groupBy(id_col)
-        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
-    )
-    return counts.join(per_doc_tokens, id_col).select(
-        id_col,
-        F.col("tot").alias("n_bigrams"),
-        round_ieee(F.col("mx") / F.col("tot"), 4).alias("top_bigram_frac"),
-        round_ieee(
-            (F.col("n_toks") - F.col("n_distinct")) / F.col("n_toks"), 4
-        ).alias("dup_token_frac"),
+        .agg(
+            F.max("c").alias("mx"),
+            F.sum("c").alias("tot"),
+            F.first("df_").alias("df_"),
+        )
+        .select(
+            id_col,
+            F.col("tot").alias("n_bigrams"),
+            round_ieee(F.col("mx") / F.col("tot"), 4).alias("top_bigram_frac"),
+            F.col("df_").alias("dup_token_frac"),
+        )
     )
