@@ -105,6 +105,92 @@ def assign_centroid(v: Column, centroids: list[tuple[int, list[float]]]) -> Colu
     return -best["neg_cid"]
 
 
+def seed_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic seeding: the ``n_centroids`` lowest-id corpus vectors,
+    packed as the one-row ``{cents: array<struct<neg_cid, cvec>>}`` frame
+    that :func:`topk_ivf` broadcasts (centroids travel as DATA, never as
+    expression literals)."""
+    return (
+        corpus.orderBy(id_col).limit(n_centroids)
+        .agg(F.collect_list(
+            F.struct((-F.col(id_col)).alias("neg_cid"), F.col(vec_col).alias("cvec"))
+        ).alias("cents"))
+    )
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Spherical k-means (Lloyd's) over the corpus — the trained-centroid
+    path :func:`topk_ivf` is designed to swap in at scale.
+
+    Distributed shape per iteration: assign = the same broadcast
+    one-row-cents cross join as ``topk_ivf`` (corpus never shuffles for
+    assignment); update = ONE groupBy(list_id) with ``dim`` component
+    averages (map-side partials; n_centroids rows out), re-normalized to
+    the unit sphere (cosine geometry). Empty clusters keep their previous
+    centroid. The centroid frame is ``localCheckpoint``-ed per round so
+    the plan stays O(1) across iterations. Deterministic seeding
+    (:func:`seed_centroids`); float-sum ordering across partitions makes
+    ~1-ulp wiggle possible, so trained centroids are property-tested, not
+    oracle-hashed.
+    """
+    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("train_centroids: empty corpus")
+    dim = dim_row["d"]
+    cents = seed_centroids(corpus, n_centroids, vec_col, id_col).localCheckpoint()
+
+    for _ in range(iters):
+        assigned = corpus.crossJoin(F.broadcast(cents)).select(
+            F.col(vec_col).alias("v"),
+            assign_centroid_df(F.col(vec_col)).alias("list_id"),
+        )
+        means = assigned.groupBy("list_id").agg(
+            *[F.avg(F.element_at("v", i + 1)).alias(f"c{i}") for i in range(dim)]
+        )
+        # the component mean is NOT re-normalized: cosine() divides by both
+        # norms at use, so only the mean's direction matters — and an inline
+        # norm() inside a transform lambda would re-expand the dim-wide mean
+        # expression per element (the O(dim^2) blowup class this module
+        # already eliminated from centroid assignment)
+        new = means.select(
+            "list_id",
+            F.array(*[F.col(f"c{i}").cast("double") for i in range(dim)]).alias("cvec"),
+        )
+        old = cents.select(F.explode("cents").alias("s")).select(
+            (-F.col("s.neg_cid")).alias("list_id"), F.col("s.cvec").alias("old_cvec")
+        )
+        merged = old.join(new, "list_id", "left").select(
+            "list_id", F.coalesce("cvec", "old_cvec").alias("cvec")
+        )
+        cents = merged.agg(F.collect_list(
+            F.struct((-F.col("list_id")).alias("neg_cid"), F.col("cvec").alias("cvec"))
+        ).alias("cents")).localCheckpoint()
+    return cents
+
+
+def assign_centroid_df(v: Column) -> Column:
+    """Nearest-centroid id against the broadcast one-row ``cents`` column
+    (array_sort argmax, ties -> lowest cid); requires ``cents`` in scope
+    via the crossJoin(broadcast(cents_frame)) pattern."""
+    scored = F.array_sort(F.transform(
+        F.col("cents"),
+        lambda s: F.struct(cosine(v, s["cvec"]).alias("cos"),
+                           s["neg_cid"].alias("neg_cid")),
+    ))
+    return -F.element_at(scored, -1)["neg_cid"]
+
+
 def topk_ivf(
     corpus: DataFrame,
     probes: DataFrame,
@@ -113,6 +199,7 @@ def topk_ivf(
     nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors partition into
     ``n_centroids`` lists by nearest centroid; each probe searches only its
@@ -130,12 +217,14 @@ def topk_ivf(
     n_centroids copies of the vectors in the plan costs seconds of Catalyst
     analysis at n=8 and is unusable at a realistic n=4096; the broadcast
     keeps the expression tree O(1) and needs no driver collect at all.)
+
+    Pass ``centroids`` (the one-row frame from :func:`train_centroids`) to
+    search trained inverted lists; ``n_centroids`` is then ignored.
     """
     cents1 = (
-        corpus.orderBy(id_col).limit(n_centroids)
-        .agg(F.collect_list(
-            F.struct((-F.col(id_col)).alias("neg_cid"), F.col(vec_col).alias("cvec"))
-        ).alias("cents"))
+        centroids
+        if centroids is not None
+        else seed_centroids(corpus, n_centroids, vec_col, id_col)
     )
 
     def scores(v: Column) -> Column:
