@@ -221,6 +221,114 @@ def remap_edges(edges: DataFrame, id_mapping: DataFrame) -> DataFrame:
     return out
 
 
+def _union_props(a, b):
+    """Per-key sorted distinct union of two map<string,array<string>>
+    property maps (null-safe) — the fused-property monoid operation."""
+    ea = F.coalesce(a, F.create_map().cast("map<string,array<string>>"))
+    eb = F.coalesce(b, F.create_map().cast("map<string,array<string>>"))
+    return F.map_zip_with(
+        ea, eb,
+        lambda k, v1, v2: F.array_sort(F.array_distinct(F.concat(
+            F.coalesce(v1, F.array().cast("array<string>")),
+            F.coalesce(v2, F.array().cast("array<string>")),
+        ))),
+    )
+
+
+def merge_into_graph(
+    fused_nodes: DataFrame,
+    fused_edges: DataFrame,
+    new_nodes: DataFrame,
+    new_edges: DataFrame,
+    reconciliate_sep: str = "|",
+    raise_errors: bool = True,
+    salt: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental fusion: fold a NEW raw extraction batch into an already
+    fused graph, producing the same result as re-fusing everything from
+    scratch (fusion is associative and idempotent on the set-union algebra
+    — the same invariance the chunk-resume property tests pin down).
+
+    This is the continuous-crawl shape at 100 TB: only the new batch is
+    aggregated (its own shuffle, sized by the batch); the existing graph is
+    touched by ONE full-outer join on the fused key. When the old graph is
+    read back from ``pipeline.write_bucketed_graph`` tables (bucketed by
+    ``id`` / ``src``), that join co-locates on the bucket columns instead
+    of re-shuffling the full history every batch.
+
+    Label conflicts between old and new follow ``raise_errors``: True
+    raises at execution naming the ID (EnsureIdentical parity); False keeps
+    the lexicographically smaller label (sorted-first, the same policy as
+    ``reconciliate_nodes(raise_errors=False)``).
+    """
+    bn, be = reconciliate(
+        new_nodes, new_edges,
+        reconciliate_sep=reconciliate_sep, raise_errors=raise_errors, salt=salt,
+    )
+
+    ol, nl = F.col("_old_label"), F.col("_new_label")
+    if raise_errors:
+        label = F.when(
+            ol.isNotNull() & nl.isNotNull() & (ol != nl),
+            F.raise_error(F.concat(
+                F.lit("merge_into_graph: conflicting labels for node id '"),
+                F.col("id"), F.lit("': "), ol, F.lit(" vs "), nl,
+            )).cast("string"),
+        ).otherwise(F.coalesce(ol, nl))
+    else:
+        label = F.least(ol, nl)  # least() skips nulls: sorted-first policy
+    nodes = (
+        fused_nodes.select(
+            "id", F.col("label").alias("_old_label"),
+            F.col("properties").alias("_old_props"),
+        )
+        .join(
+            bn.select(
+                "id", F.col("label").alias("_new_label"),
+                F.col("properties").alias("_new_props"),
+            ),
+            "id", "full",
+        )
+        .select(
+            "id",
+            label.alias("label"),
+            _union_props(F.col("_old_props"), F.col("_new_props")).alias("properties"),
+        )
+    )
+
+    keys = ["src", "dst", "label"]
+    import re as _re
+
+    def pieces(c):
+        return F.split(c, _re.escape(reconciliate_sep), -1)
+
+    edges = (
+        fused_edges.select(
+            *keys, F.col("id").alias("_old_id"),
+            F.col("properties").alias("_old_props"),
+        )
+        .join(
+            be.select(
+                *keys, F.col("id").alias("_new_id"),
+                F.col("properties").alias("_new_props"),
+            ),
+            keys, "full",
+        )
+        .select(
+            F.array_join(
+                F.array_sort(F.array_distinct(F.concat(
+                    F.coalesce(pieces(F.col("_old_id")), F.array().cast("array<string>")),
+                    F.coalesce(pieces(F.col("_new_id")), F.array().cast("array<string>")),
+                ))),
+                reconciliate_sep,
+            ).alias("id"),
+            *keys,
+            _union_props(F.col("_old_props"), F.col("_new_props")).alias("properties"),
+        )
+    )
+    return nodes, edges
+
+
 CONFLICT_MARKER = "!CONFLICT!"
 
 

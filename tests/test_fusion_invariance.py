@@ -104,3 +104,49 @@ def test_chunked_union_equals_whole(spark, rows):
         reconciliate_nodes(c0.unionByName(c1), raise_errors=False)
     )
     assert whole == chunked
+
+
+@given(node_rows, edge_rows)
+@settings(**SETTINGS)
+def test_incremental_merge_equals_full_refusion(spark, nrows, erows):
+    """merge_into_graph(fused(batch0), batch1) == fusion(batch0 ∪ batch1)
+    — incremental continuous-crawl updates are exact, not approximate."""
+    from ontoweaver_spark.fusion import merge_into_graph, reconciliate
+
+    nodes = spark.createDataFrame(
+        nrows, "id string, label string, properties map<string,array<string>>"
+    )
+    edges = spark.createDataFrame(
+        erows,
+        "id string, src string, dst string, label string, properties map<string,array<string>>",
+    )
+    n0 = nodes.where(F.pmod(F.xxhash64("id"), F.lit(2)) == 0)
+    n1 = nodes.where(F.pmod(F.xxhash64("id"), F.lit(2)) == 1)
+    e0 = edges.where(F.pmod(F.xxhash64("id"), F.lit(2)) == 0)
+    e1 = edges.where(F.pmod(F.xxhash64("id"), F.lit(2)) == 1)
+
+    full_n, full_e = reconciliate(nodes, edges, raise_errors=False)
+    old_n, old_e = reconciliate(n0, e0, raise_errors=False)
+    inc_n, inc_e = merge_into_graph(old_n, old_e, n1, e1, raise_errors=False)
+
+    assert _canon_nodes(full_n) == _canon_nodes(inc_n)
+    assert _canon_edges(full_e) == _canon_edges(inc_e)
+
+
+def test_incremental_merge_label_conflict_raises(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    import pytest
+    from ontoweaver_spark.fusion import merge_into_graph
+
+    old_n = spark.createDataFrame(
+        [("x", "person", {})], "id string, label string, properties map<string,array<string>>"
+    )
+    old_e = spark.createDataFrame(
+        [], "id string, src string, dst string, label string, properties map<string,array<string>>"
+    )
+    new_n = spark.createDataFrame(
+        [("x", "place", {})], "id string, label string, properties map<string,array<string>>"
+    )
+    merged_n, _ = merge_into_graph(old_n, old_e, new_n, old_e.limit(0))
+    with pytest.raises(SparkRuntimeException, match="conflicting labels for node id 'x'"):
+        merged_n.collect()
