@@ -784,6 +784,15 @@ def q_hash_split(spark, sf_dir):
     )
 
 
+def q_kg_degree(spark, sf_dir):
+    """Hub detection over the fused KG: top-20 nodes by total degree
+    (the skew profile the salted fusion defends against)."""
+    from ontoweaver_spark.graphstats import top_hubs
+
+    _, fedges = _kg(spark, sf_dir)
+    return top_hubs(fedges, k=20)
+
+
 def q_rep_signals(spark, sf_dir):
     """Gopher-style repetition quality signals (top-bigram fraction,
     duplicate-token fraction) per document."""
@@ -847,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "top_ngrams": q_top_ngrams,
         "rep_signals": q_rep_signals,
+        "kg_degree": q_kg_degree,
     }
 
 
@@ -1437,6 +1447,31 @@ def oracle_sql() -> dict[str, str]:
                         % 1000000 < 0.1 * 1000000
                         THEN 'eval' ELSE 'train' END AS split
             FROM documents
+        """,
+        "kg_degree": """
+            WITH edges AS (
+              SELECT doc_id::VARCHAR || ':document' AS src,
+                     lang || ':language' AS dst FROM documents
+              UNION ALL
+              SELECT doc_id::VARCHAR || ':document', source || ':source'
+              FROM documents
+            ), ends AS (
+              SELECT src AS node, 1 AS o, 0 AS i FROM edges
+              UNION ALL
+              SELECT dst, 0, 1 FROM edges
+            ), deg AS (
+              SELECT node, sum(o)::BIGINT AS out_deg, sum(i)::BIGINT AS in_deg,
+                     count(*) AS degree
+              FROM ends GROUP BY node
+            ), ranked AS (
+              SELECT node, out_deg, in_deg, degree,
+                     CAST(row_number() OVER (
+                       ORDER BY degree DESC, node ASC
+                     ) AS INTEGER) AS "rank"
+              FROM deg
+            )
+            SELECT node, out_deg, in_deg, degree, "rank"
+            FROM ranked WHERE "rank" <= 20
         """,
         "rep_signals": """
             WITH toks AS (

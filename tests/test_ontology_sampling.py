@@ -183,3 +183,21 @@ def test_repetition_signals(spark):
     assert rows[2]["n_bigrams"] == 4
     assert rows[2]["top_bigram_frac"] == 0.25
     assert rows[2]["dup_token_frac"] == 0.0
+
+
+def test_degree_stats_and_top_hubs(spark):
+    from ontoweaver_spark.graphstats import degree_histogram, degree_stats, top_hubs
+
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a")],
+        "src string, dst string",
+    )
+    stats = {r["node"]: (r["out_deg"], r["in_deg"], r["degree"])
+             for r in degree_stats(edges).collect()}
+    assert stats["hub"] == (1, 3, 4)
+    assert stats["a"] == (1, 1, 2)
+    assert stats["b"] == (1, 0, 1)
+    hubs = top_hubs(edges, k=2).collect()
+    assert [(r["node"], r["rank"]) for r in hubs] == [("hub", 1), ("a", 2)]
+    hist = {r["degree"]: r["n_nodes"] for r in degree_histogram(edges).collect()}
+    assert hist == {4: 1, 2: 1, 1: 2}
