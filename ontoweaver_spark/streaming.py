@@ -161,3 +161,82 @@ def stream_pages_to_staging(
             writer = writer.trigger(availableNow=True)
         queries.append(writer.start())
     return queries
+
+def _current_version(graph_dir: str) -> Optional[int]:
+    try:
+        with open(os.path.join(graph_dir, "CURRENT")) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def stream_upsert_graph(
+    spark: SparkSession,
+    source_dir: str,
+    mapping: Union[dict, str, MappingSpec],
+    graph_dir: str,
+    schema: Optional[str] = None,
+    affix: str = "none",
+    reconciliate_sep: str = "|",
+    salt: int = 0,
+    max_files_per_trigger: Optional[int] = None,
+    trigger_available_now: bool = True,
+):
+    """The full continuous-crawl loop: watch ``source_dir`` for new page
+    files, extract each micro-batch, and fold it into the fused graph with
+    :func:`fusion.merge_into_graph` — so the graph is always fused and
+    queryable, with per-batch cost proportional to the batch (the history
+    is touched by one join, never re-aggregated).
+
+    Snapshots are versioned (``graph_dir/v=N/{nodes,edges}``) and a
+    ``CURRENT`` pointer file is swapped atomically (``os.replace``) only
+    after version N+1 is fully written: readers never observe a partial
+    graph, and version N stays immutable while serving as the merge input
+    for N+1 (no read-overwrite hazard). If ``foreachBatch`` retries a batch
+    after a crash between the pointer swap and the checkpoint commit, the
+    re-merge is a NO-OP: node/edge fusion is a set-union monoid, and
+    set-union is idempotent — re-folding the same batch cannot change the
+    snapshot (the same associativity property test_fusion_invariance pins).
+
+    Returns the streaming query."""
+    from .fusion import merge_into_graph, reconciliate
+
+    spec = mapping if isinstance(mapping, MappingSpec) else load_mapping(mapping)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        res = compile_mapping(batch_df, spec, affix=affix)
+        cur = _current_version(graph_dir)
+        if cur is None:
+            fnodes, fedges = reconciliate(
+                res.nodes, res.edges,
+                reconciliate_sep=reconciliate_sep, raise_errors=False, salt=salt,
+            )
+        else:
+            old_n = spark.read.parquet(os.path.join(graph_dir, f"v={cur}", "nodes"))
+            old_e = spark.read.parquet(os.path.join(graph_dir, f"v={cur}", "edges"))
+            fnodes, fedges = merge_into_graph(
+                old_n, old_e, res.nodes, res.edges,
+                reconciliate_sep=reconciliate_sep, raise_errors=False, salt=salt,
+            )
+        nxt = (cur or 0) + 1
+        fnodes.write.mode("overwrite").parquet(os.path.join(graph_dir, f"v={nxt}", "nodes"))
+        fedges.write.mode("overwrite").parquet(os.path.join(graph_dir, f"v={nxt}", "edges"))
+        tmp = os.path.join(graph_dir, "CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(nxt))
+        os.replace(tmp, os.path.join(graph_dir, "CURRENT"))
+
+    os.makedirs(graph_dir, exist_ok=True)
+    reader = spark.readStream
+    if schema:
+        reader = reader.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    writer = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", os.path.join(graph_dir, "_checkpoints"))
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
