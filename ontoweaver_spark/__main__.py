@@ -82,6 +82,23 @@ def main(argv=None) -> int:
                     help="what invalid rows do during extraction: raise "
                          "(reference-parity fail-loud), filter (drop), "
                          "report (drop + counts)")
+    ap.add_argument("--validate-output", action="store_true",
+                    help="after fusion, check final-graph invariants (no "
+                         "null/duplicate node ids, no dangling edge "
+                         "endpoints) and fail if violated (reference -V)")
+    ap.add_argument("--prop-sep", default=None, metavar="CHARACTER",
+                    help="render multi-valued properties joined with this "
+                         "separator instead of arrays (reference -S, its "
+                         "default ';'); unset keeps array-typed properties")
+    ap.add_argument("--pass-errors", action="store_true",
+                    help="keep going on fusion label conflicts (sorted-first "
+                         "label) instead of failing (reference -E)")
+    ap.add_argument("--sep", default=None, metavar="CHARACTER",
+                    help="input CSV cell separator override (reference "
+                         "--pandas-sep); default derives from the extension")
+    ap.add_argument("--log-level", default="WARN",
+                    choices=["ALL", "DEBUG", "INFO", "WARN", "ERROR", "OFF"],
+                    help="Spark log level (reference -l)")
     ap.set_defaults(**_external_defaults(ap))
     args = ap.parse_args(argv)
 
@@ -107,6 +124,7 @@ def main(argv=None) -> int:
         return 0
 
     spark = get_spark(app_name="ontoweave-spark", master=args.master)
+    spark.sparkContext.setLogLevel(args.log_level)
 
     if args.validate_only:
         # reference --validate-only: check the inputs, report, don't build
@@ -116,7 +134,7 @@ def main(argv=None) -> int:
         for pair in args.pairs:
             data_path, _, mapping_path = pair.rpartition(":")
             spec = load_mapping(mapping_path)
-            df = read_table(spark, data_path)
+            df = read_table(spark, data_path, sep=args.sep)
             if not spec.input_rules:
                 reports[pair] = {"rules": 0}
                 continue
@@ -139,7 +157,7 @@ def main(argv=None) -> int:
         from .pipeline import run_pipeline
 
         data_path, _, mapping_path = args.pairs[0].rpartition(":")
-        df = read_table(spark, data_path)
+        df = read_table(spark, data_path, sep=args.sep)
         if args.sub_sample:
             df = sub_sample(df, args.sub_sample)
         report = run_pipeline(
@@ -147,6 +165,7 @@ def main(argv=None) -> int:
             affix=args.affix, type_affix_sep=args.affix_sep,
             reconciliate_sep=args.reconciliate_sep,
             n_chunks=args.chunks, salt=args.salt,
+            raise_errors=not args.pass_errors,
             validate_mode=args.validate_mode,
         )
         print(json.dumps({
@@ -162,7 +181,7 @@ def main(argv=None) -> int:
         data_path, _, mapping_path = pair.rpartition(":")
         if not data_path:
             ap.error(f"expected DATA:MAPPING, got {pair!r}")
-        df = read_table(spark, data_path)
+        df = read_table(spark, data_path, sep=args.sep)
         if args.sub_sample:
             df = sub_sample(df, args.sub_sample)
         res = compile_mapping(
@@ -175,8 +194,24 @@ def main(argv=None) -> int:
 
     fnodes, fedges = reconciliate(
         all_nodes, all_edges,
-        reconciliate_sep=args.reconciliate_sep, raise_errors=False, salt=args.salt,
+        reconciliate_sep=args.reconciliate_sep,
+        raise_errors=not args.pass_errors, salt=args.salt,
     )
+    integrity = None
+    if args.validate_output:
+        # reference -V: final-graph invariants (pre-render — needs raw ids)
+        from .validate import graph_integrity
+
+        integrity = graph_integrity(fnodes, fedges)
+
+    if args.prop_sep is not None:
+        # reference -S prop-sep: render multi-valued properties as joined
+        # strings (the BioCypher-export shape) instead of arrays
+        from .fusion import format_for_export
+
+        fnodes = format_for_export(fnodes, sep=args.prop_sep)
+        fedges = format_for_export(fedges, sep=args.prop_sep)
+
     if args.sort:
         # natural order like the reference's natsort --sort
         # (ontoweave.py:405-412): id2 before id10
@@ -196,14 +231,19 @@ def main(argv=None) -> int:
         spark.read.parquet(nodes_path).count(),
         spark.read.parquet(edges_path).count(),
     )
-    _save_manifest(args.out, {
+    manifest = {
         "chunks": {}, "final": {"nodes": n, "edges": e,
                                 "nodes_path": nodes_path, "edges_path": edges_path},
         "inputs": args.pairs,
-    })
-    print(json.dumps({"nodes": n, "edges": e, "out": args.out}))
+    }
+    out_json = {"nodes": n, "edges": e, "out": args.out}
+    if integrity is not None:
+        manifest["integrity"] = integrity
+        out_json["integrity"] = integrity
+    _save_manifest(args.out, manifest)
+    print(json.dumps(out_json))
     spark.stop()
-    return 0
+    return 0 if (integrity is None or integrity["ok"]) else 1
 
 
 if __name__ == "__main__":

@@ -141,3 +141,45 @@ def output_validity(value: Column, rule: dict | None = None) -> Column:
     if rule and "str_matches" in rule:
         pred = pred & value.rlike(str(rule["str_matches"]))
     return pred
+
+
+def graph_integrity(nodes: DataFrame, edges: DataFrame) -> dict:
+    """Post-fusion graph invariants — the ``--validate-output`` gate run
+    over the FINAL graph rather than per-transformer values (which
+    ``output_validity`` already guards during extraction):
+
+    - no null/empty node ids, no null labels, no duplicate node ids
+      (fusion groups by id, so a duplicate means a broken custom merge);
+    - no dangling edge endpoints (every src/dst resolves to a node id).
+
+    Shuffle shape: one aggregation over nodes; the dangling checks are two
+    left-anti joins of edges against the node-id projection — at scale both
+    sides co-locate when read back from the bucketed graph tables
+    (bucketBy id / src), so the big history does not re-shuffle."""
+    nrow = nodes.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (F.col("id").isNull() | (F.col("id") == "") | F.col("label").isNull())
+            .cast("long")
+        ).alias("bad"),
+        F.count_distinct(F.col("id")).alias("ids"),
+    ).collect()[0]
+    ids = nodes.select("id")
+    dang_src = edges.join(ids.withColumnRenamed("id", "src"), "src", "left_anti").count()
+    dang_dst = edges.join(ids.withColumnRenamed("id", "dst"), "dst", "left_anti").count()
+    n_edges = edges.count()
+    report = {
+        "nodes": nrow["n"],
+        "edges": n_edges,
+        "bad_node_rows": nrow["bad"] or 0,
+        "duplicate_node_ids": nrow["n"] - nrow["ids"],
+        "dangling_src": dang_src,
+        "dangling_dst": dang_dst,
+    }
+    report["ok"] = (
+        report["bad_node_rows"] == 0
+        and report["duplicate_node_ids"] == 0
+        and dang_src == 0
+        and dang_dst == 0
+    )
+    return report

@@ -395,3 +395,66 @@ def test_stream_upsert_graph_matches_batch_weave(spark, tmp_path):
     assert {k: sorted(vs) for k, vs in got_hub["properties"].items()} == {
         k: sorted(vs) for k, vs in hub["properties"].items()
     }
+
+
+def test_graph_integrity_detects_violations(spark):
+    from ontoweaver_spark.validate import graph_integrity
+
+    nodes = spark.createDataFrame(
+        [("a", "t", {}), ("b", "t", {}), ("b", "u", {}), ("", "t", {})],
+        "id string, label string, properties map<string,array<string>>",
+    )
+    edges = spark.createDataFrame(
+        [("e1", "a", "b", "r", {}), ("e2", "a", "ghost", "r", {})],
+        "id string, src string, dst string, label string, properties map<string,array<string>>",
+    )
+    rep = graph_integrity(nodes, edges)
+    assert rep["bad_node_rows"] == 1          # empty id
+    assert rep["duplicate_node_ids"] == 1     # b twice
+    assert rep["dangling_dst"] == 1           # ghost
+    assert rep["dangling_src"] == 0
+    assert rep["ok"] is False
+
+    clean_nodes = spark.createDataFrame(
+        [("a", "t", {}), ("b", "t", {})],
+        "id string, label string, properties map<string,array<string>>",
+    )
+    clean_edges = edges.where(F.col("dst") != "ghost")
+    assert graph_integrity(clean_nodes, clean_edges)["ok"] is True
+
+
+def test_cli_sep_propsep_validate_output(tmp_path):
+    """--sep reads ';'-separated cells, --prop-sep renders property strings,
+    --validate-output reports final-graph integrity (reference -e/-S/-V)."""
+    data = tmp_path / "d.txt"
+    data.write_text("id;lang\na;en\nb;en\nc;de\n")
+    mapping = tmp_path / "m.yaml"
+    mapping.write_text(
+        "row:\n  map:\n    id_from_column: id\n    to_subject: thing\n"
+        "transformers:\n  - map:\n      column: lang\n      to_object: language\n"
+        "      via_relation: in_lang\n"
+        "  - map:\n      column: lang\n      to_properties: [lang]\n"
+    )
+    out = tmp_path / "out"
+    proc = subprocess.run(
+        [sys.executable, "-m", "ontoweaver_spark", f"{data}:{mapping}",
+         "--out", str(out), "--affix", "suffix", "--sep", ";",
+         "--prop-sep", ";", "--validate-output", "--master", "local[2]"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["nodes"] == 5  # 3 things + 2 languages
+    assert result["integrity"]["ok"] is True
+    assert result["integrity"]["dangling_src"] == 0
+
+    import pyarrow.parquet as pq
+    import glob as _glob
+    files = _glob.glob(str(out / "nodes" / "**" / "*.parquet"), recursive=True)
+    props = {}
+    for f in files:
+        t = pq.read_table(f).to_pandas()
+        for _, row in t.iterrows():
+            props[row["id"]] = row["properties"]
+    # rendered as map<string,string>, not arrays (pyarrow maps -> tuple list)
+    assert dict(props["a:thing"])["lang"] == "en"
