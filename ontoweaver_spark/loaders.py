@@ -31,7 +31,17 @@ def read_table(
     **options,
 ) -> DataFrame:
     """Load a tabular file (csv/tsv/parquet/orc/json-lines) as string cells.
-    Globs expand natively (multi-file concat, loader.py:274-312)."""
+    Globs expand natively (multi-file concat, loader.py:274-312).
+
+    ``iceberg:<catalog.db.table>`` / ``table:<name>`` refs load through
+    ``spark.read.table`` — the north-rule input shape (Iceberg-backed page
+    tables): on a cluster with an Iceberg catalog configured
+    (``spark.sql.catalog.*`` + the iceberg-spark-runtime jar), this is a
+    DSv2 scan with partition pruning, column pruning, and predicate
+    pushdown intact; in this sandbox (no Iceberg jar baked in) the same
+    code path serves Hive-catalog and temp-view tables."""
+    if path.startswith(("iceberg:", "table:")):
+        return as_string_cells(spark.read.table(path.split(":", 1)[1]))
     lower = path.lower()
     if fmt is None:
         if lower.endswith(".parquet"):

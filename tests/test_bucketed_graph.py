@@ -33,3 +33,25 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS kgtest.edges")
         spark.sql("DROP TABLE IF EXISTS kgtest.nodes")
         spark.sql("DROP DATABASE IF EXISTS kgtest")
+
+
+def test_catalog_table_ref_and_v2_sink(spark, tmp_path):
+    """'table:<name>' refs read through spark.read.table (the Iceberg-ready
+    code path), and write_graph_catalog_tables round-trips the graph via
+    the DSv2 writeTo API on the session catalog."""
+    from ontoweaver_spark.loaders import read_table
+    from ontoweaver_spark.pipeline import write_graph_catalog_tables
+
+    nodes = spark.createDataFrame(
+        [("a", "t", {}), ("b", "u", {})],
+        "id string, label string, properties map<string,array<string>>",
+    )
+    edges = spark.createDataFrame(
+        [("e", "a", "b", "r", {})],
+        "id string, src string, dst string, label string, properties map<string,array<string>>",
+    )
+    write_graph_catalog_tables(nodes, edges, "kgv2_graph")
+    got = read_table(spark, "table:kgv2_graph_nodes")
+    assert got.count() == 2
+    assert {r["label"] for r in got.select("label").collect()} == {"t", "u"}
+    assert read_table(spark, "table:kgv2_graph_edges").first()["src"] == "a"
