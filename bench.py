@@ -78,7 +78,8 @@ def main() -> None:
                  "text_features", "ann_topk", "ann_topk_bucketed", "ann_topk_ivf",
                  "t_split", "t_maths", "kg_fusion_props", "kg_two_sources",
                  "entity_link", "comention", "kg_match_branch",
-                 "onto_closure", "sample_stratified", "top_ngrams"]:
+                 "onto_closure", "sample_stratified", "top_ngrams",
+                 "rep_signals", "kg_degree"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the
