@@ -55,3 +55,47 @@ def test_catalog_table_ref_and_v2_sink(spark, tmp_path):
     assert got.count() == 2
     assert {r["label"] for r in got.select("label").collect()} == {"t", "u"}
     assert read_table(spark, "table:kgv2_graph_edges").first()["src"] == "a"
+
+
+def test_merge_into_graph_uses_bucketing_and_is_idempotent(spark):
+    """Incremental upsert against the bucketed history: the old side's
+    bucket partitioning replaces at least one Exchange vs an unbucketed
+    old side; and re-merging a re-crawled subset of already-ingested pages
+    is a no-op (set-union idempotency on real extraction output)."""
+    from ontoweaver_spark import extract
+    from ontoweaver_spark.fusion import merge_into_graph
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fnodes, fedges = weave(docs, MAPPING, affix="suffix")
+    write_bucketed_graph(fnodes, fedges, database="kgmerge", n_buckets=4)
+
+    recrawl = docs.where(F.col("doc_id") < 100)
+    new_n, new_e = extract(recrawl, MAPPING, affix="suffix")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        old_n, old_e = spark.table("kgmerge.nodes"), spark.table("kgmerge.edges")
+        m_bucketed, me_bucketed = merge_into_graph(
+            old_n, old_e, new_n, new_e, raise_errors=False
+        )
+        m_plain, _ = merge_into_graph(
+            fnodes, fedges, new_n, new_e, raise_errors=False
+        )
+
+        def n_exchanges(df):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return plan.count("Exchange")
+
+        assert n_exchanges(m_bucketed) < n_exchanges(m_plain)
+
+        # idempotency: the subset was already in the graph -> no change
+        assert m_bucketed.count() == fnodes.count()
+        assert me_bucketed.count() == fedges.count()
+        assert m_bucketed.select("id", "label").exceptAll(
+            fnodes.select("id", "label")
+        ).count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS kgmerge.edges")
+        spark.sql("DROP TABLE IF EXISTS kgmerge.nodes")
+        spark.sql("DROP DATABASE IF EXISTS kgmerge")
