@@ -42,15 +42,48 @@ def _external_defaults(ap: argparse.ArgumentParser) -> dict:
             cfg.update({str(k).replace("-", "_"): v for k, v in loaded.items()})
             break
 
+    def convert(action, raw, origin):
+        """Coerce a string default to the action's runtime type — argparse
+        type-converts string defaults but does NOT run store_true/append
+        logic or `choices` checks on them, so a raw passthrough would make
+        ONTOWEAVE_PASS_ERRORS=false truthy and iterate an env --register
+        value character by character."""
+        if not isinstance(raw, str):
+            value = raw
+        elif isinstance(action, (argparse._StoreTrueAction, argparse._StoreFalseAction)):
+            low = raw.strip().lower()
+            if low in ("1", "true", "yes", "on"):
+                value = True
+            elif low in ("0", "false", "no", "off", ""):
+                value = False
+            else:
+                raise SystemExit(f"{origin}: expected a boolean, got {raw!r}")
+            return value
+        elif isinstance(action, argparse._AppendAction):
+            return [v for v in raw.split(os.pathsep) if v]
+        elif action.type is not None:
+            try:
+                value = action.type(raw)
+            except (TypeError, ValueError):
+                raise SystemExit(f"{origin}: invalid value {raw!r}")
+        else:
+            value = raw
+        if action.choices is not None and value not in action.choices:
+            raise SystemExit(
+                f"{origin}: {value!r} not one of {sorted(action.choices)}"
+            )
+        return value
+
     out: dict = {}
     for action in ap._actions:
         if not action.option_strings or action.dest == argparse.SUPPRESS:
             continue
         if action.dest in cfg:
-            out[action.dest] = cfg[action.dest]
-        env = os.environ.get("ONTOWEAVE_" + action.dest.upper())
+            out[action.dest] = convert(action, cfg[action.dest], f"config {action.dest}")
+        env_name = "ONTOWEAVE_" + action.dest.upper()
+        env = os.environ.get(env_name)
         if env is not None:
-            out[action.dest] = env
+            out[action.dest] = convert(action, env, env_name)
     return out
 
 
@@ -133,8 +166,13 @@ def main(argv=None) -> int:
         reports, any_invalid = {}, False
         for pair in args.pairs:
             data_path, _, mapping_path = pair.rpartition(":")
+            if not data_path:
+                ap.error(f"expected DATA:MAPPING, got {pair!r}")
             spec = load_mapping(mapping_path)
             df = read_table(spark, data_path, sep=args.sep)
+            if args.sub_sample:
+                # validate the same rows extraction would see
+                df = sub_sample(df, args.sub_sample)
             if not spec.input_rules:
                 reports[pair] = {"rules": 0}
                 continue

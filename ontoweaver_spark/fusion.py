@@ -329,7 +329,7 @@ def merge_into_graph(
     return nodes, edges
 
 
-CONFLICT_MARKER = "!CONFLICT!"
+from .mergers import CONFLICT_MARKER  # noqa: E402  (single source of truth)
 
 
 def has_property_conflict(df: DataFrame, props_col: str = "properties") -> "Column":

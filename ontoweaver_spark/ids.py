@@ -28,22 +28,28 @@ def affix_id(name: Column, type_: Column, affix: str = "none", sep: str = ":") -
     return name
 
 
-def natural_sort_key(c: Column, num_width: int = 20) -> Column:
-    """Natural-order sort key: every digit run in the string is left-padded
-    with zeros to ``num_width``, so lexicographic order on the key equals
-    human numeric order (``id2`` < ``id10``). Matches the reference's
+def natural_sort_key(c: Column) -> Column:
+    """Natural-order sort key: every digit run is encoded as
+    ``<4-digit zero-padded length><digits, leading zeros stripped>``, so
+    lexicographic order on the key equals numeric order (``id2`` < ``id10``)
+    for runs of ANY length — a fixed-width zero-pad would silently truncate
+    runs longer than the pad and misorder them. Matches the reference's
     natsort-based ``--sort`` (/root/reference/src/ontoweaver/ontoweave.py:405-412)
     as a pure Column expression — the sort stays a normal Spark range-
-    partitioned sort on a derived key, no Python comparator.
-
-    Digit runs longer than ``num_width`` compare by their (truncated)
-    suffix — 20 digits exceeds any realistic identifier."""
+    partitioned sort on a derived key, no Python comparator. (Runs beyond
+    9999 digits would overflow the length prefix; no identifier is a
+    10^4-digit number.)"""
     marked = F.regexp_replace(c, r"(\d+)", "\x00$1\x00")
     parts = F.split(marked, "\x00")
+
+    def encode(p: Column) -> Column:
+        n = F.regexp_replace(p, r"^0+(?=[0-9])", "")
+        return F.concat(F.lpad(F.length(n).cast("string"), 4, "0"), n)
+
     return F.concat_ws(
         "",
         F.transform(
             parts,
-            lambda p: F.when(p.rlike("^[0-9]+$"), F.lpad(p, num_width, "0")).otherwise(p),
+            lambda p: F.when(p.rlike("^[0-9]+$"), encode(p)).otherwise(p),
         ),
     )

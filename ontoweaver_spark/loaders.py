@@ -234,12 +234,22 @@ def read_rdf_triples(spark: SparkSession, path: str) -> DataFrame:
 
     is_literal = o.startswith('"')
     lex = F.regexp_extract(o, r'^"((?:[^"\\]|\\.)*)"', 1)
+    # unescape ORDER matters: `\\` must resolve FIRST (via a \x00 sentinel,
+    # impossible in N-Triples lexical forms) or the literal "a\\nb" — an
+    # escaped backslash followed by a real 'n' — would decode its second
+    # backslash + n into a newline instead of the intended backslash+n
     unescaped = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(F.regexp_replace(lex, r"\\n", "\n"), r"\\t", "\t"),
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(lex, r"\\\\", "\x00"),
+                    r"\\n", "\n",
+                ),
+                r"\\t", "\t",
+            ),
             r'\\"', '"',
         ),
-        r"\\\\", r"\\",
+        "\x00", r"\\",
     )
     lang = F.regexp_extract(o, r'"@([A-Za-z0-9-]+)\s*$', 1)
     dtype = expand_prefixed(F.regexp_extract(o, r'"\^\^(\S+)\s*$', 1))

@@ -19,6 +19,11 @@ from typing import Callable
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+#: rendered prefix for EnsureIdentical property disagreements (a per-row
+#: raise is not expressible mid-aggregation); fusion.has_property_conflict
+#: detects it — single definition so producer and detector cannot drift
+CONFLICT_MARKER = "!CONFLICT!"
+
 Merger = Callable[[Column], Column]
 
 
@@ -47,7 +52,7 @@ def EnsureIdentical(fallback_sep: str = "|") -> Merger:
     not expressible mid-aggregation; use fusion.reconciliate_nodes'
     raise_errors for the label variant)."""
     return lambda vals: F.when(F.size(vals) <= 1, F.element_at(vals, 1)).otherwise(
-        F.concat(F.lit("!CONFLICT!"), F.array_join(vals, fallback_sep))
+        F.concat(F.lit(CONFLICT_MARKER), F.array_join(vals, fallback_sep))
     )
 
 

@@ -91,12 +91,19 @@ def _decode_png(payload: bytes) -> dict | None:
                 break
         if width is None or not idat:
             return None
-        raw = zlib.decompress(idat, bufsize=1 << 16)
-        if len(raw) > _PNG_MAX_DECOMPRESSED:
-            return None
         ch = _PNG_CHANNELS[color]
         stride = width * ch
-        if len(raw) != height * (stride + 1):
+        expected = height * (stride + 1)
+        # bound BEFORE inflating: a crafted 1 MB IDAT can expand to many GB,
+        # and zlib.decompress() allocates the whole buffer before any
+        # after-the-fact length check could run. IHDR gives the exact
+        # expected size; decompressobj(max_length=...) hard-caps the
+        # allocation even if IHDR lies.
+        if expected > _PNG_MAX_DECOMPRESSED:
+            return None
+        d = zlib.decompressobj()
+        raw = d.decompress(idat, expected)
+        if d.unconsumed_tail or len(raw) != expected:
             return None
         out = bytearray()
         prev = bytearray(stride)

@@ -209,16 +209,23 @@ def run_pipeline(
 
     report = RunReport(out_dir=out_dir, mapping_hash=mhash, chunks_total=n_chunks)
 
+    todo = [c for c in range(n_chunks) if not manifest["chunks"].get(str(c), {}).get("done")]
+
     # ---- phase 0: input validation (once, surfaced in the manifest) --------
     if spec.input_rules and validate_mode == "report":
-        from .validate import validate_input
+        if todo:
+            from .validate import validate_input
 
-        input_df, vreport = validate_input(input_df, spec.input_rules)
-        manifest["validation"] = {
-            "total": vreport.total, "valid": vreport.valid,
-            "invalid": vreport.invalid, "per_rule": vreport.per_rule,
-        }
-        # rules already applied; chunks compile with a plain filter (no-op)
+            input_df, vreport = validate_input(input_df, spec.input_rules)
+            manifest["validation"] = {
+                "total": vreport.total, "valid": vreport.valid,
+                "invalid": vreport.invalid, "per_rule": vreport.per_rule,
+            }
+        # else: fully-resumed run — the counts from the original pass are
+        # already in the manifest; recomputing them here would charge every
+        # resume a full input scan (100 TB) before the manifest is even read
+        # rules already applied (or nothing left to extract); chunks compile
+        # with a plain filter (no-op)
         chunk_validate_mode = "filter"
     else:
         chunk_validate_mode = validate_mode
@@ -229,7 +236,6 @@ def run_pipeline(
     # its own partition directory (partition pruning) — the previous
     # where(pmod(hash)) approach re-scanned the ENTIRE input once per chunk:
     # n_chunks full scans of a 100 TB table.
-    todo = [c for c in range(n_chunks) if not manifest["chunks"].get(str(c), {}).get("done")]
     if n_chunks > 1 and todo:
         stage_in = os.path.join(out_dir, "staging_input")
         if not manifest.get("input_staged"):

@@ -181,12 +181,18 @@ def stream_upsert_graph(
     salt: int = 0,
     max_files_per_trigger: Optional[int] = None,
     trigger_available_now: bool = True,
+    keep_versions: int = 2,
 ):
     """The full continuous-crawl loop: watch ``source_dir`` for new page
     files, extract each micro-batch, and fold it into the fused graph with
     :func:`fusion.merge_into_graph` — so the graph is always fused and
-    queryable, with per-batch cost proportional to the batch (the history
-    is touched by one join, never re-aggregated).
+    queryable. Per-batch COMPUTE is proportional to the batch (the history
+    is touched by one join, never re-aggregated); per-batch STORAGE writes
+    one full snapshot (copy-on-write, like an Iceberg overwrite commit) —
+    superseded versions beyond ``keep_versions`` are pruned after each
+    pointer swap, so disk stays O(keep_versions x graph), not O(batches).
+    Keep >= 2 so in-flight readers of the previous CURRENT get a grace
+    window.
 
     Snapshots are versioned (``graph_dir/v=N/{nodes,edges}``) and a
     ``CURRENT`` pointer file is swapped atomically (``os.replace``) only
@@ -225,6 +231,13 @@ def stream_upsert_graph(
         with open(tmp, "w") as f:
             f.write(str(nxt))
         os.replace(tmp, os.path.join(graph_dir, "CURRENT"))
+        # prune superseded snapshots (keep the newest `keep_versions`)
+        import shutil
+
+        for v in range(1, nxt - max(keep_versions, 1) + 1):
+            stale = os.path.join(graph_dir, f"v={v}")
+            if os.path.isdir(stale):
+                shutil.rmtree(stale, ignore_errors=True)
 
     os.makedirs(graph_dir, exist_ok=True)
     reader = spark.readStream

@@ -32,6 +32,8 @@ ROW_ID_COL = "_ow_row_id"
 # Above this many entries, `translate` compiles to a broadcast join instead
 # of an in-plan map literal (which would bloat the serialized plan).
 TRANSLATE_INLINE_MAX = 2000
+# absolute bound for shapes that can only inline (split pieces/multi-column)
+TRANSLATE_INLINE_HARD_MAX = 100_000
 
 # Above this many bytes, a `translations_file` is read by SPARK and
 # broadcast-joined directly — never loaded driver-side through pandas
@@ -240,6 +242,15 @@ def _translate_lookup(t: TransformerSpec, tag: str):
     if on_unknown_early not in ("skip", "keep", "error"):
         raise CompileError(f"translate: bad on_unknown_value {on_unknown_early!r}")
 
+    # Join-backed lookups (prestage left-joins the table on the RAW first
+    # column, then the lookup reads the joined column) are only correct when
+    # the lookup is applied to exactly that raw column: plain `translate` on
+    # one column. split_translate applies the lookup per SPLIT PIECE and a
+    # multi-column translate applies it per column — a join keyed on the
+    # unsplit first cell would hand every piece/column the first cell's
+    # translation (or null). Those shapes must stay expression-inline.
+    joinable = t.op == "translate" and len(t.columns) == 1
+
     tfile = t.params.get("translations_file")
     if tfile and not t.params.get("translations"):
         frm, to = t.params.get("translate_from"), t.params.get("translate_to")
@@ -253,6 +264,13 @@ def _translate_lookup(t: TransformerSpec, tag: str):
             big = _os.path.getsize(str(tfile)) >= TRANSLATE_FILE_SPARK_MIN_BYTES
         except OSError:
             big = True  # non-local path (hdfs/s3): always the Spark path
+        if big and not joinable:
+            raise CompileError(
+                f"translate ({t.op}): translations_file {tfile!r} is too large "
+                "to inline and per-piece/multi-column translation cannot use "
+                "the broadcast-join path (it keys on the raw first column); "
+                "pre-explode the input or split the table"
+            )
         if big:
             derived = f"_ow_trans_{tag}"
 
@@ -280,7 +298,17 @@ def _translate_lookup(t: TransformerSpec, tag: str):
             return _raise_on_unknown(mapped, original)
         return mapped  # skip: unknown -> null (filtered by the null contract)
 
-    if len(table) <= TRANSLATE_INLINE_MAX:
+    if len(table) <= TRANSLATE_INLINE_MAX or not joinable:
+        # non-joinable shapes (split pieces / multi-column) stay inline at
+        # any size up to a hard cap — a join keyed on the raw cell would be
+        # semantically wrong for them (see `joinable` above)
+        if len(table) > TRANSLATE_INLINE_HARD_MAX:
+            raise CompileError(
+                f"translate ({t.op}): {len(table)} entries exceed the inline "
+                f"cap ({TRANSLATE_INLINE_HARD_MAX}) and per-piece/multi-column "
+                "translation cannot use the broadcast-join path; pre-explode "
+                "the input or split the table"
+            )
         items = []
         for k, v in table.items():
             items.append(F.lit(k))

@@ -179,3 +179,25 @@ def test_pandas_format_loaders(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unsupported pandas format"):
         read_pandas_format(spark, "x.unknownext")
+
+
+def test_rdf_literal_escape_order(spark, tmp_path):
+    """'\\\\n' in an N-Triples literal is an escaped backslash followed by a
+    real n — NOT a newline. Escape resolution must handle \\\\ first."""
+    from ontoweaver_spark.loaders import read_rdf_triples
+
+    nt = tmp_path / "esc.nt"
+    nt.write_text(
+        '<http://x/s> <http://x/p> "a\\\\nb" .\n'
+        '<http://x/s> <http://x/q> "tab:\\there" .\n'
+        '<http://x/s> <http://x/r> "nl:\\nhere" .\n'
+        '<http://x/s> <http://x/w> "C:\\\\new\\\\table" .\n'
+    )
+    got = {
+        r["predicate"].rsplit("/", 1)[1]: r["object"]
+        for r in read_rdf_triples(spark, str(nt)).collect()
+    }
+    assert got["p"] == "a\\nb"            # backslash + n, no newline
+    assert got["q"] == "tab:\there"
+    assert got["r"] == "nl:\nhere"
+    assert got["w"] == "C:\\new\\table"   # Windows path survives intact

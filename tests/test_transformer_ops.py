@@ -248,3 +248,69 @@ def test_translate_error_policy_raises(spark):
         "- translate: {column: c, translations: {AA: alpha}, on_unknown_value: error, to_object: obj, via_relation: rel}",
     )
     assert _object_ids(nodes_ok) == ["alpha"]
+
+
+def test_split_translate_large_table_per_piece(spark):
+    """A >TRANSLATE_INLINE_MAX table must still translate each SPLIT PIECE
+    (the broadcast-join path keys on the raw unsplit cell and would hand
+    every piece null — it must not be used for split_translate)."""
+    from ontoweaver_spark.transformers import TRANSLATE_INLINE_MAX
+
+    n = TRANSLATE_INLINE_MAX + 50
+    table = {f"k{i}": f"v{i}" for i in range(n)}
+    entries = "\n".join(f"      k{i}: v{i}" for i in range(n))
+    nodes, _ = _run(
+        spark, [("r1", "k1;k7")], "k string, c string",
+        "- split_translate:\n    column: c\n    separator: ';'\n"
+        "    to_object: obj\n    via_relation: rel\n"
+        "    translations:\n" + entries,
+    )
+    assert _object_ids(nodes) == ["v1", "v7"]
+
+
+def test_translate_two_columns_large_table(spark):
+    """Each COLUMN of a multi-column translate gets its own translation
+    even above the inline threshold."""
+    from ontoweaver_spark.transformers import TRANSLATE_INLINE_MAX
+
+    n = TRANSLATE_INLINE_MAX + 50
+    entries = "\n".join(f"      k{i}: v{i}" for i in range(n))
+    nodes, _ = _run(
+        spark, [("r1", "k2", "k9")], "k string, c string, d string",
+        "- translate:\n    columns: [c, d]\n"
+        "    to_object: obj\n    via_relation: rel\n"
+        "    translations:\n" + entries,
+    )
+    assert _object_ids(nodes) == ["v2", "v9"]
+
+
+def test_split_translate_huge_file_rejected(spark, tmp_path):
+    """A translations_file above the Spark-join threshold cannot serve
+    split_translate — must fail loudly at compile, not silently null out."""
+    import pytest
+    from ontoweaver_spark.spec import load_mapping
+    from ontoweaver_spark.compiler import compile_mapping
+    from ontoweaver_spark.transformers import CompileError
+    import ontoweaver_spark.transformers as T
+
+    f = tmp_path / "big.csv"
+    f.write_text("frm,to\na,b\n")
+    df = spark.createDataFrame([("r1", "a;a")], "k string, c string")
+    mapping = {
+        "row": {"map": {"id_from_column": "k", "to_subject": "thing"}},
+        "transformers": [{
+            "split_translate": {
+                "column": "c", "separator": ";",
+                "translations_file": str(f),
+                "translate_from": "frm", "translate_to": "to",
+                "to_object": "obj", "via_relation": "rel",
+            },
+        }],
+    }
+    old = T.TRANSLATE_FILE_SPARK_MIN_BYTES
+    T.TRANSLATE_FILE_SPARK_MIN_BYTES = 1  # force the "big file" branch
+    try:
+        with pytest.raises(CompileError, match="broadcast-join"):
+            compile_mapping(df, load_mapping(mapping))
+    finally:
+        T.TRANSLATE_FILE_SPARK_MIN_BYTES = old
