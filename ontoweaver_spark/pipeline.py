@@ -145,10 +145,26 @@ def write_graph_catalog_tables(
             # atomic swap on real V2 catalogs (Iceberg RTAS)
             writer.createOrReplace()
         except AnalysisException:
-            # the V1 session catalog has no REPLACE TABLE AS SELECT;
-            # drop + create (non-atomic, but only the sandbox fallback)
-            spark.sql(f"DROP TABLE IF EXISTS {table}")
-            writer.create()
+            # V1 session-catalog fallback (no REPLACE TABLE AS SELECT).
+            # A managed location with NO catalog entry is an orphan from a
+            # previous metastore (local derby dies with the session); Spark
+            # refuses to adopt it (LOCATION_ALREADY_EXISTS), so clear it —
+            # only when the catalog genuinely has no owner for it.
+            if not spark.catalog.tableExists(table):
+                import shutil
+                from urllib.parse import urlparse
+
+                wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+                if wh.scheme in ("", "file"):
+                    stale = os.path.join(wh.path, table.split(".")[-1].lower())
+                    if os.path.isdir(stale):
+                        shutil.rmtree(stale, ignore_errors=True)
+            (
+                df.write.mode("overwrite")
+                .format(fmt or "parquet")
+                .partitionBy(partition_col)
+                .saveAsTable(table)
+            )
 
 
 def run_pipeline(

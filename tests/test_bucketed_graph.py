@@ -50,11 +50,18 @@ def test_catalog_table_ref_and_v2_sink(spark, tmp_path):
         [("e", "a", "b", "r", {})],
         "id string, src string, dst string, label string, properties map<string,array<string>>",
     )
-    write_graph_catalog_tables(nodes, edges, "kgv2_graph")
-    got = read_table(spark, "table:kgv2_graph_nodes")
-    assert got.count() == 2
-    assert {r["label"] for r in got.select("label").collect()} == {"t", "u"}
-    assert read_table(spark, "table:kgv2_graph_edges").first()["src"] == "a"
+    try:
+        write_graph_catalog_tables(nodes, edges, "kgv2_graph")
+        got = read_table(spark, "table:kgv2_graph_nodes")
+        assert got.count() == 2
+        assert {r["label"] for r in got.select("label").collect()} == {"t", "u"}
+        assert read_table(spark, "table:kgv2_graph_edges").first()["src"] == "a"
+        # overwrite path: second call replaces, never errors on existing
+        write_graph_catalog_tables(nodes, edges, "kgv2_graph")
+        assert read_table(spark, "table:kgv2_graph_nodes").count() == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS kgv2_graph_nodes")
+        spark.sql("DROP TABLE IF EXISTS kgv2_graph_edges")
 
 
 def test_merge_into_graph_uses_bucketing_and_is_idempotent(spark):
