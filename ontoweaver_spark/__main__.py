@@ -96,7 +96,15 @@ def main(argv=None) -> int:
     ap.add_argument("--affix-sep", default=":")
     ap.add_argument("--reconciliate-sep", default="|")
     ap.add_argument("--chunks", type=int, default=1, help="resumable extraction chunks")
-    ap.add_argument("--salt", type=int, default=0, help="fusion salt partitions (hub skew)")
+    ap.add_argument("--salt", type=int, default=0,
+                    help="fusion salt partitions for hub skew; -1 picks one "
+                         "automatically from a heavy-hitter sample "
+                         "(fusion.suggest_salt)")
+    ap.add_argument("--bucketed-out", default=None, metavar="DATABASE",
+                    help="also materialize the fused graph as bucketed "
+                         "tables (nodes bucketBy id, edges bucketBy src) in "
+                         "this database — downstream edge->node joins need "
+                         "no shuffle")
     ap.add_argument("--register", action="append", default=[],
                     help="user transformer module path (may repeat)")
     ap.add_argument("--sub-sample", type=float, default=None, help="percent sample")
@@ -230,11 +238,22 @@ def main(argv=None) -> int:
         all_nodes = res.nodes if all_nodes is None else all_nodes.unionByName(res.nodes)
         all_edges = res.edges if all_edges is None else all_edges.unionByName(res.edges)
 
+    salt = args.salt
+    if salt == -1:
+        # heavy-hitter sample over the raw node ids picks the factor that
+        # bounds the hottest fused group's per-task size
+        from .fusion import suggest_salt
+
+        salt = suggest_salt(all_nodes, ["id"])
     fnodes, fedges = reconciliate(
         all_nodes, all_edges,
         reconciliate_sep=args.reconciliate_sep,
-        raise_errors=not args.pass_errors, salt=args.salt,
+        raise_errors=not args.pass_errors, salt=salt,
     )
+    if args.bucketed_out:
+        from .pipeline import write_bucketed_graph
+
+        write_bucketed_graph(fnodes, fedges, database=args.bucketed_out)
     integrity = None
     if args.validate_output:
         # reference -V: final-graph invariants (pre-render — needs raw ids)

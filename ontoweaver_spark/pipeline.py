@@ -337,9 +337,15 @@ def run_pipeline(
     edge_paths = [os.path.join(staging, f"chunk-{c}", "edges") for c in range(n_chunks)]
     raw_nodes = spark.read.schema(NODE_SCHEMA).parquet(*node_paths)
     raw_edges = spark.read.schema(EDGE_SCHEMA).parquet(*edge_paths)
+    eff_salt = salt
+    if salt == -1:
+        # auto: heavy-hitter sample over the staged raw node ids
+        from .fusion import suggest_salt
+
+        eff_salt = suggest_salt(raw_nodes, ["id"])
     fnodes, fedges = reconciliate(
         raw_nodes, raw_edges,
-        reconciliate_sep=reconciliate_sep, raise_errors=raise_errors, salt=salt,
+        reconciliate_sep=reconciliate_sep, raise_errors=raise_errors, salt=eff_salt,
     )
     if property_mergers:
         from .mergers import render_properties

@@ -458,3 +458,26 @@ def test_cli_sep_propsep_validate_output(tmp_path):
             props[row["id"]] = row["properties"]
     # rendered as map<string,string>, not arrays (pyarrow maps -> tuple list)
     assert dict(props["a:thing"])["lang"] == "en"
+
+
+def test_cli_auto_salt_and_bucketed_out(tmp_path):
+    """--salt -1 picks a factor from a heavy-hitter sample; --bucketed-out
+    also materializes bucketed tables for shuffle-free downstream joins."""
+    data = tmp_path / "d.csv"
+    data.write_text("id,lang\n" + "".join(f"r{i},en\n" for i in range(50)))
+    mapping = tmp_path / "m.yaml"
+    mapping.write_text(
+        "row:\n  map:\n    id_from_column: id\n    to_subject: thing\n"
+        "transformers:\n  - map:\n      column: lang\n      to_object: language\n"
+        "      via_relation: in_lang\n"
+    )
+    out = tmp_path / "out"
+    proc = subprocess.run(
+        [sys.executable, "-m", "ontoweaver_spark", f"{data}:{mapping}",
+         "--out", str(out), "--salt", "-1", "--bucketed-out", "kgcli",
+         "--master", "local[2]"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["nodes"] == 51  # 50 things + 1 language hub
