@@ -75,16 +75,23 @@ def _external_defaults(ap: argparse.ArgumentParser) -> dict:
         return value
 
     out: dict = {}
+    append_fallbacks: dict = {}
     for action in ap._actions:
         if not action.option_strings or action.dest == argparse.SUPPRESS:
             continue
+        # append actions must NOT be installed as argparse defaults: argparse
+        # appends CLI values ONTO the default list, so an env value would
+        # merge with (not be overridden by) the command line, violating the
+        # documented precedence — they apply after parsing, only if the CLI
+        # gave none
+        sink = append_fallbacks if isinstance(action, argparse._AppendAction) else out
         if action.dest in cfg:
-            out[action.dest] = convert(action, cfg[action.dest], f"config {action.dest}")
+            sink[action.dest] = convert(action, cfg[action.dest], f"config {action.dest}")
         env_name = "ONTOWEAVE_" + action.dest.upper()
         env = os.environ.get(env_name)
         if env is not None:
-            out[action.dest] = convert(action, env, env_name)
-    return out
+            sink[action.dest] = convert(action, env, env_name)
+    return out, append_fallbacks
 
 
 def main(argv=None) -> int:
@@ -140,8 +147,12 @@ def main(argv=None) -> int:
     ap.add_argument("--log-level", default="WARN",
                     choices=["ALL", "DEBUG", "INFO", "WARN", "ERROR", "OFF"],
                     help="Spark log level (reference -l)")
-    ap.set_defaults(**_external_defaults(ap))
+    ext_defaults, append_fallbacks = _external_defaults(ap)
+    ap.set_defaults(**ext_defaults)
     args = ap.parse_args(argv)
+    for dest, vals in append_fallbacks.items():
+        if not getattr(args, dest, None):  # CLI flag wins over env/config
+            setattr(args, dest, vals)
 
     from . import registry
     from .fusion import reconciliate
@@ -203,6 +214,8 @@ def main(argv=None) -> int:
         from .pipeline import run_pipeline
 
         data_path, _, mapping_path = args.pairs[0].rpartition(":")
+        if not data_path:
+            ap.error(f"expected DATA:MAPPING, got {args.pairs[0]!r}")
         df = read_table(spark, data_path, sep=args.sep)
         if args.sub_sample:
             df = sub_sample(df, args.sub_sample)
@@ -241,9 +254,13 @@ def main(argv=None) -> int:
     salt = args.salt
     if salt == -1:
         # heavy-hitter sample over the raw node ids picks the factor that
-        # bounds the hottest fused group's per-task size
+        # bounds the hottest fused group's per-task size. Cache first:
+        # sampling happens AFTER the extraction transforms, so without it
+        # the estimate would re-run the whole extraction a second time.
+        # (The chunked path avoids this by sampling its staged parquet.)
         from .fusion import suggest_salt
 
+        all_nodes = all_nodes.persist()
         salt = suggest_salt(all_nodes, ["id"])
     fnodes, fedges = reconciliate(
         all_nodes, all_edges,

@@ -195,6 +195,19 @@ def read_rdf_triples(spark: SparkSession, path: str) -> DataFrame:
         & (F.trim("line") != "")
     )
 
+    # \uXXXX / \UXXXXXXXX escapes have no Spark-SQL decode (no
+    # codepoint->char builtin); decoding them wrong would silently corrupt
+    # literals, so fail loudly with guidance instead (same policy as the
+    # multi-line rejection below). An escaped backslash before u/U is fine.
+    uesc = body.where(
+        F.regexp_replace("line", r"\\\\", "").rlike(r"\\[uU][0-9A-Fa-f]")
+    ).limit(1).collect()
+    if uesc:
+        raise ValueError(
+            f"\\uXXXX escapes are not supported — pre-decode to UTF-8 with "
+            f"any RDF tool (e.g. riot --output=ntriples): {uesc[0]['line']!r}"
+        )
+
     bad = body.where(~F.col("line").rlike(_NT_RE)).limit(1).collect()
     if bad:
         raise ValueError(
@@ -242,10 +255,13 @@ def read_rdf_triples(spark: SparkSession, path: str) -> DataFrame:
         F.regexp_replace(
             F.regexp_replace(
                 F.regexp_replace(
-                    F.regexp_replace(lex, r"\\\\", "\x00"),
-                    r"\\n", "\n",
+                    F.regexp_replace(
+                        F.regexp_replace(lex, r"\\\\", "\x00"),
+                        r"\\n", "\n",
+                    ),
+                    r"\\t", "\t",
                 ),
-                r"\\t", "\t",
+                r"\\r", "\r",
             ),
             r'\\"', '"',
         ),

@@ -85,6 +85,11 @@ def _decode_png(payload: bytes) -> dict | None:
                 )
                 if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
                     return None
+                if not width or not height:
+                    # zero dims would make expected=0 below, and zlib treats
+                    # max_length=0 as UNLIMITED — the bomb cap must not be
+                    # defeatable by a lying IHDR
+                    return None
             elif ctype == b"IDAT":
                 idat += data
             elif ctype == b"IEND":

@@ -83,6 +83,29 @@ def partition_metrics(df: DataFrame) -> list[dict]:
     return [r.asDict() for r in rows]
 
 
+def _clear_orphan_location(spark: SparkSession, table: str) -> None:
+    """Remove a managed-table directory that has NO catalog owner — a
+    leftover from a previous session's (local derby) metastore. Spark
+    refuses to adopt such a location (LOCATION_ALREADY_EXISTS), and this
+    only deletes when the catalog genuinely has no entry for ``table``.
+    The managed layout is ``warehouse/<name>`` for the default database and
+    ``warehouse/<db>.db/<name>`` otherwise."""
+    if spark.catalog.tableExists(table):
+        return
+    import shutil
+    from urllib.parse import urlparse
+
+    parts = table.lower().split(".")
+    name = parts[-1]
+    db = parts[-2] if len(parts) > 1 else spark.catalog.currentDatabase()
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    if wh.scheme in ("", "file"):
+        base = wh.path if db == "default" else os.path.join(wh.path, f"{db}.db")
+        stale = os.path.join(base, name)
+        if os.path.isdir(stale):
+            shutil.rmtree(stale, ignore_errors=True)
+
+
 def write_bucketed_graph(
     fnodes: DataFrame,
     fedges: DataFrame,
@@ -102,6 +125,8 @@ def write_bucketed_graph(
     """
     spark = fnodes.sparkSession
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    _clear_orphan_location(spark, f"{database}.nodes")
+    _clear_orphan_location(spark, f"{database}.edges")
     (
         fnodes.write.mode("overwrite")
         .bucketBy(n_buckets, "id").sortBy("id")
@@ -150,15 +175,7 @@ def write_graph_catalog_tables(
             # previous metastore (local derby dies with the session); Spark
             # refuses to adopt it (LOCATION_ALREADY_EXISTS), so clear it —
             # only when the catalog genuinely has no owner for it.
-            if not spark.catalog.tableExists(table):
-                import shutil
-                from urllib.parse import urlparse
-
-                wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
-                if wh.scheme in ("", "file"):
-                    stale = os.path.join(wh.path, table.split(".")[-1].lower())
-                    if os.path.isdir(stale):
-                        shutil.rmtree(stale, ignore_errors=True)
+            _clear_orphan_location(spark, table)
             (
                 df.write.mode("overwrite")
                 .format(fmt or "parquet")
@@ -229,7 +246,10 @@ def run_pipeline(
 
     # ---- phase 0: input validation (once, surfaced in the manifest) --------
     if spec.input_rules and validate_mode == "report":
-        if todo:
+        # staged input was written from already-validated rows: a crash-resume
+        # with chunks left must not re-scan the raw input just to recompute
+        # counts the manifest already holds
+        if todo and not manifest.get("input_staged"):
             from .validate import validate_input
 
             input_df, vreport = validate_input(input_df, spec.input_rules)

@@ -231,13 +231,19 @@ def stream_upsert_graph(
         with open(tmp, "w") as f:
             f.write(str(nxt))
         os.replace(tmp, os.path.join(graph_dir, "CURRENT"))
-        # prune superseded snapshots (keep the newest `keep_versions`)
+        # prune superseded snapshots (keep the newest `keep_versions`).
+        # Walk DOWN from the newest stale version until the first gap:
+        # earlier versions were pruned by earlier batches, so this is
+        # O(1) amortized per batch, not O(total batches) stat calls.
         import shutil
 
-        for v in range(1, nxt - max(keep_versions, 1) + 1):
+        v = nxt - max(keep_versions, 1)
+        while v >= 1:
             stale = os.path.join(graph_dir, f"v={v}")
-            if os.path.isdir(stale):
-                shutil.rmtree(stale, ignore_errors=True)
+            if not os.path.isdir(stale):
+                break
+            shutil.rmtree(stale, ignore_errors=True)
+            v -= 1
 
     os.makedirs(graph_dir, exist_ok=True)
     reader = spark.readStream
