@@ -784,6 +784,33 @@ def q_hash_split(spark, sf_dir):
     )
 
 
+def q_corpus_prep(spark, sf_dir):
+    """Flagship training-data pipeline COMPOSITION: quality filter ->
+    exact-dedup (keep the lowest doc_id per fingerprint) -> deterministic
+    stratified downsample of the head language. Every stage is the library
+    operator (textops / sampling), chained as one declarative plan — the
+    'prepare a training corpus' query a 100-TB user runs end to end."""
+    from ontoweaver_spark.sampling import stratified_sample
+    from ontoweaver_spark.textops import fingerprint, quality_score, token_count
+
+    _tune(spark)
+    c = F.col("text")
+    feats = _docs(spark, sf_dir).select(
+        "doc_id", "lang",
+        quality_score(c).alias("quality"),
+        token_count(c).alias("n_tokens"),
+        fingerprint(c).alias("fp"),
+    )
+    kept = feats.where(
+        (F.col("quality") >= 0.5) & F.col("lang").isin("en", "de", "fr", "es")
+    )
+    canon = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    uniq = kept.join(canon, ["fp", "doc_id"])
+    return stratified_sample(
+        uniq, "lang", {"en": 0.5}, "doc_id", seed=11
+    ).select("doc_id", "lang", "n_tokens", "quality")
+
+
 def q_kg_degree(spark, sf_dir):
     """Hub detection over the fused KG: top-20 nodes by total degree
     (the skew profile the salted fusion defends against)."""
@@ -857,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "rep_signals": q_rep_signals,
         "kg_degree": q_kg_degree,
+        "corpus_prep": q_corpus_prep,
     }
 
 
@@ -1447,6 +1475,26 @@ def oracle_sql() -> dict[str, str]:
                         % 1000000 < 0.1 * 1000000
                         THEN 'eval' ELSE 'train' END AS split
             FROM documents
+        """,
+        "corpus_prep": f"""
+            WITH feats AS (
+              SELECT doc_id, lang,
+                     {_quality_sql()} AS quality,
+                     {n_tokens_sql} AS n_tokens,
+                     {fingerprint_sql} AS fp
+              FROM documents
+            ), kept AS (
+              SELECT * FROM feats
+              WHERE quality >= 0.5 AND lang IN ('en','de','fr','es')
+            ), canon AS (
+              SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp
+            ), uniq AS (
+              SELECT k.* FROM kept k
+              JOIN canon c ON c.fp = k.fp AND c.doc_id = k.doc_id
+            )
+            SELECT doc_id, lang, n_tokens, quality FROM uniq
+            WHERE {_SQL_MD5INT.format(x="'11:' || doc_id::VARCHAR")} % 1000000
+                  < (CASE lang WHEN 'en' THEN 0.5 ELSE 1.0 END) * 1000000
         """,
         "kg_degree": """
             WITH edges AS (

@@ -79,7 +79,7 @@ def main() -> None:
                  "t_split", "t_maths", "kg_fusion_props", "kg_two_sources",
                  "entity_link", "comention", "kg_match_branch",
                  "onto_closure", "sample_stratified", "top_ngrams",
-                 "rep_signals", "kg_degree"]:
+                 "rep_signals", "kg_degree", "corpus_prep"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the
