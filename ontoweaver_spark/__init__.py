@@ -26,14 +26,19 @@ from .compiler import ExtractResult, compile_mapping, with_row_index
 from .fusion import (
     FusionError,
     format_for_export,
+    merge_into_graph,
     reconciliate,
     reconciliate_edges,
     reconciliate_nodes,
+    suggest_salt,
 )
+from .graphstats import degree_histogram, degree_stats, top_hubs
 from .ids import affix_id
 from .linking import canonical_entity, canonical_url, comention_edges, link_entities
 from .nulls import is_not_null
-from .validate import quarantine, validate_input
+from .ontology import automap_to_targets, subclass_closure, subclass_edges_from_triples
+from .sampling import hash_split, stratified_sample
+from .validate import graph_integrity, quarantine, validate_input
 from .registry import import_from_path, register, register_all
 from .session import get_spark, tune_session
 from .spec import MappingError, MappingSpec, TransformerSpec, load_mapping, parse_mapping
@@ -47,7 +52,11 @@ __all__ = [
     "MappingError", "FusionError", "register", "register_all",
     "import_from_path", "get_spark", "tune_session", "affix_id",
     "is_not_null", "canonical_url", "canonical_entity", "link_entities",
-    "comention_edges", "validate_input", "quarantine",
+    "comention_edges", "validate_input", "quarantine", "graph_integrity",
+    "merge_into_graph", "suggest_salt",
+    "subclass_closure", "subclass_edges_from_triples", "automap_to_targets",
+    "stratified_sample", "hash_split",
+    "degree_stats", "top_hubs", "degree_histogram",
 ]
 
 
