@@ -892,8 +892,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # --------------------------------------------------------------------------
 
-def _minhash_sql_parts(num_hashes: int = 16, bands: int = 4, k: int = 3) -> str:
-    """CTE SQL reproducing dedup.minhash_bands in DuckDB."""
+_NORM_TEXT_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_FINGERPRINT_SQL = _SQL_MD5INT.format(x=_NORM_TEXT_SQL)
+
+
+def _minhash_sql_parts(
+    num_hashes: int = 16, bands: int = 4, k: int = 3, collapse: bool = False
+) -> str:
+    """CTE SQL reproducing dedup.minhash_bands in DuckDB.
+
+    ``collapse=True`` mirrors dedup's exact-family collapse (the default
+    Spark path): only each exact-duplicate family's canonical doc (min id)
+    is shingled/banded, and a ``star`` CTE carries the (canonical, member)
+    re-expansion edges."""
     hash_exprs = ",\n      ".join(
         _SQL_MD5INT.format(x=f"'{i}' || chr(31) || s") + f" AS h{i}"
         for i in range(num_hashes)
@@ -908,11 +919,29 @@ def _minhash_sql_parts(num_hashes: int = 16, bands: int = 4, k: int = 3) -> str:
             f"SELECT doc_id, {b} AS band, md5({concat}) AS band_key FROM sigs"
         )
     bands_sql = "\n      UNION ALL\n      ".join(band_selects)
-    return f"""
+    if collapse:
+        prefix = f"""
+    WITH fam AS (
+      SELECT doc_id, {_FINGERPRINT_SQL} AS fp FROM documents
+    ), canon AS (
+      SELECT fp, min(doc_id) AS canonical FROM fam GROUP BY fp
+    ), star AS (
+      SELECT c.canonical AS a, f.doc_id AS b
+      FROM fam f JOIN canon c ON f.fp = c.fp
+      WHERE f.doc_id <> c.canonical
+    ), canon_docs AS (
+      SELECT d.* FROM documents d JOIN canon c ON d.doc_id = c.canonical
+    ), toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+      FROM canon_docs
+    ), sh AS ("""
+    else:
+        prefix = """
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
       FROM documents
-    ), sh AS (
+    ), sh AS ("""
+    return prefix + f"""
       SELECT DISTINCT doc_id, s
       FROM toks, UNNEST(list_transform(
         range(1, greatest(len(l) - {k - 1}, 1) + 1),
@@ -1313,10 +1342,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs, min(doc_id) AS canonical_id
             FROM documents GROUP BY 1
         """,
-        "dedup_minhash": _minhash_sql_parts() + """
+        "dedup_minhash": _minhash_sql_parts(collapse=True) + """
+            -- canonical-canonical band pairs + exact-family star edges
+            -- (disjoint by construction: star's b is never a canonical)
             SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
             FROM banded l JOIN banded r
               ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+            UNION ALL
+            SELECT a, b FROM star
         """,
         "dedup_jaccard": _shingle_sql(max_df=20) + """
             SELECT l.doc_id AS a, r.doc_id AS b,
@@ -1333,7 +1366,7 @@ def oracle_sql() -> dict[str, str]:
                          * 10000 + 0.5) / 10000 >= 0.8
         """,
         "dedup_simhash": _simhash_sql(),
-        "dedup_verified": _minhash_sql_parts() + """
+        "dedup_verified": _minhash_sql_parts(collapse=True) + """
           , counts AS (
             SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
           ), cand AS (
@@ -1355,7 +1388,15 @@ def oracle_sql() -> dict[str, str]:
           HAVING floor(count(*)::DOUBLE /
                        (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*))
                        * 10000 + 0.5) / 10000 >= 0.5
+          UNION ALL
+          -- exact-family members: jaccard 1.0 by construction (identical
+          -- fingerprint => identical shingle set), no verification work
+          SELECT a, b, 1.0::DOUBLE AS jaccard FROM star
         """,
+        # dedup_clusters stays on the UNCOLLAPSED all-pairs oracle on
+        # purpose: the collapsed Spark path must produce identical clusters
+        # (star edges preserve connectivity exactly), so this is an
+        # independent-derivation check, not a mirrored one.
         "dedup_clusters": _minhash_sql_parts().replace("WITH toks", "WITH RECURSIVE toks") + """
           , counts AS (
             SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id

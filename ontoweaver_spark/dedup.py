@@ -107,16 +107,30 @@ def minhash_bands(
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
 
-def minhash_candidates(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 16,
-    bands: int = 4,
-    shingle_k: int = 3,
-) -> DataFrame:
-    """Distinct candidate pairs (a < b) sharing at least one LSH band."""
-    banded = minhash_bands(df, text_col, id_col, num_hashes, bands, shingle_k)
+def _exact_family_star(
+    df: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-duplicate family collapse: ``(star, canon_ids)``.
+
+    ``star`` links every non-canonical member of a byte-identical family to
+    the family's canonical doc (min id) — O(m) rows per m-doc family.
+    ``canon_ids`` is one id per family; banding only those keeps the
+    band-bucket self-join linear in the number of DISTINCT documents.
+    """
+    from .textops import fingerprint
+
+    fam = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("_fp"))
+    canon = fam.groupBy("_fp").agg(F.min(id_col).alias("_canonical"))
+    star = (
+        fam.join(canon, "_fp")
+        .where(F.col(id_col) != F.col("_canonical"))
+        .select(F.col("_canonical").alias("a"), F.col(id_col).alias("b"))
+    )
+    return star, canon.select(F.col("_canonical").alias(id_col))
+
+
+def _band_pairs(banded: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (a < b) pairs sharing at least one band bucket."""
     left = banded.select(F.col(id_col).alias("a"), "band", "band_key")
     right = banded.select(F.col(id_col).alias("b"), "band", "band_key")
     return (
@@ -125,6 +139,38 @@ def minhash_candidates(
         .select("a", "b")
         .distinct()
     )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """Candidate pairs (a < b) that are exact duplicates or share >=1 LSH band.
+
+    With ``collapse_exact`` (the default, the 100-TB shape) exact-duplicate
+    families are collapsed BEFORE banding: a family of m byte-identical
+    documents (web boilerplate — the common case at crawl scale) would
+    otherwise share every band key and emit O(m^2) pairs inside every band
+    bucket (10^6 identical docs -> 10^12 join rows before any distinct).
+    Instead, only each family's canonical doc (min id) is banded, and the
+    family re-enters the output as O(m) star edges (canonical, member).
+    Connectivity is preserved exactly: identical docs have identical
+    signatures, so any pair the full join would find is reachable through
+    the canonical. ``collapse_exact=False`` restores the all-pairs band
+    join (every same-band pair appears explicitly).
+    """
+    if not collapse_exact:
+        banded = minhash_bands(df, text_col, id_col, num_hashes, bands, shingle_k)
+        return _band_pairs(banded, id_col)
+    star, canon_ids = _exact_family_star(df, text_col, id_col)
+    canon_docs = df.join(canon_ids, id_col, "left_semi")
+    banded = minhash_bands(canon_docs, text_col, id_col, num_hashes, bands, shingle_k)
+    return _band_pairs(banded, id_col).unionByName(star)
 
 
 def jaccard_pairs(
@@ -245,6 +291,7 @@ def verified_candidates(
     shingle_k: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs verified by exact Jaccard: (a, b, jaccard).
 
@@ -253,11 +300,28 @@ def verified_candidates(
     whose hot-shingle O(df^2) blowup is quadratic at 100 TB. Each candidate
     pair's exact Jaccard comes from joining the two per-doc shingle arrays
     and intersecting locally — two hash joins keyed on doc id, per-pair
-    compute stays partition-local."""
-    cand = minhash_candidates(df, text_col, id_col, num_hashes, bands, shingle_k)
-    sets_ = df.select(F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh"))
+    compute stays partition-local.
+
+    With ``collapse_exact`` (default — see :func:`minhash_candidates`) only
+    canonical docs of exact-duplicate families are banded and verified;
+    family members re-enter as (canonical, member) rows with jaccard 1.0
+    (identical fingerprint => identical shingle set) — no per-member
+    verification work, O(m) output per m-doc family."""
+    if collapse_exact:
+        star, canon_ids = _exact_family_star(df, text_col, id_col)
+        canon_docs = df.join(canon_ids, id_col, "left_semi")
+        banded = minhash_bands(canon_docs, text_col, id_col, num_hashes, bands, shingle_k)
+        cand = _band_pairs(banded, id_col)
+        sets_df = canon_docs
+    else:
+        star = None
+        cand = minhash_candidates(
+            df, text_col, id_col, num_hashes, bands, shingle_k, collapse_exact=False
+        )
+        sets_df = df
+    sets_ = sets_df.select(F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh"))
     inter = F.size(F.array_intersect("sa", "sb"))
-    return (
+    verified = (
         cand.join(sets_.select(F.col(id_col).alias("a"), F.col("sh").alias("sa")), "a")
         .join(sets_.select(F.col(id_col).alias("b"), F.col("sh").alias("sb")), "b")
         .withColumn("_i", inter)
@@ -269,6 +333,11 @@ def verified_candidates(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    if star is not None:
+        verified = verified.unionByName(
+            star.withColumn("jaccard", F.lit(1.0).cast("double"))
+        )
+    return verified
 
 
 def duplicate_clusters(
@@ -344,20 +413,49 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    dims: int = 8,
+    tables: int = 1,
 ) -> DataFrame:
-    """Cosine near-dup pairs among embeddings. The pair generation is a
-    self-join on a coarse sign-bucket (first 8 dimension signs) so the
-    candidate set stays near-linear; exact cosine verifies candidates."""
-    from .similarity import cosine, sign_bucket
+    """Cosine near-dup pairs among embeddings: self-join on coarse
+    sign-buckets, exact cosine verifies the candidates.
 
-    base = df.select(
-        F.col(id_col), F.col(vec_col).alias("v"), sign_bucket(F.col(vec_col)).alias("bucket")
-    )
-    a = base.select(F.col(id_col).alias("a"), F.col("v").alias("va"), "bucket")
-    b = base.select(F.col(id_col).alias("b"), F.col("v").alias("vb"), "bucket")
-    return (
-        a.join(b, "bucket")
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", round_ieee(cosine(F.col("va"), F.col("vb")), 4).alias("cos"))
-        .where(F.col("cos") >= threshold)
+    ``dims`` sets the bucket width — 2^dims buckets. The within-bucket join
+    is O((n / 2^dims)^2), so size it to the corpus (dims ~ log2(n) keeps
+    expected bucket occupancy O(1); the old hard-coded 8 bits = 256 buckets
+    was quadratic at any real scale). Wider buckets lose recall — a true
+    near-dup pair is only found when ALL dims sign bits agree — so
+    ``tables > 1`` adds LSH OR-amplification: table t buckets on signs of
+    dimensions [t*dims, (t+1)*dims) and a pair is a candidate when it
+    collides in ANY table (miss probability decays exponentially in
+    ``tables``). Candidates union + distinct before the one exact-cosine
+    verification pass."""
+    from .similarity import cosine, sign_bucket_at
+
+    base = df.select(F.col(id_col), F.col(vec_col).alias("v"))
+
+    def verify(pairs: DataFrame) -> DataFrame:
+        return pairs.select(
+            "a", "b", round_ieee(cosine(F.col("va"), F.col("vb")), 4).alias("cos")
+        ).where(F.col("cos") >= threshold)
+
+    if tables <= 1:
+        # single table: vectors ride along the bucket join — one shuffle
+        bucketed = base.withColumn("bucket", sign_bucket_at(F.col("v"), dims, 0))
+        a = bucketed.select(F.col(id_col).alias("a"), F.col("v").alias("va"), "bucket")
+        b = bucketed.select(F.col(id_col).alias("b"), F.col("v").alias("vb"), "bucket")
+        return verify(a.join(b, "bucket").where(F.col("a") < F.col("b")))
+
+    # OR-amplification: id-only candidate pairs per table, distinct across
+    # tables, then one vector-fetch + exact-cosine verification pass
+    cand = None
+    for t in range(tables):
+        bucketed = base.withColumn("bucket", sign_bucket_at(F.col("v"), dims, t * dims))
+        a = bucketed.select(F.col(id_col).alias("a"), "bucket")
+        b = bucketed.select(F.col(id_col).alias("b"), "bucket")
+        pairs = a.join(b, "bucket").where(F.col("a") < F.col("b")).select("a", "b")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+    return verify(
+        cand.join(base.select(F.col(id_col).alias("a"), F.col("v").alias("va")), "a")
+        .join(base.select(F.col(id_col).alias("b"), F.col("v").alias("vb")), "b")
     )

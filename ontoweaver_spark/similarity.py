@@ -43,10 +43,18 @@ def cosine(a: Column, b: Column) -> Column:
 
 def sign_bucket(v: Column, dims: int = 8) -> Column:
     """Deterministic LSH-ish bucket: sign bits of the first `dims` entries."""
-    return F.concat(*[
-        F.when(F.element_at(v, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for i in range(dims)
-    ])
+    return sign_bucket_at(v, dims, 0)
+
+
+def sign_bucket_at(v: Column, dims: int, offset: int) -> Column:
+    """Sign-bit bucket over ``dims`` dimensions starting at ``offset``
+    (0-based), wrapping modulo the vector length — the per-table hash for
+    OR-amplified LSH (each table reads a disjoint dimension slice)."""
+    def bit(i: int) -> Column:
+        idx = (F.lit(offset + i) % F.size(v)) + 1 if offset else F.lit(i + 1)
+        return F.when(F.element_at(v, idx) >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.concat(*[bit(i) for i in range(dims)])
 
 
 def topk_bruteforce(
@@ -136,9 +144,10 @@ def train_centroids(
     Distributed shape per iteration: assign = the same broadcast
     one-row-cents cross join as ``topk_ivf`` (corpus never shuffles for
     assignment); update = ONE groupBy(list_id) with ``dim`` component
-    averages (map-side partials; n_centroids rows out), re-normalized to
-    the unit sphere (cosine geometry). Empty clusters keep their previous
-    centroid. The centroid frame is ``localCheckpoint``-ed per round so
+    averages (map-side partials; n_centroids rows out). The mean is kept
+    UN-normalized: only its direction matters because ``cosine()`` divides
+    by both norms at use (see the inline comment at the update step).
+    Empty clusters keep their previous centroid. The centroid frame is ``localCheckpoint``-ed per round so
     the plan stays O(1) across iterations. Deterministic seeding
     (:func:`seed_centroids`); float-sum ordering across partitions makes
     ~1-ulp wiggle possible, so trained centroids are property-tested, not

@@ -1,0 +1,144 @@
+"""Scale-shape tests for the dedup stack (VERDICT r2 weak #1 / #2):
+
+- exact-duplicate families must produce O(m) minhash candidates, not the
+  O(m^2) all-pairs a naive band-bucket join emits;
+- the collapsed path must keep cluster semantics identical to the
+  uncollapsed one;
+- embedding near-dup must expose bucket width (`dims`) and OR-amplified
+  `tables`, with amplification recovering recall that a single narrow
+  bucket loses.
+"""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_identical_family_candidates_linear(spark):
+    """1,000 byte-identical docs -> 999 star candidates, not 499,500 pairs."""
+    from ontoweaver_spark.dedup import minhash_candidates
+
+    m = 1000
+    df = _docs(spark, [(i, "the same boilerplate page text repeated here") for i in range(m)])
+    cands = minhash_candidates(df).collect()
+    assert len(cands) == m - 1  # O(m) star edges
+    # every member hangs off the canonical (min id)
+    assert all(r["a"] == 0 for r in cands)
+    assert sorted(r["b"] for r in cands) == list(range(1, m))
+    # the uncollapsed join would have emitted every pair
+    assert m * (m - 1) // 2 == 499500
+
+
+def test_collapse_preserves_clusters(spark):
+    """Collapsed and uncollapsed candidate generation give the same
+    connected components (same membership, same cluster ids)."""
+    from ontoweaver_spark.dedup import duplicate_clusters
+
+    rows = []
+    # family A: 4 identical docs; family B: 3 identical docs near-dup of A
+    a_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b_text = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    for i in range(4):
+        rows.append((i, a_text))
+    for i in range(4, 7):
+        rows.append((i, b_text))
+    # unrelated doc
+    rows.append((100, "completely different words about other topics entirely now"))
+    df = _docs(spark, rows)
+
+    collapsed = {
+        (r["doc_id"], r["cluster_id"])
+        for r in duplicate_clusters(df, threshold=0.5).collect()
+    }
+    # uncollapsed reference run (the pre-r3 semantics)
+    from ontoweaver_spark.dedup import connected_components, verified_candidates
+
+    pairs = verified_candidates(df, threshold=0.5, collapse_exact=False).select("a", "b")
+    ref = {
+        (r["vertex"], r["component"]) for r in connected_components(pairs).collect()
+    }
+    # the point: collapsed and uncollapsed paths agree exactly (whether or
+    # not LSH banding surfaces the cross-family 0.78-jaccard pair)
+    assert collapsed == ref
+    by_doc = dict(collapsed)
+    assert {by_doc[i] for i in range(4)} == {0}  # family A is one cluster
+    assert len({by_doc[i] for i in range(4, 7)}) == 1  # family B too
+
+
+def test_verified_star_jaccard_is_one(spark):
+    from ontoweaver_spark.dedup import verified_candidates
+
+    df = _docs(spark, [(1, "one two three four"), (2, "one two three four"),
+                       (3, "five six seven eight")])
+    rows = verified_candidates(df, threshold=0.9).collect()
+    assert [(r["a"], r["b"], r["jaccard"]) for r in rows] == [(1, 2, 1.0)]
+
+
+def _random_unit(rng, d):
+    v = [rng.gauss(0, 1) for _ in range(d)]
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+def test_emb_near_dup_amplification_recall(spark):
+    """Wider buckets (dims=12) over 16-dim vectors lose near-dup pairs that
+    OR-amplification (tables=2) recovers; brute force is the recall oracle."""
+    from ontoweaver_spark.dedup import embedding_near_duplicates
+
+    rng = random.Random(7)
+    d = 16
+    rows = []
+    vid = 0
+    for _ in range(40):
+        base = _random_unit(rng, d)
+        # near-dup partner: tiny perturbation (cosine ~ 0.999)
+        pert = [x + rng.gauss(0, 0.02) for x in base]
+        n = math.sqrt(sum(x * x for x in pert))
+        rows.append((vid, base))
+        rows.append((vid + 1, [x / n for x in pert]))
+        vid += 2
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    # recall oracle by construction: every (2i, 2i+1) pair is a near-dup
+    # at threshold 0.99 (perturbation sigma makes cosine ~0.999)
+    expected = {(i, i + 1) for i in range(0, 2 * 40, 2)}
+
+    def found(dims, tables):
+        got = {
+            (r["a"], r["b"])
+            for r in embedding_near_duplicates(
+                df, threshold=0.99, dims=dims, tables=tables
+            ).collect()
+        }
+        return got & expected
+
+    narrow = found(dims=12, tables=1)
+    amplified = found(dims=12, tables=2)
+    # a 12-bit bucket over 16 dims misses some perturbed pairs (a sign flip
+    # in any of 12 dims splits the pair); the second table must recover some
+    assert len(narrow) < len(expected)
+    assert len(amplified) > len(narrow)
+    assert narrow <= amplified  # OR-amplification only adds candidates
+
+
+def test_emb_near_dup_default_matches_old_shape(spark):
+    """dims=8/tables=1 keeps the original first-8-signs semantics."""
+    from ontoweaver_spark.dedup import embedding_near_duplicates
+    from ontoweaver_spark.similarity import sign_bucket
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.2, 0.1, 0.3, -0.4, 0.2, 0.6, -0.1, 0.9]),
+         (2, [0.4, -0.1, 0.2, 0.2, -0.5, 0.1, 0.5, -0.2, 0.8]),
+         (3, [-0.4, 0.1, -0.2, -0.2, 0.5, -0.1, -0.5, 0.2, 0.8])],
+        "vec_id bigint, embedding array<double>",
+    )
+    pairs = embedding_near_duplicates(df, threshold=0.9).collect()
+    assert [(r["a"], r["b"]) for r in pairs] == [(1, 2)]
+    buckets = df.select(sign_bucket(F.col("embedding")).alias("bk")).collect()
+    assert buckets[0]["bk"] == buckets[1]["bk"] != buckets[2]["bk"]
