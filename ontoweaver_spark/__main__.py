@@ -18,7 +18,7 @@ import os
 import sys
 
 
-def _external_defaults(ap: argparse.ArgumentParser) -> dict:
+def _external_defaults(ap: argparse.ArgumentParser) -> tuple[dict, dict]:
     """Defaults from a config file + ``ONTOWEAVE_*`` env vars (the
     reference CLI gets both via jsonargparse, ontoweave.py:151-220;
     precedence here matches it: CLI flag > env var > config file > coded
@@ -98,7 +98,11 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="ontoweaver_spark", description=__doc__)
     ap.add_argument("pairs", nargs="+", metavar="DATA:MAPPING",
                     help="input table path and mapping YAML, colon-separated")
-    ap.add_argument("--out", required=True, help="output directory")
+    # NOT argparse-required: argparse ignores set_defaults for required
+    # options, which would make ONTOWEAVE_OUT / a config `out:` key silently
+    # unusable — presence is enforced after env/config defaults are merged
+    ap.add_argument("--out", default=None, help="output directory "
+                    "(flag, ONTOWEAVE_OUT, or config `out:`)")
     ap.add_argument("--affix", default="none", choices=["none", "prefix", "suffix"])
     ap.add_argument("--affix-sep", default=":")
     ap.add_argument("--reconciliate-sep", default="|")
@@ -153,6 +157,8 @@ def main(argv=None) -> int:
     for dest, vals in append_fallbacks.items():
         if not getattr(args, dest, None):  # CLI flag wins over env/config
             setattr(args, dest, vals)
+    if not args.out and not args.auto_schema and not args.validate_only:
+        ap.error("--out is required (flag, ONTOWEAVE_OUT, or config `out:`)")
 
     from . import registry
     from .fusion import reconciliate
@@ -226,14 +232,22 @@ def main(argv=None) -> int:
             n_chunks=args.chunks, salt=args.salt,
             raise_errors=not args.pass_errors,
             validate_mode=args.validate_mode,
+            # post-fusion flags are honored here too (they used to be
+            # silently dropped when combined with --chunks)
+            prop_sep=args.prop_sep, sort=args.sort,
+            validate_output=args.validate_output,
+            bucketed_out=args.bucketed_out,
         )
-        print(json.dumps({
+        out_json = {
             "nodes": report.fused_nodes, "edges": report.fused_edges,
             "out": args.out, "chunks_resumed": report.chunks_resumed,
             "chunks_extracted": report.chunks_extracted,
-        }))
+        }
+        if report.integrity is not None:
+            out_json["integrity"] = report.integrity
+        print(json.dumps(out_json))
         spark.stop()
-        return 0
+        return 0 if (report.integrity is None or report.integrity["ok"]) else 1
 
     all_nodes, all_edges = None, None
     for pair in args.pairs:

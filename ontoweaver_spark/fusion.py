@@ -33,7 +33,11 @@ from pyspark.sql import functions as F
 
 
 class FusionError(ValueError):
-    """Label conflict under EnsureIdentical (merge.py:254-265)."""
+    """Label conflict under EnsureIdentical (merge.py:254-265).
+
+    The default fusion path now surfaces conflicts at execution via
+    ``raise_error`` inside the label projection (zero extra jobs); this
+    class remains for API compatibility and driver-side validation."""
 
 
 def _merge_props(
@@ -112,37 +116,55 @@ def reconciliate_nodes(
     """Group nodes by ID; merge labels (EnsureIdentical by default, or a
     custom merger such as ``mergers.SpecificType`` for ontology-LCA
     resolution) and properties (set union). Output schema matches the input
-    (id, label, properties)."""
+    (id, label, properties).
+
+    With ``raise_errors`` a label conflict raises AT EXECUTION, inside the
+    label projection itself (``raise_error`` — the same zero-extra-job
+    pattern as :func:`merge_into_graph`): plan construction stays lazy and
+    no separate driver-side conflict-probe job runs. The error message
+    names the conflicting node id and its label set."""
     merged = _merge_props(nodes, ["id"], salt=salt)
-    label_expr = (
-        label_merger(F.col("_all_labels"))
-        if label_merger is not None
-        else F.element_at("_all_labels", 1)
-    )
-    out = merged.select(
-        "id",
-        label_expr.alias("label"),
-        (F.size("_all_labels") if label_merger is None else F.lit(1)).alias("_n_labels"),
-        "properties",
-    )
-    if raise_errors:
-        bad = (F.col("_n_labels") > 1) | F.col("label").isNull()
-        sample = out.where(bad).select("id").limit(5).collect()
-        if sample:
-            ids = [r["id"] for r in sample]
-            raise FusionError(f"nodes with conflicting labels for the same ID, e.g. {ids}")
-    return out.drop("_n_labels")
+    if label_merger is not None:
+        label_expr = label_merger(F.col("_all_labels"))
+    elif raise_errors:
+        label_expr = F.when(
+            F.size("_all_labels") != 1,
+            F.raise_error(F.concat(
+                F.lit("reconciliate_nodes: conflicting labels for node id '"),
+                F.col("id"), F.lit("': "),
+                F.array_join("_all_labels", ", ", "NULL"),
+            )).cast("string"),
+        ).otherwise(F.element_at("_all_labels", 1))
+    else:
+        label_expr = F.element_at("_all_labels", 1)
+    return merged.select("id", label_expr.alias("label"), "properties")
 
 
 def reconciliate_edges(
     edges: DataFrame, reconciliate_sep: str = "|", salt: int = 0
 ) -> DataFrame:
     """Group edges by (src, dst, label); fuse IDs as a sorted distinct join
-    (reference OrderedSet keeps encounter order — see module docstring)."""
+    (reference OrderedSet keeps encounter order — see module docstring).
+
+    A raw edge id that itself contains ``reconciliate_sep`` raises at
+    execution (inline in the projection, zero extra jobs): the joined id
+    would be ambiguous to split back, silently breaking
+    :func:`merge_into_graph`'s re-fusion-equivalence invariant. Pick a
+    separator absent from the ids (the reference joins blindly and would
+    emit the same ambiguous string without noticing)."""
     keys = ["src", "dst", "label"]
     merged = _merge_props(edges, keys, salt=salt, carry=["id"])
+    sep_ok = F.when(
+        F.exists("_all_id", lambda v: v.contains(reconciliate_sep)),
+        F.raise_error(F.concat(
+            F.lit("reconciliate_edges: raw edge id contains the "
+                  f"reconciliate separator {reconciliate_sep!r} "
+                  "(fused id would not split back losslessly): "),
+            F.array_join("_all_id", " / "),
+        )).cast("array<string>"),
+    ).otherwise(F.col("_all_id"))
     return merged.select(
-        F.array_join(F.col("_all_id"), reconciliate_sep).alias("id"),
+        F.array_join(sep_ok, reconciliate_sep).alias("id"),
         *keys,
         "properties",
     )

@@ -132,11 +132,23 @@ def _decode_png(payload: bytes) -> dict | None:
                     line[x] = (line[x] + pr) & 0xFF
             out += line
             prev = line
-        h = hashlib.md5(bytes(out)).digest()
+        # reduce to luma exactly like the Pillow path's convert("L")
+        # (ITU-R 601-2, truncating, alpha dropped) so the same image gives
+        # the same brightness/phash whether or not Pillow is installed
+        if ch == 1:
+            luma = out
+        elif ch == 2:  # gray+alpha: luminance channel only
+            luma = out[0::2]
+        else:  # RGB / RGBA interleaved
+            luma = bytearray(
+                (out[i] * 299 + out[i + 1] * 587 + out[i + 2] * 114) // 1000
+                for i in range(0, len(out), ch)
+            )
+        h = hashlib.md5(bytes(luma)).digest()
         return {
             "width": width,
             "height": height,
-            "brightness": (sum(out) / len(out)) / 255.0 if out else 0.0,
+            "brightness": (sum(luma) / len(luma)) / 255.0 if luma else 0.0,
             "phash": int.from_bytes(h[:8], "big", signed=True),
         }
     except Exception:

@@ -51,6 +51,7 @@ class RunReport:
     edge_property_conflicts: int = 0
     seconds: float = 0.0
     partition_metrics: list = field(default_factory=list)
+    integrity: Optional[dict] = None
 
 
 def _manifest_path(out_dir: str) -> str:
@@ -198,8 +199,21 @@ def run_pipeline(
     raise_errors: bool = False,
     validate_mode: str = "report",
     property_mergers: Optional[dict] = None,
+    prop_sep: Optional[str] = None,
+    sort: Optional[str] = None,
+    validate_output: bool = False,
+    bucketed_out: Optional[str] = None,
 ) -> RunReport:
     """Run the full pipeline with checkpoint/resume.
+
+    ``prop_sep`` / ``sort`` / ``validate_output`` / ``bucketed_out`` mirror
+    the CLI's post-fusion flags so the chunked path honors them too
+    (integrity is checked PRE-render, on raw ids, exactly like the
+    single-shot path): render multi-valued properties joined with
+    ``prop_sep``; natural-order ``sort`` ("ascend"/"descend") by id before
+    writing; ``validate_output`` runs final-graph invariants into
+    ``report.integrity``; ``bucketed_out`` also materializes bucketed
+    tables in that database.
 
     ``chunk_key``: stable column used to split the input into resumable
     chunks (e.g. ``url``). With ``n_chunks=1`` staging is a single snapshot.
@@ -335,7 +349,11 @@ def run_pipeline(
                    # the property-name set invalidates the snapshot when the
                    # merged property SET changes (same-name merger swaps
                    # still require a fresh out_dir)
-                   "property_mergers": sorted(property_mergers or [])}
+                   "property_mergers": sorted(property_mergers or []),
+                   # post-fusion output shaping also invalidates the snapshot
+                   "prop_sep": prop_sep, "sort": sort,
+                   "validate_output": validate_output,
+                   "bucketed_out": bucketed_out}
     final = manifest.get("final")
     if (
         report.chunks_extracted == 0
@@ -350,6 +368,7 @@ def run_pipeline(
         pc = final.get("property_conflicts") or {}
         report.node_property_conflicts = pc.get("nodes", 0)
         report.edge_property_conflicts = pc.get("edges", 0)
+        report.integrity = final.get("integrity")
         report.seconds = time.time() - t0
         return report
 
@@ -372,6 +391,25 @@ def run_pipeline(
 
         fnodes = render_properties(fnodes, sep=reconciliate_sep,
                                    prop_mergers=property_mergers)
+    if bucketed_out:
+        write_bucketed_graph(fnodes, fedges, database=bucketed_out)
+    if validate_output:
+        # PRE-render, on raw ids — same order as the single-shot CLI path
+        from .validate import graph_integrity
+
+        report.integrity = graph_integrity(fnodes, fedges)
+    if prop_sep is not None:
+        from .fusion import format_for_export
+
+        fnodes = format_for_export(fnodes, sep=prop_sep)
+        fedges = format_for_export(fedges, sep=prop_sep)
+    if sort:
+        from .ids import natural_sort_key
+
+        asc = sort == "ascend"
+        key_n, key_e = natural_sort_key(fnodes.id), natural_sort_key(fedges.id)
+        fnodes = fnodes.orderBy(key_n.asc() if asc else key_n.desc())
+        fedges = fedges.orderBy(key_e.asc() if asc else key_e.desc())
     final_nodes = os.path.join(out_dir, "nodes")
     final_edges = os.path.join(out_dir, "edges")
     fnodes.write.mode("overwrite").partitionBy("label").parquet(final_nodes)
@@ -408,6 +446,7 @@ def run_pipeline(
         "nodes_path": final_nodes,
         "edges_path": final_edges,
         "fusion_conf": fusion_conf,
+        "integrity": report.integrity,
         "seconds": report.seconds,
         "ts": time.time(),
     }

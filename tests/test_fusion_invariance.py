@@ -150,3 +150,26 @@ def test_incremental_merge_label_conflict_raises(spark):
     merged_n, _ = merge_into_graph(old_n, old_e, new_n, old_e.limit(0))
     with pytest.raises(SparkRuntimeException, match="conflicting labels for node id 'x'"):
         merged_n.collect()
+
+
+def test_reconciliate_label_conflict_inline_no_probe_job(spark):
+    """Conflict detection is folded into the label projection: constructing
+    the fused frame runs ZERO jobs (the old shape ran a driver-side probe
+    job eagerly), and the conflict surfaces at execution with the id."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    import pytest
+    from ontoweaver_spark.fusion import reconciliate_nodes
+
+    nodes = spark.createDataFrame(
+        [("x", "person", {}), ("x", "place", {}), ("y", "person", {})],
+        "id string, label string, properties map<string,array<string>>",
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup())
+    fused = reconciliate_nodes(nodes, raise_errors=True)  # must stay lazy
+    assert set(tracker.getJobIdsForGroup()) == before  # no probe job ran
+    with pytest.raises(SparkRuntimeException, match="conflicting labels for node id 'x'"):
+        fused.collect()
+    # clean rows still fuse fine under raise_errors
+    ok = reconciliate_nodes(nodes.where("id = 'y'"), raise_errors=True).collect()
+    assert [(r["id"], r["label"]) for r in ok] == [("y", "person")]

@@ -126,3 +126,34 @@ def test_pipeline_property_conflict_metrics(spark, tmp_path):
     with open(os.path.join(out, "_manifest.json")) as f:
         m = json.load(f)
     assert m["final"]["property_conflicts"] == {"nodes": 1, "edges": 0}
+
+
+def test_pipeline_chunked_post_fusion_flags(spark, tmp_path):
+    """--chunks used to silently drop --prop-sep/--sort/--validate-output/
+    --bucketed-out; run_pipeline now applies them (ADVICE r2 #1)."""
+    from ontoweaver_spark.pages import WEB_KG_MAPPING, generate_pages
+
+    pages = generate_pages(spark, 300, seed=5, partitions=4)
+    out = str(tmp_path / "flags_out")
+    rep = run_pipeline(
+        spark, pages, WEB_KG_MAPPING, out, n_chunks=2, chunk_key="url",
+        prop_sep=";", sort="ascend", validate_output=True,
+    )
+    assert rep.integrity is not None and rep.integrity["ok"]
+    nodes = spark.read.parquet(out + "/nodes")
+    # prop_sep rendered: properties are map<string,string>, not arrays
+    assert nodes.schema["properties"].dataType.valueType.simpleString() == "string"
+    # resume with identical flags reuses the snapshot, including integrity
+    rep2 = run_pipeline(
+        spark, pages, WEB_KG_MAPPING, out, n_chunks=2, chunk_key="url",
+        prop_sep=";", sort="ascend", validate_output=True,
+    )
+    assert rep2.chunks_resumed == 2 and rep2.integrity == rep.integrity
+    # changing a post-fusion flag invalidates the fused snapshot (re-fuses)
+    rep3 = run_pipeline(
+        spark, pages, WEB_KG_MAPPING, out, n_chunks=2, chunk_key="url",
+        prop_sep=None, sort=None, validate_output=False,
+    )
+    assert rep3.integrity is None
+    nodes3 = spark.read.parquet(out + "/nodes")
+    assert nodes3.schema["properties"].dataType.valueType.simpleString().startswith("array")

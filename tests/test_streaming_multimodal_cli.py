@@ -237,15 +237,19 @@ def test_real_png_decode(spark):
     brightness from actual pixels), not hash-fake them."""
     from ontoweaver_spark.multimodal import decode_image, image_features
 
+    # brightness is ITU-R 601-2 luma (Pillow convert("L") parity, alpha
+    # dropped, truncating) — NOT the raw interleaved channel mean
     png = _make_png(bytes([255, 0, 0]), 1, 1)  # 1x1 red, RGB
     d = decode_image(png)
     assert (d["width"], d["height"]) == (1, 1)
-    assert abs(d["brightness"] - (255 / 3) / 255.0) < 1e-6
+    assert abs(d["brightness"] - (255 * 299 // 1000) / 255.0) < 1e-6
 
     png2 = _make_png(bytes([10, 20, 30, 40, 50, 60]), 2, 1)  # 2x1 RGB
     d2 = decode_image(png2)
     assert (d2["width"], d2["height"]) == (2, 1)
-    assert abs(d2["brightness"] - (sum([10, 20, 30, 40, 50, 60]) / 6) / 255.0) < 1e-6
+    lumas = [(10 * 299 + 20 * 587 + 30 * 114) // 1000,
+             (40 * 299 + 50 * 587 + 60 * 114) // 1000]
+    assert abs(d2["brightness"] - (sum(lumas) / 2) / 255.0) < 1e-6
 
     # through the Spark mapInPandas path
     media = spark.createDataFrame(
@@ -255,7 +259,7 @@ def test_real_png_decode(spark):
     )
     row = image_features(media).collect()[0]
     assert (row["width"], row["height"]) == (1, 1)
-    assert abs(row["brightness"] - round((255 / 3) / 255.0, 4)) < 1e-4
+    assert abs(row["brightness"] - round((255 * 299 // 1000) / 255.0, 4)) < 1e-4
 
 
 def test_real_wav_decode(spark):
