@@ -33,6 +33,7 @@ from .fusion import (
     suggest_salt,
 )
 from .graphstats import degree_histogram, degree_stats, top_hubs
+from .neo4j_export import write_neo4j_import
 from .ids import affix_id
 from .linking import canonical_entity, canonical_url, comention_edges, link_entities
 from .nulls import is_not_null
@@ -56,7 +57,7 @@ __all__ = [
     "merge_into_graph", "suggest_salt",
     "subclass_closure", "subclass_edges_from_triples", "automap_to_targets",
     "stratified_sample", "hash_split",
-    "degree_stats", "top_hubs", "degree_histogram",
+    "degree_stats", "top_hubs", "degree_histogram", "write_neo4j_import",
 ]
 
 

@@ -116,6 +116,11 @@ def main(argv=None) -> int:
                          "tables (nodes bucketBy id, edges bucketBy src) in "
                          "this database — downstream edge->node joins need "
                          "no shuffle")
+    ap.add_argument("--neo4j-out", default=None, metavar="DIR",
+                    help="also write the fused graph as a Neo4j bulk-import "
+                         "directory (per-label header+parts CSV groups and "
+                         "a generated neo4j-admin import script — the "
+                         "reference's BioCypher/--import-script-run analog)")
     ap.add_argument("--register", action="append", default=[],
                     help="user transformer module path (may repeat)")
     ap.add_argument("--sub-sample", type=float, default=None, help="percent sample")
@@ -238,6 +243,16 @@ def main(argv=None) -> int:
             validate_output=args.validate_output,
             bucketed_out=args.bucketed_out,
         )
+        if args.neo4j_out:
+            # emit from the final fused parquet (works for both array-typed
+            # and --prop-sep-rendered properties)
+            from .neo4j_export import write_neo4j_import
+
+            write_neo4j_import(
+                spark.read.parquet(os.path.join(args.out, "nodes")),
+                spark.read.parquet(os.path.join(args.out, "edges")),
+                args.neo4j_out,
+            )
         out_json = {
             "nodes": report.fused_nodes, "edges": report.fused_edges,
             "out": args.out, "chunks_resumed": report.chunks_resumed,
@@ -285,6 +300,11 @@ def main(argv=None) -> int:
         from .pipeline import write_bucketed_graph
 
         write_bucketed_graph(fnodes, fedges, database=args.bucketed_out)
+    if args.neo4j_out:
+        # pre-render: the emitter renders arrays with its own delimiter
+        from .neo4j_export import write_neo4j_import
+
+        write_neo4j_import(fnodes, fedges, args.neo4j_out)
     integrity = None
     if args.validate_output:
         # reference -V: final-graph invariants (pre-render — needs raw ids)

@@ -177,16 +177,24 @@ _NT_RE = rf"^\s*(<[^>]*>|_:\S+|{_PNAME})\s+(<[^>]*>|a|{_PNAME})\s+(.*?)\s*\.\s*$
 
 
 def read_rdf_triples(spark: SparkSession, path: str) -> DataFrame:
-    """N-Triples (``.nt``) or line-oriented Turtle (``.ttl`` subset:
-    ``@prefix`` declarations, prefixed names, ``a`` for rdf:type, one triple
-    per line) -> DataFrame ``(subject, predicate, object, object_kind,
-    object_lang, object_datatype)``.
+    """N-Triples (``.nt``) or Turtle (``.ttl``) -> DataFrame ``(subject,
+    predicate, object, object_kind, object_lang, object_datatype)``.
 
     URIs are returned without angle brackets, literals as their unescaped
     lexical value with language/datatype split into their own columns —
-    the flat triple table a mapping can consume directly. Multi-line Turtle
-    statements (``;``/``,`` continuations) are rejected with a clear error:
-    convert with any Turtle tool to N-Triples for those."""
+    the flat triple table a mapping can consume directly.
+
+    Execution routing (the 100-TB-safe shape): plain one-triple-per-line
+    statements with no ``\\uXXXX`` escapes — the N-Triples bulk — parse as
+    one JVM regexp projection, fully distributed. Statements with ``;``/
+    ``,`` object-list continuations or unicode escapes (the rare subset in
+    real ontologies) route to an Arrow-batched ``mapInPandas`` parser that
+    tokenizes quotes-aware and decodes escapes. Multi-line statements are
+    first folded back together by a terminator-line cumulative count —
+    that fold is one ordered window (ontology files are config-sized next
+    to the corpus; the reference parses them entirely in driver rdflib
+    memory, loader.py:318-421). Triple-quoted (multi-line) literals stay
+    out of scope and fail loudly."""
     lines = spark.read.text(path).select(F.col("value").alias("line"))
     body = lines.where(
         ~F.trim("line").startswith("#")
@@ -195,24 +203,11 @@ def read_rdf_triples(spark: SparkSession, path: str) -> DataFrame:
         & (F.trim("line") != "")
     )
 
-    # \uXXXX / \UXXXXXXXX escapes have no Spark-SQL decode (no
-    # codepoint->char builtin); decoding them wrong would silently corrupt
-    # literals, so fail loudly with guidance instead (same policy as the
-    # multi-line rejection below). An escaped backslash before u/U is fine.
-    uesc = body.where(
-        F.regexp_replace("line", r"\\\\", "").rlike(r"\\[uU][0-9A-Fa-f]")
-    ).limit(1).collect()
-    if uesc:
+    tq = body.where(F.col("line").contains('"""')).limit(1).collect()
+    if tq:
         raise ValueError(
-            f"\\uXXXX escapes are not supported — pre-decode to UTF-8 with "
-            f"any RDF tool (e.g. riot --output=ntriples): {uesc[0]['line']!r}"
-        )
-
-    bad = body.where(~F.col("line").rlike(_NT_RE)).limit(1).collect()
-    if bad:
-        raise ValueError(
-            f"unparseable RDF line (multi-line Turtle statements are not "
-            f"supported — convert to N-Triples): {bad[0]['line']!r}"
+            f"triple-quoted Turtle literals are not supported — convert to "
+            f"N-Triples (e.g. riot --output=ntriples): {tq[0]['line']!r}"
         )
 
     # @prefix table is config-sized by definition — collect and expand
@@ -222,6 +217,49 @@ def read_rdf_triples(spark: SparkSession, path: str) -> DataFrame:
         for r in lines.where(F.trim("line").startswith("@prefix")).collect()
         if (m := re.match(r"@prefix\s+([\w-]*):\s*<([^>]*)>\s*\.", r["line"].strip()))
     }
+
+    # any statement spanning lines? (a body line without the '.' terminator)
+    if body.where(~F.col("line").rlike(r"\.\s*$")).limit(1).count() > 0:
+        body = _fold_turtle_statements(body)
+
+    # routing predicate: escapes and compound (;/, outside literals)
+    # statements go to the Python parser; everything else stays JVM-side
+    has_esc = F.regexp_replace("line", r"\\\\", "").rlike(r"\\[uU][0-9A-Fa-f]")
+    delit = F.regexp_replace("line", r'"(?:[^"\\]|\\.)*"', '""')
+    simple = F.col("line").rlike(_NT_RE) & ~has_esc & ~delit.rlike("[;,]")
+    jvm = _project_nt_lines(body.where(simple), prefixes)
+    fancy = _parse_turtle_python(body.where(~simple), prefixes)
+    return jvm.unionByName(fancy)
+
+
+def _fold_turtle_statements(body: DataFrame) -> DataFrame:
+    """Reassemble multi-line Turtle statements: statement id = cumulative
+    count of terminator lines (trailing ``.``) before each line, then the
+    lines of each statement concatenate in file order. zipWithIndex gives
+    the stable file-order index; the cumulative sum is one ordered window
+    (single-task — fine for config-sized ontology files, see caller)."""
+    from pyspark.sql import Window
+
+    df = (
+        body.rdd.zipWithIndex()
+        .map(lambda t: (t[0]["line"], t[1]))
+        .toDF(["line", "idx"])
+    )
+    term = F.when(F.col("line").rlike(r"\.\s*$"), F.lit(1)).otherwise(F.lit(0))
+    w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, -1)
+    grouped = df.withColumn("stmt", F.coalesce(F.sum(term).over(w), F.lit(0)))
+    return (
+        grouped.groupBy("stmt")
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "line"))).alias("ls"))
+        .select(
+            F.concat_ws(" ", F.transform("ls", lambda s: s["line"])).alias("line")
+        )
+    )
+
+
+def _project_nt_lines(body: DataFrame, prefixes: dict) -> DataFrame:
+    """The JVM fast path: one-triple-per-line statements (no escapes, no
+    object lists) as a single regexp projection — no Python in the loop."""
 
     def strip_uri(c):
         return F.when(
@@ -284,6 +322,166 @@ def read_rdf_triples(spark: SparkSession, path: str) -> DataFrame:
         F.when(lang != "", lang).alias("object_lang"),
         F.when(dtype != "", dtype).alias("object_datatype"),
     )
+
+
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_RDF_SCHEMA = (
+    "subject string, predicate string, object string, "
+    "object_kind string, object_lang string, object_datatype string"
+)
+
+
+def _turtle_unescape(s: str) -> str:
+    """Turtle/N-Triples string unescape incl. \\uXXXX / \\UXXXXXXXX."""
+    out, i, n = [], 0, len(s)
+    simple = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\"}
+    while i < n:
+        c = s[i]
+        if c != "\\" or i + 1 >= n:
+            out.append(c)
+            i += 1
+            continue
+        e = s[i + 1]
+        if e == "u" and i + 6 <= n:
+            out.append(chr(int(s[i + 2:i + 6], 16)))
+            i += 6
+        elif e == "U" and i + 10 <= n:
+            out.append(chr(int(s[i + 2:i + 10], 16)))
+            i += 10
+        elif e in simple:
+            out.append(simple[e])
+            i += 2
+        else:  # unknown escape kept verbatim (same leniency as the JVM path)
+            out.append(c + e)
+            i += 2
+    return "".join(out)
+
+
+def _tokenize_turtle(stmt: str) -> list[str]:
+    """Quote- and escape-aware Turtle statement tokenizer: <uri>, literal
+    (with @lang/^^dtype suffix attached), prefixed/blank/bare tokens, and
+    the punctuation ``; , .`` as their own tokens."""
+    toks: list[str] = []
+    i, n = 0, len(stmt)
+    while i < n:
+        c = stmt[i]
+        if c.isspace():
+            i += 1
+        elif c == "<":
+            j = stmt.find(">", i)
+            if j < 0:
+                raise ValueError(f"unterminated URI in RDF statement: {stmt!r}")
+            toks.append(stmt[i:j + 1])
+            i = j + 1
+        elif c == '"':
+            j = i + 1
+            while j < n and stmt[j] != '"':
+                j += 2 if stmt[j] == "\\" else 1
+            if j >= n:
+                raise ValueError(f"unterminated literal in RDF statement: {stmt!r}")
+            k = j + 1
+            if k < n and stmt[k] == "@":
+                m = re.match(r"@[A-Za-z0-9-]+", stmt[k:])
+                k += m.end()
+            elif stmt[k:k + 2] == "^^":
+                k += 2
+                if k < n and stmt[k] == "<":
+                    k = stmt.find(">", k) + 1
+                else:
+                    m = re.match(r"[^\s;,.]+", stmt[k:])
+                    k += m.end() if m else 0
+            toks.append(stmt[i:k])
+            i = k
+        elif c in ";,.":
+            toks.append(c)
+            i += 1
+        else:
+            m = re.match(r"[^\s;,]+", stmt[i:])
+            tok = m.group(0)
+            i += m.end()
+            # a statement-final bare token can carry the '.' terminator
+            if tok != "." and tok.endswith(".") and stmt[i:].strip() == "":
+                toks.extend([tok[:-1], "."])
+            else:
+                toks.append(tok)
+    return toks
+
+
+def _parse_turtle_statement(stmt: str, prefixes: dict) -> list[tuple]:
+    """One (possibly compound) Turtle statement -> triple rows, expanding
+    ``;`` predicate lists and ``,`` object lists."""
+    def expand(tok: str) -> str:
+        if tok.startswith("<") and tok.endswith(">"):
+            return _turtle_unescape(tok[1:-1])
+        for p in sorted(prefixes, key=len, reverse=True):
+            if tok.startswith(p + ":"):
+                return prefixes[p] + tok[len(p) + 1:]
+        return tok
+
+    def classify(subj: str, pred: str, obj: str) -> tuple:
+        if obj.startswith('"'):
+            m = re.match(
+                r'"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+)|\^\^(\S+))?$', obj
+            )
+            if m is None:
+                raise ValueError(f"unparseable literal {obj!r} in: {stmt!r}")
+            dtype = expand(m.group(3)) if m.group(3) else None
+            return (subj, pred, _turtle_unescape(m.group(1)), "literal",
+                    m.group(2), dtype)
+        kind = "blank" if obj.startswith("_:") else "uri"
+        return (subj, pred, expand(obj), kind, None, None)
+
+    toks = _tokenize_turtle(stmt)
+    if not toks:
+        return []
+    if toks[-1] != ".":
+        raise ValueError(f"unterminated RDF statement (missing '.'): {stmt!r}")
+    toks = toks[:-1]
+    if not toks:
+        return []
+    if len(toks) < 3:
+        raise ValueError(f"unparseable RDF statement: {stmt!r}")
+    subj = expand(toks[0])
+    rows, i = [], 1
+    while i < len(toks):
+        pred = _RDF_TYPE if toks[i] == "a" else expand(toks[i])
+        i += 1
+        while True:
+            if i >= len(toks) or toks[i] in ";,.":
+                raise ValueError(f"missing object in RDF statement: {stmt!r}")
+            rows.append(classify(subj, pred, toks[i]))
+            i += 1
+            if i < len(toks) and toks[i] == ",":
+                i += 1
+                continue
+            break
+        if i < len(toks):
+            if toks[i] != ";":
+                raise ValueError(
+                    f"unparseable RDF statement near {toks[i]!r}: {stmt!r}"
+                )
+            i += 1  # `;` — next predicate (a trailing `;` is legal)
+    return rows
+
+
+def _parse_turtle_python(df: DataFrame, prefixes: dict) -> DataFrame:
+    """Arrow-batched parser for the statements the JVM regexp path cannot
+    express: ``;``/``,`` compound statements and \\uXXXX escapes. By
+    construction this sees only that rare subset — the N-Triples bulk never
+    leaves the JVM."""
+    cols = ["subject", "predicate", "object",
+            "object_kind", "object_lang", "object_datatype"]
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for stmt in pdf["line"]:
+                rows.extend(_parse_turtle_statement(stmt, prefixes))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(gen, _RDF_SCHEMA)
 
 
 # --------------------------------------------------------------------------

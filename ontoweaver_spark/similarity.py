@@ -273,6 +273,98 @@ def topk_ivf(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    index_dir: str,
+    n_centroids: int = 8,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Train k-means centroids and persist a queryable IVF index:
+
+    - ``<index_dir>/centroids.parquet`` — the one-row ``cents`` frame
+      (:func:`train_centroids` output, the exact shape ``topk_ivf``'s
+      ``centroids=`` parameter consumes);
+    - ``<index_dir>/lists.parquet`` — the corpus with its nearest-centroid
+      ``list_id``, written ``partitionBy(list_id)`` so an nprobe query scans
+      only its lists' partition directories (partition pruning is the IVF
+      inverted-file read at rest).
+
+    This is the user-facing scale path the trained centroids plug into
+    (``python -m ontoweaver_spark.ann build`` wraps it). Returns a manifest
+    dict with paths and counts."""
+    import os
+
+    cents = train_centroids(corpus, n_centroids, iters, vec_col, id_col)
+    cents_path = os.path.join(index_dir, "centroids.parquet")
+    lists_path = os.path.join(index_dir, "lists.parquet")
+    cents.write.mode("overwrite").parquet(cents_path)
+    assigned = corpus.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col), F.col(vec_col),
+        assign_centroid_df(F.col(vec_col)).alias("list_id"),
+    )
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(lists_path)
+    return {
+        "centroids": cents_path,
+        "lists": lists_path,
+        "n_centroids": n_centroids,
+        "vec_col": vec_col,
+        "id_col": id_col,
+    }
+
+
+def topk_ivf_indexed(
+    spark,
+    index_dir: str,
+    probes: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query a persisted :func:`build_ivf_index` index: probes assign to
+    their ``nprobe`` nearest trained centroids, then join the pre-assigned
+    list partitions (the ``list_id`` join key is the parquet partition
+    column — pruning reads only the probed lists). Ranking rule matches
+    ``topk_ivf`` exactly: (rounded cosine desc, neighbor id asc)."""
+    import os
+
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
+    lists = spark.read.parquet(os.path.join(index_dir, "lists.parquet"))
+
+    def scores(v: Column) -> Column:
+        return F.array_sort(F.transform(
+            F.col("cents"),
+            lambda s: F.struct(cosine(v, s["cvec"]).alias("cos"),
+                               s["neg_cid"].alias("neg_cid")),
+        ))
+
+    p = probes.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("pv"),
+        F.explode(F.transform(
+            F.slice(F.reverse(scores(F.col(vec_col))), 1, nprobe),
+            lambda s: -s["neg_cid"],
+        )).alias("list_id"),
+    )
+    c = lists.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "list_id"
+    )
+    scored = c.join(F.broadcast(p), "list_id").where(
+        F.col("probe_id") != F.col("neighbor_id")
+    ).select(
+        "probe_id", "neighbor_id",
+        round_ieee(cosine(F.col("pv"), F.col("cv")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def topk_bucketed(
     corpus: DataFrame,
     probes: DataFrame,

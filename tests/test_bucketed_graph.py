@@ -106,3 +106,45 @@ def test_merge_into_graph_uses_bucketing_and_is_idempotent(spark):
         spark.sql("DROP TABLE IF EXISTS kgmerge.edges")
         spark.sql("DROP TABLE IF EXISTS kgmerge.nodes")
         spark.sql("DROP DATABASE IF EXISTS kgmerge")
+
+
+def test_iceberg_rtas_gated(spark, tmp_path):
+    """Iceberg-runtime verification of the DSv2 writeTo path
+    (pipeline.write_graph_catalog_tables fmt="iceberg"). The sandbox ships
+    no iceberg-spark-runtime jar and has no network to fetch one (verified:
+    DNS resolution fails), so this SKIPS there — on any cluster with the
+    jar it runs: lazily configures a hadoop-type Iceberg catalog, RTAS-es
+    the graph tables, and reads them back through read_table("iceberg:...")."""
+    import pytest
+
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+    except Exception:
+        pytest.skip(
+            "iceberg-spark-runtime jar not on the classpath and the sandbox "
+            "has no network to fetch it — code path verified against the V1 "
+            "fallback only (see COVERAGE.md)"
+        )
+
+    from ontoweaver_spark.loaders import read_table
+    from ontoweaver_spark.pipeline import write_graph_catalog_tables
+
+    spark.conf.set("spark.sql.catalog.ow_ice", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.ow_ice.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.ow_ice.warehouse", str(tmp_path / "wh"))
+    fnodes = spark.createDataFrame(
+        [("a", "thing", {}), ("b", "other", {})],
+        "id string, label string, properties map<string,array<string>>",
+    )
+    fedges = spark.createDataFrame(
+        [("e", "a", "b", "rel", {})],
+        "id string, src string, dst string, label string, "
+        "properties map<string,array<string>>",
+    )
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ow_ice.db")
+    write_graph_catalog_tables(fnodes, fedges, "ow_ice.db.graph", fmt="iceberg")
+    assert read_table(spark, "iceberg:ow_ice.db.graph_nodes").count() == 2
+    assert read_table(spark, "iceberg:ow_ice.db.graph_edges").count() == 1
+    # RTAS idempotence: createOrReplace swaps the snapshot atomically
+    write_graph_catalog_tables(fnodes, fedges, "ow_ice.db.graph", fmt="iceberg")
+    assert read_table(spark, "iceberg:ow_ice.db.graph_nodes").count() == 2

@@ -142,13 +142,64 @@ def test_rdf_ttl_prefixes_and_a(spark, tmp_path):
         "http://example.org/alice", "http://xmlns.com/foaf/0.1/name", "Alice"
     ) in rows
 
-    # multi-line Turtle rejected loudly, not mis-parsed
+    # a truncated (never-terminated) statement still fails loudly
     import pytest
 
     bad = tmp_path / "bad.ttl"
     bad.write_text("@prefix ex: <http://example.org/> .\nex:a ex:p ex:b ;\n")
-    with pytest.raises(ValueError, match="N-Triples"):
-        read_rdf_triples(spark, str(bad))
+    with pytest.raises(Exception, match="unterminated RDF statement"):
+        read_rdf_triples(spark, str(bad)).collect()
+
+    # triple-quoted literals stay out of scope, rejected with guidance
+    tq = tmp_path / "tq.ttl"
+    tq.write_text('<http://x/s> <http://x/p> """multi\nline""" .\n')
+    with pytest.raises(ValueError, match="triple-quoted"):
+        read_rdf_triples(spark, str(tq))
+
+
+def test_rdf_multiline_turtle_and_unicode_escapes(spark, tmp_path):
+    """Real-world Turtle: ;/, continuations across lines, object lists,
+    \\uXXXX escapes — folded + parsed via the vectorized fallback, and the
+    resulting hierarchy feeds subclass_closure (reference surface:
+    loader.py:318-421, multi-line fixtures in its test_owladapter.py)."""
+    from ontoweaver_spark.loaders import read_rdf_triples
+    from ontoweaver_spark.ontology import subclass_closure, subclass_edges_from_triples
+
+    ttl = tmp_path / "onto.ttl"
+    ttl.write_text(
+        "@prefix ex: <http://example.org/> .\n"
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        "ex:dog rdfs:subClassOf ex:mammal ;\n"
+        '    rdfs:label "dog"@en ,\n'
+        '        "chien\\u00e9"@fr .\n'
+        "ex:mammal rdfs:subClassOf ex:animal .\n"
+        "ex:cat\n"
+        "    rdfs:subClassOf ex:mammal .\n"
+        'ex:note ex:text "u: \\u0041\\U0001F600 done" .\n'
+    )
+    df = read_rdf_triples(spark, str(ttl))
+    rows = {
+        (r["subject"], r["predicate"], r["object"], r["object_kind"], r["object_lang"])
+        for r in df.collect()
+    }
+    ex = "http://example.org/"
+    rdfs = "http://www.w3.org/2000/01/rdf-schema#"
+    assert (f"{ex}dog", f"{rdfs}subClassOf", f"{ex}mammal", "uri", None) in rows
+    assert (f"{ex}cat", f"{rdfs}subClassOf", f"{ex}mammal", "uri", None) in rows
+    # object list expanded: two labels off ONE predicate
+    assert (f"{ex}dog", f"{rdfs}label", "dog", "literal", "en") in rows
+    assert (f"{ex}dog", f"{rdfs}label", "chiené", "literal", "fr") in rows
+    # \uXXXX and \UXXXXXXXX decode
+    assert (f"{ex}note", f"{ex}text", "u: A\U0001F600 done", "literal", None) in rows
+
+    closure = {
+        (r["descendant"], r["ancestor"], r["depth"])
+        for r in subclass_closure(
+            subclass_edges_from_triples(df, predicate=f"{rdfs}subClassOf")
+        ).collect()
+    }
+    assert (f"{ex}dog", f"{ex}animal", 2) in closure
+    assert (f"{ex}cat", f"{ex}mammal", 1) in closure
 
 
 def test_pandas_format_loaders(spark, tmp_path):

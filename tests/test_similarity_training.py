@@ -72,3 +72,46 @@ def test_seed_centroids_shape(spark):
     assert len(cents) == 4
     assert sorted(-s["neg_cid"] for s in cents) == [0, 1, 2, 3]
     assert all(len(s["cvec"]) == 8 for s in cents)
+
+
+def test_ivf_index_build_query_end_to_end(spark, tmp_path):
+    """The persisted trained-IVF path: build_ivf_index -> topk_ivf_indexed
+    must return exactly what topk_ivf(centroids=trained) computes in-memory
+    (same centroids, same ranking rule), and the lists parquet must be
+    partitioned by list_id (partition pruning = inverted-file read)."""
+    import os
+
+    from ontoweaver_spark.similarity import build_ivf_index, topk_ivf_indexed
+
+    df = _blobs(spark).select("vec_id", "embedding")
+    idx = str(tmp_path / "ivf_index")
+    manifest = build_ivf_index(df, idx, n_centroids=3, iters=4)
+    assert any(d.startswith("list_id=") for d in os.listdir(manifest["lists"]))
+
+    probes = df.where(F.col("vec_id").isin([0, 45, 85]))
+    got = {
+        tuple(r) for r in topk_ivf_indexed(spark, idx, probes, k=5, nprobe=1).collect()
+    }
+    cents = spark.read.parquet(manifest["centroids"])
+    want = {
+        tuple(r)
+        for r in topk_ivf(df, probes, k=5, nprobe=1, centroids=cents).collect()
+    }
+    assert got == want and len(got) == 15
+
+
+def test_ann_cli_build_and_query(spark, tmp_path):
+    """python -m ontoweaver_spark.ann build/query round trip."""
+    from ontoweaver_spark.ann import main
+
+    corpus = str(tmp_path / "corpus.parquet")
+    _blobs(spark).select("vec_id", "embedding").write.parquet(corpus)
+    probes = str(tmp_path / "probes.parquet")
+    _blobs(spark).where("vec_id < 2").select("vec_id", "embedding").write.parquet(probes)
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "hits.parquet")
+
+    assert main(["build", corpus, idx, "--n-centroids", "3", "--master", "local[2]"]) == 0
+    assert main(["query", idx, probes, out, "--k", "3", "--master", "local[2]"]) == 0
+    hits = spark.read.parquet(out)
+    assert hits.count() == 6  # 2 probes x k=3
+    assert set(hits.columns) == {"probe_id", "neighbor_id", "cos", "rank"}

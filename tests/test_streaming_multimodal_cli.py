@@ -88,15 +88,22 @@ def test_cli_end_to_end(tmp_path):
         "      via_relation: patient_has_variant\n"
     )
     out = tmp_path / "out"
+    neo = tmp_path / "neo4j"
     proc = subprocess.run(
         [sys.executable, "-m", "ontoweaver_spark", f"{data}:{mapping}",
-         "--out", str(out), "--affix", "suffix", "--master", "local[2]"],
+         "--out", str(out), "--affix", "suffix", "--master", "local[2]",
+         "--neo4j-out", str(neo)],
         capture_output=True, text=True, timeout=600, cwd="/root/repo",
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     result = json.loads(proc.stdout.strip().splitlines()[-1])
     assert result["nodes"] == 6 and result["edges"] == 3
     assert (out / "_manifest.json").exists()
+    # --neo4j-out wrote the bulk-import groups + script
+    script = (neo / "neo4j-import.sh").read_text()
+    assert "--nodes=" in script and "--relationships=" in script
+    assert (neo / "nodes_variant" / "header.csv").exists()
+    assert (neo / "edges_patient_has_variant" / "header.csv").exists()
 
 
 def test_stream_dedup_pages(spark, tmp_path):
