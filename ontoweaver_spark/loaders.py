@@ -194,7 +194,12 @@ def read_rdf_triples(spark: SparkSession, path: str) -> DataFrame:
     that fold is one ordered window (ontology files are config-sized next
     to the corpus; the reference parses them entirely in driver rdflib
     memory, loader.py:318-421). Triple-quoted (multi-line) literals stay
-    out of scope and fail loudly."""
+    out of scope and fail loudly.
+
+    ``.rdf`` / ``.owl`` / ``.xml`` paths dispatch to :func:`read_rdf_xml`
+    (driver-side, config-sized — the published-ontology serialization)."""
+    if path.lower().endswith((".rdf", ".owl", ".xml", ".rdfxml")):
+        return read_rdf_xml(spark, path)
     lines = spark.read.text(path).select(F.col("value").alias("line"))
     body = lines.where(
         ~F.trim("line").startswith("#")
@@ -482,6 +487,120 @@ def _parse_turtle_python(df: DataFrame, prefixes: dict) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(gen, _RDF_SCHEMA)
+
+
+RDF_XML_MAX_BYTES = 512 * 1024 * 1024
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_XML_LANG = "{http://www.w3.org/XML/1998/namespace}lang"
+_XML_BASE = "{http://www.w3.org/XML/1998/namespace}base"
+
+
+def read_rdf_xml(spark: SparkSession, path: str) -> DataFrame:
+    """RDF/XML (``.rdf`` / ``.owl`` — the dominant published-ontology
+    serialization, and the reference's primary OWL input via rdflib,
+    loader.py:318-421) -> the same flat triple frame as
+    :func:`read_rdf_triples`.
+
+    Parsed driver-side with stdlib ElementTree — ontologies are config-sized
+    inputs (bounded at ``RDF_XML_MAX_BYTES``, same policy as the pandas
+    formats; the reference loads them whole into rdflib driver memory too).
+    Supported striped syntax: rdf:Description + typed node elements,
+    rdf:about / rdf:ID (resolved against xml:base) / rdf:nodeID / anonymous
+    blank nodes, property elements with rdf:resource / nested nodes /
+    literal content, rdf:datatype, inherited xml:lang, and
+    rdf:parseType="Resource". rdf:parseType Literal/Collection and
+    reification fail loudly."""
+    import os
+    import xml.etree.ElementTree as ET
+
+    size = os.path.getsize(path)
+    if size > RDF_XML_MAX_BYTES:
+        raise ValueError(
+            f"{path} is {size} bytes — over the {RDF_XML_MAX_BYTES}-byte "
+            "driver-side bound for RDF/XML; convert to N-Triples for "
+            "distributed loading (read_rdf_triples)"
+        )
+    root = ET.parse(path).getroot()
+    if root.tag != f"{{{_RDF_NS}}}RDF":
+        # a single typed top-level node document is also legal RDF/XML
+        nodes = [root]
+    else:
+        nodes = list(root)
+
+    triples: list[tuple] = []
+    blank_n = 0
+
+    def new_blank() -> str:
+        nonlocal blank_n
+        blank_n += 1
+        return f"_:b{blank_n}"
+
+    def tag_uri(tag: str) -> str:
+        if not tag.startswith("{"):
+            raise ValueError(f"unnamespaced RDF/XML element {tag!r} in {path}")
+        ns, local = tag[1:].split("}", 1)
+        return ns + local
+
+    def attr(e, local: str):
+        return e.get(f"{{{_RDF_NS}}}{local}")
+
+    def node_subject(e, base: str) -> str:
+        about, rid, nid = attr(e, "about"), attr(e, "ID"), attr(e, "nodeID")
+        if about is not None:
+            return about
+        if rid is not None:
+            return f"{base}#{rid}"
+        if nid is not None:
+            return f"_:{nid}"
+        return new_blank()
+
+    def walk_node(e, base: str, lang: str | None) -> str:
+        base = e.get(_XML_BASE, base)
+        lang = e.get(_XML_LANG, lang)
+        subj = node_subject(e, base)
+        t = tag_uri(e.tag)
+        if t != f"{_RDF_NS}Description":
+            triples.append((subj, f"{_RDF_NS}type", t, "uri", None, None))
+        for p in e:
+            walk_property(subj, p, base, lang)
+        return subj
+
+    def walk_property(subj: str, p, base: str, lang: str | None) -> None:
+        lang = p.get(_XML_LANG, lang)
+        pred = tag_uri(p.tag)
+        parse_type = attr(p, "parseType")
+        res, nid, dtype = attr(p, "resource"), attr(p, "nodeID"), attr(p, "datatype")
+        kids = list(p)
+        if parse_type == "Resource":
+            b = new_blank()
+            triples.append((subj, pred, b, "blank", None, None))
+            for sub in kids:
+                walk_property(b, sub, base, lang)
+        elif parse_type is not None:
+            raise ValueError(
+                f"rdf:parseType={parse_type!r} is not supported — convert "
+                f"to N-Triples (e.g. riot --output=ntriples): {path}"
+            )
+        elif res is not None:
+            triples.append((subj, pred, res, "uri", None, None))
+        elif nid is not None:
+            triples.append((subj, pred, f"_:{nid}", "blank", None, None))
+        elif kids:
+            for sub in kids:
+                obj = walk_node(sub, base, lang)
+                kind = "blank" if obj.startswith("_:") else "uri"
+                triples.append((subj, pred, obj, kind, None, None))
+        else:
+            text = p.text or ""
+            triples.append(
+                (subj, pred, text, "literal", None if dtype else lang, dtype)
+            )
+
+    doc_base = root.get(_XML_BASE, "")
+    for e in nodes:
+        walk_node(e, doc_base, None)
+
+    return spark.createDataFrame(triples, _RDF_SCHEMA)
 
 
 # --------------------------------------------------------------------------

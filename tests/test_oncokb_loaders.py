@@ -252,3 +252,77 @@ def test_rdf_literal_escape_order(spark, tmp_path):
     assert got["q"] == "tab:\there"
     assert got["r"] == "nl:\nhere"
     assert got["w"] == "C:\\new\\table"   # Windows path survives intact
+
+
+def test_rdf_xml_owl_loader(spark, tmp_path):
+    """RDF/XML (.owl) — the dominant published-ontology serialization the
+    reference loads through rdflib (loader.py:318-421) — parses into the
+    same flat triple frame and feeds subclass_closure."""
+    from ontoweaver_spark.loaders import read_rdf_triples
+    from ontoweaver_spark.ontology import subclass_closure, subclass_edges_from_triples
+
+    owl = tmp_path / "onto.owl"
+    owl.write_text(
+        '<?xml version="1.0"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"\n'
+        '         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"\n'
+        '         xmlns:owl="http://www.w3.org/2002/07/owl#"\n'
+        '         xml:base="http://example.org/onto">\n'
+        '  <owl:Class rdf:about="http://example.org/Dog">\n'
+        '    <rdfs:subClassOf rdf:resource="http://example.org/Mammal"/>\n'
+        '    <rdfs:label xml:lang="en">Dog</rdfs:label>\n'
+        '  </owl:Class>\n'
+        '  <owl:Class rdf:about="http://example.org/Mammal">\n'
+        '    <rdfs:subClassOf>\n'
+        '      <owl:Class rdf:about="http://example.org/Animal"/>\n'
+        '    </rdfs:subClassOf>\n'
+        '    <rdfs:comment rdf:datatype="http://www.w3.org/2001/XMLSchema#string">warm</rdfs:comment>\n'
+        '  </owl:Class>\n'
+        '  <rdf:Description rdf:ID="Cat">\n'
+        '    <rdfs:subClassOf rdf:resource="http://example.org/Mammal"/>\n'
+        '  </rdf:Description>\n'
+        '</rdf:RDF>\n'
+    )
+    df = read_rdf_triples(spark, str(owl))
+    rows = {
+        (r["subject"], r["predicate"], r["object"], r["object_kind"],
+         r["object_lang"], r["object_datatype"])
+        for r in df.collect()
+    }
+    rdfs = "http://www.w3.org/2000/01/rdf-schema#"
+    rdft = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    owlc = "http://www.w3.org/2002/07/owl#Class"
+    ex = "http://example.org/"
+    assert (f"{ex}Dog", rdft, owlc, "uri", None, None) in rows
+    assert (f"{ex}Dog", f"{rdfs}subClassOf", f"{ex}Mammal", "uri", None, None) in rows
+    # nested node element
+    assert (f"{ex}Mammal", f"{rdfs}subClassOf", f"{ex}Animal", "uri", None, None) in rows
+    assert (f"{ex}Animal", rdft, owlc, "uri", None, None) in rows
+    # xml:lang literal + datatyped literal
+    assert (f"{ex}Dog", f"{rdfs}label", "Dog", "literal", "en", None) in rows
+    assert (f"{ex}Mammal", f"{rdfs}comment", "warm", "literal", None,
+            "http://www.w3.org/2001/XMLSchema#string") in rows
+    # rdf:ID resolves against xml:base
+    assert ("http://example.org/onto#Cat", f"{rdfs}subClassOf", f"{ex}Mammal",
+            "uri", None, None) in rows
+
+    closure = {
+        (r["descendant"], r["ancestor"])
+        for r in subclass_closure(
+            subclass_edges_from_triples(df, predicate=f"{rdfs}subClassOf")
+        ).collect()
+    }
+    assert (f"{ex}Dog", f"{ex}Animal") in closure
+
+    # unsupported parseType fails loudly
+    import pytest
+
+    bad = tmp_path / "bad.owl"
+    bad.write_text(
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:ex="http://x/">'
+        '<rdf:Description rdf:about="http://x/s">'
+        '<ex:p rdf:parseType="Collection"/></rdf:Description></rdf:RDF>'
+    )
+    with pytest.raises(ValueError, match="parseType"):
+        read_rdf_triples(spark, str(bad))
