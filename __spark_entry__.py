@@ -714,6 +714,16 @@ def q_emb_near_dup(spark, sf_dir):
     return embedding_near_duplicates(emb, threshold=0.3)
 
 
+def q_emb_near_dup_amp(spark, sf_dir):
+    """OR-amplified near-dup: two 8-bit sign tables (dims 1-8 OR 9-16) —
+    the recall path when buckets are sized narrow for corpus scale."""
+    from ontoweaver_spark.dedup import embedding_near_duplicates
+
+    _tune(spark)
+    emb = _emb(spark, sf_dir)
+    return embedding_near_duplicates(emb, threshold=0.3, dims=8, tables=2)
+
+
 def _part_tree_edges(spark, sf_dir):
     """Deterministic type hierarchy derived from the part table: key k is a
     subclass of k // 2 (a binary tree over the partkeys, ~log2(n) deep) —
@@ -877,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bucketed": q_ann_topk_bucketed,
         "ann_topk_ivf": q_ann_topk_ivf,
         "emb_near_dup": q_emb_near_dup,
+        "emb_near_dup_amp": q_emb_near_dup_amp,
         "onto_closure": q_onto_closure,
         "onto_automap": q_onto_automap,
         "sample_stratified": q_sample_stratified,
@@ -1102,6 +1113,16 @@ _BUCKET_SQL = "".join(
     f"(CASE WHEN {{t}}.embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END) || "
     for i in range(8)
 )[:-4]  # drop trailing " || "
+
+
+def _bucket_sql_at(t: str, dims: int = 8, offset: int = 0) -> str:
+    """Sign-bucket SQL over dims starting at 0-based ``offset`` (the
+    dedup.sign_bucket_at per-table slice; testdata vectors are 64-dim so no
+    wrap is needed at these offsets)."""
+    return "".join(
+        f"(CASE WHEN {t}.embedding[{offset + i + 1}] >= 0 THEN '1' ELSE '0' END) || "
+        for i in range(dims)
+    )[:-4]
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1610,6 +1631,14 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b
               ON a.vec_id < b.vec_id
              AND ({_BUCKET_SQL.format(t='a')}) = ({_BUCKET_SQL.format(t='b')})
+            WHERE {_COS_SQL} >= 0.3
+        """,
+        "emb_near_dup_amp": f"""
+            SELECT a.vec_id AS a, b.vec_id AS b, {_COS_SQL} AS cos
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id < b.vec_id
+             AND (({_bucket_sql_at('a', 8, 0)}) = ({_bucket_sql_at('b', 8, 0)})
+               OR ({_bucket_sql_at('a', 8, 8)}) = ({_bucket_sql_at('b', 8, 8)}))
             WHERE {_COS_SQL} >= 0.3
         """,
     }
