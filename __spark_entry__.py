@@ -647,6 +647,19 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+def q_dedup_simhash_near(spark, sf_dir):
+    """Simhash hamming<=1 near-dup pairs: banded pigeonhole candidates +
+    popcount verify. (<=1 on a 16-bit signature ~ the classic 64-bit/<=3
+    selectivity; <=3 here passes half of all pairs — too coarse to mean
+    "near-dup".) The oracle is the BRUTE-FORCE all-pairs xor — the banding
+    is provably lossless (bands > max_hamming), so the two must agree
+    exactly."""
+    from ontoweaver_spark.dedup import simhash_near_duplicates
+
+    _tune(spark)
+    return simhash_near_duplicates(_docs_spread(spark, sf_dir), max_hamming=1)
+
+
 def q_dedup_verified(spark, sf_dir):
     """LSH candidates + exact-Jaccard verification (the scale path that
     duplicate_clusters feeds from), surfaced as its own checked operator."""
@@ -880,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_near": q_dedup_simhash_near,
         "dedup_verified": q_dedup_verified,
         "dedup_clusters": q_dedup_clusters,
         "text_features": q_text_features,
@@ -1387,6 +1401,13 @@ def oracle_sql() -> dict[str, str]:
                          * 10000 + 0.5) / 10000 >= 0.8
         """,
         "dedup_simhash": _simhash_sql(),
+        "dedup_simhash_near": f"""
+            WITH sims AS ({_simhash_sql()})
+            SELECT l.doc_id AS a, r.doc_id AS b,
+                   bit_count(xor(l.simhash, r.simhash))::BIGINT AS hamming
+            FROM sims l JOIN sims r ON l.doc_id < r.doc_id
+            WHERE bit_count(xor(l.simhash, r.simhash)) <= 1
+        """,
         "dedup_verified": _minhash_sql_parts(collapse=True) + """
           , counts AS (
             SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id

@@ -408,6 +408,59 @@ def simhash_duplicates(
     )
 
 
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance: ``(a, b, hamming)`` with
+    ``hamming <= max_hamming`` — the classic Manku/Google dedup shape.
+
+    Candidate generation is EXACT by pigeonhole, not probabilistic: the
+    signature splits into ``bands`` contiguous bit slices, and any pair
+    within hamming distance ``max_hamming < bands`` must agree on at least
+    one untouched slice — so the band-key equi-join (the only shuffle,
+    keyed on (band, slice bits)) provably finds every qualifying pair.
+    Verification is one JVM popcount (``bit_count(xor)``) per candidate.
+    At corpus scale this is a hash join on 2^(bits/bands)-ary keys instead
+    of the O(n^2) all-pairs xor."""
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hamming ({max_hamming}) for "
+            "the pigeonhole candidate guarantee"
+        )
+    if bits % bands:
+        raise ValueError(f"bits ({bits}) must divide evenly into {bands} bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sigs = df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("sh"))
+    banded = sigs.select(
+        id_col, "sh",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("sh", b * width).bitwiseAND(F.lit(mask)).alias("key"),
+            )
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select(id_col, "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = banded.select(F.col(id_col).alias("a"), F.col("sh").alias("sa"), "band", "key")
+    right = banded.select(F.col(id_col).alias("b"), F.col("sh").alias("sb"), "band", "key")
+    return (
+        left.join(right, ["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     vec_col: str = "embedding",

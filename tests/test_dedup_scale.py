@@ -142,3 +142,42 @@ def test_emb_near_dup_default_matches_old_shape(spark):
     assert [(r["a"], r["b"]) for r in pairs] == [(1, 2)]
     buckets = df.select(sign_bucket(F.col("embedding")).alias("bk")).collect()
     assert buckets[0]["bk"] == buckets[1]["bk"] != buckets[2]["bk"]
+
+
+def test_simhash_near_duplicates_pigeonhole_exact(spark):
+    """Banded candidate generation must find EVERY hamming<=k pair (the
+    pigeonhole guarantee), verified against brute-force popcount."""
+    from itertools import combinations
+
+    from ontoweaver_spark.dedup import simhash, simhash_near_duplicates
+
+    rows = []
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    words = base.split()
+    for i in range(30):
+        # vary a couple of words per doc so signatures spread nearby
+        w = list(words)
+        w[i % len(w)] = f"tok{i}"
+        w[(i * 7) % len(w)] = f"alt{i % 5}"
+        rows.append((i, " ".join(w)))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    sigs = {r["doc_id"]: r["sh"] for r in
+            df.select("doc_id", simhash(F.col("text")).alias("sh")).collect()}
+    brute = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in simhash_near_duplicates(df, max_hamming=3).collect()
+    }
+    assert got == brute and len(brute) > 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_duplicates(df, max_hamming=4, bands=4)
+    with pytest.raises(ValueError, match="divide evenly"):
+        simhash_near_duplicates(df, bits=16, bands=5, max_hamming=3)
