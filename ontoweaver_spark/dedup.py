@@ -334,9 +334,10 @@ def verified_candidates(
         .where(F.col("jaccard") >= threshold)
     )
     if star is not None:
-        verified = verified.unionByName(
-            star.withColumn("jaccard", F.lit(1.0).cast("double"))
-        )
+        star_rows = star.withColumn("jaccard", F.lit(1.0).cast("double"))
+        if threshold > 1.0:  # degenerate threshold: stars must filter too
+            star_rows = star_rows.where(F.col("jaccard") >= threshold)
+        verified = verified.unionByName(star_rows)
     return verified
 
 
