@@ -237,14 +237,53 @@ def read_rdf_triples(spark: SparkSession, path: str) -> DataFrame:
     return jvm.unionByName(fancy)
 
 
+def _strip_turtle_comment(line: str) -> str:
+    """Drop a trailing ``# ...`` comment, quote- and URI-aware (a ``#``
+    inside ``<...>`` or a literal is content, not a comment)."""
+    i, n = 0, len(line)
+    while i < n:
+        c = line[i]
+        if c == "#":
+            return line[:i]
+        if c == "<":
+            j = line.find(">", i)
+            if j < 0:
+                return line  # unterminated URI — leave for the parser
+            i = j + 1
+        elif c == '"':
+            j = i + 1
+            while j < n and line[j] != '"':
+                j += 2 if line[j] == "\\" else 1
+            if j >= n:
+                return line
+            i = j + 1
+        else:
+            i += 1
+    return line
+
+
 def _fold_turtle_statements(body: DataFrame) -> DataFrame:
     """Reassemble multi-line Turtle statements: statement id = cumulative
     count of terminator lines (trailing ``.``) before each line, then the
     lines of each statement concatenate in file order. zipWithIndex gives
     the stable file-order index; the cumulative sum is one ordered window
-    (single-task — fine for config-sized ontology files, see caller)."""
+    (single-task — fine for config-sized ontology files, see caller).
+
+    Trailing comments are stripped (quote-aware, vectorized Python) BEFORE
+    terminator detection: a commented continuation line would otherwise
+    swallow the rest of its statement when the lines concatenate, and a
+    commented terminator would merge two statements. (On the single-line
+    fast path comments need no stripping — the statement tokenizer stops
+    at ``#`` itself.)"""
     from pyspark.sql import Window
 
+    def strip_batches(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["line"] = [_strip_turtle_comment(x) for x in pdf["line"]]
+            yield pdf
+
+    body = body.mapInPandas(strip_batches, "line string")
     df = (
         body.rdd.zipWithIndex()
         .map(lambda t: (t[0]["line"], t[1]))
@@ -397,6 +436,8 @@ def _tokenize_turtle(stmt: str) -> list[str]:
                     k += m.end() if m else 0
             toks.append(stmt[i:k])
             i = k
+        elif c == "#":  # comment runs to end of statement text
+            break
         elif c in ";,.":
             toks.append(c)
             i += 1

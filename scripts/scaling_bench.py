@@ -97,8 +97,27 @@ def main() -> None:
     low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 
-    r_low = run_level(low, n)
-    r_high = run_level(high, n)
+    # Interleaved rounds: the two levels run ~10 minutes apart, and this
+    # shared host drifts on that timescale (same code + data measured 51 s
+    # and 101 s for the identical low-level extract in different sessions).
+    # Alternating low/high rounds and taking each level's per-metric best
+    # filters host-slowdown episodes SYMMETRICALLY — both levels keep their
+    # best observed steady state, and every raw round is recorded below.
+    rounds = int(os.environ.get("OW_SCALING_ROUNDS", "2"))
+    runs_low, runs_high = [], []
+    for _ in range(rounds):
+        runs_low.append(run_level(low, n))
+        runs_high.append(run_level(high, n))
+
+    def best(runs, key):
+        return min(r[key] for r in runs)
+
+    r_low = dict(runs_low[0], extract_sec=best(runs_low, "extract_sec"),
+                 full_sec=best(runs_low, "full_sec"))
+    r_low["triples_per_sec"] = round(r_low["triples"] / r_low["extract_sec"], 1)
+    r_high = dict(runs_high[0], extract_sec=best(runs_high, "extract_sec"),
+                  full_sec=best(runs_high, "full_sec"))
+    r_high["triples_per_sec"] = round(r_high["triples"] / r_high["extract_sec"], 1)
 
     ratio = high / low
     eff_extract = (r_low["extract_sec"] / r_high["extract_sec"]) / ratio
@@ -107,6 +126,7 @@ def main() -> None:
         "n_pages": n,
         "low": r_low,
         "high": r_high,
+        "rounds": {"low": runs_low, "high": runs_high},
         "parallelism_ratio": ratio,
         "scaling_efficiency_extract": round(eff_extract, 3),
         "scaling_efficiency_full": round(eff_full, 3),

@@ -326,3 +326,29 @@ def test_rdf_xml_owl_loader(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="parseType"):
         read_rdf_triples(spark, str(bad))
+
+
+def test_rdf_trailing_comments(spark, tmp_path):
+    """Trailing # comments — ubiquitous in real ontology files — must not
+    corrupt single-line statements, multi-line folding, or literals/URIs
+    that contain a # character."""
+    from ontoweaver_spark.loaders import read_rdf_triples
+
+    ttl = tmp_path / "c.ttl"
+    ttl.write_text(
+        "@prefix ex: <http://example.org/> .\n"
+        '<http://x/a> <http://x/p> <http://x/b#frag> . # uri keeps its frag\n'
+        "ex:s ex:q ex:o1 ; # continuation comment\n"
+        "     ex:r ex:o2 . # terminator comment\n"
+        'ex:s ex:lbl "has # inside" . # but this one goes\n'
+    )
+    rows = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in read_rdf_triples(spark, str(ttl)).collect()
+    }
+    ex = "http://example.org/"
+    assert ("http://x/a", "http://x/p", "http://x/b#frag") in rows
+    assert (f"{ex}s", f"{ex}q", f"{ex}o1") in rows
+    assert (f"{ex}s", f"{ex}r", f"{ex}o2") in rows  # survives the ; fold
+    assert (f"{ex}s", f"{ex}lbl", "has # inside") in rows
+    assert len(rows) == 4
