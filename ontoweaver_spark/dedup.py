@@ -130,7 +130,15 @@ def _exact_family_star(
 
 
 def _band_pairs(banded: DataFrame, id_col: str) -> DataFrame:
-    """Distinct (a < b) pairs sharing at least one band bucket."""
+    """Distinct (a < b) pairs sharing at least one band bucket.
+
+    The banded frame is lazily ``localCheckpoint``-ed first: a self-join
+    otherwise RE-COMPUTES its whole upstream subtree for each side, and the
+    subtree here is the expensive part (shingle explode + K hashes + min
+    aggregation — the signatures would be computed twice, verified in the
+    formatted plan). Materializing (n_docs x bands) small rows to executor
+    storage costs far less than a second signature pass at any scale."""
+    banded = banded.localCheckpoint(eager=False)
     left = banded.select(F.col(id_col).alias("a"), "band", "band_key")
     right = banded.select(F.col(id_col).alias("b"), "band", "band_key")
     return (
