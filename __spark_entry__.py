@@ -737,6 +737,18 @@ def q_emb_near_dup_amp(spark, sf_dir):
     return embedding_near_duplicates(emb, threshold=0.3, dims=8, tables=2)
 
 
+def q_sessionize(spark, sf_dir):
+    """Per-user gap sessions over the events table via Spark's NATIVE
+    session_window; the oracle derives the same sessions independently with
+    the lag + cumulative-sum SQL formulation — the two constructions must
+    agree exactly (merged-gap-window semantics)."""
+    from ontoweaver_spark.sessions import session_stats
+
+    _tune(spark)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(events, gap_minutes=30)
+
+
 def _part_tree_edges(spark, sf_dir):
     """Deterministic type hierarchy derived from the part table: key k is a
     subclass of k // 2 (a binary tree over the partkeys, ~log2(n) deep) —
@@ -894,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_near": q_dedup_simhash_near,
+        "sessionize": q_sessionize,
         "dedup_verified": q_dedup_verified,
         "dedup_clusters": q_dedup_clusters,
         "text_features": q_text_features,
@@ -1653,6 +1666,31 @@ def oracle_sql() -> dict[str, str]:
               ON a.vec_id < b.vec_id
              AND ({_BUCKET_SQL.format(t='a')}) = ({_BUCKET_SQL.format(t='b')})
             WHERE {_COS_SQL} >= 0.3
+        """,
+        "sessionize": """
+            WITH ordered AS (
+              SELECT user_id, event_id, epoch_us(ts) AS tus,
+                     lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            ), flagged AS (
+              SELECT *, CASE WHEN prev IS NULL
+                              OR tus - prev > 30 * 60 * 1000000
+                         THEN 1 ELSE 0 END AS new_s
+              FROM ordered
+            ), sess AS (
+              SELECT *, sum(new_s) OVER
+                (PARTITION BY user_id ORDER BY tus, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_no
+              FROM flagged
+            )
+            SELECT user_id,
+                   min(tus) AS session_start_us,
+                   max(tus) + 30 * 60 * 1000000 AS session_end_us,
+                   count(*) AS n_events,
+                   min(event_id) AS first_event,
+                   max(event_id) AS last_event
+            FROM sess GROUP BY user_id, session_no
         """,
         "emb_near_dup_amp": f"""
             SELECT a.vec_id AS a, b.vec_id AS b, {_COS_SQL} AS cos

@@ -39,6 +39,7 @@ from .linking import canonical_entity, canonical_url, comention_edges, link_enti
 from .nulls import is_not_null
 from .ontology import automap_to_targets, subclass_closure, subclass_edges_from_triples
 from .sampling import hash_split, stratified_sample
+from .sessions import session_stats, sessionize
 from .validate import graph_integrity, quarantine, validate_input
 from .registry import import_from_path, register, register_all
 from .session import get_spark, tune_session
@@ -58,6 +59,7 @@ __all__ = [
     "subclass_closure", "subclass_edges_from_triples", "automap_to_targets",
     "stratified_sample", "hash_split",
     "degree_stats", "top_hubs", "degree_histogram", "write_neo4j_import",
+    "sessionize", "session_stats",
 ]
 
 
