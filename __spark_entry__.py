@@ -930,8 +930,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # --------------------------------------------------------------------------
 
-_NORM_TEXT_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
-_FINGERPRINT_SQL = _SQL_MD5INT.format(x=_NORM_TEXT_SQL)
+# case-PRESERVING fingerprint — the exact-family collapse key (shingle /
+# minhash signatures are case-sensitive, so the collapse must not lowercase;
+# mirrors textops.fingerprint_cs). The lowercased exact-dup fingerprint is
+# built locally in oracle_sql() for the operators that define exact-dup as
+# case-insensitive (dedup_exact, text_features, corpus_prep).
+_NORM_TEXT_CS_SQL = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
+_FINGERPRINT_CS_SQL = _SQL_MD5INT.format(x=_NORM_TEXT_CS_SQL)
 
 
 def _minhash_sql_parts(
@@ -960,7 +965,7 @@ def _minhash_sql_parts(
     if collapse:
         prefix = f"""
     WITH fam AS (
-      SELECT doc_id, {_FINGERPRINT_SQL} AS fp FROM documents
+      SELECT doc_id, {_FINGERPRINT_CS_SQL} AS fp FROM documents
     ), canon AS (
       SELECT fp, min(doc_id) AS canonical FROM fam GROUP BY fp
     ), star AS (

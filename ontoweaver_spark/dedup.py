@@ -116,10 +116,18 @@ def _exact_family_star(
     the family's canonical doc (min id) — O(m) rows per m-doc family.
     ``canon_ids`` is one id per family; banding only those keeps the
     band-bucket self-join linear in the number of DISTINCT documents.
-    """
-    from .textops import fingerprint
 
-    fam = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("_fp"))
+    The key is the CASE-PRESERVING fingerprint (``textops.fingerprint_cs``):
+    shingle / minhash / simhash signatures are case-sensitive, so the
+    collapse invariant "identical fingerprint => identical shingle set"
+    requires a key that does not lowercase. (The lowercased
+    ``textops.fingerprint`` would merge case-variant docs with different
+    shingle sets, emitting false jaccard-1.0 star edges and dropping band
+    pairs reachable only through the variant member.)
+    """
+    from .textops import fingerprint_cs
+
+    fam = df.select(F.col(id_col), fingerprint_cs(F.col(text_col)).alias("_fp"))
     canon = fam.groupBy("_fp").agg(F.min(id_col).alias("_canonical"))
     star = (
         fam.join(canon, "_fp")

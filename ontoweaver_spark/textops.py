@@ -111,6 +111,19 @@ def fingerprint(c: Column) -> Column:
     return md5_int(normalized)
 
 
+def fingerprint_cs(c: Column) -> Column:
+    """CASE-PRESERVING fingerprint: md5-int of whitespace-normalized text
+    with NO lower().
+
+    This is the collapse key dedup's exact-family star must use: shingles,
+    minhash and simhash all hash raw (case-sensitive) tokens, so the
+    invariant "identical fingerprint => identical shingle set" only holds
+    when the fingerprint preserves case. :func:`fingerprint` (lowercased)
+    would merge case-variant docs whose shingle sets differ, silently
+    dropping band pairs reachable only through the variant member."""
+    return md5_int(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+
 def text_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """All features at once over a documents-like table."""
     c = F.col(text_col)

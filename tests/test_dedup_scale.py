@@ -71,6 +71,46 @@ def test_collapse_preserves_clusters(spark):
     assert len({by_doc[i] for i in range(4, 7)}) == 1  # family B too
 
 
+def test_case_variant_not_collapsed(spark):
+    """ADVICE r3 (high): the exact-family collapse must key on a
+    CASE-PRESERVING fingerprint. Docs differing only in case have
+    different (case-sensitive) shingle sets, so they are NOT exact
+    duplicates: no jaccard-1.0 star edge may link them."""
+    from ontoweaver_spark.dedup import verified_candidates
+
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = _docs(spark, [(1, t), (2, t), (3, t.upper())])
+    rows = verified_candidates(df, threshold=0.9).collect()
+    # only the byte-identical pair survives; the case variant's true
+    # case-sensitive shingle jaccard vs t is 0.0
+    assert [(r["a"], r["b"], r["jaccard"]) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_case_variant_connectivity_preserved(spark):
+    """A case variant of an exact family must be banded ITSELF (it is its
+    own canonical under the case-preserving collapse key): band pairs
+    reachable only through the variant must survive the collapse, and the
+    collapsed pair-set must match the uncollapsed one."""
+    from ontoweaver_spark.dedup import minhash_candidates
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi omicron pi rho sigma tau upsilon")
+    up = words.upper()
+    near_up = up.rsplit(" ", 1)[0] + " PHI"  # one trailing word differs
+    df = _docs(spark, [(1, words), (2, words), (3, up), (4, near_up)])
+
+    collapsed = {(r["a"], r["b"]) for r in minhash_candidates(df).collect()}
+    uncollapsed = {
+        (r["a"], r["b"])
+        for r in minhash_candidates(df, collapse_exact=False).collect()
+    }
+    assert (1, 2) in collapsed  # exact family star edge
+    assert (3, 4) in collapsed  # reachable only via the case variant
+    # no false family edges across the case boundary
+    assert not {(1, 3), (2, 3), (1, 4), (2, 4)} & collapsed
+    assert collapsed == uncollapsed
+
+
 def test_verified_star_jaccard_is_one(spark):
     from ontoweaver_spark.dedup import verified_candidates
 
