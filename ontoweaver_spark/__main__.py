@@ -121,6 +121,12 @@ def main(argv=None) -> int:
                          "directory (per-label header+parts CSV groups and "
                          "a generated neo4j-admin import script — the "
                          "reference's BioCypher/--import-script-run analog)")
+    ap.add_argument("--neo4j-import-run", action="store_true",
+                    help="after --neo4j-out, execute the generated "
+                         "neo4j-import.sh and propagate its exit code "
+                         "(reference --import-script-run, "
+                         "ontoweave.py:441-452); fails if neo4j-admin is "
+                         "not on PATH")
     ap.add_argument("--register", action="append", default=[],
                     help="user transformer module path (may repeat)")
     ap.add_argument("--sub-sample", type=float, default=None, help="percent sample")
@@ -164,6 +170,8 @@ def main(argv=None) -> int:
             setattr(args, dest, vals)
     if not args.out and not args.auto_schema and not args.validate_only:
         ap.error("--out is required (flag, ONTOWEAVE_OUT, or config `out:`)")
+    if args.neo4j_import_run and not args.neo4j_out:
+        ap.error("--neo4j-import-run requires --neo4j-out")
 
     from . import registry
     from .fusion import reconciliate
@@ -242,17 +250,12 @@ def main(argv=None) -> int:
             prop_sep=args.prop_sep, sort=args.sort,
             validate_output=args.validate_output,
             bucketed_out=args.bucketed_out,
+            # pre-render export inside the pipeline (same ordering as the
+            # single-shot path): exporting from the final parquet after
+            # --prop-sep rendering would emit joined-string scalars instead
+            # of :string[] headers
+            neo4j_out=args.neo4j_out,
         )
-        if args.neo4j_out:
-            # emit from the final fused parquet (works for both array-typed
-            # and --prop-sep-rendered properties)
-            from .neo4j_export import write_neo4j_import
-
-            write_neo4j_import(
-                spark.read.parquet(os.path.join(args.out, "nodes")),
-                spark.read.parquet(os.path.join(args.out, "edges")),
-                args.neo4j_out,
-            )
         out_json = {
             "nodes": report.fused_nodes, "edges": report.fused_edges,
             "out": args.out, "chunks_resumed": report.chunks_resumed,
@@ -262,7 +265,13 @@ def main(argv=None) -> int:
             out_json["integrity"] = report.integrity
         print(json.dumps(out_json))
         spark.stop()
-        return 0 if (report.integrity is None or report.integrity["ok"]) else 1
+        if report.integrity is not None and not report.integrity["ok"]:
+            return 1
+        if args.neo4j_import_run:
+            from .neo4j_export import run_import_script
+
+            return run_import_script(args.neo4j_out)
+        return 0
 
     all_nodes, all_edges = None, None
     for pair in args.pairs:
@@ -351,7 +360,13 @@ def main(argv=None) -> int:
     _save_manifest(args.out, manifest)
     print(json.dumps(out_json))
     spark.stop()
-    return 0 if (integrity is None or integrity["ok"]) else 1
+    if integrity is not None and not integrity["ok"]:
+        return 1
+    if args.neo4j_import_run:
+        from .neo4j_export import run_import_script
+
+        return run_import_script(args.neo4j_out)
+    return 0
 
 
 if __name__ == "__main__":

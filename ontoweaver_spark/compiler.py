@@ -57,29 +57,34 @@ def with_row_index(df: DataFrame, col_name: str = ROW_ID_COL) -> DataFrame:
     """Attach a stable, contiguous 0-based row index (the `rowIndex` subject
     of the reference maps to the pandas index, iterative.py fixtures).
 
-    Distributed zipWithIndex: count rows per partition (cheap driver-side
-    pass), then index = partition offset + intra-partition position. No
-    global shuffle; deterministic for a deterministic input partitioning.
+    Distributed zipWithIndex, fully LAZY — building this frame runs no
+    Spark job (asserted in tests/test_transformer_ops.py). index =
+    partition offset + intra-partition position, where the offsets come
+    from a cumulative-sum window over the per-partition counts aggregate (a
+    frame with one row per input partition) broadcast-joined back. The wide
+    data itself is shuffled only by the intra-partition row_number window
+    on `_ow_pid` (the same exchange the previous driver-side variant paid);
+    the nondeterministic pid/mono-id expressions are pinned pre-exchange by
+    Catalyst's PullOutNondeterministic, so positions reflect the original
+    partitioning.
     """
-    pid = F.spark_partition_id()
-    with_pid = df.withColumn("_ow_pid", pid)
-    counts = dict(
-        (r["_ow_pid"], r["cnt"])
-        for r in with_pid.groupBy("_ow_pid").agg(F.count("*").alias("cnt")).collect()
+    with_pid = df.withColumn("_ow_pid", F.spark_partition_id())
+    counts = with_pid.groupBy("_ow_pid").agg(F.count("*").alias("_ow_cnt"))
+    w_cum = (
+        Window.orderBy("_ow_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets, acc = {}, 0
-    for p in sorted(counts):
-        offsets[p] = acc
-        acc += counts[p]
-    offset_map = F.create_map(
-        *[x for p in sorted(offsets) for x in (F.lit(p), F.lit(offsets[p]))]
-    ) if offsets else F.create_map()
+    offsets = counts.select(
+        "_ow_pid",
+        F.coalesce(F.sum("_ow_cnt").over(w_cum), F.lit(0)).alias("_ow_off"),
+    )
     w = Window.partitionBy("_ow_pid").orderBy(F.monotonically_increasing_id())
     return (
         with_pid
         .withColumn("_ow_pos", F.row_number().over(w) - F.lit(1))
-        .withColumn(col_name, (F.coalesce(F.try_element_at(offset_map, F.col("_ow_pid")), F.lit(0)) + F.col("_ow_pos")).cast("long"))
-        .drop("_ow_pid", "_ow_pos")
+        .join(F.broadcast(offsets), "_ow_pid")
+        .withColumn(col_name, (F.col("_ow_off") + F.col("_ow_pos")).cast("long"))
+        .drop("_ow_pid", "_ow_pos", "_ow_off")
     )
 
 

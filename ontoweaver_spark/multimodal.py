@@ -132,16 +132,19 @@ def _decode_png(payload: bytes) -> dict | None:
                     line[x] = (line[x] + pr) & 0xFF
             out += line
             prev = line
-        # reduce to luma exactly like the Pillow path's convert("L")
-        # (ITU-R 601-2, truncating, alpha dropped) so the same image gives
-        # the same brightness/phash whether or not Pillow is installed
+        # reduce to luma with Pillow's exact fixed-point ITU-R 601-2
+        # formula ((r*19595 + g*38470 + b*7471) >> 16, alpha dropped) so
+        # the same image gives bit-identical brightness/phash whether or
+        # not Pillow is installed — a single divergent pixel (e.g.
+        # (0,2,209): /1000 decimal rounding gives 25, Pillow gives 24)
+        # flips the md5-based phash entirely
         if ch == 1:
             luma = out
         elif ch == 2:  # gray+alpha: luminance channel only
             luma = out[0::2]
         else:  # RGB / RGBA interleaved
             luma = bytearray(
-                (out[i] * 299 + out[i + 1] * 587 + out[i + 2] * 114) // 1000
+                (out[i] * 19595 + out[i + 1] * 38470 + out[i + 2] * 7471) >> 16
                 for i in range(0, len(out), ch)
             )
         h = hashlib.md5(bytes(luma)).digest()

@@ -164,3 +164,25 @@ def write_neo4j_import(
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
+
+
+def run_import_script(out_dir: str) -> int:
+    """Execute the generated ``neo4j-import.sh`` and return its exit code
+    (the reference optionally RUNS the generated import script via
+    ``--import-script-run``, ``/root/reference/src/ontoweaver/ontoweave.py:441-452``).
+
+    Fails loudly when ``neo4j-admin`` is not on PATH — the caller asked for
+    execution, so a silent skip would report success for an import that
+    never happened; the generated script stays on disk either way."""
+    import shutil
+    import subprocess
+
+    script = os.path.join(out_dir, "neo4j-import.sh")
+    if not os.path.exists(script):
+        raise FileNotFoundError(f"no generated import script at {script}")
+    if shutil.which("neo4j-admin") is None:
+        raise FileNotFoundError(
+            "neo4j-admin not found on PATH; the generated script is at "
+            f"{script} — run it on a host with Neo4j installed"
+        )
+    return subprocess.run(["bash", script]).returncode

@@ -203,6 +203,7 @@ def run_pipeline(
     sort: Optional[str] = None,
     validate_output: bool = False,
     bucketed_out: Optional[str] = None,
+    neo4j_out: Optional[str] = None,
 ) -> RunReport:
     """Run the full pipeline with checkpoint/resume.
 
@@ -213,7 +214,11 @@ def run_pipeline(
     ``prop_sep``; natural-order ``sort`` ("ascend"/"descend") by id before
     writing; ``validate_output`` runs final-graph invariants into
     ``report.integrity``; ``bucketed_out`` also materializes bucketed
-    tables in that database.
+    tables in that database; ``neo4j_out`` writes the Neo4j bulk-import
+    directory PRE-render (from array-typed properties, so multi-valued
+    props get ``:string[]`` headers), the same ordering as the single-shot
+    CLI path — exporting from the final parquet after ``prop_sep``
+    rendering would emit scalar joined-string columns instead.
 
     ``chunk_key``: stable column used to split the input into resumable
     chunks (e.g. ``url``). With ``n_chunks=1`` staging is a single snapshot.
@@ -353,7 +358,8 @@ def run_pipeline(
                    # post-fusion output shaping also invalidates the snapshot
                    "prop_sep": prop_sep, "sort": sort,
                    "validate_output": validate_output,
-                   "bucketed_out": bucketed_out}
+                   "bucketed_out": bucketed_out,
+                   "neo4j_out": neo4j_out}
     final = manifest.get("final")
     if (
         report.chunks_extracted == 0
@@ -393,6 +399,12 @@ def run_pipeline(
                                    prop_mergers=property_mergers)
     if bucketed_out:
         write_bucketed_graph(fnodes, fedges, database=bucketed_out)
+    if neo4j_out:
+        # PRE-render, like the single-shot CLI: the emitter renders arrays
+        # itself (`:string[]` headers + its own delimiter)
+        from .neo4j_export import write_neo4j_import
+
+        write_neo4j_import(fnodes, fedges, neo4j_out)
     if validate_output:
         # PRE-render, on raw ids — same order as the single-shot CLI path
         from .validate import graph_integrity

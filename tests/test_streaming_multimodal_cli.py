@@ -89,13 +89,25 @@ def test_cli_end_to_end(tmp_path):
     )
     out = tmp_path / "out"
     neo = tmp_path / "neo4j"
+    # fake neo4j-admin on PATH so --neo4j-import-run actually executes the
+    # generated script (reference --import-script-run) and we can assert
+    # the invocation it received
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    fake = bindir / "neo4j-admin"
+    fake.write_text(f"#!/usr/bin/env bash\necho \"$@\" > {tmp_path}/invoked.txt\n")
+    fake.chmod(0o755)
+    env = {**os.environ, "PATH": f"{bindir}:{os.environ.get('PATH', '')}"}
     proc = subprocess.run(
         [sys.executable, "-m", "ontoweaver_spark", f"{data}:{mapping}",
          "--out", str(out), "--affix", "suffix", "--master", "local[2]",
-         "--neo4j-out", str(neo)],
-        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+         "--neo4j-out", str(neo), "--neo4j-import-run"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo", env=env,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
+    invoked = (tmp_path / "invoked.txt").read_text()
+    assert "database import full neo4j" in invoked
+    assert "--nodes=" in invoked and "--relationships=" in invoked
     result = json.loads(proc.stdout.strip().splitlines()[-1])
     assert result["nodes"] == 6 and result["edges"] == 3
     assert (out / "_manifest.json").exists()
@@ -244,19 +256,27 @@ def test_real_png_decode(spark):
     brightness from actual pixels), not hash-fake them."""
     from ontoweaver_spark.multimodal import decode_image, image_features
 
-    # brightness is ITU-R 601-2 luma (Pillow convert("L") parity, alpha
-    # dropped, truncating) — NOT the raw interleaved channel mean
+    # brightness is ITU-R 601-2 luma in Pillow's exact fixed-point form
+    # ((r*19595 + g*38470 + b*7471) >> 16, alpha dropped) — NOT the raw
+    # interleaved channel mean, and NOT decimal /1000 rounding (which
+    # diverges from Pillow on pixels like (0,2,209): 25 vs 24)
+    def pil_luma(r, g, b):
+        return (r * 19595 + g * 38470 + b * 7471) >> 16
+
     png = _make_png(bytes([255, 0, 0]), 1, 1)  # 1x1 red, RGB
     d = decode_image(png)
     assert (d["width"], d["height"]) == (1, 1)
-    assert abs(d["brightness"] - (255 * 299 // 1000) / 255.0) < 1e-6
+    assert abs(d["brightness"] - pil_luma(255, 0, 0) / 255.0) < 1e-6
 
     png2 = _make_png(bytes([10, 20, 30, 40, 50, 60]), 2, 1)  # 2x1 RGB
     d2 = decode_image(png2)
     assert (d2["width"], d2["height"]) == (2, 1)
-    lumas = [(10 * 299 + 20 * 587 + 30 * 114) // 1000,
-             (40 * 299 + 50 * 587 + 60 * 114) // 1000]
+    lumas = [pil_luma(10, 20, 30), pil_luma(40, 50, 60)]
     assert abs(d2["brightness"] - (sum(lumas) / 2) / 255.0) < 1e-6
+
+    # the /1000 divergence pixel: fallback must match Pillow's 24, not 25
+    png3 = _make_png(bytes([0, 2, 209]), 1, 1)
+    assert abs(decode_image(png3)["brightness"] - 24 / 255.0) < 1e-6
 
     # through the Spark mapInPandas path
     media = spark.createDataFrame(
@@ -267,6 +287,23 @@ def test_real_png_decode(spark):
     row = image_features(media).collect()[0]
     assert (row["width"], row["height"]) == (1, 1)
     assert abs(row["brightness"] - round((255 * 299 // 1000) / 255.0, 4)) < 1e-4
+
+
+def test_png_fallback_pillow_parity():
+    """When Pillow is importable, the stdlib fallback must be bit-identical
+    to it (brightness AND md5-based phash) on pixels spanning the old
+    /1000-vs->>16 rounding divergence. Skips where Pillow is absent — the
+    formula itself is still pinned by test_real_png_decode."""
+    pytest.importorskip("PIL")
+    from ontoweaver_spark.multimodal import _decode_png, decode_image
+
+    pixels = bytes([0, 2, 209, 255, 0, 0, 10, 20, 30, 200, 199, 198])
+    png = _make_png(pixels, 2, 2)
+    via_pillow = decode_image(png)      # dispatcher prefers Pillow
+    via_fallback = _decode_png(png)     # pure-stdlib path, forced
+    assert via_fallback is not None
+    for k in ("width", "height", "brightness", "phash"):
+        assert via_pillow[k] == via_fallback[k], k
 
 
 def test_real_wav_decode(spark):
