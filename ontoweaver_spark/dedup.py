@@ -248,21 +248,28 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iterations: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair list via iterative
-    min-label propagation: every vertex repeatedly adopts the smallest
-    label among itself and its neighbors until a fixpoint.
+    min-label propagation WITH pointer jumping: each round every vertex
+    adopts the smallest label among itself and its neighbors, then
+    shortcuts ``label <- label(label)`` (the PRAM shortcutting step).
 
     This is THE iterative-algorithm shape Spark needs care with:
-    - each round is one shuffle (groupBy vertex) — rounds are bounded by
-      the component diameter, and near-dup clusters are shallow (2-5);
+    - each round is two keyed joins + one aggregate (all hash shuffles);
+    - the shortcutting step collapses label chains geometrically, so a
+      path graph converges in O(log diameter) rounds — plain neighbor
+      propagation needs O(diameter) rounds and a 100-long chain would hit
+      ``max_iterations`` (measured: 100-chain converges in <=8 rounds,
+      tests/test_dedup_scale.py);
     - ``localCheckpoint`` every round truncates the lineage so the plan
       does not grow exponentially across iterations;
     - convergence is detected with one count per round (changed labels).
 
     Returns (vertex, component) where component = min vertex id in the
     component. Vertices not present in ``pairs`` are their own singleton
-    components — callers union them in if needed.
+    components — callers union them in if needed. ``stats`` (optional
+    dict) receives ``{"rounds": n}`` for round-count assertions.
     """
     # materialize the edge list once — every iteration joins against `und`,
     # and without this each round would re-execute the entire upstream
@@ -272,23 +279,37 @@ def connected_components(
     ).distinct().localCheckpoint()
     labels = und.select("v").distinct().withColumn("label", F.col("v"))
 
-    changed = -1
+    changed, rounds = -1, 0
     for _ in range(max_iterations):
+        rounds += 1
         # each vertex receives its neighbors' labels, keeps the min
         incoming = (
             und.join(labels.withColumnRenamed("v", "w2"), und["w"] == F.col("w2"))
             .select(F.col("v"), F.col("label").alias("nlabel"))
         )
-        new_labels = (
+        prop = (
             labels.join(incoming, "v", "left")
             .groupBy("v")
-            .agg(F.least(F.first("label"), F.min("nlabel")).alias("new_label"),
+            .agg(F.least(F.first("label"), F.min("nlabel")).alias("plabel"),
                  F.first("label").alias("label"))
         )
-        changed = new_labels.where(F.col("new_label") != F.col("label")).count()
-        labels = new_labels.select("v", F.col("new_label").alias("label")).localCheckpoint()
+        # pointer jumping: label <- label(label). Every label IS a vertex
+        # id in the set, so the lookup always hits; "left" + coalesce only
+        # guards the degenerate empty frame.
+        lut = prop.select(F.col("v").alias("_lv"), F.col("plabel").alias("_ll"))
+        jumped = (
+            prop.join(lut, prop["plabel"] == F.col("_lv"), "left")
+            .select(
+                "v", "label",
+                F.coalesce(F.col("_ll"), F.col("plabel")).alias("new_label"),
+            )
+        )
+        changed = jumped.where(F.col("new_label") != F.col("label")).count()
+        labels = jumped.select("v", F.col("new_label").alias("label")).localCheckpoint()
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     if changed != 0:
         # returning silently would split one component into several —
         # downstream "keep one per cluster" would then keep too many

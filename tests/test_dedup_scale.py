@@ -299,3 +299,20 @@ def test_simhash_near_dup_brute_force_at_48_bits(spark):
         for r in simhash_near_duplicates(full, bits=48, max_hamming=3).collect()
     }
     assert got == brute and len(brute) >= 10  # the 10 exact copies at least
+
+
+def test_connected_components_chain_logarithmic(spark):
+    """VERDICT r3 #8: a 100-long chain (diameter 99) must converge in
+    O(log n) rounds via pointer jumping — plain min-label propagation
+    would need ~99 rounds and blow max_iterations."""
+    from ontoweaver_spark.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "a bigint, b bigint"
+    )
+    stats = {}
+    cc = connected_components(pairs, max_iterations=15, stats=stats)
+    rows = cc.collect()
+    assert {r["component"] for r in rows} == {0}  # one component, min id
+    assert len(rows) == 100
+    assert stats["rounds"] <= 10  # measured 7-8; log2(99) ~ 6.6
