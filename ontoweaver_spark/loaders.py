@@ -196,10 +196,21 @@ def read_rdf_triples(spark: SparkSession, path: str) -> DataFrame:
     memory, loader.py:318-421). Triple-quoted (multi-line) literals stay
     out of scope and fail loudly.
 
-    ``.rdf`` / ``.owl`` / ``.xml`` paths dispatch to :func:`read_rdf_xml`
-    (driver-side, config-sized — the published-ontology serialization)."""
-    if path.lower().endswith((".rdf", ".owl", ".xml", ".rdfxml")):
+    ``.rdf`` / ``.owl`` / ``.xml`` paths dispatch to :func:`read_rdf_xml`,
+    ``.jsonld`` / ``.json-ld`` to :func:`read_jsonld` (both driver-side,
+    config-sized). ``.trig`` / ``.trix`` / ``.n3`` stay rejected loudly —
+    convert with ``riot --output=ntriples``."""
+    lower = path.lower()
+    if lower.endswith((".rdf", ".owl", ".xml", ".rdfxml")):
         return read_rdf_xml(spark, path)
+    if lower.endswith((".jsonld", ".json-ld")):
+        return read_jsonld(spark, path)
+    if lower.endswith((".trig", ".trix", ".n3")):
+        raise ValueError(
+            f"RDF serialization of {path!r} is not supported — convert to "
+            "N-Triples (e.g. riot --output=ntriples) for distributed "
+            "loading; supported: .nt, .ttl, .rdf/.owl/.xml, .jsonld"
+        )
     lines = spark.read.text(path).select(F.col("value").alias("line"))
     body = lines.where(
         ~F.trim("line").startswith("#")
@@ -642,6 +653,185 @@ def read_rdf_xml(spark: SparkSession, path: str) -> DataFrame:
         walk_node(e, doc_base, None)
 
     return spark.createDataFrame(triples, _RDF_SCHEMA)
+
+
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
+    """JSON-LD (``.jsonld`` — the schema.org-embed serialization the
+    reference accepts via rdflib, loader.py:345-360) -> the same flat
+    triple frame as :func:`read_rdf_triples`.
+
+    Driver-side ``json.loads`` expansion under the same config-size bound
+    as :func:`read_rdf_xml`. Covers the common authored shape: a node
+    object or array of node objects (or a top-level ``@graph``), an
+    inline ``@context`` with term->IRI mappings, ``@vocab``, prefix
+    definitions and ``{"@id"/"@type": ...}`` term definitions; node keys
+    ``@id``/``@type``; values as scalars (typed xsd literals), ``@value``
+    objects (with ``@language``/``@type``), ``{"@id": ...}`` references,
+    nested node objects (expanded recursively, linked by id or blank
+    node), and arrays (one triple per element). Remote/external
+    ``@context`` URLs, ``@reverse``, ``@list``/``@set`` containers and
+    ``@nest`` fail loudly — convert with ``riot --output=ntriples``."""
+    import json as _json
+    import os
+
+    size = os.path.getsize(path)
+    if size > RDF_XML_MAX_BYTES:
+        raise ValueError(
+            f"{path} is {size} bytes — over the {RDF_XML_MAX_BYTES}-byte "
+            "driver-side bound for JSON-LD; convert to N-Triples for "
+            "distributed loading (read_rdf_triples)"
+        )
+    with open(path) as f:
+        doc = _json.load(f)
+
+    triples: list[tuple] = []
+    blank_n = 0
+
+    def new_blank() -> str:
+        nonlocal blank_n
+        blank_n += 1
+        return f"_:j{blank_n}"
+
+    def build_context(raw) -> dict:
+        if raw is None:
+            return {}
+        if isinstance(raw, str):
+            raise ValueError(
+                f"remote @context {raw!r} is not supported (no network) — "
+                "inline the context or convert to N-Triples"
+            )
+        if isinstance(raw, list):
+            ctx: dict = {}
+            for part in raw:
+                ctx.update(build_context(part))
+            return ctx
+        return dict(raw)
+
+    def expand_iri(term: str, ctx: dict, vocab_ok: bool) -> str:
+        """Term -> IRI using context terms, prefixes, and @vocab."""
+        if term.startswith(("http://", "https://", "urn:", "_:")):
+            return term
+        if term in ctx:
+            defn = ctx[term]
+            if isinstance(defn, dict):
+                defn = defn.get("@id", term)
+            if defn != term:
+                return expand_iri(defn, ctx, vocab_ok)
+            return defn
+        if ":" in term:
+            prefix, suffix = term.split(":", 1)
+            if prefix in ctx and isinstance(ctx[prefix], str):
+                return ctx[prefix] + suffix
+            return term  # an absolute IRI with an unknown scheme
+        if vocab_ok and "@vocab" in ctx:
+            return ctx["@vocab"] + term
+        return term
+
+    def term_def(term: str, ctx: dict) -> dict:
+        d = ctx.get(term)
+        return d if isinstance(d, dict) else {}
+
+    def node_id(obj: dict, ctx: dict) -> str:
+        nid = obj.get("@id")
+        return expand_iri(nid, ctx, vocab_ok=False) if nid else new_blank()
+
+    def emit_value(subj: str, pred: str, v, ctx: dict, tdef: dict) -> None:
+        if isinstance(v, list):
+            for item in v:
+                emit_value(subj, pred, item, ctx, tdef)
+            return
+        if isinstance(v, dict):
+            for kw in ("@reverse", "@list", "@set", "@nest"):
+                if kw in v:
+                    raise ValueError(
+                        f"JSON-LD {kw} is not supported — convert to "
+                        "N-Triples (e.g. riot --output=ntriples)"
+                    )
+            if "@value" in v:
+                dt = v.get("@type")
+                dt = expand_iri(dt, ctx, vocab_ok=True) if dt else None
+                lang = v.get("@language")
+                triples.append(
+                    (subj, pred, _scalar_str(v["@value"]), "literal",
+                     None if dt else lang, dt)
+                )
+                return
+            if set(v) == {"@id"}:
+                obj = expand_iri(v["@id"], ctx, vocab_ok=False)
+                kind = "blank" if obj.startswith("_:") else "uri"
+                triples.append((subj, pred, obj, kind, None, None))
+                return
+            # nested node object: expand it, link by its id
+            obj = walk(v, ctx)
+            kind = "blank" if obj.startswith("_:") else "uri"
+            triples.append((subj, pred, obj, kind, None, None))
+            return
+        # scalar: @type: @id coercion, else a typed/plain literal
+        if tdef.get("@type") == "@id" and isinstance(v, str):
+            obj = expand_iri(v, ctx, vocab_ok=False)
+            kind = "blank" if obj.startswith("_:") else "uri"
+            triples.append((subj, pred, obj, kind, None, None))
+            return
+        dt = tdef.get("@type")
+        dt = expand_iri(dt, ctx, vocab_ok=True) if dt else _scalar_datatype(v)
+        lang = tdef.get("@language") if dt is None else None
+        triples.append((subj, pred, _scalar_str(v), "literal", lang, dt))
+
+    def walk(obj: dict, ctx: dict) -> str:
+        if "@context" in obj:
+            ctx = {**ctx, **build_context(obj["@context"])}
+        subj = node_id(obj, ctx)
+        types = obj.get("@type") or []
+        for t in types if isinstance(types, list) else [types]:
+            triples.append(
+                (subj, _RDF_TYPE, expand_iri(t, ctx, vocab_ok=True),
+                 "uri", None, None)
+            )
+        for k, v in obj.items():
+            if k.startswith("@"):
+                if k not in ("@context", "@id", "@type"):
+                    raise ValueError(
+                        f"JSON-LD keyword {k!r} is not supported — convert "
+                        "to N-Triples (e.g. riot --output=ntriples)"
+                    )
+                continue
+            pred = expand_iri(k, ctx, vocab_ok=True)
+            emit_value(subj, pred, v, ctx, term_def(k, ctx))
+        return subj
+
+    top_ctx = build_context(doc.get("@context")) if isinstance(doc, dict) else {}
+    if isinstance(doc, dict) and "@graph" in doc:
+        nodes = doc["@graph"]
+    elif isinstance(doc, list):
+        nodes = doc
+    else:
+        nodes = [doc]
+    for n in nodes:
+        if not isinstance(n, dict):
+            raise ValueError(f"top-level JSON-LD node must be an object, got {n!r}")
+        walk(n, top_ctx)
+
+    return spark.createDataFrame(triples, _RDF_SCHEMA)
+
+
+def _scalar_str(v) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def _scalar_datatype(v):
+    """xsd datatype for a bare JSON scalar, per JSON-LD expansion rules."""
+    if isinstance(v, bool):
+        return f"{_XSD}boolean"
+    if isinstance(v, int):
+        return f"{_XSD}integer"
+    if isinstance(v, float):
+        return f"{_XSD}double"
+    return None  # plain string literal
 
 
 # --------------------------------------------------------------------------

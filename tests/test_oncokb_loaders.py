@@ -352,3 +352,94 @@ def test_rdf_trailing_comments(spark, tmp_path):
     assert (f"{ex}s", f"{ex}r", f"{ex}o2") in rows  # survives the ; fold
     assert (f"{ex}s", f"{ex}lbl", "has # inside") in rows
     assert len(rows) == 4
+
+
+def test_jsonld_loader(spark, tmp_path):
+    """VERDICT r3 #4: JSON-LD (the schema.org-embed serialization the
+    reference accepts via rdflib, loader.py:345-360) parses into the same
+    flat triple frame and feeds subclass_closure; trig/trix/n3 stay loud
+    rejects."""
+    import json
+
+    from ontoweaver_spark.loaders import read_rdf_triples
+    from ontoweaver_spark.ontology import subclass_closure, subclass_edges_from_triples
+
+    rdfs = "http://www.w3.org/2000/01/rdf-schema#"
+    rdft = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    doc = {
+        "@context": {
+            "rdfs": rdfs,
+            "ex": "http://example.org/",
+            "name": "http://schema.org/name",
+            "parent": {"@id": f"{rdfs}subClassOf", "@type": "@id"},
+            "@vocab": "http://schema.org/",
+        },
+        "@graph": [
+            {"@id": "ex:Dog", "@type": "ex:Class", "parent": "ex:Mammal",
+             "name": {"@value": "Dog", "@language": "en"},
+             "legs": 4, "extinct": False},
+            {"@id": "ex:Mammal", "parent": "ex:Animal",
+             "knownFor": [{"@id": "ex:Fur"}, "warm blood"]},
+            {"@id": "ex:Cat", "parent": {"@id": "ex:Mammal"},
+             "owner": {"name": "Ada"}},
+        ],
+    }
+    f = tmp_path / "onto.jsonld"
+    f.write_text(json.dumps(doc))
+    df = read_rdf_triples(spark, str(f))
+    rows = {
+        (r["subject"], r["predicate"], r["object"], r["object_kind"],
+         r["object_lang"], r["object_datatype"])
+        for r in df.collect()
+    }
+    ex = "http://example.org/"
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    assert (f"{ex}Dog", rdft, f"{ex}Class", "uri", None, None) in rows
+    # @type:@id coercion expands the string object to a URI
+    assert (f"{ex}Dog", f"{rdfs}subClassOf", f"{ex}Mammal", "uri", None, None) in rows
+    # language-tagged @value and typed bare scalars
+    assert (f"{ex}Dog", "http://schema.org/name", "Dog", "literal", "en", None) in rows
+    assert (f"{ex}Dog", "http://schema.org/legs", "4", "literal", None,
+            f"{xsd}integer") in rows
+    assert (f"{ex}Dog", "http://schema.org/extinct", "false", "literal", None,
+            f"{xsd}boolean") in rows
+    # arrays: one triple per element, mixed @id + literal
+    assert (f"{ex}Mammal", "http://schema.org/knownFor", f"{ex}Fur",
+            "uri", None, None) in rows
+    assert (f"{ex}Mammal", "http://schema.org/knownFor", "warm blood",
+            "literal", None, None) in rows
+    # explicit {"@id"} object and nested node -> blank subject
+    assert (f"{ex}Cat", f"{rdfs}subClassOf", f"{ex}Mammal", "uri", None, None) in rows
+    blank_objs = [o for s, p, o, k, _, _ in rows
+                  if s == f"{ex}Cat" and p == "http://schema.org/owner" and k == "blank"]
+    assert len(blank_objs) == 1
+    assert (blank_objs[0], "http://schema.org/name", "Ada", "literal", None, None) in rows
+
+    # feeds the closure exactly like .nt/.ttl/.owl inputs
+    closure = {
+        (r["descendant"], r["ancestor"], r["depth"])
+        for r in subclass_closure(subclass_edges_from_triples(df)).collect()
+    }
+    assert (f"{ex}Dog", f"{ex}Animal", 2) in closure
+    assert (f"{ex}Cat", f"{ex}Animal", 2) in closure
+
+    # unsupported serializations fail loudly with the convert hint
+    for ext in ("trig", "trix", "n3"):
+        bad = tmp_path / f"x.{ext}"
+        bad.write_text("")
+        with pytest.raises(ValueError, match="riot --output=ntriples"):
+            read_rdf_triples(spark, str(bad))
+
+    # unsupported JSON-LD keywords fail loudly too
+    bad = tmp_path / "rev.jsonld"
+    bad.write_text(json.dumps(
+        {"@id": "http://x/a", "http://x/p": {"@reverse": {"http://x/q": []}}}
+    ))
+    with pytest.raises(ValueError, match="@reverse"):
+        read_rdf_triples(spark, str(bad))
+
+    # remote contexts cannot be fetched -> loud
+    bad2 = tmp_path / "remote.jsonld"
+    bad2.write_text(json.dumps({"@context": "https://schema.org", "@id": "http://x/a"}))
+    with pytest.raises(ValueError, match="remote @context"):
+        read_rdf_triples(spark, str(bad2))
