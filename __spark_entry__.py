@@ -639,30 +639,28 @@ def q_dedup_jaccard(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """Oracle-pinned to bits=16 (the DuckDB mirror builds 16 CASE terms);
-    the library default is the scale-safe 60-bit signature."""
+    """Per-doc simhash signatures at the library default (60-bit — the
+    DuckDB mirror builds the same 60 signed-sum CASE terms over BIGINT)."""
     from ontoweaver_spark.dedup import simhash
 
     _tune(spark)
     return _docs(spark, sf_dir).select(
-        "doc_id", simhash(F.col("text"), bits=16).alias("simhash")
+        "doc_id", simhash(F.col("text")).alias("simhash")
     )
 
 
 def q_dedup_simhash_near(spark, sf_dir):
-    """Simhash hamming<=1 near-dup pairs: banded pigeonhole candidates +
-    popcount verify. (<=1 on a 16-bit signature ~ the classic 64-bit/<=3
-    selectivity; <=3 here passes half of all pairs — too coarse to mean
-    "near-dup".) The oracle is the BRUTE-FORCE all-pairs xor — the banding
-    is provably lossless (bands > max_hamming), so the two must agree
-    exactly. Pinned to bits=16 to match the oracle; the library default is
-    60-bit (see dedup.simhash_near_duplicates for why 16 is a scale trap)."""
+    """Simhash near-dup pairs at the PRODUCTION defaults (60-bit
+    signature, hamming<=3, 4 pigeonhole bands — the Manku shape): banded
+    candidates + popcount verify. The oracle is the BRUTE-FORCE all-pairs
+    xor over the same 60-bit signatures — the banding is provably lossless
+    (bands > max_hamming), so the two must agree exactly. (r3 pinned this
+    to bits=16/hamming<=1; at sf0.1 that 65k signature space collides into
+    2.7M degenerate pairs — the very trap the 60-bit default removes.)"""
     from ontoweaver_spark.dedup import simhash_near_duplicates
 
     _tune(spark)
-    return simhash_near_duplicates(
-        _docs_spread(spark, sf_dir), bits=16, max_hamming=1
-    )
+    return simhash_near_duplicates(_docs_spread(spark, sf_dir))
 
 
 def q_dedup_verified(spark, sf_dir):
@@ -681,6 +679,20 @@ def q_dedup_clusters(spark, sf_dir):
 
     _tune(spark)
     return duplicate_clusters(_docs_spread(spark, sf_dir), threshold=0.8)
+
+
+def q_decontam(spark, sf_dir):
+    """Train/eval 13-gram decontamination report (the GPT-3/PaLM rule):
+    eval set = every 23rd doc; every corpus doc sharing a distinct 13-gram
+    with an eval doc surfaces as (doc_id, eval_id, n_shared) — the eval
+    docs themselves plus their exact/near duplicate families. The eval
+    n-gram set broadcasts; the corpus side never shuffles."""
+    from ontoweaver_spark.decontam import contamination_report
+
+    _tune(spark)
+    docs = _docs_spread(spark, sf_dir)
+    ev = _docs(spark, sf_dir).where(F.col("doc_id") % 23 == 0)
+    return contamination_report(docs, ev, n=13)
 
 
 def q_text_features(spark, sf_dir):
@@ -914,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "dedup_verified": q_dedup_verified,
         "dedup_clusters": q_dedup_clusters,
+        "decontam": q_decontam,
         "text_features": q_text_features,
         "ann_topk": q_ann_topk,
         "ann_topk_bucketed": q_ann_topk_bucketed,
@@ -1423,13 +1436,13 @@ def oracle_sql() -> dict[str, str]:
                          (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*))
                          * 10000 + 0.5) / 10000 >= 0.8
         """,
-        "dedup_simhash": _simhash_sql(),
+        "dedup_simhash": _simhash_sql(bits=60),
         "dedup_simhash_near": f"""
-            WITH sims AS ({_simhash_sql()})
+            WITH sims AS ({_simhash_sql(bits=60)})
             SELECT l.doc_id AS a, r.doc_id AS b,
                    bit_count(xor(l.simhash, r.simhash))::BIGINT AS hamming
             FROM sims l JOIN sims r ON l.doc_id < r.doc_id
-            WHERE bit_count(xor(l.simhash, r.simhash)) <= 1
+            WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
         """,
         "dedup_verified": _minhash_sql_parts(collapse=True) + """
           , counts AS (
@@ -1492,6 +1505,25 @@ def oracle_sql() -> dict[str, str]:
           )
           SELECT x AS doc_id, least(x, min(y)) AS cluster_id
           FROM reach GROUP BY x
+        """,
+        "decontam": f"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+              FROM documents
+            ), sh AS (
+              -- distinct word 13-grams; concat_ws skips out-of-range
+              -- positions exactly like Spark's element_at+concat_ws
+              SELECT DISTINCT doc_id, s
+              FROM toks, UNNEST(list_transform(
+                range(1, greatest(len(l) - 12, 1) + 1),
+                i -> concat_ws(' ', {", ".join(f"l[i+{j}]" for j in range(13))})
+              )) AS t(s)
+            ), ev AS (
+              SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 23 = 0
+            )
+            SELECT c.doc_id, e.eval_id, count(*) AS n_shared
+            FROM sh c JOIN ev e USING (s)
+            GROUP BY c.doc_id, e.eval_id
         """,
         "text_features": f"""
             SELECT doc_id,
