@@ -695,6 +695,46 @@ def q_decontam(spark, sf_dir):
     return contamination_report(docs, ev, n=13)
 
 
+def q_url_canon(spark, sf_dir):
+    """URL canonicalization (the first operator of any crawl pipeline):
+    mixed-case scheme/host, default port, duplicate slashes, tracking
+    params and fragments all normalize away; non-tracking params survive.
+    URLs are synthesized deterministically from documents columns so the
+    DuckDB oracle builds the byte-identical input."""
+    from ontoweaver_spark.urls import canonical_url
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("HTTPS://"), F.upper(F.col("source")), F.lit(".Example.COM:443//d//"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=feed&id="), F.col("doc_id").cast("string"),
+        F.lit("&utm_campaign=x&ref=rss#frag"),
+    )
+    return docs.select("doc_id", canonical_url(url).alias("canonical_url"))
+
+
+def q_url_dedup(spark, sf_dir):
+    """Crawl-snapshot dedup: two synthetic fetches per page (one clean,
+    one later with case/slash/tracking noise) collapse to one canonical
+    row each, keeping the latest fetch — one max_by hash aggregate."""
+    from ontoweaver_spark.urls import latest_per_url
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    v1 = docs.select(
+        F.concat(F.lit("https://crawl."), F.lower("source"), F.lit(".com/p/"), did).alias("url"),
+        F.col("doc_id").alias("ts"),
+    )
+    v2 = docs.select(
+        F.concat(F.lit("HTTPS://CRAWL."), F.upper("source"), F.lit(".COM//p//"), did,
+                 F.lit("/?utm_source=x")).alias("url"),
+        (F.col("doc_id") + 10_000_000).alias("ts"),
+    )
+    return latest_per_url(v1.unionByName(v2), url_col="url", ts_col="ts")
+
+
 def q_text_features(spark, sf_dir):
     from ontoweaver_spark.textops import fingerprint, lang_id, quality_score, token_count
 
@@ -927,6 +967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_verified": q_dedup_verified,
         "dedup_clusters": q_dedup_clusters,
         "decontam": q_decontam,
+        "url_canon": q_url_canon,
+        "url_dedup": q_url_dedup,
         "text_features": q_text_features,
         "ann_topk": q_ann_topk,
         "ann_topk_bucketed": q_ann_topk_bucketed,
@@ -1173,6 +1215,12 @@ def _bucket_sql_at(t: str, dims: int = 8, offset: int = 0) -> str:
         f"(CASE WHEN {t}.embedding[{offset + i + 1}] >= 0 THEN '1' ELSE '0' END) || "
         for i in range(dims)
     )[:-4]
+
+
+def _url_canon_sql(col: str) -> str:
+    from ontoweaver_spark.urls import canonical_url_sql
+
+    return canonical_url_sql(col)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1524,6 +1572,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, e.eval_id, count(*) AS n_shared
             FROM sh c JOIN ev e USING (s)
             GROUP BY c.doc_id, e.eval_id
+        """,
+        "url_canon": f"""
+            WITH u AS (
+              SELECT doc_id,
+                     'HTTPS://' || upper(source) || '.Example.COM:443//d//' ||
+                     doc_id || '/?utm_source=feed&id=' || doc_id ||
+                     '&utm_campaign=x&ref=rss#frag' AS url
+              FROM documents
+            )
+            SELECT doc_id, {_url_canon_sql("url")} AS canonical_url FROM u
+        """,
+        "url_dedup": f"""
+            WITH u AS (
+              SELECT 'https://crawl.' || lower(source) || '.com/p/' || doc_id AS url,
+                     doc_id AS ts FROM documents
+              UNION ALL
+              SELECT 'HTTPS://CRAWL.' || upper(source) || '.COM//p//' || doc_id
+                     || '/?utm_source=x', doc_id + 10000000 FROM documents
+            ), c AS (
+              SELECT {_url_canon_sql("url")} AS canonical_url, url, ts FROM u
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY canonical_url ORDER BY ts DESC, url DESC) AS rn
+              FROM c
+            )
+            SELECT canonical_url, url, ts FROM r WHERE rn = 1
         """,
         "text_features": f"""
             SELECT doc_id,

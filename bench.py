@@ -84,7 +84,8 @@ def main() -> None:
                  "kg_two_sources", "entity_link", "comention", "kg_match_branch",
                  "onto_closure", "onto_automap", "sessionize",
                  "sample_stratified", "hash_split", "top_ngrams",
-                 "rep_signals", "kg_degree", "corpus_prep", "decontam"]:
+                 "rep_signals", "kg_degree", "corpus_prep", "decontam",
+                 "url_canon", "url_dedup"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the
