@@ -903,6 +903,18 @@ def q_corpus_prep(spark, sf_dir):
     ).select("doc_id", "lang", "n_tokens", "quality")
 
 
+def q_kg_pagerank(spark, sf_dir):
+    """Fixed-point PageRank (5 integer power iterations) over the fused
+    KG edges — hub scoring beyond raw degree. Integer arithmetic makes the
+    result bit-identical across engines/partitionings, so the DuckDB
+    oracle (the same 5 iterations unrolled as CTEs) hash-matches exactly —
+    a float PageRank could never be oracle-checked this way."""
+    from ontoweaver_spark.graphstats import pagerank_fixed_point
+
+    _, fedges = _kg(spark, sf_dir)
+    return pagerank_fixed_point(fedges, iterations=5)
+
+
 def q_kg_degree(spark, sf_dir):
     """Hub detection over the fused KG: top-20 nodes by total degree
     (the skew profile the salted fusion defends against)."""
@@ -982,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "rep_signals": q_rep_signals,
         "kg_degree": q_kg_degree,
+        "kg_pagerank": q_kg_pagerank,
         "corpus_prep": q_corpus_prep,
     }
 
@@ -1215,6 +1228,40 @@ def _bucket_sql_at(t: str, dims: int = 8, offset: int = 0) -> str:
         f"(CASE WHEN {t}.embedding[{offset + i + 1}] >= 0 THEN '1' ELSE '0' END) || "
         for i in range(dims)
     )[:-4]
+
+
+def _pagerank_sql(iterations: int = 5, scale: int = 1_000_000, damping: int = 85) -> str:
+    """Unrolled integer power iteration mirroring graphstats.
+    pagerank_fixed_point — one CTE per iteration, '//' integer division
+    (same truncation as Spark's DIV on positives), exact BIGINT sums."""
+    teleport = (100 - damping) * scale // 100
+    parts = [f"""
+    WITH edges AS (
+      SELECT doc_id::VARCHAR || ':document' AS src, lang || ':language' AS dst
+      FROM documents
+      UNION ALL
+      SELECT doc_id::VARCHAR || ':document', source || ':source' FROM documents
+    ), e AS (
+      SELECT DISTINCT src AS s, dst AS d FROM edges
+    ), outd AS (
+      SELECT s, count(*) AS od FROM e GROUP BY s
+    ), nodes AS (
+      SELECT s AS node FROM e UNION SELECT d FROM e
+    ), r0 AS (
+      SELECT node, {scale}::BIGINT AS "rank" FROM nodes
+    )"""]
+    for i in range(1, iterations + 1):
+        parts.append(f""", r{i} AS (
+      SELECT n.node,
+             ({teleport} + ({damping} * coalesce(t.inb, 0)) // 100)::BIGINT AS "rank"
+      FROM nodes n LEFT JOIN (
+        SELECT e.d AS node, sum(r."rank" // o.od) AS inb
+        FROM e JOIN outd o ON e.s = o.s JOIN r{i - 1} r ON r.node = e.s
+        GROUP BY e.d
+      ) t ON t.node = n.node
+    )""")
+    parts.append(f'\n    SELECT node, "rank" FROM r{iterations}')
+    return "".join(parts)
 
 
 def _url_canon_sql(col: str) -> str:
@@ -1708,6 +1755,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_SQL_MD5INT.format(x="'11:' || doc_id::VARCHAR")} % 1000000
                   < (CASE lang WHEN 'en' THEN 0.5 ELSE 1.0 END) * 1000000
         """,
+        "kg_pagerank": _pagerank_sql(iterations=5),
         "kg_degree": """
             WITH edges AS (
               SELECT doc_id::VARCHAR || ':document' AS src,

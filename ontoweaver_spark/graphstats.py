@@ -63,3 +63,68 @@ def degree_histogram(
         .groupBy("degree")
         .agg(F.count("*").alias("n_nodes"))
     )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    scale: int = 1_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-point PageRank over a directed edge list ->
+    ``(node, rank)`` with rank scaled by ``scale`` (rank=scale is the
+    uniform start; damping 0.85 as ``damping_pct/100``).
+
+    ALL arithmetic is integer (BIGINT): per-edge contribution is
+    ``rank DIV out_degree``, the damped update is ``(100-d)*scale DIV 100
+    + d*inbound DIV 100``. Integer addition is exact and commutative, so
+    the result is bit-identical regardless of partitioning, aggregation
+    order, or engine — a floating-point formulation would drift with
+    shuffle order and could never hash-match a DuckDB oracle (the same
+    reason train_centroids is property- rather than oracle-tested).
+    Truncation loses < |V| * iterations rank mass — irrelevant for the
+    ranking use and a price identical in every engine.
+
+    Scale shape: the edge list (deduped (src,dst)) and out-degrees
+    materialize ONCE (localCheckpoint — every iteration joins them);
+    each of the ``iterations`` rounds is one broadcast-free join keyed on
+    src + one map-side-combinable sum keyed on dst — the canonical
+    iterative-graph plan. Dangling nodes (no out-edges) keep receiving
+    the teleport term; their mass is not redistributed (the standard
+    simplified formulation, stated here so the semantics are explicit).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    outd = e.groupBy("s").agg(F.count("*").alias("od"))
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionAll(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    teleport = ((100 - damping_pct) * scale) // 100
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    for _ in range(iterations):
+        contribs = (
+            e.join(outd, "s")
+            .join(ranks.select(F.col("node").alias("s"), "rank"), "s")
+            .select(F.col("d").alias("node"), F.expr("rank DIV od").alias("c"))
+        )
+        inbound = contribs.groupBy("node").agg(F.sum("c").alias("inb"))
+        ranks = (
+            nodes.join(inbound, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(f"{damping_pct} * coalesce(inb, 0) DIV 100")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

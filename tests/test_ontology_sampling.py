@@ -201,3 +201,30 @@ def test_degree_stats_and_top_hubs(spark):
     assert [(r["node"], r["rank"]) for r in hubs] == [("hub", 1), ("a", 2)]
     hist = {r["degree"]: r["n_nodes"] for r in degree_histogram(edges).collect()}
     assert hist == {4: 1, 2: 1, 1: 2}
+
+
+def test_pagerank_fixed_point_hand_computed(spark):
+    """Integer PageRank against hand-computed fixed-point values (A<->B
+    cycle plus C->A, scale=1000, damping 85%, teleport 150):
+    iter1: A = 150 + 85*2000//100 = 1850, B = 1000, C = 150
+    iter2: A = 150 + 85*(1000+150)//100 = 1127, B = 150 + 85*1850//100
+           = 1722, C = 150."""
+    from ontoweaver_spark.graphstats import pagerank_fixed_point
+
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "A"), ("C", "A")], "src string, dst string"
+    )
+    r1 = {r["node"]: r["rank"] for r in
+          pagerank_fixed_point(edges, iterations=1, scale=1000).collect()}
+    assert r1 == {"A": 1850, "B": 1000, "C": 150}
+    r2 = {r["node"]: r["rank"] for r in
+          pagerank_fixed_point(edges, iterations=2, scale=1000).collect()}
+    assert r2 == {"A": 1127, "B": 1722, "C": 150}
+    # rank is conserved up to truncation: total <= n * scale, and the
+    # dangling node C decays to pure teleport
+    assert sum(r2.values()) <= 3 * 1000
+    # duplicate edges must not double-contribute (distinct edge set)
+    dup = edges.unionAll(edges)
+    r2dup = {r["node"]: r["rank"] for r in
+             pagerank_fixed_point(dup, iterations=2, scale=1000).collect()}
+    assert r2dup == r2
