@@ -109,9 +109,20 @@ def main() -> None:
     timings["pages_extract_only"] = round(extract_sec, 3)
 
     total = round(sum(timings.values()), 3)
+    # apples-to-apples subtotal over the r3-benched query set: the suite
+    # grew by 11 queries in r4, so the raw total is not comparable
+    # round-over-round; this subtotal is.
+    R3_SET = ["kg_documents", "kg_pages", "dedup_exact", "dedup_minhash",
+              "dedup_jaccard", "dedup_simhash", "text_features", "ann_topk",
+              "ann_topk_bucketed", "ann_topk_ivf", "t_split", "t_maths",
+              "kg_fusion_props", "kg_two_sources", "entity_link", "comention",
+              "kg_match_branch", "onto_closure", "sample_stratified",
+              "top_ngrams", "rep_signals", "kg_degree", "corpus_prep",
+              "pages_extract_only"]
     result = {
         "metric": "kg_suite_total",
         "value": total,
+        "value_r3_query_set": round(sum(timings[q] for q in R3_SET if q in timings), 3),
         "unit": "sec",
         "queries": timings,
         "sf": SF_DIR,

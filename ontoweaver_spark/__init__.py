@@ -32,7 +32,8 @@ from .fusion import (
     reconciliate_nodes,
     suggest_salt,
 )
-from .graphstats import degree_histogram, degree_stats, top_hubs
+from .decontam import contamination_report, decontaminate
+from .graphstats import degree_histogram, degree_stats, pagerank_fixed_point, top_hubs
 from .neo4j_export import write_neo4j_import
 from .ids import affix_id
 from .linking import canonical_entity, canonical_url, comention_edges, link_entities
@@ -40,6 +41,10 @@ from .nulls import is_not_null
 from .ontology import automap_to_targets, subclass_closure, subclass_edges_from_triples
 from .sampling import hash_split, stratified_sample
 from .sessions import session_stats, sessionize
+# urls.canonical_url is intentionally NOT re-exported at package level:
+# linking.canonical_url (the entity-identity key) already owns the name;
+# the crawl-snapshot variant is reached as ontoweaver_spark.urls.*
+from .urls import latest_per_url
 from .validate import graph_integrity, quarantine, validate_input
 from .registry import import_from_path, register, register_all
 from .session import get_spark, tune_session
@@ -58,8 +63,9 @@ __all__ = [
     "merge_into_graph", "suggest_salt",
     "subclass_closure", "subclass_edges_from_triples", "automap_to_targets",
     "stratified_sample", "hash_split",
-    "degree_stats", "top_hubs", "degree_histogram", "write_neo4j_import",
-    "sessionize", "session_stats",
+    "degree_stats", "top_hubs", "degree_histogram", "pagerank_fixed_point",
+    "write_neo4j_import", "sessionize", "session_stats",
+    "contamination_report", "decontaminate", "latest_per_url",
 ]
 
 

@@ -41,6 +41,11 @@ def canonical_url(c: Column) -> Column:
     - strip a single trailing slash (but keep the bare-root ``/``)
 
     All regexp/lower ops stay inside whole-stage codegen.
+
+    This is the AGGRESSIVE entity-identity key (the whole query string is
+    document-irrelevant when a URL names an entity). For crawl-snapshot
+    keys where ``?page=2`` is a different document, use
+    ``urls.canonical_url`` — it keeps non-tracking query params.
     """
     # split scheme://host/rest ; lowercase scheme+host only
     scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))

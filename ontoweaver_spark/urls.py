@@ -8,6 +8,12 @@ no Python), and every regex avoids lookarounds so the DuckDB oracle can
 run the byte-identical pattern (both engines are RE2-compatible on this
 subset). At 100 TB the canonicalization is a zero-shuffle projection; the
 latest-per-URL dedup is one max_by hash aggregate on the canonical key.
+
+Relation to ``linking.canonical_url``: that one is the AGGRESSIVE entity
+identity key (drops the entire query string + ``www.``) used when a URL
+names an entity; this module's :func:`canonical_url` preserves
+content-bearing query params (only tracking params stripped) because for
+crawl snapshots ``?page=2`` is a different document.
 """
 
 from __future__ import annotations
