@@ -695,6 +695,64 @@ def q_decontam(spark, sf_dir):
     return contamination_report(docs, ev, n=13)
 
 
+def q_web_corpus_prep(spark, sf_dir):
+    """FLAGSHIP web-pipeline composition — the end-to-end 'crawl to
+    training corpus' run, every stage a library operator chained into one
+    declarative plan: synthesize two fetches per page (one later, noisy
+    casing/slashes/tracking) -> canonicalize + latest-per-URL dedup
+    (urls) -> quality + language filter (textops) -> exact dedup keep-min
+    (fingerprint) -> 13-gram decontamination vs an eval set (decontam) ->
+    deterministic stratified downsample (sampling). The DuckDB oracle
+    composes the same five mirrors."""
+    from ontoweaver_spark.decontam import decontaminate
+    from ontoweaver_spark.sampling import stratified_sample
+    from ontoweaver_spark.textops import fingerprint, quality_score, token_count
+    from ontoweaver_spark.urls import latest_per_url
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    keep = ["doc_id", "text", "lang"]
+    v1 = docs.select(
+        F.concat(F.lit("https://crawl."), F.lower("source"), F.lit(".com/p/"), did).alias("url"),
+        F.col("doc_id").alias("ts"), *keep,
+    )
+    v2 = docs.select(
+        F.concat(F.lit("HTTPS://CRAWL."), F.upper("source"), F.lit(".COM//p//"), did,
+                 F.lit("/?utm_source=x")).alias("url"),
+        (F.col("doc_id") + 10_000_000).alias("ts"), *keep,
+    )
+    crawl = latest_per_url(v1.unionByName(v2), url_col="url", ts_col="ts")
+
+    c = F.col("text")
+    feats = crawl.select(
+        "doc_id", "lang", "text",
+        quality_score(c).alias("quality"),
+        token_count(c).alias("n_tokens"),
+        fingerprint(c).alias("fp"),
+    )
+    kept = feats.where(
+        (F.col("quality") >= 0.5) & F.col("lang").isin("en", "de", "fr", "es")
+    )
+    canon = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    uniq = kept.join(canon, ["fp", "doc_id"])
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    clean = decontaminate(uniq, ev, text_col="text", id_col="doc_id", n=13)
+    return stratified_sample(clean, "lang", {"en": 0.5}, "doc_id", seed=11).select(
+        "doc_id", "lang", "n_tokens", "quality"
+    )
+
+
+def q_corpus_stats(spark, sf_dir):
+    """Per-language corpus profile (doc counts, token budget, exact
+    interpolated length percentiles) — exact=True so DuckDB's
+    quantile_cont mirrors Spark's percentile bit-for-bit."""
+    from ontoweaver_spark.textops import corpus_stats
+
+    _tune(spark)
+    return corpus_stats(_docs(spark, sf_dir), exact=True)
+
+
 def q_url_canon(spark, sf_dir):
     """URL canonicalization (the first operator of any crawl pipeline):
     mixed-case scheme/host, default port, duplicate slashes, tracking
@@ -981,6 +1039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "url_canon": q_url_canon,
         "url_dedup": q_url_dedup,
+        "corpus_stats": q_corpus_stats,
+        "web_corpus_prep": q_web_corpus_prep,
         "text_features": q_text_features,
         "ann_topk": q_ann_topk,
         "ann_topk_bucketed": q_ann_topk_bucketed,
@@ -1619,6 +1679,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, e.eval_id, count(*) AS n_shared
             FROM sh c JOIN ev e USING (s)
             GROUP BY c.doc_id, e.eval_id
+        """,
+        "web_corpus_prep": f"""
+            WITH u AS (
+              SELECT 'https://crawl.' || lower(source) || '.com/p/' || doc_id AS url,
+                     doc_id AS ts, doc_id, text, lang FROM documents
+              UNION ALL
+              SELECT 'HTTPS://CRAWL.' || upper(source) || '.COM//p//' || doc_id
+                     || '/?utm_source=x', doc_id + 10000000, doc_id, text, lang
+              FROM documents
+            ), cn AS (
+              SELECT {_url_canon_sql("url")} AS curl, url, ts, doc_id, text, lang FROM u
+            ), latest AS (
+              SELECT doc_id, text, lang FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY curl ORDER BY ts DESC, url DESC) AS rn
+                FROM cn
+              ) WHERE rn = 1
+            ), feats AS (
+              SELECT doc_id, lang, text,
+                     {_quality_sql()} AS quality,
+                     {n_tokens_sql} AS n_tokens,
+                     {fingerprint_sql} AS fp
+              FROM latest
+            ), kept AS (
+              SELECT * FROM feats
+              WHERE quality >= 0.5 AND lang IN ('en','de','fr','es')
+            ), canon AS (
+              SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp
+            ), uniq AS (
+              SELECT k.* FROM kept k
+              JOIN canon c ON c.fp = k.fp AND c.doc_id = k.doc_id
+            ), toks_u AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l FROM uniq
+            ), sh_u AS (
+              SELECT DISTINCT doc_id, s
+              FROM toks_u, UNNEST(list_transform(
+                range(1, greatest(len(l) - 12, 1) + 1),
+                i -> concat_ws(' ', {", ".join(f"l[i+{j}]" for j in range(13))})
+              )) AS t(s)
+            ), toks_e AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+              FROM documents WHERE doc_id % 97 = 0
+            ), sh_e AS (
+              SELECT DISTINCT doc_id, s
+              FROM toks_e, UNNEST(list_transform(
+                range(1, greatest(len(l) - 12, 1) + 1),
+                i -> concat_ws(' ', {", ".join(f"l[i+{j}]" for j in range(13))})
+              )) AS t(s)
+            ), bad AS (
+              SELECT DISTINCT su.doc_id FROM sh_u su JOIN sh_e se ON su.s = se.s
+            ), clean AS (
+              SELECT * FROM uniq WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+            )
+            SELECT doc_id, lang, n_tokens, quality FROM clean
+            WHERE {_SQL_MD5INT.format(x="'11:' || doc_id::VARCHAR")} % 1000000
+                  < (CASE lang WHEN 'en' THEN 0.5 ELSE 1.0 END) * 1000000
+        """,
+        "corpus_stats": f"""
+            WITH t AS (
+              SELECT lang AS stratum, {n_tokens_sql} AS n FROM documents
+            )
+            SELECT stratum, count(*) AS n_docs, sum(n) AS total_tokens,
+                   floor(avg(n) * 10000 + 0.5) / 10000 AS mean_tokens,
+                   floor(quantile_cont(n, 0.5) * 10000 + 0.5) / 10000 AS p50_tokens,
+                   floor(quantile_cont(n, 0.9) * 10000 + 0.5) / 10000 AS p90_tokens,
+                   floor(quantile_cont(n, 0.99) * 10000 + 0.5) / 10000 AS p99_tokens
+            FROM t GROUP BY stratum
         """,
         "url_canon": f"""
             WITH u AS (

@@ -165,6 +165,48 @@ def top_tokens(
         .where(F.col("rank") <= k)
     )
 
+def corpus_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    strata_col: str = "lang",
+    exact: bool = True,
+) -> DataFrame:
+    """Per-stratum corpus profile -> ``(stratum, n_docs, total_tokens,
+    mean_tokens, p50_tokens, p90_tokens, p99_tokens)`` — the first table
+    anyone asks of a training corpus (language mix, token budget, length
+    distribution tails).
+
+    ``exact=True`` uses Spark's exact interpolated ``percentile`` — it
+    buffers each stratum's values in executor memory, which is fine for
+    profile runs and matches DuckDB's ``quantile_cont`` bit-for-bit over
+    integer token counts (the oracle checks this). At full 10^12-document
+    scale pass ``exact=False``: ``percentile_approx`` streams in bounded
+    memory (t-digest) at the cost of approximation — and of the oracle,
+    which is why the checked query pins ``exact=True``.
+
+    Counts and totals are exact integers either way; means divide an
+    exact integer sum (identical IEEE division in both engines)."""
+    if exact:
+        pct = [F.expr(f"percentile(n_toks, {q})") for q in (0.5, 0.9, 0.99)]
+    else:
+        pct = [F.percentile_approx("n_toks", q).cast("double") for q in (0.5, 0.9, 0.99)]
+    return (
+        df.select(
+            F.col(strata_col).alias("stratum"),
+            token_count(F.col(text_col)).alias("n_toks"),
+        )
+        .groupBy("stratum")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            round_ieee(F.avg("n_toks"), 4).alias("mean_tokens"),
+            round_ieee(pct[0], 4).alias("p50_tokens"),
+            round_ieee(pct[1], 4).alias("p90_tokens"),
+            round_ieee(pct[2], 4).alias("p99_tokens"),
+        )
+    )
+
+
 def repetition_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
