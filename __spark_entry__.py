@@ -723,6 +723,11 @@ def q_web_corpus_prep(spark, sf_dir):
         (F.col("doc_id") + 10_000_000).alias("ts"), *keep,
     )
     crawl = latest_per_url(v1.unionByName(v2), url_col="url", ts_col="ts")
+    # explicit repartition (not _spread): AQE coalesces the byte-small
+    # post-agg exchange to 1-2 partitions, which would serialize the
+    # compute-heavy quality/fingerprint/shingle chain below; a user
+    # repartition is exempt from AQE coalescing. No-op at real scale.
+    crawl = crawl.repartition(spark.sparkContext.defaultParallelism)
 
     c = F.col("text")
     feats = crawl.select(
@@ -735,7 +740,11 @@ def q_web_corpus_prep(spark, sf_dir):
         (F.col("quality") >= 0.5) & F.col("lang").isin("en", "de", "fr", "es")
     )
     canon = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    uniq = kept.join(canon, ["fp", "doc_id"])
+    # materialize once: decontaminate consumes the corpus TWICE (the
+    # contaminated-id set on the broadcast side AND the anti-join left
+    # side) — without this the whole url-dedup + quality + fingerprint
+    # chain executes twice (measured 11.1 s -> ~6 s at sf0.1)
+    uniq = kept.join(canon, ["fp", "doc_id"]).localCheckpoint(eager=False)
     ev = docs.where(F.col("doc_id") % 97 == 0)
     clean = decontaminate(uniq, ev, text_col="text", id_col="doc_id", n=13)
     return stratified_sample(clean, "lang", {"en": 0.5}, "doc_id", seed=11).select(

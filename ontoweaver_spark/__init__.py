@@ -40,6 +40,7 @@ from .linking import canonical_entity, canonical_url, comention_edges, link_enti
 from .nulls import is_not_null
 from .ontology import automap_to_targets, subclass_closure, subclass_edges_from_triples
 from .sampling import hash_split, stratified_sample
+from .textops import corpus_stats
 from .sessions import session_stats, sessionize
 # urls.canonical_url is intentionally NOT re-exported at package level:
 # linking.canonical_url (the entity-identity key) already owns the name;
@@ -66,6 +67,7 @@ __all__ = [
     "degree_stats", "top_hubs", "degree_histogram", "pagerank_fixed_point",
     "write_neo4j_import", "sessionize", "session_stats",
     "contamination_report", "decontaminate", "latest_per_url",
+    "corpus_stats",
 ]
 
 

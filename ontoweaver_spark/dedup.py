@@ -27,12 +27,23 @@ from .textops import md5_int, round_ieee, tokens
 
 
 def shingles(c: Column, k: int = 3) -> Column:
-    """Distinct word k-shingles of the text (array<string>)."""
+    """Distinct word k-shingles of the text (array<string>).
+
+    Each shingle is ``array_join(slice(toks, i, k))`` — ONE reference to
+    the token array per lambda element. The previous formulation
+    (``concat_ws`` of k ``element_at`` calls) embedded the ``split``
+    subexpression k times per element, and codegen does NOT
+    common-subexpression-eliminate inside HOF lambdas: at k=13 the regex
+    split re-executed ~546x per row (measured 10x wall slowdown on the
+    decontamination corpus scan). Semantics are identical, including
+    docs shorter than k tokens: ``slice`` past the end returns the
+    shorter prefix and ``array_join`` emits the same partial shingle
+    ``concat_ws`` produced by skipping null ``element_at`` positions."""
     toks = tokens(c)
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]))
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
     )
 
 

@@ -228,3 +228,30 @@ def test_pagerank_fixed_point_hand_computed(spark):
     r2dup = {r["node"]: r["rank"] for r in
              pagerank_fixed_point(dup, iterations=2, scale=1000).collect()}
     assert r2dup == r2
+
+
+def test_corpus_stats_exact_and_approx(spark):
+    """corpus_stats: hand-checkable exact percentiles; the exact=False
+    t-digest path (the 10^12-doc memory-bounded variant, not
+    oracle-coverable) must agree on the exact-integer columns and stay
+    close on percentiles."""
+    from ontoweaver_spark.textops import corpus_stats
+
+    rows = [(i, "en", " ".join(["w"] * n)) for i, n in enumerate([10, 20, 30, 40])]
+    rows += [(100, "de", "a b c")]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+
+    exact = {r["stratum"]: r for r in corpus_stats(df).collect()}
+    en = exact["en"]
+    assert (en["n_docs"], en["total_tokens"], en["mean_tokens"]) == (4, 100, 25.0)
+    # interpolated percentiles over [10,20,30,40]
+    assert en["p50_tokens"] == 25.0
+    assert en["p90_tokens"] == 37.0   # 10 + 0.9*3 intervals -> 30 + 0.7*10
+    assert exact["de"]["n_docs"] == 1 and exact["de"]["p50_tokens"] == 3.0
+
+    approx = {r["stratum"]: r for r in corpus_stats(df, exact=False).collect()}
+    for s in exact:
+        assert approx[s]["n_docs"] == exact[s]["n_docs"]
+        assert approx[s]["total_tokens"] == exact[s]["total_tokens"]
+        # t-digest on tiny data returns an actual value from the set
+        assert abs(approx[s]["p50_tokens"] - exact[s]["p50_tokens"]) <= 10
