@@ -514,6 +514,9 @@ def simhash_near_duplicates(
             for b in range(bands)
         ])).alias("bk"),
     ).select(id_col, "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # materialize before the self-join: each side would otherwise recompute
+    # the full signature aggregate (same reasoning as _band_pairs)
+    banded = banded.localCheckpoint(eager=False)
     left = banded.select(F.col(id_col).alias("a"), F.col("sh").alias("sa"), "band", "key")
     right = banded.select(F.col(id_col).alias("b"), F.col("sh").alias("sb"), "band", "key")
     return (
