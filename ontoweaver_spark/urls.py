@@ -60,7 +60,7 @@ def canonical_url(c: Column) -> Column:
     tail = F.regexp_replace(tail, TRACKING_PARAM_RE, "")
     tail = F.regexp_replace(tail, r"&&+", "&")
     tail = F.regexp_replace(tail, r"\?&", "?")
-    tail = F.regexp_replace(tail, r"[?&]$", "")
+    tail = F.regexp_replace(tail, r"[?&]+$", "")
     # collapse duplicate slashes in the path (query untouched: split at '?')
     path = F.regexp_extract(tail, r"^([^?]*)", 1)
     path = F.regexp_replace(path, r"//+", "/")
@@ -82,7 +82,7 @@ def canonical_url_sql(col: str) -> str:
     tail = f"regexp_replace({tail}, '{TRACKING_PARAM_RE}', '', 'g')"
     tail = f"regexp_replace({tail}, '&&+', '&', 'g')"
     tail = f"regexp_replace({tail}, '\\?&', '?', 'g')"
-    tail = f"regexp_replace({tail}, '[?&]$', '', 'g')"
+    tail = f"regexp_replace({tail}, '[?&]+$', '', 'g')"
     path = (
         f"regexp_replace(regexp_replace(regexp_extract({tail}, '^([^?]*)', 1), "
         f"'//+', '/', 'g'), '/$', '', 'g')"

@@ -207,3 +207,77 @@ def test_translate_parity(spark, vals, policy):
         return v if policy == "keep" else None
 
     assert got == [model(v) for v in vals]
+
+
+# ---- round-4 operators -----------------------------------------------------
+
+# URL-ish strings: enough structure to exercise every canonicalization rule,
+# enough junk to catch separator-cleanup edge cases
+_url_bits = st.sampled_from([
+    "http://", "HTTPS://", "", "Example.COM", "a.b.c", ":80", ":443", ":8080",
+    "/", "//", "/Path", "/p/q", "?", "&", "#frag", "#", "?utm_source=x",
+    "&utm_campaign=y", "?a=1", "&b=2", "?utm_medium=z&keep=1", "%20", "www.",
+])
+urlish = st.lists(_url_bits, min_size=1, max_size=8).map("".join)
+
+
+@given(st.lists(urlish, min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_canonical_url_idempotent(spark, urls):
+    """canonical(canonical(u)) == canonical(u): the cleanup rules must not
+    create new material for each other (e.g. stripping a tracking param
+    must not leave a separator that a second pass would remove)."""
+    from ontoweaver_spark.urls import canonical_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    rows = df.select(
+        canonical_url(F.col("u")).alias("c1"),
+        canonical_url(canonical_url(F.col("u"))).alias("c2"),
+    ).collect()
+    for r in rows:
+        assert r["c1"] == r["c2"], r
+
+
+@given(st.lists(urlish, min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_canonical_url_duckdb_mirror_property(spark, urls):
+    """The DuckDB mirror must agree byte-for-byte on arbitrary URL-ish
+    junk, not just the curated tricky list."""
+    import duckdb
+
+    from ontoweaver_spark.urls import canonical_url, canonical_url_sql
+
+    df = spark.createDataFrame(list(enumerate(urls)), "i int, u string")
+    got = [r["c"] for r in
+           df.select("i", canonical_url(F.col("u")).alias("c")).orderBy("i").collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u(i INT, url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?, ?)", list(enumerate(urls)))
+    exp = [r[0] for r in con.execute(
+        f"SELECT {canonical_url_sql('url')} FROM u ORDER BY i").fetchall()]
+    assert got == exp
+
+
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_decontaminate_properties(spark, texts):
+    """decontaminate(corpus, empty_eval) == corpus; with eval == corpus
+    every doc is contaminated (each shares its own n-gram) -> empty; the
+    result is always a subset of the corpus."""
+    from ontoweaver_spark.decontam import decontaminate
+
+    corpus = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string")
+    empty_eval = spark.createDataFrame([], "doc_id bigint, text string")
+    ids = {r["doc_id"] for r in corpus.collect()}
+
+    kept_all = {r["doc_id"] for r in decontaminate(corpus, empty_eval, n=3).collect()}
+    assert kept_all == ids
+
+    kept_none = {r["doc_id"] for r in decontaminate(corpus, corpus, n=3).collect()}
+    assert kept_none == set()  # every doc shares its own (partial) n-gram
+
+    half = corpus.where(F.col("doc_id") % 2 == 0)
+    kept_half = {r["doc_id"] for r in decontaminate(corpus, half, n=3).collect()}
+    assert kept_half <= ids
+    assert not (kept_half & {r["doc_id"] for r in half.collect()})
