@@ -45,6 +45,7 @@ def stream_dedup_pages(
     key: str = "url",
     ts_col: str = "warc_ts",
     watermark: str = "1 hour",
+    canonicalize: bool = False,
 ) -> DataFrame:
     """Streaming URL-level dedup for a continuous crawl feed: keep the first
     page seen per ``key`` within the watermark horizon.
@@ -57,8 +58,24 @@ def stream_dedup_pages(
     column were PART of the dedup key — with a key-only dedup its state
     grows without bound on a continuous feed.) Exact global dedup across
     all time belongs to the batch fusion stage; this trims intra-window
-    repeats before they hit staging."""
-    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark([key])
+    repeats before they hit staging.
+
+    ``canonicalize=True`` dedups on ``urls.canonical_url(key)`` instead of
+    the raw string, so case/port/tracking-param variants of one page
+    collapse in-stream (the stateless projection composes freely with the
+    stateful dedup); the original ``key`` column is preserved."""
+    from pyspark.sql import functions as F
+
+    if not canonicalize:
+        return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark([key])
+    from .urls import canonical_url
+
+    return (
+        stream_df.withColumn("_ow_canon", canonical_url(F.col(key)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_ow_canon"])
+        .drop("_ow_canon")
+    )
 
 
 def windowed_crawl_rate(

@@ -255,3 +255,21 @@ def test_corpus_stats_exact_and_approx(spark):
         assert approx[s]["total_tokens"] == exact[s]["total_tokens"]
         # t-digest on tiny data returns an actual value from the set
         assert abs(approx[s]["p50_tokens"] - exact[s]["p50_tokens"]) <= 10
+
+
+def test_pagerank_partition_invariance(spark):
+    """The fixed-point claim in full: ranks are BIT-identical regardless
+    of input partitioning (integer sums are exact and commutative — the
+    property a float PageRank cannot make)."""
+    from ontoweaver_spark.graphstats import pagerank_fixed_point
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 3) % 40}") for i in range(120)],
+        "src string, dst string",
+    )
+    base = {(r["node"], r["rank"]) for r in
+            pagerank_fixed_point(edges, iterations=4).collect()}
+    for parts in (1, 7, 32):
+        got = {(r["node"], r["rank"]) for r in
+               pagerank_fixed_point(edges.repartition(parts), iterations=4).collect()}
+        assert got == base, parts

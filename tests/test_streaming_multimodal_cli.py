@@ -145,6 +145,44 @@ def test_stream_dedup_pages(spark, tmp_path):
     assert got.select("url").distinct().count() == n_urls
 
 
+def test_stream_dedup_pages_canonical(spark, tmp_path):
+    """canonicalize=True collapses case/tracking variants of one URL
+    in-stream (the stateless canonical_url projection composing with the
+    stateful watermark dedup); the raw url column survives."""
+    from pyspark.sql import functions as F
+
+    from ontoweaver_spark.streaming import stream_dedup_pages
+
+    src = str(tmp_path / "canon_in")
+    out = str(tmp_path / "canon_out")
+    pages = generate_pages(spark, 100, seed=42)
+    # same page: upper-cased scheme, trailing slash, tracking param (path
+    # case is significant and stays untouched)
+    noisy = pages.withColumn(
+        "url",
+        F.concat(F.lit("HTTPS://"), F.expr("substring(url, 9)"),
+                 F.lit("/?utm_source=feed")),
+    )
+    pages.unionAll(noisy).write.parquet(src)
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = stream_dedup_pages(stream, key="url", ts_col="warc_ts", canonicalize=True)
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "canon_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    n_urls = pages.select("url").distinct().count()
+    assert got.count() == n_urls  # each variant pair collapsed to one row
+    assert got.columns == pages.columns  # helper column dropped
+
+
 def test_host_crawl_stats_stateful(spark, tmp_path):
     from ontoweaver_spark.streaming import host_crawl_stats
 
