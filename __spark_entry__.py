@@ -982,6 +982,41 @@ def q_kg_pagerank(spark, sf_dir):
     return pagerank_fixed_point(fedges, iterations=5)
 
 
+def q_kg_khop(spark, sf_dir):
+    """2-hop neighborhood of every 50th document node over the fused KG
+    (undirected frontier BFS, min hop per node) — the subgraph-extraction
+    query every KG consumer runs; oracle = bounded recursive CTE."""
+    from ontoweaver_spark.graphstats import k_hop_neighborhood
+
+    _, fedges = _kg(spark, sf_dir)
+    seeds = _docs(spark, sf_dir).where(F.col("doc_id") % 50 == 0).select(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":document")).alias("node")
+    )
+    return k_hop_neighborhood(fedges, seeds, k=2)
+
+
+def q_kg_diff(spark, sf_dir):
+    """Build-to-build KG diff — 'what did this crawl batch change': the
+    KG without every 3rd document vs the full KG, diffed on per-node
+    degree. Removed docs surface as 'added' doc nodes (they exist only in
+    the new build) and their language/source hubs as 'changed' (degree
+    moved). One full-outer join keyed on node id."""
+    from ontoweaver_spark import weave
+    from ontoweaver_spark.graphstats import degree_stats, graph_diff
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    _, old_edges = weave(
+        docs.where(F.col("doc_id") % 3 != 0), DOCS_KG_MAPPING,
+        affix="suffix", reconciliate_sep=",",
+    )
+    _, new_edges = _kg(spark, sf_dir)
+    return graph_diff(
+        degree_stats(old_edges), degree_stats(new_edges),
+        key_cols=["node"], compare_cols=["degree"],
+    )
+
+
 def q_kg_degree(spark, sf_dir):
     """Hub detection over the fused KG: top-20 nodes by total degree
     (the skew profile the salted fusion defends against)."""
@@ -1064,6 +1099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rep_signals": q_rep_signals,
         "kg_degree": q_kg_degree,
         "kg_pagerank": q_kg_pagerank,
+        "kg_khop": q_kg_khop,
+        "kg_diff": q_kg_diff,
         "corpus_prep": q_corpus_prep,
     }
 
@@ -1892,6 +1929,60 @@ def oracle_sql() -> dict[str, str]:
                   < (CASE lang WHEN 'en' THEN 0.5 ELSE 1.0 END) * 1000000
         """,
         "kg_pagerank": _pagerank_sql(iterations=5),
+        "kg_khop": """
+            WITH RECURSIVE edges AS (
+              SELECT doc_id::VARCHAR || ':document' AS src,
+                     lang || ':language' AS dst FROM documents
+              UNION ALL
+              SELECT doc_id::VARCHAR || ':document', source || ':source'
+              FROM documents
+            ), und AS (
+              SELECT DISTINCT src AS s, dst AS d FROM edges
+              UNION
+              SELECT dst, src FROM edges
+            ), seeds AS (
+              SELECT doc_id::VARCHAR || ':document' AS node
+              FROM documents WHERE doc_id % 50 = 0
+            ), reach(node, hop) AS (
+              SELECT node, 0 FROM seeds
+              UNION ALL
+              SELECT u.d, r.hop + 1
+              FROM reach r JOIN und u ON u.s = r.node WHERE r.hop < 2
+            )
+            SELECT node, min(hop)::INTEGER AS hop FROM reach GROUP BY node
+        """,
+        "kg_diff": """
+            WITH old_edges AS (
+              SELECT doc_id::VARCHAR || ':document' AS src,
+                     lang || ':language' AS dst
+              FROM documents WHERE doc_id % 3 <> 0
+              UNION ALL
+              SELECT doc_id::VARCHAR || ':document', source || ':source'
+              FROM documents WHERE doc_id % 3 <> 0
+            ), new_edges AS (
+              SELECT doc_id::VARCHAR || ':document' AS src,
+                     lang || ':language' AS dst FROM documents
+              UNION ALL
+              SELECT doc_id::VARCHAR || ':document', source || ':source'
+              FROM documents
+            ), old_deg AS (
+              SELECT node, count(*) AS degree FROM (
+                SELECT src AS node FROM old_edges
+                UNION ALL SELECT dst FROM old_edges
+              ) GROUP BY node
+            ), new_deg AS (
+              SELECT node, count(*) AS degree FROM (
+                SELECT src AS node FROM new_edges
+                UNION ALL SELECT dst FROM new_edges
+              ) GROUP BY node
+            )
+            SELECT coalesce(o.node, n.node) AS node,
+                   CASE WHEN o.node IS NULL THEN 'added'
+                        WHEN n.node IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change
+            FROM old_deg o FULL OUTER JOIN new_deg n ON o.node = n.node
+            WHERE o.node IS NULL OR n.node IS NULL OR o.degree <> n.degree
+        """,
         "kg_degree": """
             WITH edges AS (
               SELECT doc_id::VARCHAR || ':document' AS src,

@@ -65,6 +65,100 @@ def degree_histogram(
     )
 
 
+def k_hop_neighborhood(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    directed: bool = False,
+) -> DataFrame:
+    """All nodes within ``k`` hops of any seed -> ``(node, hop)`` with
+    hop = MINIMUM distance (seeds at hop 0) — the subgraph-extraction
+    primitive every KG consumer runs ("give me the 2-hop neighborhood of
+    these entities"). ``seeds`` is a one-column (``node``) frame.
+
+    Frontier BFS: the edge list materializes once (localCheckpoint, both
+    directions unless ``directed``); each of the <= k rounds joins the
+    CURRENT frontier (only the newly discovered nodes, not the whole
+    visited set) against it, anti-joins the visited set, and stops early
+    when the frontier empties. k bounded-size shuffles keyed on node id —
+    never a full-graph traversal beyond the reachable set.
+    """
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    if not directed:
+        e = e.unionAll(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+    e = e.distinct().localCheckpoint(eager=False)
+
+    frontier = seeds.select(F.col("node")).distinct().localCheckpoint(eager=False)
+    visited = frontier.withColumn("hop", F.lit(0))
+    for hop in range(1, k + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["s"])
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint()  # eager: the empty-frontier early exit counts it anyway
+        )
+        if nxt.rdd.isEmpty():
+            break
+        visited = visited.unionByName(nxt.withColumn("hop", F.lit(hop))).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited
+
+
+def graph_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Set diff between two builds of a graph table -> key_cols +
+    ``change`` in {'added', 'removed', 'changed'}; unchanged rows are
+    omitted. 'changed' = key present in both sides with any
+    ``compare_cols`` value differing (null-safe).
+
+    The operational "what did this crawl change" query between two fused
+    KG snapshots (complements fusion.merge_into_graph, which APPLIES a
+    batch; this EXPLAINS one). One full-outer join keyed on the graph
+    key — nodes diff on id, edges on (src, dst, label)."""
+    compare_cols = list(compare_cols or [])
+    o = old.select(
+        *[F.col(c).alias(f"_ok_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_ov_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"_nk_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_nv_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_new"),
+    )
+    cond = None
+    for c in key_cols:
+        eq = o[f"_ok_{c}"] == n[f"_nk_{c}"]
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(f"_ov_{c}").eqNullSafe(F.col(f"_nv_{c}"))
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"_ok_{c}"), F.col(f"_nk_{c}")).alias(c)
+                for c in key_cols
+            ],
+            "change",
+        )
+    )
+
+
 def pagerank_fixed_point(
     edges: DataFrame,
     src_col: str = "src",

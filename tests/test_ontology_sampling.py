@@ -273,3 +273,55 @@ def test_pagerank_partition_invariance(spark):
         got = {(r["node"], r["rank"]) for r in
                pagerank_fixed_point(edges.repartition(parts), iterations=4).collect()}
         assert got == base, parts
+
+
+def test_k_hop_neighborhood(spark):
+    """Hand-built path graph: hops are MIN distances, early exit on an
+    exhausted frontier, directed mode follows edge direction only."""
+    from ontoweaver_spark.graphstats import k_hop_neighborhood
+
+    # a -> b -> c -> d, plus e isolated-ish (d -> e)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("c",)], "node string")
+
+    und = {(r["node"], r["hop"]) for r in
+           k_hop_neighborhood(edges, seeds, k=2).collect()}
+    assert und == {("c", 0), ("b", 1), ("d", 1), ("a", 2), ("e", 2)}
+
+    direct = {(r["node"], r["hop"]) for r in
+              k_hop_neighborhood(edges, seeds, k=2, directed=True).collect()}
+    assert direct == {("c", 0), ("d", 1), ("e", 2)}
+
+    # k larger than the graph: early exit, no phantom hops
+    far = {(r["node"], r["hop"]) for r in
+           k_hop_neighborhood(edges, seeds, k=10, directed=True).collect()}
+    assert far == direct
+
+
+def test_graph_diff(spark):
+    from ontoweaver_spark.graphstats import graph_diff
+
+    old = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "node string, degree bigint")
+    new = spark.createDataFrame(
+        [("b", 2), ("c", 9), ("d", 4)], "node string, degree bigint")
+    got = {(r["node"], r["change"]) for r in
+           graph_diff(old, new, ["node"], ["degree"]).collect()}
+    # b unchanged -> omitted
+    assert got == {("a", "removed"), ("c", "changed"), ("d", "added")}
+
+    # null-safe compare: NULL == NULL is unchanged, NULL vs value is changed
+    old2 = spark.createDataFrame([("a", None), ("b", None)], "node string, v string")
+    new2 = spark.createDataFrame([("a", None), ("b", "x")], "node string, v string")
+    got2 = {(r["node"], r["change"]) for r in
+            graph_diff(old2, new2, ["node"], ["v"]).collect()}
+    assert got2 == {("b", "changed")}
+
+    # composite keys (edge identity) with no compare cols: pure add/remove
+    oe = spark.createDataFrame([("a", "b", "r")], "src string, dst string, label string")
+    ne = spark.createDataFrame([("a", "c", "r")], "src string, dst string, label string")
+    got3 = {(r["src"], r["dst"], r["change"]) for r in
+            graph_diff(oe, ne, ["src", "dst", "label"]).collect()}
+    assert got3 == {("a", "b", "removed"), ("a", "c", "added")}
