@@ -61,10 +61,13 @@ def canonical_url(c: Column) -> Column:
     tail = F.regexp_replace(tail, r"&&+", "&")
     tail = F.regexp_replace(tail, r"\?&", "?")
     tail = F.regexp_replace(tail, r"[?&]+$", "")
-    # collapse duplicate slashes in the path (query untouched: split at '?')
+    # collapse duplicate slashes in the path (query untouched: split at
+    # '?'); the trailing strip takes the whole [/?&] run — stripping only
+    # '/' could EXPOSE a trailing '&' that the tail-level cleanup above
+    # already ran past, breaking idempotence (hypothesis found '&/')
     path = F.regexp_extract(tail, r"^([^?]*)", 1)
     path = F.regexp_replace(path, r"//+", "/")
-    path = F.regexp_replace(path, r"/$", "")
+    path = F.regexp_replace(path, r"[/?&]+$", "")
     query = F.regexp_replace(tail, r"^[^?]*", "")
     return F.concat(head, path, query)
 
@@ -85,7 +88,7 @@ def canonical_url_sql(col: str) -> str:
     tail = f"regexp_replace({tail}, '[?&]+$', '', 'g')"
     path = (
         f"regexp_replace(regexp_replace(regexp_extract({tail}, '^([^?]*)', 1), "
-        f"'//+', '/', 'g'), '/$', '', 'g')"
+        f"'//+', '/', 'g'), '[/?&]+$', '', 'g')"
     )
     query = f"regexp_replace({tail}, '^[^?]*', '')"
     return f"({head} || {path} || {query})"
