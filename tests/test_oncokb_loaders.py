@@ -423,13 +423,6 @@ def test_jsonld_loader(spark, tmp_path):
     assert (f"{ex}Dog", f"{ex}Animal", 2) in closure
     assert (f"{ex}Cat", f"{ex}Animal", 2) in closure
 
-    # unsupported serializations fail loudly with the convert hint
-    for ext in ("trig", "trix", "n3"):
-        bad = tmp_path / f"x.{ext}"
-        bad.write_text("")
-        with pytest.raises(ValueError, match="riot --output=ntriples"):
-            read_rdf_triples(spark, str(bad))
-
     # unsupported JSON-LD keywords fail loudly too
     bad = tmp_path / "rev.jsonld"
     bad.write_text(json.dumps(
