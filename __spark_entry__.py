@@ -1044,6 +1044,59 @@ def q_top_ngrams(spark, sf_dir):
     return top_tokens(_docs_spread(spark, sf_dir), k=5, min_len=2)
 
 
+def q_kg_triangles(spark, sf_dir):
+    """Per-node triangle counts over the hub co-citation graph of the
+    flagship pages table: two hubs cited by the same page get an
+    undirected edge (derived arithmetically with distinct moduli —
+    (doc_id*7)%61 vs (doc_id*11)%53 — so the edge set mixes instead of
+    cycling, and the DuckDB oracle rebuilds it identically; 579 triangles
+    over 61 hubs at sf0.01). Degree-ordered wedge enumeration; the
+    community/clustering signal of the web graph."""
+    from ontoweaver_spark.graphstats import triangle_count
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+
+    def hub(m, p):
+        return F.concat(F.lit("hub"), ((F.col("doc_id") * m) % p).cast("string"))
+
+    cocite = docs.select(hub(7, 61).alias("src"), hub(11, 53).alias("dst"))
+    return triangle_count(cocite)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (emails / IPv4 / phone numbers -> typed placeholders
+    plus per-category counts) — the release scrub pass. The corpus text is
+    deterministically salted with synthetic PII first (ANSI-expressible,
+    mirrored in the oracle) so every pattern family actually fires."""
+    from ontoweaver_spark.textops import scrub_pii
+
+    _tune(spark)
+    i = F.col("doc_id")
+    salted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                i % 3 == 0,
+                F.concat(F.lit(" contact user"), i.cast("string"),
+                         F.lit("@mail.example now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                i % 5 == 0,
+                F.concat(F.lit(" from 10."), (i % 200).cast("string"),
+                         F.lit(".0.1")),
+            ).otherwise(F.lit("")),
+            F.when(
+                i % 7 == 0,
+                F.concat(F.lit(" call 555-867-"),
+                         F.lpad((i % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return scrub_pii(salted)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -1101,6 +1154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": q_kg_pagerank,
         "kg_khop": q_kg_khop,
         "kg_diff": q_kg_diff,
+        "kg_triangles": q_kg_triangles,
+        "pii_scrub": q_pii_scrub,
         "corpus_prep": q_corpus_prep,
     }
 
@@ -2090,5 +2145,60 @@ def oracle_sql() -> dict[str, str]:
              AND (({_bucket_sql_at('a', 8, 0)}) = ({_bucket_sql_at('b', 8, 0)})
                OR ({_bucket_sql_at('a', 8, 8)}) = ({_bucket_sql_at('b', 8, 8)}))
             WHERE {_COS_SQL} >= 0.3
+        """,
+        # id-ordered (a<b<c) triangle enumeration — a different strategy
+        # than Spark's degree-ordered wedges, but the same triangle SET,
+        # so the per-node counts are an independent-derivation check
+        "kg_triangles": """
+            WITH e AS (
+              SELECT DISTINCT least((doc_id*7)%61, (doc_id*11)%53) AS u,
+                              greatest((doc_id*7)%61, (doc_id*11)%53) AS v
+              FROM documents WHERE (doc_id*7)%61 <> (doc_id*11)%53
+            ), tri AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM e e1
+              JOIN e e2 ON e2.u = e1.v
+              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+            ), corners AS (
+              SELECT a AS node FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri
+            )
+            SELECT 'hub' || node::VARCHAR AS node, count(*) AS triangles
+            FROM corners GROUP BY 1
+        """,
+        "pii_scrub": """
+            WITH salted AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                          || doc_id::VARCHAR || '@mail.example now'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0 THEN ' from 10.'
+                          || (doc_id % 200)::VARCHAR || '.0.1'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0 THEN ' call 555-867-'
+                          || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                        ELSE '' END AS text
+              FROM documents
+            )
+            SELECT doc_id, text,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT
+                     AS n_email,
+                   len(regexp_extract_all(text,
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT
+                     AS n_ipv4,
+                   len(regexp_extract_all(text,
+                     '(?:\\+?\\d{1,2}[-. ]?)?\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}\\b'))::BIGINT
+                     AS n_phone,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                     '<IP>', 'g'),
+                     '(?:\\+?\\d{1,2}[-. ]?)?\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}\\b',
+                     '<PHONE>', 'g') AS clean_text
+            FROM salted
         """,
     }

@@ -249,3 +249,38 @@ def repetition_signals(
             F.col("df_").alias("dup_token_frac"),
         )
     )
+
+
+# PII patterns restricted to the regex intersection of Java (Spark) and
+# RE2 (DuckDB/oracle): no lookaround, no backrefs — both engines agree on
+# every construct used here, which is what makes scrub_pii oracle-checkable.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"(?:\+?\d{1,2}[-. ]?)?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+}
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """Redact emails, IPv4 addresses, and phone numbers from ``text_col``
+    -> the input plus per-category match counts (``n_email`` / ``n_ipv4``
+    / ``n_phone``) and the redacted ``out_col`` — the pre-training scrub
+    pass every web-corpus pipeline runs before releasing data.
+
+    Scale shape: a pure zero-shuffle projection — counts via
+    ``regexp_count`` on the original text, then the three replacements
+    applied in PII_PATTERNS order (email before ipv4 before phone, so a
+    numeric fragment inside an already-redacted span can't double-match).
+    All JVM-side regex; no Python in the loop.
+    """
+    text = F.col(text_col)
+    counts = [
+        F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, (pat, _) in PII_PATTERNS.items()
+    ]
+    clean = text
+    for pat, repl in PII_PATTERNS.values():
+        clean = F.regexp_replace(clean, pat, repl)
+    return df.select("*", *counts, clean.alias(out_col))
