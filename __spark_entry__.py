@@ -1097,6 +1097,35 @@ def q_pii_scrub(spark, sf_dir):
     return scrub_pii(salted)
 
 
+def q_tfidf_terms(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document (rational integer idf — see
+    textops.tfidf_top_terms for why the scores are engine-exact).
+    max_df_frac pinned to 1.0: the synthetic corpus has a ~30-token
+    vocabulary where 29/30 tokens sit in >50% of docs, so the production
+    stopword cut (0.5) would leave a near-empty result; disabling it
+    makes the oracle exercise the FULL tf/df/rank arithmetic on every
+    doc (1500 rows at sf0.01)."""
+    from ontoweaver_spark.textops import tfidf_top_terms
+
+    _tune(spark)
+    return tfidf_top_terms(
+        _docs_spread(spark, sf_dir), k=3, min_len=3, max_df_frac=1.0
+    )
+
+
+def q_temp_mix(spark, sf_dir):
+    """sqrt-temperature language rebalancing of the corpus (alpha=0.5:
+    keep rate sqrt(n_min/n_lang) per language — IEEE-exact, so the kept
+    row SET hash-matches the oracle)."""
+    from ontoweaver_spark.sampling import temperature_mix_sample
+
+    _tune(spark)
+    return temperature_mix_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        strata_col="lang", key_col="doc_id", alpha=0.5, seed=42,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -1156,6 +1185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_diff": q_kg_diff,
         "kg_triangles": q_kg_triangles,
         "pii_scrub": q_pii_scrub,
+        "tfidf_terms": q_tfidf_terms,
+        "temp_mix": q_temp_mix,
         "corpus_prep": q_corpus_prep,
     }
 
@@ -2200,5 +2231,43 @@ def oracle_sql() -> dict[str, str]:
                      '(?:\\+?\\d{1,2}[-. ]?)?\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}\\b',
                      '<PHONE>', 'g') AS clean_text
             FROM salted
+        """,
+        # integer-rational idf ((1e6*N) DIV df) — bit-exact in both engines
+        "tfidf_terms": """
+            WITH toks AS (
+              SELECT doc_id AS doc, t.token
+              FROM documents,
+                   UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t(token)
+              WHERE length(t.token) >= 3
+            ), tf AS (
+              SELECT doc, token, count(*) AS tf FROM toks GROUP BY doc, token
+            ), dft AS (
+              SELECT token, count(*) AS df_t FROM tf GROUP BY token
+            ), n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc, tf.token, tf.tf, dft.df_t,
+                     tf.tf * ((1000000::BIGINT * n.n_docs) // dft.df_t) AS score
+              FROM tf JOIN dft USING (token) CROSS JOIN n
+              WHERE dft.df_t <= 1.0 * n.n_docs
+            ), ranked AS (
+              SELECT *, CAST(row_number() OVER (
+                       PARTITION BY doc ORDER BY score DESC, token ASC
+                     ) AS INTEGER) AS "rank"
+              FROM scored
+            )
+            SELECT doc, token, tf, df_t, score, "rank"
+            FROM ranked WHERE "rank" <= 3
+        """,
+        # sqrt(n_min/n_s): IEEE sqrt + / are correctly rounded -> the keep
+        # SET is bit-identical across engines
+        "temp_mix": f"""
+            WITH c AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+            m AS (SELECT min(n_s) AS n_min FROM c),
+            r AS (SELECT lang, sqrt(m.n_min::DOUBLE / c.n_s::DOUBLE) AS mix_rate
+                  FROM c CROSS JOIN m)
+            SELECT d.lang, d.doc_id, r.mix_rate
+            FROM documents d JOIN r USING (lang)
+            WHERE {_SQL_MD5INT.format(x="'42:' || d.doc_id::VARCHAR")} % 1000000
+                  < r.mix_rate * 1000000
         """,
     }

@@ -73,3 +73,52 @@ def hash_split(
             F.lit("eval"),
         ).otherwise(F.lit("train")),
     )
+
+def temperature_mix_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-:math:`\\alpha` corpus rebalancing (the multilingual /
+    multi-domain mixing rule: sample stratum *s* proportionally to
+    :math:`p_s^{\\alpha}` instead of its raw share :math:`p_s`) as a pure
+    downsampling filter — adds ``mix_rate`` and keeps each row iff its
+    deterministic md5 bucket clears the stratum's rate.
+
+    The keep rate is :math:`r_s = (n_{min}/n_s)^{1-\\alpha}` — the
+    :math:`p_s^{\\alpha}` distribution normalized so the SMALLEST stratum
+    keeps rate 1.0 (pure subsampling, no replication; ``alpha=1`` keeps
+    everything, ``alpha=0`` equalizes all strata to the smallest's size).
+
+    Cross-engine exactness: at the default ``alpha=0.5`` the rate is
+    ``sqrt(n_min / n_s)`` — IEEE-754 ``sqrt`` and ``/`` are CORRECTLY
+    ROUNDED in every conforming engine (unlike ``pow``/``ln``, which are
+    only ~1-ulp), so rates and keep decisions are bit-identical between
+    Spark and the DuckDB oracle. Other alphas use ``pow`` and carry the
+    (~2^-50-probability) boundary hazard; the oracle query pins 0.5.
+
+    Scale shape: one tiny stratum-count agg, its min broadcast back, then
+    a broadcast hash join of the per-stratum rate onto the corpus — the
+    wide side NEVER shuffles and the filter composes with scan pushdown
+    of everything upstream. Deterministic in (key, seed): re-runs,
+    resumes, and repartitions keep exactly the same rows.
+    """
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("n_s"))
+    nmin = counts.agg(F.min("n_s").alias("n_min"))
+    ratio = F.col("n_min").cast("double") / F.col("n_s").cast("double")
+    if alpha == 0.5:
+        rate = F.sqrt(ratio)
+    elif alpha == 1.0:
+        rate = F.lit(1.0)
+    elif alpha == 0.0:
+        rate = ratio
+    else:
+        rate = F.pow(ratio, F.lit(1.0 - float(alpha)))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        strata_col, rate.alias("mix_rate")
+    )
+    return df.join(F.broadcast(rates), strata_col).where(
+        _bucket(F.col(key_col), seed) < F.col("mix_rate") * _BUCKETS
+    )

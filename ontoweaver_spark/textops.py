@@ -284,3 +284,63 @@ def scrub_pii(
     for pat, repl in PII_PATTERNS.values():
         clean = F.regexp_replace(clean, pat, repl)
     return df.select("*", *counts, clean.alias(out_col))
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_len: int = 3,
+    max_df_frac: float = 0.5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF ->
+    ``(doc, token, tf, df_t, score, rank)`` — the keyword/topic signal a
+    corpus pipeline attaches to every page (reference scope: none; its
+    text handling stops at transformers, SURVEY §2.1).
+
+    Cross-engine exactness: the idf is the *rational* ``(scale * N) DIV
+    df_t`` (BIGINT floor division) rather than ``ln(N/df)`` — log is
+    monotone in ``N/df`` so per-term idf ORDER is identical, and pure
+    integer arithmetic makes the scores (and therefore the hash oracle)
+    bit-identical in any engine, where a libm ``ln`` is only ~1-ulp
+    reproducible. ``score = tf * ((scale*N) DIV df_t)``.
+
+    Scale shape (10^12 docs): explode and the (doc, token) count are
+    map-side-partial; the document-frequency agg runs over the already
+    tiny per-doc-distinct frame. The one skew hazard is the tf<-df_t join
+    on ``token`` (Zipf: 'the' joins 10^12 rows to one). Two mitigations:
+    (a) tokens in more than ``max_df_frac`` of docs — a FEW THOUSAND
+    stopword-ish keys at any corpus size, but the bulk of token mass —
+    are broadcast-anti-filtered OUT of the wide side before the shuffle
+    (their idf rounds to ~0 anyway, so they never rank); (b) residual
+    mid-frequency heads split under AQE skew-join. The final top-k window
+    partitions by doc — uniform by construction.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    ).where(F.length("token") >= min_len)
+    tf = toks.groupBy("doc", "token").agg(F.count("*").alias("tf"))
+    dft = tf.groupBy("token").agg(F.count("*").alias("df_t"))
+    n = df.agg(F.count("*").alias("n_docs"))
+    dft = dft.crossJoin(F.broadcast(n))
+    hot = dft.where(F.col("df_t") > F.lit(float(max_df_frac)) * F.col("n_docs"))
+    scored = (
+        tf.join(F.broadcast(hot.select("token")), "token", "left_anti")
+        .join(dft.where(F.col("df_t") <= F.lit(float(max_df_frac)) * F.col("n_docs")), "token")
+        .withColumn(
+            "score",
+            F.col("tf") * F.expr(f"(CAST({scale} AS BIGINT) * n_docs) DIV df_t"),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.desc("score"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc", "token", "tf", "df_t", "score", "rank")
+    )
