@@ -1126,6 +1126,36 @@ def q_temp_mix(spark, sf_dir):
     )
 
 
+def q_boilerplate(spark, sf_dir):
+    """Frequent-line boilerplate strip over a deterministically salted
+    multi-line corpus: every doc gains a shared copyright footer (df =
+    n_docs -> stripped) and a per-doc unique ref line (df = 1 -> kept);
+    the base text line lives or dies by its exact-duplicate family size,
+    exercising the threshold both ways."""
+    from ontoweaver_spark.textops import strip_boilerplate_lines
+
+    _tune(spark)
+    salted = _docs_spread(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("(c) example corp all rights reserved"),
+            F.concat(F.lit("ref "), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return strip_boilerplate_lines(salted, max_line_docs=10)
+
+
+def q_inverted_index(spark, sf_dir):
+    """Corpus inverted index: token -> df, total tf, doc-sorted postings
+    rendered as a string (byte-comparable across engines)."""
+    from ontoweaver_spark.textops import inverted_index
+
+    _tune(spark)
+    return inverted_index(_docs_spread(spark, sf_dir), min_len=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -1187,6 +1217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "tfidf_terms": q_tfidf_terms,
         "temp_mix": q_temp_mix,
+        "boilerplate": q_boilerplate,
+        "inv_index": q_inverted_index,
         "corpus_prep": q_corpus_prep,
     }
 
@@ -2269,5 +2301,52 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN r USING (lang)
             WHERE {_SQL_MD5INT.format(x="'42:' || d.doc_id::VARCHAR")} % 1000000
                   < r.mix_rate * 1000000
+        """,
+        # groups by the raw line (Spark keys on its md5 — independent
+        # derivation of the same frequent-line set)
+        "boilerplate": """
+            WITH salted AS (
+              SELECT doc_id,
+                     text || chr(10) || '(c) example corp all rights reserved'
+                          || chr(10) || 'ref ' || doc_id::VARCHAR AS text
+              FROM documents
+            ), lines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS pos
+              FROM salted
+            ), ldf AS (
+              SELECT line, count(DISTINCT doc_id) AS line_df
+              FROM lines GROUP BY line
+            ), kept AS (
+              SELECT l.doc_id, l.pos, l.line
+              FROM lines l JOIN ldf USING (line)
+              WHERE ldf.line_df <= 10
+            ), agg AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT s.doc_id,
+                   coalesce(a.clean_text, '') AS clean_text,
+                   coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+                   (len(string_split(s.text, chr(10)))
+                    - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+            FROM salted s LEFT JOIN agg a USING (doc_id)
+        """,
+        "inv_index": """
+            WITH toks AS (
+              SELECT doc_id AS doc, t.token
+              FROM documents,
+                   UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t(token)
+              WHERE length(t.token) >= 3
+            ), tf AS (
+              SELECT token, doc, count(*) AS tf FROM toks GROUP BY token, doc
+            )
+            SELECT token, count(*)::BIGINT AS df_t, sum(tf)::BIGINT AS total_tf,
+                   string_agg(doc::VARCHAR || ':' || tf::VARCHAR, ' '
+                              ORDER BY doc) AS postings
+            FROM tf GROUP BY token
         """,
     }

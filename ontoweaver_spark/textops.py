@@ -344,3 +344,99 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select("doc", "token", "tf", "df_t", "score", "rank")
     )
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_line_docs: int = 10,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate removal: drop every LINE that
+    occurs in more than ``max_line_docs`` distinct documents (nav bars,
+    cookie banners, copyright footers) and reassemble each document's
+    remaining lines in order -> ``(id, clean_text, n_kept, n_removed)``.
+    Documents whose every line is boilerplate survive with ``clean_text
+    = ''`` (the caller decides whether to filter empties).
+
+    Scale shape (10^12 docs): lines shuffle for the doc-frequency agg as
+    their 60-bit md5 key + map-side-partial distinct doc counts — the
+    line TEXT never shuffles there. The hot-line set (df > threshold) is
+    tiny by Zipf at any corpus size — boilerplate is frequent, so there
+    are few distinct such lines — and broadcast-anti-joins the corpus
+    map-side: the only full-width shuffle is the per-doc reassembly,
+    keyed on the doc id (uniform). Deterministic: the md5 key makes the
+    decision engine- and partition-invariant (the DuckDB oracle groups by
+    the raw line, an equivalent but independent derivation).
+    """
+    text, did = F.col(text_col), F.col(id_col)
+    lines = df.select(
+        did.alias("id"),
+        F.posexplode(F.split(text, "\n")).alias("pos", "line"),
+    ).withColumn("lh", md5_int(F.col("line")))
+    hot = (
+        lines.groupBy("lh")
+        .agg(F.countDistinct("id").alias("line_df"))
+        .where(F.col("line_df") > max_line_docs)
+        .select("lh")
+    )
+    kept = lines.join(F.broadcast(hot), "lh", "left_anti")
+    agg = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias(out_col),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        df.select(did.alias("id"), F.size(F.split(text, "\n")).alias("n_total"))
+        .join(agg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_total") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 3,
+) -> DataFrame:
+    """Materialize the corpus inverted index -> ``(token, df_t, total_tf,
+    postings)`` where ``postings`` is the doc-id-sorted ``"doc:tf"`` list
+    rendered as one space-joined string (a STRING, not array<struct>, so
+    the value is hash-comparable byte-for-byte across engines).
+
+    Scale shape: the (doc, token) tf agg is map-side-partial; the posting
+    assembly groups by token — hot tokens concentrate their postings on
+    one reducer, which is intrinsic to building an inverted index (each
+    token's list must meet). At 10^12 docs a full stopword posting list
+    is unusable anyway — cap it upstream with ``tfidf_top_terms``-style
+    df pruning, or partition the index by token range (the output is
+    write-partitionable on ``substr(token,1,1)``).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    ).where(F.length("token") >= min_len)
+    tf = toks.groupBy("token", "doc").agg(F.count("*").alias("tf"))
+    return tf.groupBy("token").agg(
+        F.count("*").cast("long").alias("df_t"),
+        F.sum("tf").alias("total_tf"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc", "tf"))),
+                lambda s: F.concat_ws(":", s["doc"].cast("string"), s["tf"].cast("string")),
+            ),
+            " ",
+        ).alias("postings"),
+    )
