@@ -324,13 +324,22 @@ def tfidf_top_terms(
         F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
     ).where(F.length("token") >= min_len)
     tf = toks.groupBy("doc", "token").agg(F.count("*").alias("tf"))
-    dft = tf.groupBy("token").agg(F.count("*").alias("df_t"))
     n = df.agg(F.count("*").alias("n_docs"))
-    dft = dft.crossJoin(F.broadcast(n))
-    hot = dft.where(F.col("df_t") > F.lit(float(max_df_frac)) * F.col("n_docs"))
+    # vocab-sized (token, df_t, n_docs), lazily checkpointed: its three
+    # consumers (hot set, keep side, idf) share ONE corpus pass — without
+    # this Spark re-plans the whole explode+agg per consumer (measured: 5
+    # corpus scans; ReuseExchange does not fire across these subtrees)
+    dft = (
+        tf.groupBy("token")
+        .agg(F.count("*").alias("df_t"))
+        .crossJoin(F.broadcast(n))
+        .localCheckpoint(eager=False)
+    )
+    cut = F.lit(float(max_df_frac)) * F.col("n_docs")
+    hot = dft.where(F.col("df_t") > cut)
     scored = (
         tf.join(F.broadcast(hot.select("token")), "token", "left_anti")
-        .join(dft.where(F.col("df_t") <= F.lit(float(max_df_frac)) * F.col("n_docs")), "token")
+        .join(dft.where(F.col("df_t") <= cut), "token")
         .withColumn(
             "score",
             F.col("tf") * F.expr(f"(CAST({scale} AS BIGINT) * n_docs) DIV df_t"),
