@@ -1126,6 +1126,24 @@ def q_temp_mix(spark, sf_dir):
     )
 
 
+def q_kg_kcore(spark, sf_dir):
+    """k-core backbone of the hub co-citation graph at k=15, pinned to
+    EXACTLY 2 peel rounds so the DuckDB oracle can unroll the same two
+    rounds as CTEs (at sf0.01 the peel genuinely cascades: 61 -> 53 ->
+    37 nodes; fixpoint is 0, so the 2-round pin captures mid-cascade
+    state — a stronger check than a converged answer)."""
+    from ontoweaver_spark.graphstats import k_core
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+
+    def hub(m, p):
+        return F.concat(F.lit("hub"), ((F.col("doc_id") * m) % p).cast("string"))
+
+    cocite = docs.select(hub(7, 61).alias("src"), hub(11, 53).alias("dst"))
+    return k_core(cocite, k=15, exact_rounds=2)
+
+
 def q_boilerplate(spark, sf_dir):
     """Frequent-line boilerplate strip over a deterministically salted
     multi-line corpus: every doc gains a shared copyright footer (df =
@@ -1219,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temp_mix": q_temp_mix,
         "boilerplate": q_boilerplate,
         "inv_index": q_inverted_index,
+        "kg_kcore": q_kg_kcore,
         "corpus_prep": q_corpus_prep,
     }
 
@@ -2348,5 +2367,34 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(doc::VARCHAR || ':' || tf::VARCHAR, ' '
                               ORDER BY doc) AS postings
             FROM tf GROUP BY token
+        """,
+        # two unrolled peel rounds — mirrors k_core(exact_rounds=2)
+        "kg_kcore": """
+            WITH e0 AS (
+              SELECT DISTINCT least((doc_id*7)%61, (doc_id*11)%53) AS u,
+                              greatest((doc_id*7)%61, (doc_id*11)%53) AS v
+              FROM documents WHERE (doc_id*7)%61 <> (doc_id*11)%53
+            ), d0 AS (
+              SELECT node, count(*) AS deg FROM (
+                SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0
+              ) GROUP BY node
+            ), bad0 AS (SELECT node FROM d0 WHERE deg < 15),
+            e1 AS (
+              SELECT u, v FROM e0
+              WHERE u NOT IN (SELECT node FROM bad0)
+                AND v NOT IN (SELECT node FROM bad0)
+            ), d1 AS (
+              SELECT node, count(*) AS deg FROM (
+                SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1
+              ) GROUP BY node
+            ), bad1 AS (SELECT node FROM d1 WHERE deg < 15),
+            e2 AS (
+              SELECT u, v FROM e1
+              WHERE u NOT IN (SELECT node FROM bad1)
+                AND v NOT IN (SELECT node FROM bad1)
+            )
+            SELECT 'hub' || node::VARCHAR AS node, count(*) AS deg
+            FROM (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
+            GROUP BY 1
         """,
     }

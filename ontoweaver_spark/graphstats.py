@@ -284,3 +284,68 @@ def triangle_count(
         .unionAll(tri.select("c"))
     )
     return corners.groupBy("node").agg(F.count("*").alias("triangles"))
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    exact_rounds: int | None = None,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """k-core decomposition of the undirected simple graph: iteratively
+    peel nodes of degree < k until fixpoint -> ``(node, deg)`` for the
+    surviving core (the dense backbone of the web KG — spam-farm /
+    community-scale filtering that degree thresholds alone can't do,
+    since peeling cascades).
+
+    ``exact_rounds=r`` runs EXACTLY r peel rounds with no convergence
+    check — the mode the DuckDB oracle mirrors by unrolling r CTE rounds,
+    making an iterative graph algorithm hash-checkable without a
+    fixpoint-detection side channel. Default (None) peels to fixpoint
+    with a loud RuntimeError past ``max_rounds`` (a path graph peels one
+    node per end per round, so pathological chains hit the bound —
+    same contract as connected_components).
+
+    Scale shape: each round is one degree aggregation plus two anti-joins
+    removing edges with a peeled endpoint; the shrinking edge frame is
+    lazily localCheckpoint-ed every round (O(1) plan depth, no lineage
+    blowup). The fixpoint check piggybacks on a count of the peeled
+    frame — cheap and shrinking. Rounds needed = core number spread, in
+    practice a handful on web graphs.
+    """
+    u, v = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def degrees(ed):
+        return (
+            ed.select(F.col("u").alias("node"))
+            .unionAll(ed.select("v"))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+
+    rounds = exact_rounds if exact_rounds is not None else max_rounds
+    for i in range(rounds):
+        bad = degrees(e).where(F.col("deg") < k).select("node")
+        if exact_rounds is None:
+            bad = bad.localCheckpoint()  # eager: counted AND reused by the joins
+            if bad.count() == 0:
+                break
+        e = (
+            e.join(bad.withColumnRenamed("node", "u"), "u", "left_anti")
+            .join(bad.withColumnRenamed("node", "v"), "v", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+    else:
+        if exact_rounds is None:
+            raise RuntimeError(
+                f"k_core did not converge in {max_rounds} rounds; the graph "
+                "has a long peel cascade — raise max_rounds"
+            )
+    return degrees(e)
