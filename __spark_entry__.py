@@ -1126,6 +1126,27 @@ def q_temp_mix(spark, sf_dir):
     )
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Sliding-window context chunking at width 20 / overlap 5 (small
+    enough that every synthetic doc yields several windows)."""
+    from ontoweaver_spark.textops import chunk_documents
+
+    _tune(spark)
+    return chunk_documents(
+        _docs_spread(spark, sf_dir), chunk_tokens=20, overlap=5
+    )
+
+
+def q_pack_seq(spark, sf_dir):
+    """Document-level sequence packing at seq_len=256: global token-offset
+    cumsum in doc_id order via range partitions + broadcast offsets (never
+    a single-partition Window over the corpus)."""
+    from ontoweaver_spark.textops import pack_sequences
+
+    _tune(spark)
+    return pack_sequences(_docs(spark, sf_dir), seq_len=256)
+
+
 def q_kg_kcore(spark, sf_dir):
     """k-core backbone of the hub co-citation graph at k=15, pinned to
     EXACTLY 2 peel rounds so the DuckDB oracle can unroll the same two
@@ -1238,6 +1259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "inv_index": q_inverted_index,
         "kg_kcore": q_kg_kcore,
+        "chunk_docs": q_chunk_docs,
+        "pack_seq": q_pack_seq,
         "corpus_prep": q_corpus_prep,
     }
 
@@ -2396,5 +2419,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'hub' || node::VARCHAR AS node, count(*) AS deg
             FROM (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
             GROUP BY 1
+        """,
+        # DuckDB list slice l[a:b] is 1-based INCLUSIVE == Spark
+        # slice(l, a, len) with b = a+len-1; both clamp at the end
+        "chunk_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(0, len(toks) - 1, 15)) AS start
+              FROM t
+            )
+            SELECT doc_id,
+                   (start // 15)::INTEGER AS chunk_id,
+                   array_to_string(toks[start + 1 : start + 20], ' ') AS chunk,
+                   len(toks[start + 1 : start + 20])::INTEGER AS n_chunk_toks
+            FROM s
+        """,
+        "pack_seq": """
+            WITH d AS (
+              SELECT doc_id,
+                     len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT
+                       AS n_toks
+              FROM documents
+            )
+            SELECT doc_id, n_toks,
+                   (sum(n_toks) OVER (ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - n_toks)::BIGINT AS start_tok,
+                   ((sum(n_toks) OVER (ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - n_toks) // 256)::BIGINT
+                     AS seq_id
+            FROM d
         """,
     }

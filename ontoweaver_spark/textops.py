@@ -449,3 +449,102 @@ def inverted_index(
             " ",
         ).alias("postings"),
     )
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Sliding-window context chunking: split each document's token stream
+    into ``chunk_tokens``-sized windows advancing by ``chunk_tokens -
+    overlap`` -> ``(id, chunk_id, chunk, n_chunk_toks)`` — how a corpus
+    becomes model-sized training rows.
+
+    Scale shape: a pure per-row generate-and-explode (``F.sequence`` of
+    window starts + ``slice``/``array_join``) — ZERO shuffle, composes
+    with scan pushdown, and the token array is built once per row (the
+    round-4 HOF-CSE lesson: slice on a bound array, never re-split per
+    window). The last window is naturally short (slice clamps); a doc
+    shorter than one window yields exactly one chunk.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(F.lower(F.col(text_col)))
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.sequence(F.lit(0), F.size(toks) - 1, F.lit(step))
+            ).alias("chunk_id", "start"),
+            toks.alias("_toks"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("start") + 1, chunk_tokens), " "
+            ).alias("chunk"),
+            F.size(
+                F.slice(F.col("_toks"), F.col("start") + 1, chunk_tokens)
+            ).alias("n_chunk_toks"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 2048,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Assign each document to its fixed-length training sequence by
+    GLOBAL token offset in ``id_col`` order -> ``(id, n_toks, start_tok,
+    seq_id)`` where ``seq_id = start_tok DIV seq_len`` — the deterministic
+    document-level approximation of sequence packing (concatenate docs in
+    key order, cut every ``seq_len`` tokens; a doc belongs to the
+    sequence where it starts).
+
+    Scale shape — a global ordered cumulative sum WITHOUT the
+    single-partition Window trap: ``repartitionByRange(id)`` gives
+    disjoint ordered key ranges, the cumsum runs per range partition
+    (uniform work), and the per-partition token totals — one row per
+    partition — get a tiny single-partition cumulative window whose
+    offsets broadcast back. Global order = (range pid, id) = id order,
+    regardless of where the sampled range boundaries land, so the result
+    is partition-count-invariant (property-tested). Requires ``id_col``
+    to be unique (it is the doc key).
+    """
+    n_part = partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ntok = token_count(F.col(text_col))
+    d = (
+        df.select(F.col(id_col), ntok.cast("long").alias("n_toks"))
+        .repartitionByRange(n_part, F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    from pyspark.sql import Window
+
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    totals = d.groupBy("_pid").agg(F.sum("n_toks").alias("_tot"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "_pid", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        d.withColumn("_cum", F.sum("n_toks").over(w_in))
+        .join(F.broadcast(offs), "_pid")
+        .withColumn(
+            "start_tok", (F.col("_off") + F.col("_cum") - F.col("n_toks")).cast("long")
+        )
+        .withColumn("seq_id", F.expr(f"start_tok DIV CAST({seq_len} AS BIGINT)"))
+        .select(id_col, "n_toks", "start_tok", "seq_id")
+    )
