@@ -1195,6 +1195,21 @@ def q_inverted_index(spark, sf_dir):
     return inverted_index(_docs_spread(spark, sf_dir), min_len=3)
 
 
+def q_kg_bgp(spark, sf_dir):
+    """SPARQL-core basic-graph-pattern match over the FUSED KG edges:
+    bind (?d in_language ?l) . (?d from_source ?s) and return every
+    (d, l, s) solution — the 'query the graph you just built' read path.
+    Two filtered edge-table projections joined on the shared variable;
+    the oracle derives the same bindings straight from the documents
+    table (an independent derivation that never sees the edge list)."""
+    from ontoweaver_spark.graphquery import match_pattern
+
+    _, fedges = _kg(spark, sf_dir)
+    return match_pattern(
+        fedges, [("?d", "in_language", "?l"), ("?d", "from_source", "?s")]
+    ).select("d", "l", "s")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -1253,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_khop": q_kg_khop,
         "kg_diff": q_kg_diff,
         "kg_triangles": q_kg_triangles,
+        "kg_bgp": q_kg_bgp,
         "pii_scrub": q_pii_scrub,
         "tfidf_terms": q_tfidf_terms,
         "temp_mix": q_temp_mix,
@@ -2271,6 +2287,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT 'hub' || node::VARCHAR AS node, count(*) AS triangles
             FROM corners GROUP BY 1
+        """,
+        "kg_bgp": """
+            SELECT doc_id::VARCHAR || ':document' AS d,
+                   lang || ':language' AS l,
+                   source || ':source' AS s
+            FROM documents
         """,
         "pii_scrub": """
             WITH salted AS (
