@@ -1210,6 +1210,23 @@ def q_kg_bgp(spark, sf_dir):
     ).select("d", "l", "s")
 
 
+def q_rdf_ntriples(spark, sf_dir):
+    """N-Triples serialization of the fused KG (rdf_export) — the
+    vendor-neutral publish path next to the Neo4j bulk emitter. Returns
+    the rendered lines themselves so the oracle (which string-concats the
+    same lines straight from documents, percent-encoding ':' by hand)
+    hash-checks the SERIALIZER byte-for-byte, not just the triple set."""
+    from ontoweaver_spark.rdf_export import graph_to_triples, serialize_ntriples
+
+    fnodes, fedges = _kg(spark, sf_dir)
+    return serialize_ntriples(
+        graph_to_triples(
+            fnodes.select("id", "label"),
+            fedges.select("src", "dst", "label"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -1269,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_diff": q_kg_diff,
         "kg_triangles": q_kg_triangles,
         "kg_bgp": q_kg_bgp,
+        "rdf_nt": q_rdf_ntriples,
         "pii_scrub": q_pii_scrub,
         "tfidf_terms": q_tfidf_terms,
         "temp_mix": q_temp_mix,
@@ -2293,6 +2311,32 @@ def oracle_sql() -> dict[str, str]:
                    lang || ':language' AS l,
                    source || ':source' AS s
             FROM documents
+        """,
+        "rdf_nt": """
+            WITH n AS (
+              SELECT doc_id::VARCHAR || '%3Adocument' AS id, 'document' AS label
+              FROM documents
+              UNION ALL
+              SELECT DISTINCT lang || '%3Alanguage', 'language' FROM documents
+              UNION ALL
+              SELECT DISTINCT source || '%3Asource', 'source' FROM documents
+            ), e AS (
+              SELECT doc_id::VARCHAR || '%3Adocument' AS src,
+                     lang || '%3Alanguage' AS dst, 'in_language' AS rel
+              FROM documents
+              UNION ALL
+              SELECT doc_id::VARCHAR || '%3Adocument',
+                     source || '%3Asource', 'from_source'
+              FROM documents
+            )
+            SELECT '<urn:ow:node/' || id
+                   || '> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> '
+                   || '<urn:ow:class/' || label || '> .' AS line
+            FROM n
+            UNION ALL
+            SELECT '<urn:ow:node/' || src || '> <urn:ow:rel/' || rel
+                   || '> <urn:ow:node/' || dst || '> .'
+            FROM e
         """,
         "pii_scrub": """
             WITH salted AS (
