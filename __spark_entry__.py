@@ -1210,6 +1210,23 @@ def q_kg_bgp(spark, sf_dir):
     ).select("d", "l", "s")
 
 
+def q_kg_communities(spark, sf_dir):
+    """Synchronous label-propagation communities (3 rounds) over the hub
+    co-citation graph (same arithmetic edge derivation as kg_triangles).
+    Deterministic min_by tie-break makes an ITERATIVE community algorithm
+    hash-oracle-checkable — the oracle unrolls the same 3 rounds as CTEs
+    with a window argmax, an independent engine + formulation."""
+    from ontoweaver_spark.graphstats import label_propagation
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    edges = docs.select(
+        F.concat(F.lit("hub"), ((F.col("doc_id") * 7) % 61).cast("string")).alias("src"),
+        F.concat(F.lit("hub"), ((F.col("doc_id") * 11) % 53).cast("string")).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    return label_propagation(edges, rounds=3)
+
+
 def q_rdf_ntriples(spark, sf_dir):
     """N-Triples serialization of the fused KG (rdf_export) — the
     vendor-neutral publish path next to the Neo4j bulk emitter. Returns
@@ -1287,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": q_kg_triangles,
         "kg_bgp": q_kg_bgp,
         "rdf_nt": q_rdf_ntriples,
+        "kg_communities": q_kg_communities,
         "pii_scrub": q_pii_scrub,
         "tfidf_terms": q_tfidf_terms,
         "temp_mix": q_temp_mix,
@@ -1561,6 +1579,38 @@ def _pagerank_sql(iterations: int = 5, scale: int = 1_000_000, damping: int = 85
       ) t ON t.node = n.node
     )""")
     parts.append(f'\n    SELECT node, "rank" FROM r{iterations}')
+    return "".join(parts)
+
+
+def _lpa_sql(rounds: int = 3) -> str:
+    """Unrolled synchronous label propagation mirroring graphstats.
+    label_propagation over the hub co-citation graph — one CTE per round,
+    window argmax (count DESC, label ASC) instead of Spark's min_by
+    struct: same semantics, independent formulation."""
+    parts = ["""
+    WITH raw AS (
+      SELECT 'hub' || ((doc_id*7)%61)::VARCHAR AS a,
+             'hub' || ((doc_id*11)%53)::VARCHAR AS b
+      FROM documents WHERE (doc_id*7)%61 <> (doc_id*11)%53
+    ), sym AS (
+      SELECT DISTINCT a, b FROM (
+        SELECT a, b FROM raw UNION ALL SELECT b AS a, a AS b FROM raw
+      ) WHERE a <> b
+    ), lab0 AS (
+      SELECT DISTINCT a AS node, a AS community FROM sym
+    )"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""", lab{i} AS (
+      SELECT node, community FROM (
+        SELECT s.a AS node, l.community AS community,
+               row_number() OVER (
+                 PARTITION BY s.a
+                 ORDER BY count(*) DESC, l.community ASC) AS rn
+        FROM sym s JOIN lab{i - 1} l ON l.node = s.b
+        GROUP BY s.a, l.community
+      ) WHERE rn = 1
+    )""")
+    parts.append(f"\n    SELECT node, community FROM lab{rounds}")
     return "".join(parts)
 
 
@@ -2312,6 +2362,7 @@ def oracle_sql() -> dict[str, str]:
                    source || ':source' AS s
             FROM documents
         """,
+        "kg_communities": _lpa_sql(3),
         "rdf_nt": """
             WITH n AS (
               SELECT doc_id::VARCHAR || '%3Adocument' AS id, 'document' AS label

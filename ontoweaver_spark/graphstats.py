@@ -349,3 +349,63 @@ def k_core(
                 "has a long peel cascade — raise max_rounds"
             )
     return degrees(e)
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection over the
+    undirected simple graph -> ``(node, community)`` after exactly
+    ``rounds`` update steps. Each step, every node adopts the most
+    frequent label among its NEIGHBORS (ties -> smallest label). Every
+    node starts as its own community; nodes with no edges (after
+    self-loop removal) have no neighbors to vote and are absent from the
+    output — union them back as their own singleton community if needed.
+
+    Fixed synchronous rounds on purpose: asynchronous LPA is
+    run-order-dependent (useless under a shuffle), while the synchronous
+    variant with a total tie-break is a pure function of the graph — the
+    same determinism argument as pagerank_fixed_point, which is what lets
+    an ITERATIVE community algorithm hash-match a DuckDB oracle (the same
+    rounds unrolled as CTEs). Synchronous LPA can two-cycle on bipartite
+    structure instead of converging; a fixed round budget makes that a
+    defined output rather than a hang (GraphFrames' LPA ships the same
+    trade).
+
+    Scale shape (10^12-edge KG): the symmetrized edge list materializes
+    once (localCheckpoint); each round is one join keyed on the neighbor
+    + one (node, label) count agg (map-side partial absorbs the fan-in)
+    + one min_by agg keyed on node. Hub fan-in lands in the count agg as
+    its key's partials — never as a row explosion on one task. Labels
+    travel as the node ids they start from; no Python anywhere.
+    """
+    u, v = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.select(u.alias("a"), v.alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .unionAll(edges.select(v.alias("a"), u.alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = e.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=False)
+    labels = nodes.select("node", F.col("node").alias("community"))
+    for _ in range(rounds):
+        neigh = e.join(
+            labels.select(F.col("node").alias("b"), "community"), "b"
+        ).select(F.col("a").alias("node"), "community")
+        counts = neigh.groupBy("node", "community").agg(F.count("*").alias("cnt"))
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.min_by(
+                    "community",
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("community")),
+                ).alias("community")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels
