@@ -1227,6 +1227,34 @@ def q_kg_communities(spark, sf_dir):
     return label_propagation(edges, rounds=3)
 
 
+def q_host_graph(spark, sf_dir):
+    """Weighted host-level link graph from in-text outlinks over the
+    derived pages table — the domain-ranking input (host PageRank / spam
+    k-core start here). Spark extracts links by regexp and parses hosts;
+    the oracle never runs a regex — it re-derives the link hosts
+    arithmetically from doc_id, an independent derivation."""
+    from ontoweaver_spark.pages import pages_from_documents
+    from ontoweaver_spark.urls import host_link_graph
+
+    _tune(spark)
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    return host_link_graph(pages)
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Model-based quality filter: fastText-shaped linear classifier
+    over hashed bag-of-words with the (synthetic, md5-derived) weight
+    table broadcast as data. Integer weights keep inference exact, so
+    score AND keep decision hash-match the DuckDB oracle."""
+    from ontoweaver_spark.textops import hashed_linear_score, hashed_weights
+
+    _tune(spark)
+    w = hashed_weights(spark, n_buckets=4096, seed=5)
+    return hashed_linear_score(
+        _docs(spark, sf_dir), w, n_buckets=4096, min_len=3, threshold=0
+    )
+
+
 def q_rdf_ntriples(spark, sf_dir):
     """N-Triples serialization of the fused KG (rdf_export) — the
     vendor-neutral publish path next to the Neo4j bulk emitter. Returns
@@ -1305,6 +1333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp": q_kg_bgp,
         "rdf_nt": q_rdf_ntriples,
         "kg_communities": q_kg_communities,
+        "host_graph": q_host_graph,
+        "quality_classifier": q_quality_classifier,
         "pii_scrub": q_pii_scrub,
         "tfidf_terms": q_tfidf_terms,
         "temp_mix": q_temp_mix,
@@ -2363,6 +2393,39 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "kg_communities": _lpa_sql(3),
+        "host_graph": """
+            WITH l AS (
+              SELECT source || '.example' AS src_host,
+                     'hub' || ((doc_id*7)%97)::VARCHAR AS dst_host
+              FROM documents
+              UNION ALL
+              SELECT source || '.example',
+                     'hub' || ((doc_id*11)%97)::VARCHAR
+              FROM documents
+            )
+            SELECT src_host, dst_host, count(*) AS n_links
+            FROM l GROUP BY 1, 2
+        """,
+        "quality_classifier": f"""
+            WITH w AS (
+              SELECT i AS bucket,
+                     {_SQL_MD5INT.format(x="'w:5:' || i::VARCHAR")} % 2001 - 1000
+                       AS weight
+              FROM range(4096) t(i)
+            ), toks AS (
+              SELECT doc_id,
+                     {_SQL_MD5INT.format(x="t.token")} % 4096 AS bucket
+              FROM documents,
+                   UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                     AS t(token)
+              WHERE length(t.token) >= 3
+            )
+            SELECT toks.doc_id AS id,
+                   sum(coalesce(w.weight, 0))::BIGINT AS score,
+                   sum(coalesce(w.weight, 0)) >= 0 AS keep
+            FROM toks LEFT JOIN w USING (bucket)
+            GROUP BY 1
+        """,
         "rdf_nt": """
             WITH n AS (
               SELECT doc_id::VARCHAR || '%3Adocument' AS id, 'document' AS label

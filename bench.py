@@ -91,7 +91,8 @@ def main() -> None:
                  "web_corpus_prep", "kg_khop", "kg_diff", "kg_triangles",
                  "pii_scrub", "tfidf_terms", "temp_mix", "boilerplate",
                  "inv_index", "kg_kcore", "chunk_docs", "pack_seq",
-                 "kg_bgp", "rdf_nt", "kg_communities"]:
+                 "kg_bgp", "rdf_nt", "kg_communities",
+                 "host_graph", "quality_classifier"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the
