@@ -1227,6 +1227,71 @@ def q_kg_communities(spark, sf_dir):
     return label_propagation(edges, rounds=3)
 
 
+# sparse pseudo-random doc graph: 3 out-edges per document into the SAME
+# doc-id space (mod n), so average degree stays ~6 at every scale factor —
+# unlike the 114-hub co-citation graph whose degree grows linearly with the
+# corpus. This is the scale-shaped input for walk / link-prediction queries;
+# the oracle re-derives it with the same arithmetic (see _DOC_GRAPH_SQL).
+_DOC_GRAPH_PARAMS = ((7919, 13), (104729, 101), (1299709, 977))
+
+
+def _doc_graph(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    n = docs.count()  # one tiny driver count; doc_id is contiguous 0..n-1
+    i = F.col("doc_id").cast("long")
+    parts = [
+        docs.select(
+            F.concat(F.lit("n"), i.cast("string")).alias("src"),
+            F.concat(F.lit("n"), ((i * p + c) % n).cast("string")).alias("dst"),
+        )
+        for p, c in _DOC_GRAPH_PARAMS
+    ]
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def _doc_graph_sql() -> str:
+    """CTE body (`raw(src, dst)`) mirroring _doc_graph in DuckDB."""
+    selects = [
+        f"""SELECT 'n' || doc_id::VARCHAR AS src,
+             'n' || ((doc_id::BIGINT * {p} + {c}) %
+                     (SELECT count(*) FROM documents))::VARCHAR AS dst
+      FROM documents"""
+        for p, c in _DOC_GRAPH_PARAMS
+    ]
+    return "\n      UNION ALL\n      ".join(selects)
+
+
+def q_kg_walks(spark, sf_dir):
+    """Deterministic uniform random walks (DeepWalk / node2vec p=q=1 corpus
+    generation) over the sparse doc graph: hash-min neighbor selection makes
+    a RANDOMIZED algorithm a pure function of (graph, seed), so the walks
+    hash-match a DuckDB oracle that unrolls the same arg_min steps as CTEs.
+    One row per visited position (walk_id, step, node)."""
+    from ontoweaver_spark.graphstats import random_walks
+
+    _tune(spark)
+    return random_walks(
+        _doc_graph(spark, sf_dir), walk_length=3, walks_per_node=1, seed=0
+    )
+
+
+def q_kg_linkpred(spark, sf_dir):
+    """Common-neighbor / Resource-Allocation link prediction over the sparse
+    doc graph — KG completion candidates ranked by shared structure. Exact
+    integer RA arithmetic (scale DIV deg) keeps scores engine-portable; hub
+    neighbors above the degree cap are excluded (the wedge-join bound that
+    survives 10^12 edges)."""
+    from ontoweaver_spark.graphstats import link_prediction_scores
+
+    _tune(spark)
+    return link_prediction_scores(
+        _doc_graph(spark, sf_dir), max_degree=16, min_common=2
+    )
+
+
 def q_host_graph(spark, sf_dir):
     """Weighted host-level link graph from in-text outlinks over the
     derived pages table — the domain-ranking input (host PageRank / spam
@@ -1333,6 +1398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp": q_kg_bgp,
         "rdf_nt": q_rdf_ntriples,
         "kg_communities": q_kg_communities,
+        "kg_walks": q_kg_walks,
+        "kg_linkpred": q_kg_linkpred,
         "host_graph": q_host_graph,
         "quality_classifier": q_quality_classifier,
         "pii_scrub": q_pii_scrub,
@@ -1642,6 +1709,68 @@ def _lpa_sql(rounds: int = 3) -> str:
     )""")
     parts.append(f"\n    SELECT node, community FROM lab{rounds}")
     return "".join(parts)
+
+
+def _walks_sql(walk_length: int = 3, seed: int = 0) -> str:
+    """Unrolled hash-min random walks mirroring graphstats.random_walks
+    over the sparse doc graph — one arg_min CTE per step, an independent
+    engine + formulation of the same deterministic walk."""
+    parts = [f"""
+    WITH raw AS (
+      {_doc_graph_sql()}
+    ), e AS (
+      SELECT DISTINCT s, d FROM (
+        SELECT src AS s, dst AS d FROM raw
+        UNION ALL SELECT dst AS s, src AS d FROM raw
+      ) WHERE s <> d
+    ), w0 AS (
+      SELECT DISTINCT s || '#0' AS walk_id, s AS node FROM e
+    )"""]
+    for i in range(1, walk_length + 1):
+        hi = _SQL_MD5INT.format(x=f"w.walk_id || ':{seed}:{i}:' || e.d")
+        parts.append(f""", w{i} AS (
+      SELECT walk_id, arg_min(d, lpad(h::VARCHAR, 20, '0') || d) AS node
+      FROM (SELECT w.walk_id, e.d, {hi} AS h
+            FROM w{i - 1} w JOIN e ON w.node = e.s)
+      GROUP BY walk_id
+    )""")
+    selects = [
+        f"SELECT walk_id, {i} AS step, node FROM w{i}"
+        for i in range(walk_length + 1)
+    ]
+    parts.append("\n    " + "\n    UNION ALL ".join(selects))
+    return "".join(parts)
+
+
+def _linkpred_sql(max_degree: int = 16, min_common: int = 2,
+                  scale: int = 1_000_000) -> str:
+    """Common-neighbor + integer Resource-Allocation link prediction
+    mirroring graphstats.link_prediction_scores over the sparse doc graph
+    (degree CTE -> capped wedge join -> anti-join against existing edges)."""
+    return f"""
+    WITH raw AS (
+      {_doc_graph_sql()}
+    ), e AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM raw WHERE src <> dst
+    ), deg AS (
+      SELECT z, count(*) AS dz FROM (
+        SELECT u AS z FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY z
+    ), adj AS (
+      SELECT t.z, t.n, deg.dz FROM (
+        SELECT u AS z, v AS n FROM e UNION ALL SELECT v AS z, u AS n FROM e
+      ) t JOIN deg ON t.z = deg.z WHERE deg.dz <= {max_degree}
+    ), scored AS (
+      SELECT l.n AS a, r.n AS b, count(*) AS common,
+             CAST(sum(CAST({scale} AS BIGINT) // l.dz) AS BIGINT) AS ra_score
+      FROM adj l JOIN adj r ON l.z = r.z AND l.n < r.n
+      GROUP BY l.n, r.n
+    )
+    SELECT a, b, common, ra_score FROM scored s
+    WHERE common >= {min_common}
+      AND NOT EXISTS (SELECT 1 FROM e WHERE e.u = s.a AND e.v = s.b)
+    """
 
 
 def _url_canon_sql(col: str) -> str:
@@ -2393,6 +2522,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "kg_communities": _lpa_sql(3),
+        "kg_walks": _walks_sql(3, 0),
+        "kg_linkpred": _linkpred_sql(16, 2),
         "host_graph": """
             WITH l AS (
               SELECT source || '.example' AS src_host,

@@ -92,7 +92,8 @@ def main() -> None:
                  "pii_scrub", "tfidf_terms", "temp_mix", "boilerplate",
                  "inv_index", "kg_kcore", "chunk_docs", "pack_seq",
                  "kg_bgp", "rdf_nt", "kg_communities",
-                 "host_graph", "quality_classifier"]:
+                 "host_graph", "quality_classifier",
+                 "kg_walks", "kg_linkpred"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the

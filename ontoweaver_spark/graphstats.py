@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .textops import md5_int
+
 
 def degree_stats(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
@@ -409,3 +411,148 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_length: int = 3,
+    walks_per_node: int = 1,
+    seed: int = 0,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    directed: bool = False,
+) -> DataFrame:
+    """Deterministic uniform random walks over the graph -> one row per
+    visited position ``(walk_id, step, node)`` (step 0 = the start node;
+    ``walk_id = node || '#' || w``). This is the DeepWalk/node2vec(p=q=1)
+    corpus generator — the sentence stream a skip-gram embedding trains
+    on — for every node with at least one (out-)edge.
+
+    The neighbor choice is HASH-MIN selection: step ``i`` of a walk
+    standing on ``cur`` moves to ``argmin over out-neighbors d of
+    md5_int(walk_id ':' seed ':' i ':' d)`` (ties — i.e. 60-bit hash
+    collisions — broken by d itself via a string-composite order key).
+    The min of i.i.d. uniform hashes is a uniform choice among the
+    neighbors, so the walk IS a uniform random walk, yet it is a pure
+    function of (graph, seed): bit-identical under any partitioning or
+    engine, which is what lets a *randomized* algorithm hash-match a
+    DuckDB oracle (same steps unrolled as arg_min CTEs). Walks that
+    reach a sink simply end early (shorter sentences, as in DeepWalk).
+
+    Scale shape (10^12-edge KG): NO per-node adjacency arrays are ever
+    built (a 10^9-degree hub as an array blows a task; here its edges
+    stay rows). Each of the ``walk_length`` rounds is one join of the
+    walk frontier against the checkpointed edge list keyed on the
+    current node + one min_by agg keyed on walk_id — a walk standing on
+    a hub fans its candidate edges into MAP-SIDE partials of the argmin,
+    never into a row flood at one reducer. Plan depth stays O(1) per
+    round via lazy localCheckpoint.
+    """
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    if not directed:
+        e = e.unionAll(
+            edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+        )
+    e = e.where(F.col("s") != F.col("d")).distinct().localCheckpoint(eager=False)
+
+    starts = (
+        e.select(F.col("s").alias("node"))
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                e.sparkSession.range(walks_per_node).select(
+                    F.col("id").cast("string").alias("_w")
+                )
+            )
+        )
+        .select(
+            F.concat(F.col("node"), F.lit("#"), F.col("_w")).alias("walk_id"),
+            "node",
+        )
+        .localCheckpoint(eager=False)
+    )
+    walks = starts.withColumn("step", F.lit(0))
+    frontier = starts
+    for step in range(1, walk_length + 1):
+        h = md5_int(
+            F.concat(F.col("walk_id"), F.lit(f":{seed}:{step}:"), F.col("d"))
+        )
+        order_key = F.concat(F.lpad(h.cast("string"), 20, "0"), F.col("d"))
+        frontier = (
+            frontier.join(e, frontier["node"] == e["s"])
+            .groupBy("walk_id")
+            .agg(F.min_by(F.col("d"), order_key).alias("node"))
+            .localCheckpoint(eager=False)
+        )
+        walks = walks.unionByName(frontier.withColumn("step", F.lit(step)))
+    return walks.select("walk_id", "step", "node")
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    max_degree: int = 64,
+    min_common: int = 1,
+    scale: int = 1_000_000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Common-neighbor link prediction over the undirected simple graph:
+    for every NON-edge pair (a < b) sharing at least ``min_common``
+    neighbors, ``(a, b, common, ra_score)`` — ``common`` is the raw
+    common-neighbor count and ``ra_score`` the Resource-Allocation index
+    ``sum over shared z of 1/deg(z)`` in exact integer arithmetic
+    (``scale DIV deg(z)`` per term, so the score is bit-identical in any
+    engine — the float formulation, like Adamic-Adar's 1/log deg, never
+    hash-matches an oracle). The KG-completion primitive: candidate
+    missing edges ranked by shared structure.
+
+    Nodes with degree > ``max_degree`` do NOT serve as the shared
+    neighbor ``z``: a hub adjacent to everyone generates deg² candidate
+    pairs while carrying ~zero signal (its RA term is ~1/deg). That cap
+    is the same move as the stop-shingle document-frequency cap in
+    dedup_jaccard — it bounds the wedge join at ``sum(min(deg,cap)²)``
+    instead of the Zipf-tail quadratic, which is what makes the operator
+    runnable at 10^12 edges. The pairs the hub alone would have
+    suggested are exactly the pairs the literature down-weights to
+    noise. Capped-out hubs still appear as ``a``/``b`` endpoints.
+
+    Scale shape: degree agg -> wedge self-join keyed on z (bounded by
+    the cap) -> one (a, b) count/sum agg with map-side partials -> one
+    anti-join against the edge set to drop existing edges.
+    """
+    u, v = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("u").alias("z"))
+        .unionAll(e.select("v"))
+        .groupBy("z")
+        .agg(F.count("*").alias("dz"))
+    )
+    adj = (
+        e.select(F.col("u").alias("z"), F.col("v").alias("n"))
+        .unionAll(e.select(F.col("v").alias("z"), F.col("u").alias("n")))
+        .join(deg.where(F.col("dz") <= max_degree), "z")
+        .localCheckpoint(eager=False)
+    )
+    l, r = adj.alias("l"), adj.alias("r")
+    wedges = l.join(
+        r, (F.col("l.z") == F.col("r.z")) & (F.col("l.n") < F.col("r.n"))
+    ).select(
+        F.col("l.n").alias("a"), F.col("r.n").alias("b"), F.col("l.dz").alias("dz")
+    )
+    scored = wedges.groupBy("a", "b").agg(
+        F.count("*").alias("common"),
+        F.sum(F.expr(f"CAST({scale} AS BIGINT) DIV dz")).alias("ra_score"),
+    )
+    return (
+        scored.join(
+            e, (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")), "left_anti"
+        )
+        .where(F.col("common") >= min_common)
+        .select("a", "b", "common", "ra_score")
+    )
