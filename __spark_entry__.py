@@ -1292,6 +1292,37 @@ def q_kg_linkpred(spark, sf_dir):
     )
 
 
+def q_kg_hits(spark, sf_dir):
+    """HITS hubs & authorities (4 max-normalized integer rounds) over the
+    sparse doc graph — the link-analysis complement to PageRank. Integer
+    fixed-point arithmetic makes an eigenvector-style iteration
+    hash-matchable against the oracle's unrolled CTEs."""
+    from ontoweaver_spark.graphstats import hits_fixed_point
+
+    _tune(spark)
+    return hits_fixed_point(_doc_graph(spark, sf_dir), iterations=4)
+
+
+def q_kg_sssp(spark, sf_dir):
+    """Weighted multi-source shortest paths (6 exact Bellman-Ford rounds,
+    zero driver syncs) over the sparse doc graph with md5-derived integer
+    edge weights; seeds = every 97th doc node. Exact-rounds mode is what an
+    unrolled SQL oracle can mirror; fixpoint mode is tested separately."""
+    from ontoweaver_spark.graphstats import shortest_paths
+    from ontoweaver_spark.textops import md5_int
+
+    _tune(spark)
+    weighted = _doc_graph(spark, sf_dir).select(
+        "src", "dst",
+        (1 + md5_int(F.concat(F.lit("w:"), F.col("src"), F.lit(">"), F.col("dst"))) % 9)
+        .alias("w"),
+    )
+    seeds = _docs(spark, sf_dir).where(F.col("doc_id") % 97 == 0).select(
+        F.concat(F.lit("n"), F.col("doc_id").cast("string")).alias("node")
+    )
+    return shortest_paths(weighted, seeds, weight_col="w", rounds=6)
+
+
 def q_host_graph(spark, sf_dir):
     """Weighted host-level link graph from in-text outlinks over the
     derived pages table — the domain-ranking input (host PageRank / spam
@@ -1400,6 +1431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": q_kg_communities,
         "kg_walks": q_kg_walks,
         "kg_linkpred": q_kg_linkpred,
+        "kg_hits": q_kg_hits,
+        "kg_sssp": q_kg_sssp,
         "host_graph": q_host_graph,
         "quality_classifier": q_quality_classifier,
         "pii_scrub": q_pii_scrub,
@@ -1771,6 +1804,76 @@ def _linkpred_sql(max_degree: int = 16, min_common: int = 2,
     WHERE common >= {min_common}
       AND NOT EXISTS (SELECT 1 FROM e WHERE e.u = s.a AND e.v = s.b)
     """
+
+
+def _hits_sql(iterations: int = 4, scale: int = 1_000_000) -> str:
+    """Unrolled max-normalized integer HITS mirroring graphstats.
+    hits_fixed_point over the sparse doc graph — two CTEs (raw sum,
+    scalar-subquery max rescale) per half-round."""
+    parts = [f"""
+    WITH raw AS (
+      {_doc_graph_sql()}
+    ), e AS (
+      SELECT DISTINCT src AS s, dst AS d FROM raw WHERE src <> dst
+    ), nodes AS (
+      SELECT s AS node FROM e UNION SELECT d FROM e
+    ), h0 AS (
+      SELECT node, CAST({scale} AS BIGINT) AS hub FROM nodes
+    )"""]
+    for i in range(1, iterations + 1):
+        parts.append(f""", ar{i} AS MATERIALIZED (
+      SELECT n.node, CAST(coalesce(t.x, 0) AS BIGINT) AS auth
+      FROM nodes n LEFT JOIN (
+        SELECT e.d AS node, sum(h.hub) AS x
+        FROM e JOIN h{i - 1} h ON h.node = e.s GROUP BY e.d
+      ) t ON t.node = n.node
+    ), a{i} AS MATERIALIZED (
+      SELECT node, CAST(auth * CAST({scale} AS BIGINT) //
+                        greatest((SELECT max(auth) FROM ar{i}), 1) AS BIGINT) AS auth
+      FROM ar{i}
+    ), hr{i} AS MATERIALIZED (
+      SELECT n.node, CAST(coalesce(t.x, 0) AS BIGINT) AS hub
+      FROM nodes n LEFT JOIN (
+        SELECT e.s AS node, sum(a.auth) AS x
+        FROM e JOIN a{i} a ON a.node = e.d GROUP BY e.s
+      ) t ON t.node = n.node
+    ), h{i} AS MATERIALIZED (
+      SELECT node, CAST(hub * CAST({scale} AS BIGINT) //
+                        greatest((SELECT max(hub) FROM hr{i}), 1) AS BIGINT) AS hub
+      FROM hr{i}
+    )""")
+    parts.append(f"""
+    SELECT h.node, h.hub, a.auth
+    FROM h{iterations} h JOIN a{iterations} a ON h.node = a.node""")
+    return "".join(parts)
+
+
+def _sssp_sql(rounds: int = 6) -> str:
+    """Unrolled exact-rounds Bellman-Ford mirroring graphstats.
+    shortest_paths over the md5-weighted sparse doc graph."""
+    w_expr = "1 + " + _SQL_MD5INT.format(x="'w:' || src || '>' || dst") + " % 9"
+    parts = [f"""
+    WITH raw AS (
+      {_doc_graph_sql()}
+    ), e AS (
+      SELECT s, d, min(w) AS w FROM (
+        SELECT src AS s, dst AS d, {w_expr} AS w FROM raw
+      ) GROUP BY s, d
+    ), d0 AS (
+      SELECT DISTINCT 'n' || doc_id::VARCHAR AS node, CAST(0 AS BIGINT) AS dist
+      FROM documents WHERE doc_id % 97 = 0
+    )"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""", d{i} AS MATERIALIZED (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT e.d AS node, p.dist + e.w AS dist
+        FROM d{i - 1} p JOIN e ON p.node = e.s
+      ) GROUP BY node
+    )""")
+    parts.append(f"\n    SELECT node, dist FROM d{rounds}")
+    return "".join(parts)
 
 
 def _url_canon_sql(col: str) -> str:
@@ -2524,6 +2627,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_communities": _lpa_sql(3),
         "kg_walks": _walks_sql(3, 0),
         "kg_linkpred": _linkpred_sql(16, 2),
+        "kg_hits": _hits_sql(4),
+        "kg_sssp": _sssp_sql(6),
         "host_graph": """
             WITH l AS (
               SELECT source || '.example' AS src_host,

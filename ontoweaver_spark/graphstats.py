@@ -556,3 +556,165 @@ def link_prediction_scores(
         .where(F.col("common") >= min_common)
         .select("a", "b", "common", "ra_score")
     )
+
+
+def hits_fixed_point(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """HITS hubs & authorities over a directed edge list ->
+    ``(node, hub, auth)``, both scores scaled integers in ``[0, scale]``.
+
+    Kleinberg's update with MAX-normalization instead of the textbook L2:
+    each round ``auth(v) = sum of hub over in-neighbors`` then
+    ``auth <- auth * scale DIV max(auth)`` (and symmetrically for hub).
+    Max-normalization preserves the ranking the L2 norm gives while
+    keeping EVERY operation integer (BIGINT): exact, commutative, and
+    therefore bit-identical under any partitioning or engine — the same
+    design as :func:`pagerank_fixed_point`, and what lets an iterative
+    eigenvector-style algorithm hash-match a DuckDB oracle (the same
+    rounds unrolled as CTEs with a scalar-subquery max).
+
+    Overflow bound: after normalization every score is <= scale, so a
+    round's raw sum is <= scale * max_degree and the rescale multiply is
+    <= scale^2 * max_degree — with the default ``scale=1e6`` that stays
+    inside signed-64 up to max degree ~9e6; lower ``scale`` for hubbier
+    graphs (the bound is checked nowhere because the input degree is not
+    known until runtime; documented instead).
+
+    Scale shape: the deduped edge list materializes once
+    (localCheckpoint); each half-round is one join keyed on the edge
+    endpoint + one map-side-combinable sum + one tiny single-row max
+    aggregate broadcast back over the scores (a broadcast nested-loop
+    against a 1-row frame, never a shuffle of the scores themselves).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionAll(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _norm(scored: DataFrame, col: str) -> DataFrame:
+        mx = scored.agg(F.greatest(F.max(col), F.lit(1)).alias("_mx"))
+        return scored.crossJoin(F.broadcast(mx)).select(
+            "node",
+            F.expr(f"{col} * CAST({scale} AS BIGINT) DIV _mx").cast("long").alias(col),
+        )
+
+    hub = nodes.withColumn("hub", F.lit(scale).cast("long"))
+    auth = None
+    for _ in range(iterations):
+        a_raw = (
+            nodes.join(
+                e.join(hub.select(F.col("node").alias("s"), "hub"), "s")
+                .groupBy(F.col("d").alias("node"))
+                .agg(F.sum("hub").alias("auth")),
+                "node", "left",
+            ).select("node", F.coalesce("auth", F.lit(0)).cast("long").alias("auth"))
+        )
+        auth = _norm(a_raw, "auth").localCheckpoint(eager=False)
+        h_raw = (
+            nodes.join(
+                e.join(auth.select(F.col("node").alias("d"), "auth"), "d")
+                .groupBy(F.col("s").alias("node"))
+                .agg(F.sum("auth").alias("hub")),
+                "node", "left",
+            ).select("node", F.coalesce("hub", F.lit(0)).cast("long").alias("hub"))
+        )
+        hub = _norm(h_raw, "hub").localCheckpoint(eager=False)
+    return hub.join(auth, "node").select("node", "hub", "auth")
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    weight_col: str | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int | None = None,
+    max_rounds: int = 50,
+    directed: bool = True,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Single/multi-source shortest paths (distributed Bellman-Ford) ->
+    ``(node, dist)`` for every node reachable from any seed, ``dist`` =
+    minimum total edge weight (``weight_col``; hop count when None).
+    Weights must be non-negative integers — exact BIGINT arithmetic, so
+    results are partitioning- and engine-independent.
+
+    Two modes:
+    - ``rounds=k`` (exact-rounds): run exactly k relaxation rounds with
+      ZERO driver synchronization — k joins + k min-aggregates, one
+      straight-line plan. Distances needing more than k relaxations are
+      reported at their k-round value (the standard bounded-Bellman-Ford
+      semantics; same design as k_core's exact-rounds mode, and what an
+      unrolled SQL oracle can mirror).
+    - ``rounds=None`` (fixpoint): iterate until no distance changes (one
+      count per round), raising if ``max_rounds`` is hit — the converged
+      result is the true shortest-path distance set.
+
+    Scale shape: the edge list dedupes parallel edges to their min weight
+    and materializes once; each round is one join keyed on src + one
+    map-side-combinable min keyed on node. The frontier never explodes:
+    relaxation rows are bounded by |E| per round.
+    """
+    w = (F.col(weight_col) if weight_col else F.lit(1)).cast("long")
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"), w.alias("w"))
+    if not directed:
+        e = e.unionAll(
+            edges.select(
+                F.col(dst_col).alias("s"), F.col(src_col).alias("d"), w.alias("w")
+            )
+        )
+    e = e.groupBy("s", "d").agg(F.min("w").alias("w")).localCheckpoint(eager=False)
+
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+
+    def relax(cur: DataFrame) -> DataFrame:
+        cand = (
+            e.join(cur.select(F.col("node").alias("s"), "dist"), "s")
+            .select(F.col("d").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        return cur.unionByName(cand).groupBy("node").agg(F.min("dist").alias("dist"))
+
+    if rounds is not None:
+        for _ in range(rounds):
+            dist = relax(dist).localCheckpoint(eager=False)
+        if stats is not None:
+            stats["rounds"] = rounds
+        return dist
+
+    n = 0
+    for n in range(1, max_rounds + 1):
+        nxt = relax(dist).localCheckpoint()
+        changed = (
+            nxt.join(dist.withColumnRenamed("dist", "_old"), "node", "left")
+            .where(F.col("_old").isNull() | (F.col("dist") != F.col("_old")))
+            .count()
+        )
+        dist = nxt
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"shortest_paths did not converge within {max_rounds} rounds; "
+            "raise max_rounds (graph diameter exceeds the cap) or use "
+            "exact-rounds mode"
+        )
+    if stats is not None:
+        stats["rounds"] = n
+    return dist
