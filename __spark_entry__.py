@@ -1044,6 +1044,16 @@ def q_top_ngrams(spark, sf_dir):
     return top_tokens(_docs_spread(spark, sf_dir), k=5, min_len=2)
 
 
+def q_lm_score(spark, sf_dir):
+    """Corpus-trained bigram-LM fluency per document (integer MLE
+    transition probabilities) — the perplexity-filter stage, made
+    engine-exact by rational arithmetic."""
+    from ontoweaver_spark.textops import lm_fluency
+
+    _tune(spark)
+    return lm_fluency(_docs_spread(spark, sf_dir))
+
+
 def q_kg_triangles(spark, sf_dir):
     """Per-node triangle counts over the hub co-citation graph of the
     flagship pages table: two hubs cited by the same page get an
@@ -1433,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linkpred": q_kg_linkpred,
         "kg_hits": q_kg_hits,
         "kg_sssp": q_kg_sssp,
+        "lm_score": q_lm_score,
         "host_graph": q_host_graph,
         "quality_classifier": q_quality_classifier,
         "pii_scrub": q_pii_scrub,
@@ -2629,6 +2640,31 @@ def oracle_sql() -> dict[str, str]:
         "kg_linkpred": _linkpred_sql(16, 2),
         "kg_hits": _hits_sql(4),
         "kg_sssp": _sssp_sql(6),
+        "lm_score": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+              FROM documents
+            ), base AS (
+              SELECT doc_id, l FROM toks WHERE len(l) >= 2
+            ), bg AS (
+              SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+              FROM base, UNNEST(range(1, len(l))) AS t(i)
+            ), docbg AS (
+              SELECT doc_id, w1, w2, count(*) AS k FROM bg GROUP BY 1, 2, 3
+            ), m2 AS (
+              SELECT w1, w2, sum(k)::BIGINT AS c2 FROM docbg GROUP BY 1, 2
+            ), m1 AS (
+              SELECT w1, sum(c2)::BIGINT AS c1 FROM m2 GROUP BY 1
+            ), sc AS (
+              SELECT d.doc_id, d.k,
+                     (CAST(1000000 AS BIGINT) * m2.c2 // m1.c1) AS p
+              FROM docbg d JOIN m2 ON d.w1 = m2.w1 AND d.w2 = m2.w2
+                           JOIN m1 ON d.w1 = m1.w1
+            )
+            SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+                   CAST(sum(k * p) // sum(k) AS BIGINT) AS fluency
+            FROM sc GROUP BY doc_id
+        """,
         "host_graph": """
             WITH l AS (
               SELECT source || '.example' AS src_host,

@@ -627,3 +627,68 @@ def hashed_linear_score(
     if threshold is not None:
         scored = scored.withColumn("keep", F.col("score") >= F.lit(threshold))
     return scored
+
+
+def lm_fluency(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Corpus-trained bigram-LM fluency score per document ->
+    ``(id, n_bigrams, fluency)`` — the perplexity-filter stage of
+    CCNet/RefinedWeb-style pipelines, with the MLE bigram model trained on
+    the corpus itself and EVERY operation exact integer arithmetic, so the
+    scores are bit-identical across engines and partitionings (a real
+    KenLM log-prob is float and could never hash-match an oracle; the
+    rational mean-transition-probability below ranks documents the same
+    way for filtering purposes).
+
+    Per consecutive token pair: ``p = scale * c(w1,w2) DIV c(w1 .)`` with
+    corpus-wide counts (``c(w1 .)`` = occurrences of ``w1`` as a bigram
+    prefix, so ``p`` is the scaled MLE transition probability in
+    ``[0, scale]``). Doc fluency = occurrence-weighted mean of ``p``:
+    high = the document's transitions are the corpus's common transitions;
+    low = garbled/noisy/out-of-domain text — the tail a perplexity filter
+    cuts. Documents with < 2 tokens have no bigrams and are dropped.
+
+    Overflow bound: ``scale * c2`` must fit signed-64, i.e. the hottest
+    single bigram must occur < ~9.2e12 times (at 1e13 corpus bigrams the
+    hottest English bigram is ~1e11 — two orders inside the bound); lower
+    ``scale`` for corpora beyond that.
+
+    Scale shape: ONE corpus scan builds per-doc bigram occurrence counts
+    (groupBy with map-side partials); the corpus model is one further
+    aggregate OVER those per-doc counts (no second scan); scoring is one
+    join keyed on (w1,w2) + one keyed on w1 + a per-doc sum. Zipf-hot
+    bigram keys skew the model joins — the model side is one row per key,
+    exactly the shape AQE skew-join splits."""
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("l")).where(F.size("l") >= 2)
+    n = F.size("l")
+    bigrams = F.arrays_zip(
+        F.slice("l", 1, n - 1).alias("w1"), F.slice("l", 2, n - 1).alias("w2")
+    )
+    doc_bg = (
+        base.select(id_col, F.explode(bigrams).alias("bg"))
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count("*").alias("k"))
+    )
+    # model aggregates reuse doc_bg (localCheckpoint: scored joins it too —
+    # without it the corpus scan + explode would run three times)
+    doc_bg = doc_bg.localCheckpoint(eager=False)
+    model2 = doc_bg.groupBy("w1", "w2").agg(F.sum("k").alias("c2"))
+    model1 = model2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    scored = (
+        doc_bg.join(model2, ["w1", "w2"])
+        .join(model1, "w1")
+        .select(
+            F.col(id_col), "k",
+            F.expr(f"CAST({scale} AS BIGINT) * c2 DIV c1").alias("p"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("k").alias("n_bigrams"),
+        F.expr("CAST(sum(k * p) DIV sum(k) AS BIGINT)").alias("fluency"),
+    )
