@@ -1054,6 +1054,35 @@ def q_lm_score(spark, sf_dir):
     return lm_fluency(_docs_spread(spark, sf_dir))
 
 
+def q_train_order(spark, sf_dir):
+    """Deterministic global epoch shuffle: md5-keyed permutation with a
+    contiguous 0-based position from the lazy distributed zip-with-index
+    (range-partitioned sort; never a single-task global window)."""
+    from ontoweaver_spark.sampling import training_order
+
+    _tune(spark)
+    return training_order(_docs(spark, sf_dir).select("doc_id"), seed=3)
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR-style hashed-unigram importance weights against the English
+    slice as target — the domain-relevance sampling stage, integer-exact."""
+    from ontoweaver_spark.textops import importance_weights
+
+    _tune(spark)
+    return importance_weights(_docs_spread(spark, sf_dir), F.col("lang") == "en")
+
+
+def q_corpus_cube(spark, sf_dir):
+    """CUBE(lang, source) corpus volume rollup — the curation dashboard
+    query, one grouping-set aggregate (a surface the reference lacks
+    entirely, SURVEY.md §2.5)."""
+    from ontoweaver_spark.textops import corpus_rollup
+
+    _tune(spark)
+    return corpus_rollup(_docs(spark, sf_dir))
+
+
 def q_kg_triangles(spark, sf_dir):
     """Per-node triangle counts over the hub co-citation graph of the
     flagship pages table: two hubs cited by the same page get an
@@ -1444,6 +1473,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hits": q_kg_hits,
         "kg_sssp": q_kg_sssp,
         "lm_score": q_lm_score,
+        "train_order": q_train_order,
+        "dsir_weights": q_dsir_weights,
+        "corpus_cube": q_corpus_cube,
         "host_graph": q_host_graph,
         "quality_classifier": q_quality_classifier,
         "pii_scrub": q_pii_scrub,
@@ -2640,6 +2672,42 @@ def oracle_sql() -> dict[str, str]:
         "kg_linkpred": _linkpred_sql(16, 2),
         "kg_hits": _hits_sql(4),
         "kg_sssp": _sssp_sql(6),
+        "train_order": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                     ORDER BY (('0x' || substr(md5('3:' || doc_id::VARCHAR), 1, 15))::BIGINT), doc_id) - 1 AS BIGINT) AS position
+            FROM documents
+        """,
+        "dsir_weights": """
+            WITH base AS (
+              SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t,
+                     regexp_split_to_array(trim(text), '\\s+') AS l
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, t, UNNEST(l) AS tk FROM base WHERE len(l) >= 1
+            ), docb AS (
+              SELECT doc_id, t,
+                     (('0x' || substr(md5(tk), 1, 15))::BIGINT) % 4096 AS b,
+                     count(*) AS k
+              FROM tok GROUP BY 1, 2, 3
+            ), hist AS (
+              SELECT b, sum(k)::BIGINT AS cb, sum(k * t)::BIGINT AS tb
+              FROM docb GROUP BY b
+            ), sc AS (
+              SELECT d.doc_id, d.k,
+                     (CAST(1000000 AS BIGINT) * h.tb // h.cb) AS r
+              FROM docb d JOIN hist h ON d.b = h.b
+            )
+            SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+                   CAST(sum(k * r) // sum(k) AS BIGINT) AS weight
+            FROM sc GROUP BY doc_id
+        """,
+        "corpus_cube": """
+            SELECT lang, source, count(*) AS n_docs,
+                   CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+                        AS BIGINT) AS n_tokens
+            FROM documents GROUP BY CUBE (lang, source)
+        """,
         "lm_score": """
             WITH toks AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l

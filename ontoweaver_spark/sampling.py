@@ -122,3 +122,32 @@ def temperature_mix_sample(
     return df.join(F.broadcast(rates), strata_col).where(
         _bucket(F.col(key_col), seed) < F.col("mix_rate") * _BUCKETS
     )
+
+
+def training_order(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    position_col: str = "position",
+) -> DataFrame:
+    """Deterministic global training order -> input columns +
+    ``position_col`` (contiguous 0-based rank): the epoch-shuffle stage of
+    a training-data pipeline. Rows are ordered by ``md5(seed ':' key)``
+    with the key itself as tie-break — a reproducible pseudo-random
+    permutation that changes completely per ``seed`` (one seed per epoch)
+    yet is identical across re-runs, partitionings, and engines.
+
+    Scale shape: Spark's ``orderBy`` is a RANGE-PARTITIONED distributed
+    sort (sampled boundaries, every partition sorts locally — never a
+    single-task global sort), and the rank comes from the lazy
+    zip-with-index in :func:`ontoweaver_spark.compiler.with_row_index`
+    (per-partition counts + broadcast offsets), NOT from a global
+    ``row_number`` window, which would collapse the whole corpus into one
+    task. Total cost: one exchange + one tiny counts aggregate.
+    """
+    from .compiler import with_row_index
+
+    key = F.col(key_col)
+    h = md5_int(F.concat_ws(":", F.lit(str(seed)), key.cast("string")))
+    ordered = df.orderBy(h, key)
+    return with_row_index(ordered, position_col)

@@ -692,3 +692,83 @@ def lm_fluency(
         F.sum("k").alias("n_bigrams"),
         F.expr("CAST(sum(k * p) DIV sum(k) AS BIGINT)").alias("fluency"),
     )
+
+
+def importance_weights(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-style domain-relevance importance weights ->
+    ``(id, n_tokens, weight)``: how much each document's hashed-unigram
+    profile looks like the TARGET slice of the corpus (``target_pred``,
+    e.g. ``F.col("lang") == "en"``) relative to the corpus overall.
+
+    Per hashed token bucket ``b``: ``r(b) = scale * target_count(b) DIV
+    corpus_count(b)`` (target rows are a subset of the corpus, so
+    ``r <= scale``; the relative-frequency normalizers T/C are constant
+    factors that cancel for ranking and are omitted to stay inside
+    signed-64 at any corpus size). Doc weight = occurrence-weighted mean
+    of ``r`` over the document's tokens — the sampling weight used to
+    up-select target-like documents from a generic crawl (Xie et al.'s
+    DSIR uses hashed n-gram log-ratios; the rational form keeps the
+    ranking and is engine-exact).
+
+    Scale shape: ONE scan builds per-doc bucket counts; corpus and target
+    histograms are two further aggregates over those partials (the target
+    one re-uses the per-doc frame filtered by ``target_pred`` carried as a
+    0/1 flag — no join back to the raw corpus); scoring is one join keyed
+    on the 4096-ary bucket (broadcast: the histogram is tiny) + a per-doc
+    sum. Python never runs.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.when(target_pred, F.lit(1)).otherwise(F.lit(0)).alias("_t"),
+        toks.alias("l"),
+    ).where(F.size("l") >= 1)
+    doc_b = (
+        base.select(id_col, "_t", F.explode("l").alias("tok"))
+        .select(id_col, "_t", F.pmod(md5_int(F.col("tok")), F.lit(n_buckets)).alias("b"))
+        .groupBy(id_col, "_t", "b")
+        .agg(F.count("*").alias("k"))
+        .localCheckpoint(eager=False)  # feeds the histogram AND the scoring join
+    )
+    hist = doc_b.groupBy("b").agg(
+        F.sum("k").alias("cb"),
+        F.sum(F.col("k") * F.col("_t")).alias("tb"),
+    )
+    scored = doc_b.join(F.broadcast(hist), "b").select(
+        F.col(id_col), "k",
+        F.expr(f"CAST({scale} AS BIGINT) * tb DIV cb").alias("r"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("k").alias("n_tokens"),
+        F.expr("CAST(sum(k * r) DIV sum(k) AS BIGINT)").alias("weight"),
+    )
+
+
+def corpus_rollup(
+    df: DataFrame,
+    dims: list[str] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """CUBE rollup of corpus volume over the given dimensions (default
+    ``[lang, source]``) -> one row per grouping-set cell with ``n_docs``
+    and ``n_tokens``; rolled-up dimensions are NULL (the standard CUBE
+    encoding). The reference has no grouping-set surface at all
+    (SURVEY.md §2.5); this is the corpus-reporting query every curation
+    dashboard runs, expressed as ONE aggregate — Spark expands the cube
+    map-side (grouping-set expansion before the exchange), so the cost is
+    one shuffle of (2^dims x groups) partial rows, not 2^dims scans."""
+    dims = dims or ["lang", "source"]
+    return (
+        df.cube(*[F.col(d) for d in dims])
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+        )
+    )
