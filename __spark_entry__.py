@@ -1083,6 +1083,16 @@ def q_corpus_cube(spark, sf_dir):
     return corpus_rollup(_docs(spark, sf_dir))
 
 
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization codes over the embeddings table (4 subspaces,
+    16-entry seeded codebook) — the vector-compression stage; engine-exact
+    via double-cast diffs + sequential-fold dot and rounded argmin."""
+    from ontoweaver_spark.similarity import pq_codes
+
+    _tune(spark)
+    return pq_codes(_emb(spark, sf_dir), m=4, k=16, dim=64)
+
+
 def q_kg_triangles(spark, sf_dir):
     """Per-node triangle counts over the hub co-citation graph of the
     flagship pages table: two hubs cited by the same page get an
@@ -1476,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_order": q_train_order,
         "dsir_weights": q_dsir_weights,
         "corpus_cube": q_corpus_cube,
+        "pq_codes": q_pq_codes,
         "host_graph": q_host_graph,
         "quality_classifier": q_quality_classifier,
         "pii_scrub": q_pii_scrub,
@@ -2672,6 +2683,21 @@ def oracle_sql() -> dict[str, str]:
         "kg_linkpred": _linkpred_sql(16, 2),
         "kg_hits": _hits_sql(4),
         "kg_sssp": _sssp_sql(6),
+        "pq_codes": """
+            WITH cb AS (
+              SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+              FROM embeddings WHERE vec_id < 16
+            ), assigned AS (
+              SELECT e.vec_id,
+                     arg_min(c.cid, CAST(floor(list_dot_product(list_transform(generate_series(1, 16), i -> e.embedding[i]::DOUBLE - c.cv[i]), list_transform(generate_series(1, 16), i -> e.embedding[i]::DOUBLE - c.cv[i])) * 10000 + 0.5) AS BIGINT) * 65536 + c.cid) AS c0,
+                     arg_min(c.cid, CAST(floor(list_dot_product(list_transform(generate_series(17, 32), i -> e.embedding[i]::DOUBLE - c.cv[i]), list_transform(generate_series(17, 32), i -> e.embedding[i]::DOUBLE - c.cv[i])) * 10000 + 0.5) AS BIGINT) * 65536 + c.cid) AS c1,
+                     arg_min(c.cid, CAST(floor(list_dot_product(list_transform(generate_series(33, 48), i -> e.embedding[i]::DOUBLE - c.cv[i]), list_transform(generate_series(33, 48), i -> e.embedding[i]::DOUBLE - c.cv[i])) * 10000 + 0.5) AS BIGINT) * 65536 + c.cid) AS c2,
+                     arg_min(c.cid, CAST(floor(list_dot_product(list_transform(generate_series(49, 64), i -> e.embedding[i]::DOUBLE - c.cv[i]), list_transform(generate_series(49, 64), i -> e.embedding[i]::DOUBLE - c.cv[i])) * 10000 + 0.5) AS BIGINT) * 65536 + c.cid) AS c3
+              FROM embeddings e CROSS JOIN cb c
+              GROUP BY e.vec_id
+            )
+            SELECT vec_id, [c0, c1, c2, c3] AS codes FROM assigned
+        """,
         "train_order": """
             SELECT doc_id,
                    CAST(row_number() OVER (

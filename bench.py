@@ -94,7 +94,7 @@ def main() -> None:
                  "kg_bgp", "rdf_nt", "kg_communities",
                  "host_graph", "quality_classifier",
                  "kg_walks", "kg_linkpred", "kg_hits", "kg_sssp", "lm_score",
-                 "train_order", "dsir_weights", "corpus_cube"]:
+                 "train_order", "dsir_weights", "corpus_cube", "pq_codes"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the

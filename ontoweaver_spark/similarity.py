@@ -396,3 +396,60 @@ def topk_bucketed(
         .where(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cos", "rank")
     )
+
+
+def pq_codes(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization codes -> ``(id, codes: array<bigint>)``, one
+    code per subspace — the vector-compression stage of an embedding
+    pipeline (a 64-dim float vector becomes m small ints; at 10^12 vectors
+    that is the difference between an index that fits and one that
+    doesn't).
+
+    The vector splits into ``m`` contiguous subspaces of ``dim/m``
+    dimensions; each subvector is assigned to the nearest of ``k``
+    codebook entries by squared L2, tie-broken by codebook id. The
+    codebook is SEEDED: entry ``j`` is the matching subvector slice of
+    the corpus vector with ``id == j`` (ids are contiguous from 0) — a
+    deterministic, data-derived codebook that any engine reproduces with
+    a filter, no trained state to ship. (Train a real codebook per
+    subspace with :func:`train_centroids` and quantize against that for
+    production recall; the assignment plan below is identical.)
+
+    Exactness: distances are computed as ``dot(diff, diff)`` where diff
+    casts to double BEFORE subtracting — a sequential left-fold in index
+    order, the same association DuckDB's ``list_dot_product`` uses, then
+    rounded (round_ieee) before the argmin, so codes are engine-exact.
+
+    Scale shape: the k-row codebook broadcasts; assignment is ONE
+    broadcast nested-loop join (n x k rows) with all m argmins computed
+    in the SAME aggregate pass keyed on id — no shuffle of the vectors
+    beyond that one aggregation, no per-subspace passes."""
+    if dim % m:
+        raise ValueError(f"dim ({dim}) must divide evenly into {m} subspaces")
+    w = dim // m
+    base = df.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    cb = base.where(F.col(id_col) < k).select(
+        F.col(id_col).alias("_cid"), F.col("_v").alias("_cv")
+    )
+    joined = base.crossJoin(F.broadcast(cb))
+    aggs = []
+    for s in range(m):
+        a = F.slice("_v", s * w + 1, w)
+        b = F.slice("_cv", s * w + 1, w)
+        diffs = F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double"))
+        d = round_ieee(dot(diffs, diffs), 4)
+        aggs.append(
+            F.min(F.struct(d.alias("d"), F.col("_cid").alias("c"))).alias(f"_m{s}")
+        )
+    return (
+        joined.groupBy(id_col)
+        .agg(*aggs)
+        .select(id_col, F.array(*[F.col(f"_m{s}.c") for s in range(m)]).alias("codes"))
+    )
