@@ -1093,6 +1093,31 @@ def q_pq_codes(spark, sf_dir):
     return pq_codes(_emb(spark, sf_dir), m=4, k=16, dim=64)
 
 
+def q_cross_dedup(spark, sf_dir):
+    """Cross-corpus MinHash dedup: near-dup pairs between the even-id half
+    (the 'new batch') and the odd-id half (the 'existing corpus') — the
+    incremental-crawl contamination join, strictly two-sided."""
+    from ontoweaver_spark.dedup import cross_corpus_duplicates
+
+    _tune(spark)
+    docs = _docs_spread(spark, sf_dir)
+    return cross_corpus_duplicates(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        threshold=0.5,
+    )
+
+
+def q_len_quantiles(spark, sf_dir):
+    """Exact interpolated per-language token-length quantiles from a value
+    histogram — never buffers a group's values (the percentile-agg scale
+    trap); engine-exact vs DuckDB quantile_cont."""
+    from ontoweaver_spark.textops import length_quantiles
+
+    _tune(spark)
+    return length_quantiles(_docs(spark, sf_dir), group_col="lang")
+
+
 def q_kg_triangles(spark, sf_dir):
     """Per-node triangle counts over the hub co-citation graph of the
     flagship pages table: two hubs cited by the same page get an
@@ -1487,6 +1512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "corpus_cube": q_corpus_cube,
         "pq_codes": q_pq_codes,
+        "cross_dedup": q_cross_dedup,
+        "len_quantiles": q_len_quantiles,
         "host_graph": q_host_graph,
         "quality_classifier": q_quality_classifier,
         "pii_scrub": q_pii_scrub,
@@ -2681,6 +2708,42 @@ def oracle_sql() -> dict[str, str]:
         "kg_communities": _lpa_sql(3),
         "kg_walks": _walks_sql(3, 0),
         "kg_linkpred": _linkpred_sql(16, 2),
+
+        "cross_dedup": _minhash_sql_parts(16, 4, 3, collapse=False) + """
+    , bn AS (SELECT doc_id AS a, band, band_key FROM banded WHERE doc_id % 2 = 0
+    ), br AS (SELECT doc_id AS b, band, band_key FROM banded WHERE doc_id % 2 = 1
+    ), cand AS (
+      SELECT DISTINCT a, b FROM bn JOIN br USING (band, band_key)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT c.a, c.b, count(*) AS i
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.a
+      JOIN sh y ON y.doc_id = c.b AND y.s = x.s
+      GROUP BY c.a, c.b
+    ), jac AS (
+      SELECT t.a, t.b,
+             floor(t.i::DOUBLE / (na.n + nb.n - t.i) * 10000 + 0.5) / 10000
+               AS jaccard
+      FROM inter t
+      JOIN sizes na ON na.doc_id = t.a
+      JOIN sizes nb ON nb.doc_id = t.b
+    )
+    SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.5
+        """,
+        "len_quantiles": """
+            WITH t AS (
+              SELECT lang, len(regexp_split_to_array(trim(text), '\\s+')) AS n
+              FROM documents
+            )
+            SELECT lang, count(*) AS n_docs,
+                   floor(quantile_cont(n, 0.25) * 10000 + 0.5) / 10000 AS p25,
+                   floor(quantile_cont(n, 0.5)  * 10000 + 0.5) / 10000 AS p50,
+                   floor(quantile_cont(n, 0.9)  * 10000 + 0.5) / 10000 AS p90,
+                   floor(quantile_cont(n, 0.99) * 10000 + 0.5) / 10000 AS p99
+            FROM t GROUP BY lang
+        """,
         "kg_hits": _hits_sql(4),
         "kg_sssp": _sssp_sql(6),
         "pq_codes": """

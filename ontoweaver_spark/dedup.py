@@ -582,3 +582,52 @@ def embedding_near_duplicates(
         cand.join(base.select(F.col(id_col).alias("a"), F.col("v").alias("va")), "a")
         .join(base.select(F.col(id_col).alias("b"), F.col("v").alias("vb")), "b")
     )
+
+
+def cross_corpus_duplicates(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs ACROSS two corpora -> ``(a, b, jaccard)`` with
+    ``a`` from ``new_df`` and ``b`` from ``ref_df`` — the incremental-crawl
+    dedup stage: "drop from this batch everything already in the corpus".
+
+    Same MinHash-LSH machinery as :func:`verified_candidates`, but the
+    band-bucket join is STRICTLY two-sided (new x ref): no new-new or
+    ref-ref pairs are generated or verified, so a batch joining against a
+    10^12-doc reference costs |batch bands| x matching buckets, never the
+    reference's self-join. Candidates are verified with exact shingle
+    Jaccard; exact cross-corpus duplicates surface naturally at 1.0.
+
+    At production scale the reference side's banded frame is the thing to
+    precompute and persist (partitioned by band_key) so each incoming
+    batch joins against it without re-signaturing the corpus; here both
+    sides are banded inline (same plan either way after the scan)."""
+    bn = minhash_bands(new_df, text_col, id_col, num_hashes, bands, shingle_k).select(
+        F.col(id_col).alias("a"), "band", "band_key"
+    )
+    br = minhash_bands(ref_df, text_col, id_col, num_hashes, bands, shingle_k).select(
+        F.col(id_col).alias("b"), "band", "band_key"
+    )
+    cand = bn.join(br, ["band", "band_key"]).select("a", "b").distinct()
+    sa = new_df.select(F.col(id_col).alias("a"), shingles(F.col(text_col), shingle_k).alias("sa"))
+    sb = ref_df.select(F.col(id_col).alias("b"), shingles(F.col(text_col), shingle_k).alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("_i", inter)
+        .select(
+            "a", "b",
+            round_ieee(
+                F.col("_i") / (F.size("sa") + F.size("sb") - F.col("_i")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

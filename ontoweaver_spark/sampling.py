@@ -149,5 +149,9 @@ def training_order(
 
     key = F.col(key_col)
     h = md5_int(F.concat_ws(":", F.lit(str(seed)), key.cast("string")))
-    ordered = df.orderBy(h, key)
+    # materialize the sorted frame once: with_row_index fans it into two
+    # consumers (per-partition counts + the indexed data) and each would
+    # otherwise re-run the whole range-partitioned sort (verified in the
+    # physical plan: two rangepartitioning exchanges without this)
+    ordered = df.orderBy(h, key).localCheckpoint(eager=False)
     return with_row_index(ordered, position_col)

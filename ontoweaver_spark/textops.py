@@ -772,3 +772,76 @@ def corpus_rollup(
             F.sum(token_count(F.col(text_col))).alias("n_tokens"),
         )
     )
+
+
+def length_quantiles(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    qs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact linear-interpolated token-length quantiles per group ->
+    ``(group, n_docs, p25, p50, ...)`` — the corpus length-profile report
+    (truncation budgets, outlier cuts) computed WITHOUT ever buffering a
+    group's values: a ``percentile``-style aggregate holds all values of
+    a group in one reducer's memory, which is exactly what dies on a
+    10^9-doc language. Here the lengths collapse to a VALUE HISTOGRAM
+    first (token counts are small integers — thousands of distinct
+    values, independent of corpus size); the quantiles then come from the
+    histogram's cumulative ranges with the standard ``lower + frac *
+    (upper - lower)`` interpolation (numpy's 'linear', DuckDB's
+    quantile_cont), rounded via round_ieee for engine-exact comparison.
+
+    Scale shape: one map-side-combinable (group, length) count, a window
+    cumsum over the tiny histogram, one final per-group aggregate."""
+    from pyspark.sql import Window
+
+    n = token_count(F.col(text_col))
+    hist = (
+        df.select(F.col(group_col).alias("g"), n.alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("g").orderBy("v")
+    ranges = hist.select(
+        "g", "v", "c",
+        (F.sum("c").over(w) - F.col("c")).alias("s"),   # first rank of v
+        (F.sum("c").over(w) - F.lit(1)).alias("e"),     # last rank of v
+    )
+    totals = ranges.groupBy("g").agg(F.sum("c").alias("m"))
+    j = ranges.join(totals, "g")
+    # two phases: the agg picks each quantile's bracketing histogram values
+    # (lo/hi ranks are per-row constants within a group — m is constant —
+    # so the when-match collapses under max); the select then interpolates
+    aggs = [F.first("m").alias("m")]
+    names = []
+    for q in qs:
+        name = f"p{q * 100:g}".replace(".", "_")  # :g kills fp str artifacts
+        names.append(name)
+        pos = F.lit(q) * (F.col("m") - 1).cast("double")
+        lo = F.floor(pos).cast("long")
+        hi = F.least(lo + 1, F.col("m") - 1)
+        aggs.append(
+            F.max(F.when((F.col("s") <= lo) & (F.col("e") >= lo), F.col("v")))
+            .alias(f"_{name}_lo")
+        )
+        aggs.append(
+            F.max(F.when((F.col("s") <= hi) & (F.col("e") >= hi), F.col("v")))
+            .alias(f"_{name}_hi")
+        )
+    grouped = j.groupBy("g").agg(*aggs)
+    outs = []
+    for q, name in zip(qs, names):
+        pos = F.lit(q) * (F.col("m") - 1).cast("double")
+        lo = F.floor(pos).cast("long")
+        outs.append(
+            round_ieee(
+                F.col(f"_{name}_lo").cast("double")
+                + (pos - lo.cast("double"))
+                * (F.col(f"_{name}_hi") - F.col(f"_{name}_lo")).cast("double"),
+                4,
+            ).alias(name)
+        )
+    return grouped.select(
+        F.col("g").alias(group_col), F.col("m").alias("n_docs"), *outs
+    )
