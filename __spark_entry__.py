@@ -1118,6 +1118,54 @@ def q_len_quantiles(spark, sf_dir):
     return length_quantiles(_docs(spark, sf_dir), group_col="lang")
 
 
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join (point-in-time lookup): every 'view' event
+    gains the latest preceding-or-equal 'click' of the same user — the
+    operator the brief names that Spark lacks natively, implemented as the
+    union + carry-forward sweep (one user-keyed shuffle). The oracle is
+    DuckDB's NATIVE ASOF LEFT JOIN — a completely independent physical
+    strategy."""
+    from ontoweaver_spark.sessions import asof_join
+
+    _tune(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "ts", "user_id",
+        F.col("value").alias("click_value"),
+    )
+    out = asof_join(views, clicks, right_cols=["click_id", "click_value"])
+    # raw timestamps don't value-compare across engines (tz/precision);
+    # emit exact microsecond integers like sessionize does
+    return out.select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id", "value", "click_id_r", "click_value_r",
+    )
+
+
+def q_range_join(spark, sf_dir):
+    """Interval (range) join via time bucketing: every event of a user
+    inside any [error_ts, error_ts + 10 min] incident window of that user
+    — the only shuffle is an equi-join on (user, bin); DuckDB runs the
+    same query as a native inequality join (IEJoin), an independent
+    physical strategy."""
+    from ontoweaver_spark.sessions import range_join
+
+    _tune(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    windows = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"), "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end"),
+    )
+    points = ev.select("event_id", "ts", "user_id")
+    return range_join(points, windows, bin_seconds=600).select(
+        "event_id", "user_id", "incident_id"
+    )
+
+
 def q_kg_triangles(spark, sf_dir):
     """Per-node triangle counts over the hub co-citation graph of the
     flagship pages table: two hubs cited by the same page get an
@@ -1513,6 +1561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_cube": q_corpus_cube,
         "pq_codes": q_pq_codes,
         "cross_dedup": q_cross_dedup,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "len_quantiles": q_len_quantiles,
         "host_graph": q_host_graph,
         "quality_classifier": q_quality_classifier,
@@ -2743,6 +2793,30 @@ def oracle_sql() -> dict[str, str]:
                    floor(quantile_cont(n, 0.9)  * 10000 + 0.5) / 10000 AS p90,
                    floor(quantile_cont(n, 0.99) * 10000 + 0.5) / 10000 AS p99
             FROM t GROUP BY lang
+        """,
+
+        "asof_join": """
+            WITH views AS (
+              SELECT event_id, ts, user_id, value FROM events
+              WHERE event_type = 'view'
+            ), clicks AS (
+              SELECT event_id AS click_id, ts, user_id, value AS click_value
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT v.user_id, epoch_us(v.ts) AS ts_us, v.event_id, v.value,
+                   c.click_id AS click_id_r, c.click_value AS click_value_r
+            FROM views v ASOF LEFT JOIN clicks c
+              ON v.user_id = c.user_id AND v.ts >= c.ts
+        """,
+        "range_join": """
+            WITH windows AS (
+              SELECT event_id AS incident_id, user_id, ts AS s,
+                     ts + INTERVAL 10 MINUTE AS e
+              FROM events WHERE event_type = 'error'
+            )
+            SELECT p.event_id, p.user_id, w.incident_id
+            FROM events p JOIN windows w
+              ON p.user_id = w.user_id AND p.ts >= w.s AND p.ts <= w.e
         """,
         "kg_hits": _hits_sql(4),
         "kg_sssp": _sssp_sql(6),

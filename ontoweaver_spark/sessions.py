@@ -82,3 +82,106 @@ def session_stats(
             "n_events", "first_event", "last_event",
         )
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+    strict: bool = False,
+) -> DataFrame:
+    """Backward as-of join: every ``left`` row gains the columns of the
+    LATEST ``right`` row with ``right.ts <= left.ts`` (``< `` when
+    ``strict``) within the same ``by`` key — the point-in-time lookup
+    (price as of trade time, last click before a view, feature state as
+    of a label) that Spark has no native operator for.
+
+    Implementation is the scale-canonical union + carry-forward: tag the
+    sides, union them, and per ``by`` key sweep once in timestamp order
+    carrying the last seen right-side payload (``last(ignorenulls)`` over
+    an unbounded-preceding window), then keep the left rows. ONE shuffle
+    keyed on ``by`` + one intra-partition sort — the same cost as
+    sessionize, and crucially NOT a per-left-row subquery or a broadcast
+    of either side: both sides stream through the sort at any size. At
+    equal timestamps the right row sorts before (inclusive) or after
+    (strict) the left row, which is exactly the <= / < boundary.
+
+    ``right`` must be unique per ``(by, ts_col)`` — with duplicates the
+    carried row is the struct-wise max at that timestamp (deterministic,
+    but dedup upstream if you need a different policy). Left rows with no
+    predecessor keep NULL right columns (left-join semantics, matching
+    DuckDB's ASOF LEFT JOIN, which serves as this operator's independent
+    oracle)."""
+    right_cols = right_cols or [c for c in right.columns if c not in (by, ts_col)]
+    payload = F.struct(*[F.col(c) for c in right_cols])
+    l_tag, r_tag = (0, 1) if strict else (1, 0)
+    lu = left.withColumn("_side", F.lit(l_tag)).withColumn("_p", F.lit(None).cast(
+        right.select(payload.alias("_p")).schema["_p"].dataType.simpleString()
+    ))
+    ru = (
+        right.select(F.col(by), F.col(ts_col), payload.alias("_p"))
+        .withColumn("_side", F.lit(r_tag))
+    )
+    # align schemas: right rows carry nulls for the left payload columns
+    left_only = [c for c in left.columns if c not in (by, ts_col)]
+    for c in left_only:
+        ru = ru.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = lu.select(by, ts_col, "_side", "_p", *left_only).unionByName(
+        ru.select(by, ts_col, "_side", "_p", *left_only)
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_p").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn("_last", F.last("_p", ignorenulls=True).over(w))
+    out = carried.where(F.col("_side") == l_tag).select(
+        by, ts_col, *left_only,
+        *[F.col("_last").getField(c).alias(c + suffix) for c in right_cols],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bin_seconds: int = 600,
+) -> DataFrame:
+    """Interval (range) join: every ``left`` row paired with every
+    ``intervals`` row of the same ``by`` key whose ``[start, end]`` span
+    contains ``left.ts`` (inclusive both ends) — the event-in-window
+    primitive (events during an incident, trades inside an auction).
+
+    A naive theta-join is a per-key cross product. The scale shape here is
+    TIME BUCKETING: both sides map onto ``bin_seconds``-wide epoch bins —
+    the point side into its single bin, each interval exploded over the
+    bins it overlaps — so the only shuffle is a hash join on
+    ``(by, bin)``, then the exact containment predicate filters locally.
+    Each qualifying pair meets in exactly ONE bin (the point's), so no
+    dedup pass is needed. Cost: |intervals| x (span/bin + 1) exploded
+    rows; pick ``bin_seconds`` near the typical span so that factor stays
+    ~2. DuckDB executes the same query as a native inequality join
+    (IEJoin) — an independent physical strategy the oracle checks against."""
+    lb = left.withColumn(
+        "_bin", F.floor(F.unix_timestamp(F.col(ts_col)) / bin_seconds)
+    )
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / bin_seconds),
+                F.floor(F.unix_timestamp(F.col(end_col)) / bin_seconds),
+            )
+        ),
+    )
+    joined = lb.join(iv, [by, "_bin"]).where(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+    )
+    return joined.drop("_bin")
