@@ -1166,6 +1166,40 @@ def q_range_join(spark, sf_dir):
     )
 
 
+def q_sample_weighted(spark, sf_dir):
+    """Priority weighted sampling (Ohlsson/Duffield): the exactly-k sample
+    with inclusion odds proportional to n_chars — executed as
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    from ontoweaver_spark.sampling import weighted_sample
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return weighted_sample(docs, "n_chars", k=50, seed=7)
+
+
+def q_sample_poisson(spark, sf_dir):
+    """Expected-size-k Poisson weighted sampling: a pure deterministic
+    filter (zero data shuffle; one tiny total-weight broadcast)."""
+    from ontoweaver_spark.sampling import weighted_sample
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return weighted_sample(docs, "n_chars", k=60, seed=3, method="poisson")
+
+
+def q_vocab_kmv(spark, sf_dir):
+    """KMV distinct sketch: per-language vocabulary-size estimate from the
+    k smallest token hashes — a deterministic cardinality sketch (HLL's
+    registers differ per engine; md5 order statistics do not)."""
+    from ontoweaver_spark.textops import kmv_distinct, tokens
+
+    _tune(spark)
+    tok = _docs(spark, sf_dir).select(
+        "lang", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    return kmv_distinct(tok, "lang", "token", k=16)
+
+
 def q_kg_triangles(spark, sf_dir):
     """Per-node triangle counts over the hub co-citation graph of the
     flagship pages table: two hubs cited by the same page get an
@@ -1562,6 +1596,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "cross_dedup": q_cross_dedup,
         "asof_join": q_asof_join,
+        "sample_weighted": q_sample_weighted,
+        "sample_poisson": q_sample_poisson,
+        "vocab_kmv": q_vocab_kmv,
         "range_join": q_range_join,
         "len_quantiles": q_len_quantiles,
         "host_graph": q_host_graph,
@@ -2817,6 +2854,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.event_id, p.user_id, w.incident_id
             FROM events p JOIN windows w
               ON p.user_id = w.user_id AND p.ts >= w.s AND p.ts <= w.e
+        """,
+
+        "sample_weighted": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars::DOUBLE /
+                     (('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 15))::BIGINT)::DOUBLE
+                     DESC, doc_id
+            LIMIT 50
+        """,
+        "sample_poisson": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE (('0x' || substr(md5('3:' || doc_id::VARCHAR), 1, 15))::BIGINT)::DOUBLE
+                    / 1152921504606846976.0
+                  < 60 * n_chars::DOUBLE /
+                    (SELECT sum(n_chars)::DOUBLE FROM documents)
+        """,
+        "vocab_kmv": """
+            WITH tok AS (
+              SELECT lang, UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+              FROM documents
+            ), hashed AS (
+              SELECT DISTINCT lang,
+                     (('0x' || substr(md5(token), 1, 15))::BIGINT) AS h
+              FROM tok
+            ), ranked AS (
+              SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS r
+              FROM hashed
+            )
+            SELECT lang, count(*) AS n_kept,
+                   CASE WHEN count(*) < 16 THEN count(*)
+                        ELSE CAST(floor(15 * 1152921504606846976.0 / max(h)::DOUBLE + 0.5) AS BIGINT)
+                   END AS estimate
+            FROM ranked WHERE r <= 16 GROUP BY lang
         """,
         "kg_hits": _hits_sql(4),
         "kg_sssp": _sssp_sql(6),

@@ -155,3 +155,46 @@ def training_order(
     # physical plan: two rangepartitioning exchanges without this)
     ordered = df.orderBy(h, key).localCheckpoint(eager=False)
     return with_row_index(ordered, position_col)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    method: str = "priority",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — the
+    "sample documents proportionally to token count" stage. Weights must
+    be positive; the randomness is ``md5(seed ':' key)``, so the sample is
+    a pure function of (rows, seed): identical across re-runs,
+    partitionings, and engines.
+
+    - ``method="priority"`` (Ohlsson/Duffield priority sampling): keep the
+      EXACTLY-k rows with largest priority ``w / u`` where ``u`` is the
+      row's 60-bit hash (ties broken by key). Spark executes the top-k as
+      TakeOrderedAndProject — per-partition heaps of size k, no global
+      sort, no shuffle of the losers.
+    - ``method="poisson"`` (expected-size-k inclusion sampling): keep rows
+      where ``u / 2^60 < k * w / W`` (W = total weight) — a PURE FILTER
+      with one tiny total-weight aggregate broadcast back; zero data
+      shuffle, fully pushdown-composable, the form that survives any
+      scale. Sample size is k in expectation, not exactly.
+
+    Both comparisons happen in IEEE doubles produced by a single division
+    of exact integers — bit-identical in any engine."""
+    key = F.col(key_col)
+    h = md5_int(F.concat_ws(":", F.lit(str(seed)), key.cast("string")))
+    w = F.col(weight_col).cast("double")
+    if method == "priority":
+        prio = w / h.cast("double")
+        return df.orderBy(prio.desc(), key).limit(k)
+    if method == "poisson":
+        total = df.agg(F.sum(F.col(weight_col)).cast("double").alias("_w_total"))
+        return (
+            df.crossJoin(F.broadcast(total))
+            .where(h.cast("double") / F.lit(float(1 << 60)) < F.lit(float(k)) * w / F.col("_w_total"))
+            .drop("_w_total")
+        )
+    raise ValueError(f"unknown method {method!r} (priority|poisson)")

@@ -845,3 +845,51 @@ def length_quantiles(
     return grouped.select(
         F.col("g").alias(group_col), F.col("m").alias("n_docs"), *outs
     )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per group ->
+    ``(group, n_kept, estimate)`` — cardinality estimation whose sketch is
+    DETERMINISTIC (md5 order statistics), unlike HLL whose register
+    layout differs per engine: the classic estimator ``(k-1) / x_(k)``
+    with ``x_(k)`` the k-th smallest normalized hash. Groups with fewer
+    than k distinct keys report their EXACT count (the estimator is only
+    defined past k). The per-language vocabulary-size probe at corpus
+    scale, where exact count-distinct of tokens is a full shuffle of the
+    token universe.
+
+    Scale shape: dedupe to (group, hash) with map-side partials, rank
+    within group (the shuffle is keyed on the group; only ranks <= k
+    survive to the final tiny aggregate). A production streaming sketch
+    bounds the intermediate at k per partition with a custom Aggregator;
+    the declarative form here trades that for zero custom code while
+    keeping the identical estimate (documented trade)."""
+    from pyspark.sql import Window
+
+    hashed = (
+        df.select(F.col(group_col).alias("g"), md5_int(F.col(key_col).cast("string")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    ranked = hashed.withColumn("r", F.row_number().over(w)).where(F.col("r") <= k)
+    return (
+        ranked.groupBy("g")
+        .agg(F.count("*").alias("n_kept"), F.max("h").alias("_kth"))
+        .select(
+            F.col("g").alias(group_col),
+            "n_kept",
+            F.when(F.col("n_kept") < k, F.col("n_kept"))
+            .otherwise(
+                F.floor(
+                    F.lit(float(k - 1)) * F.lit(float(1 << 60)) / F.col("_kth").cast("double")
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            .alias("estimate"),
+        )
+    )
