@@ -1200,6 +1200,17 @@ def q_vocab_kmv(spark, sf_dir):
     return kmv_distinct(tok, "lang", "token", k=16)
 
 
+def q_bpe(spark, sf_dir):
+    """Distributed BPE merge-rule training (6 merges) over the corpus —
+    tokenizer vocabulary learning as a lazy k-round Spark plan (word-
+    frequency collapse, per-round 1-row top-1 broadcast, literal greedy
+    replace). Oracle: the same rounds unrolled as MATERIALIZED CTEs."""
+    from ontoweaver_spark.textops import bpe_merges
+
+    _tune(spark)
+    return bpe_merges(_docs(spark, sf_dir), k_merges=6)
+
+
 def q_kg_triangles(spark, sf_dir):
     """Per-node triangle counts over the hub co-citation graph of the
     flagship pages table: two hubs cited by the same page get an
@@ -1599,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": q_sample_weighted,
         "sample_poisson": q_sample_poisson,
         "vocab_kmv": q_vocab_kmv,
+        "bpe_vocab": q_bpe,
         "range_join": q_range_join,
         "len_quantiles": q_len_quantiles,
         "host_graph": q_host_graph,
@@ -2888,6 +2900,84 @@ def oracle_sql() -> dict[str, str]:
                    END AS estimate
             FROM ranked WHERE r <= 16 GROUP BY lang
         """,
+        "bpe_vocab": """
+    WITH words AS MATERIALIZED (
+      SELECT w, count(*) AS freq FROM (
+        SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents
+      ) WHERE w <> '' GROUP BY w
+    ), v0 AS MATERIALIZED (
+      SELECT '  ' || list_aggregate(regexp_split_to_array(w, ''), 'string_agg', '  ')
+             || '  </w>  ' AS s, freq
+      FROM words
+    ), p1 AS MATERIALIZED (
+      SELECT x.l[i] AS a, x.l[i + 1] AS b, CAST(sum(x.freq) AS BIGINT) AS cnt
+      FROM (SELECT regexp_split_to_array(trim(s), '  ') AS l, freq FROM v0) x,
+           UNNEST(range(1, len(x.l))) AS t(i)
+      GROUP BY 1, 2
+    ), t1 AS MATERIALIZED (
+      SELECT 1 AS step, a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1
+    ), v1 AS MATERIALIZED (
+      SELECT replace(v.s, ' ' || t.a || '  ' || t.b || ' ',
+                     ' ' || t.a || t.b || ' ') AS s, v.freq
+      FROM v0 v CROSS JOIN t1 t
+    ), p2 AS MATERIALIZED (
+      SELECT x.l[i] AS a, x.l[i + 1] AS b, CAST(sum(x.freq) AS BIGINT) AS cnt
+      FROM (SELECT regexp_split_to_array(trim(s), '  ') AS l, freq FROM v1) x,
+           UNNEST(range(1, len(x.l))) AS t(i)
+      GROUP BY 1, 2
+    ), t2 AS MATERIALIZED (
+      SELECT 2 AS step, a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1
+    ), v2 AS MATERIALIZED (
+      SELECT replace(v.s, ' ' || t.a || '  ' || t.b || ' ',
+                     ' ' || t.a || t.b || ' ') AS s, v.freq
+      FROM v1 v CROSS JOIN t2 t
+    ), p3 AS MATERIALIZED (
+      SELECT x.l[i] AS a, x.l[i + 1] AS b, CAST(sum(x.freq) AS BIGINT) AS cnt
+      FROM (SELECT regexp_split_to_array(trim(s), '  ') AS l, freq FROM v2) x,
+           UNNEST(range(1, len(x.l))) AS t(i)
+      GROUP BY 1, 2
+    ), t3 AS MATERIALIZED (
+      SELECT 3 AS step, a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1
+    ), v3 AS MATERIALIZED (
+      SELECT replace(v.s, ' ' || t.a || '  ' || t.b || ' ',
+                     ' ' || t.a || t.b || ' ') AS s, v.freq
+      FROM v2 v CROSS JOIN t3 t
+    ), p4 AS MATERIALIZED (
+      SELECT x.l[i] AS a, x.l[i + 1] AS b, CAST(sum(x.freq) AS BIGINT) AS cnt
+      FROM (SELECT regexp_split_to_array(trim(s), '  ') AS l, freq FROM v3) x,
+           UNNEST(range(1, len(x.l))) AS t(i)
+      GROUP BY 1, 2
+    ), t4 AS MATERIALIZED (
+      SELECT 4 AS step, a, b, cnt FROM p4 ORDER BY cnt DESC, a, b LIMIT 1
+    ), v4 AS MATERIALIZED (
+      SELECT replace(v.s, ' ' || t.a || '  ' || t.b || ' ',
+                     ' ' || t.a || t.b || ' ') AS s, v.freq
+      FROM v3 v CROSS JOIN t4 t
+    ), p5 AS MATERIALIZED (
+      SELECT x.l[i] AS a, x.l[i + 1] AS b, CAST(sum(x.freq) AS BIGINT) AS cnt
+      FROM (SELECT regexp_split_to_array(trim(s), '  ') AS l, freq FROM v4) x,
+           UNNEST(range(1, len(x.l))) AS t(i)
+      GROUP BY 1, 2
+    ), t5 AS MATERIALIZED (
+      SELECT 5 AS step, a, b, cnt FROM p5 ORDER BY cnt DESC, a, b LIMIT 1
+    ), v5 AS MATERIALIZED (
+      SELECT replace(v.s, ' ' || t.a || '  ' || t.b || ' ',
+                     ' ' || t.a || t.b || ' ') AS s, v.freq
+      FROM v4 v CROSS JOIN t5 t
+    ), p6 AS MATERIALIZED (
+      SELECT x.l[i] AS a, x.l[i + 1] AS b, CAST(sum(x.freq) AS BIGINT) AS cnt
+      FROM (SELECT regexp_split_to_array(trim(s), '  ') AS l, freq FROM v5) x,
+           UNNEST(range(1, len(x.l))) AS t(i)
+      GROUP BY 1, 2
+    ), t6 AS MATERIALIZED (
+      SELECT 6 AS step, a, b, cnt FROM p6 ORDER BY cnt DESC, a, b LIMIT 1
+    ), v6 AS MATERIALIZED (
+      SELECT replace(v.s, ' ' || t.a || '  ' || t.b || ' ',
+                     ' ' || t.a || t.b || ' ') AS s, v.freq
+      FROM v5 v CROSS JOIN t6 t
+    )
+    SELECT step, a, b, cnt FROM t1 UNION ALL SELECT step, a, b, cnt FROM t2 UNION ALL SELECT step, a, b, cnt FROM t3 UNION ALL SELECT step, a, b, cnt FROM t4 UNION ALL SELECT step, a, b, cnt FROM t5 UNION ALL SELECT step, a, b, cnt FROM t6""",
         "kg_hits": _hits_sql(4),
         "kg_sssp": _sssp_sql(6),
         "pq_codes": """

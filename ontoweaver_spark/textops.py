@@ -893,3 +893,76 @@ def kmv_distinct(
             .alias("estimate"),
         )
     )
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    k_merges: int = 6,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Distributed BPE merge-rule training (Sennrich et al.) ->
+    ``(step, a, b, cnt)``: the first ``k_merges`` learned merge rules with
+    their corpus pair counts — the tokenizer-vocabulary stage of a
+    training-data pipeline, run on the cluster instead of a single
+    machine streaming the corpus.
+
+    The scale trick is the WORD-FREQUENCY collapse: BPE statistics only
+    depend on (distinct word, count), so the corpus scans ONCE into a
+    frequency table and every merge round works over distinct words
+    (Zipf: millions of rows, not trillions). Words are kept as
+    DOUBLE-spaced symbol strings (``  l  o  w  </w>  ``); a merge round is
+    - one explode + map-side-combinable (a, b) weighted count,
+    - a 1-row deterministic top-1 (ORDER BY cnt DESC, a, b — Spark plans
+      TakeOrderedAndProject, never a global sort) broadcast back,
+    - one literal string replace `` a  b `` -> `` ab `` (single leading /
+      trailing space in the pattern). The double separator is load-bearing:
+      each match consumes ONE of the two spaces on each side and the
+      replacement restores it, so adjacent occurrences (``a a a a`` under
+      merge (a,a)) still match in the same left-to-right pass — with
+      single-space separators the shared boundary space breaks chained
+      merges. Literal replace is left-to-right non-overlapping in every
+      engine: exactly BPE's greedy rescan.
+    The whole k-round plan is LAZY: no collect, no driver sync; per-round
+    localCheckpoint keeps the plan constant-size.
+
+    Ties break lexicographically (cnt DESC, a ASC, b ASC) so the learned
+    table is a pure function of the corpus — hash-matchable against an
+    unrolled-CTE oracle. If the vocabulary exhausts before ``k_merges``
+    (every word a single symbol), remaining rounds emit no rows."""
+    c = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    words = df.select(F.explode(tokens(c)).alias("w")).where(F.col("w") != "")
+    wf = words.groupBy("w").agg(F.count("*").alias("freq"))
+    sym = wf.select(
+        F.concat(
+            F.lit("  "), F.array_join(F.split(F.col("w"), ""), "  "), F.lit("  </w>  ")
+        ).alias("s"),
+        "freq",
+    ).localCheckpoint(eager=False)
+    merges = None
+    for r in range(1, k_merges + 1):
+        toks_arr = F.split(F.trim(F.col("s")), "  ")
+        n = F.size(toks_arr)
+        pairs_arr = F.arrays_zip(
+            F.slice(toks_arr, 1, n - 1).alias("a"), F.slice(toks_arr, 2, n - 1).alias("b")
+        )
+        pairs = sym.select(F.explode(pairs_arr).alias("p"), "freq").select(
+            F.col("p.a").alias("a"), F.col("p.b").alias("b"), "freq"
+        )
+        counts = pairs.groupBy("a", "b").agg(F.sum("freq").alias("cnt"))
+        top1 = counts.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1)
+        row = top1.select(F.lit(r).alias("step"), "a", "b", "cnt")
+        merges = row if merges is None else merges.unionByName(row)
+        sym = (
+            sym.crossJoin(F.broadcast(top1.select("a", "b")))
+            .select(
+                F.replace(
+                    F.col("s"),
+                    F.concat(F.lit(" "), F.col("a"), F.lit("  "), F.col("b"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")),
+                ).alias("s"),
+                "freq",
+            )
+            .localCheckpoint(eager=False)
+        )
+    return merges
