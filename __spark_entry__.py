@@ -1211,6 +1211,15 @@ def q_bpe(spark, sf_dir):
     return bpe_merges(_docs(spark, sf_dir), k_merges=6)
 
 
+def q_pmi(spark, sf_dir):
+    """Top-20 collocations by rational PMI (word2vec phrase detection) —
+    log is monotone so integer ratio ranking IS the PMI ranking."""
+    from ontoweaver_spark.textops import pmi_collocations
+
+    _tune(spark)
+    return pmi_collocations(_docs_spread(spark, sf_dir), min_count=5, k=20)
+
+
 def q_kg_triangles(spark, sf_dir):
     """Per-node triangle counts over the hub co-citation graph of the
     flagship pages table: two hubs cited by the same page get an
@@ -1611,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_poisson": q_sample_poisson,
         "vocab_kmv": q_vocab_kmv,
         "bpe_vocab": q_bpe,
+        "pmi_top": q_pmi,
         "range_join": q_range_join,
         "len_quantiles": q_len_quantiles,
         "host_graph": q_host_graph,
@@ -2978,6 +2988,25 @@ def oracle_sql() -> dict[str, str]:
       FROM v5 v CROSS JOIN t6 t
     )
     SELECT step, a, b, cnt FROM t1 UNION ALL SELECT step, a, b, cnt FROM t2 UNION ALL SELECT step, a, b, cnt FROM t3 UNION ALL SELECT step, a, b, cnt FROM t4 UNION ALL SELECT step, a, b, cnt FROM t5 UNION ALL SELECT step, a, b, cnt FROM t6""",
+
+        "pmi_top": """
+            WITH toks AS (
+              SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS l
+              FROM documents
+            ), uni AS (
+              SELECT t, count(*) AS c1
+              FROM (SELECT UNNEST(l) AS t FROM toks) GROUP BY t
+            ), bigr AS (
+              SELECT x.l[i] AS x, x.l[i + 1] AS y, count(*) AS cxy
+              FROM (SELECT l FROM toks WHERE len(l) >= 2) x,
+                   UNNEST(range(1, len(x.l))) AS t(i)
+              GROUP BY 1, 2 HAVING count(*) >= 5
+            )
+            SELECT b.x, b.y, b.cxy,
+                   (CAST(1000000 AS BIGINT) * b.cxy // (ux.c1 * uy.c1)) AS score
+            FROM bigr b JOIN uni ux ON b.x = ux.t JOIN uni uy ON b.y = uy.t
+            ORDER BY score DESC, b.x, b.y LIMIT 20
+        """,
         "kg_hits": _hits_sql(4),
         "kg_sssp": _sssp_sql(6),
         "pq_codes": """

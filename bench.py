@@ -96,7 +96,8 @@ def main() -> None:
                  "kg_walks", "kg_linkpred", "kg_hits", "kg_sssp", "lm_score",
                  "train_order", "dsir_weights", "corpus_cube", "pq_codes",
                  "cross_dedup", "len_quantiles", "asof_join", "range_join",
-                 "sample_weighted", "sample_poisson", "vocab_kmv", "bpe_vocab"]:
+                 "sample_weighted", "sample_poisson", "vocab_kmv", "bpe_vocab",
+                 "pmi_top"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the

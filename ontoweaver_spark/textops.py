@@ -966,3 +966,60 @@ def bpe_merges(
             .localCheckpoint(eager=False)
         )
     return merges
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-k collocations (word2vec-style phrase detection) ->
+    ``(x, y, cxy, score)``: adjacent token pairs ranked by a scaled
+    RATIONAL PMI surrogate ``score = scale * c(x,y) DIV (c(x) * c(y))``.
+    True PMI is ``log`` of that ratio times a corpus constant — ``log`` is
+    monotone and the constant is shared by every pair, so the RANKING is
+    exactly PMI's while every operation stays BIGINT (engine-exact; a
+    libm log never hash-matches an oracle). ``min_count`` drops rare
+    pairs, the standard PMI noise guard.
+
+    Overflow bound: ``c(x)*c(y)`` must fit signed-64 — i.e. the two
+    hottest unigrams' count product below ~9.2e18 (at 1e13 tokens the
+    hottest English unigram is ~5e11, product ~2.5e23: for such corpora
+    pre-scale counts down or raise min_count; documented, not guarded,
+    because the token distribution is unknown until runtime).
+
+    Scale shape: same one-scan bigram machinery as lm_fluency; unigram
+    counts fold map-side; the final global top-k is TakeOrderedAndProject
+    (per-partition heaps), never a full sort."""
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(toks.alias("l")).where(F.size("l") >= 2)
+    n = F.size("l")
+    uni = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c1"))
+    )
+    bigr = (
+        base.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("l", 1, n - 1).alias("x"), F.slice("l", 2, n - 1).alias("y")
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("cxy"))
+        .where(F.col("cxy") >= min_count)
+    )
+    scored = (
+        bigr.join(uni.select(F.col("t").alias("x"), F.col("c1").alias("cx")), "x")
+        .join(uni.select(F.col("t").alias("y"), F.col("c1").alias("cy")), "y")
+        .select(
+            "x", "y", "cxy",
+            F.expr(f"CAST({scale} AS BIGINT) * cxy DIV (cx * cy)").alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("x"), F.asc("y")).limit(k)

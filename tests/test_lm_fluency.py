@@ -70,3 +70,30 @@ def test_lm_fluency_deterministic_under_partitioning(spark):
     a = sorted(map(tuple, lm_fluency(df).collect()))
     b = sorted(map(tuple, lm_fluency(df.repartition(5)).collect()))
     assert a == b
+
+
+def test_pmi_collocations_match_python(spark):
+    from collections import Counter
+
+    from ontoweaver_spark.textops import pmi_collocations
+
+    texts = [
+        "new york is big", "new york city", "in new york",
+        "the new deal", "york minster", "big city lights",
+        "the the the the", "new york new york",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [(r.x, r.y, r.cxy, r.score)
+           for r in pmi_collocations(df, min_count=2, k=5).collect()]
+    uni: Counter = Counter(w for t in texts for w in t.split())
+    bi: Counter = Counter()
+    for t in texts:
+        ws = t.split()
+        bi.update(zip(ws, ws[1:]))
+    cand = [
+        (x, y, c, 1_000_000 * c // (uni[x] * uni[y]))
+        for (x, y), c in bi.items() if c >= 2
+    ]
+    want = sorted(cand, key=lambda r: (-r[3], r[0], r[1]))[:5]
+    assert got == want
+    assert got[0][:2] == ("new", "york")  # the canonical collocation
