@@ -1544,6 +1544,85 @@ def q_rdf_ntriples(spark, sf_dir):
     )
 
 
+def q_para_dedup(spark, sf_dir):
+    """Corpus-wide paragraph-level exact dedup (the CCNet/RefinedWeb pass):
+    the corpus is paragraphized deterministically from documents — two
+    repeated boilerplate paragraphs interleaved with three 8-token body
+    chunks — so the DuckDB oracle rebuilds the byte-identical input; every
+    distinct paragraph survives only at its first (doc_id, pos)."""
+    from ontoweaver_spark.dedup import paragraph_dedup
+
+    _tune(spark)
+    docs = _docs_spread(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+
+    def chunk(i):
+        return F.array_join(F.slice(toks, i, 8), " ")
+
+    def boiler(k):
+        return F.concat(
+            F.lit("subscribe to our newsletter edition "),
+            ((F.col("doc_id") + k) % 7).cast("string"),
+        )
+
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", chunk(1), boiler(0), chunk(9), boiler(1), chunk(17)
+        ).alias("text"),
+    )
+    return paragraph_dedup(synth, "text", "doc_id", sep="\n")
+
+
+def q_dup_ngrams(spark, sf_dir):
+    """Per-document duplicated 5-gram fraction (the Gopher/Dolma repetition
+    quality signal) straight over the documents corpus."""
+    from ontoweaver_spark.textops import duplicated_ngram_fraction
+
+    _tune(spark)
+    return duplicated_ngram_fraction(_docs_spread(spark, sf_dir), n=5)
+
+
+def q_scd2(spark, sf_dir):
+    """Temporal-KG materialization: three deterministic recrawl snapshots
+    per url (the page's value flips from 'a' to 'b' at snapshot doc_id%4)
+    collapse to SCD2 validity intervals — one shuffle on the url."""
+    from ontoweaver_spark.sessions import validity_intervals
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    snaps = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k"),
+    ).select(
+        F.concat(
+            F.lit("https://crawl."), F.col("source"), F.lit(".com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("k").cast("long").alias("ts"),
+        F.when(F.col("k") < F.col("doc_id") % 4, F.lit("a"))
+        .otherwise(F.lit("b")).alias("value"),
+    )
+    return validity_intervals(snaps, key_col="url", ts_col="ts", value_col="value")
+
+
+def q_claim_vote(spark, sf_dir):
+    """Majority-vote truth finding over conflicting extracted claims:
+    ~1000 entities each asserted by ~every 1000th document's (lang, source)
+    pair; the winner per (subj, pred) is max-support with deterministic
+    lexicographic tie-break."""
+    from ontoweaver_spark.linking import resolve_claims
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    ent = F.concat(F.lit("e"), (F.col("doc_id") % 1000).cast("string")).alias("subj")
+    claims = docs.select(ent, F.lit("lang").alias("pred"), F.col("lang").alias("obj")).unionByName(
+        docs.select(ent, F.lit("source").alias("pred"), F.col("source").alias("obj"))
+    )
+    return resolve_claims(claims)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -1633,6 +1712,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": q_kg_kcore,
         "chunk_docs": q_chunk_docs,
         "pack_seq": q_pack_seq,
+        "para_dedup": q_para_dedup,
+        "dup_ngrams": q_dup_ngrams,
+        "scd2_intervals": q_scd2,
+        "claim_vote": q_claim_vote,
         "corpus_prep": q_corpus_prep,
     }
 
@@ -3309,6 +3392,122 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[start + 1 : start + 20], ' ') AS chunk,
                    len(toks[start + 1 : start + 20])::INTEGER AS n_chunk_toks
             FROM s
+        """,
+        # groups by the raw paragraph string (Spark keys on its md5 —
+        # independent derivation of the same first-occurrence winner set)
+        "para_dedup": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+              FROM documents
+            ), synth AS (
+              -- coalesce: DuckDB's array_to_string([]) is NULL where
+              -- Spark's array_join([]) is '' (short docs)
+              SELECT doc_id,
+                     coalesce(array_to_string(tk[1:8], ' '), '') || chr(10) ||
+                     'subscribe to our newsletter edition ' ||
+                       ((doc_id + 0) % 7)::VARCHAR || chr(10) ||
+                     coalesce(array_to_string(tk[9:16], ' '), '') || chr(10) ||
+                     'subscribe to our newsletter edition ' ||
+                       ((doc_id + 1) % 7)::VARCHAR || chr(10) ||
+                     coalesce(array_to_string(tk[17:24], ' '), '') AS text
+              FROM toks
+            ), paras AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS para,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS pos
+              FROM synth
+            ), kept AS (
+              SELECT doc_id, pos, para FROM (
+                SELECT doc_id, pos, para,
+                       row_number() OVER (PARTITION BY para
+                                          ORDER BY doc_id, pos) AS rn
+                FROM paras
+              ) WHERE rn = 1
+            )
+            SELECT k.doc_id,
+                   string_agg(k.para, chr(10) ORDER BY k.pos) AS text,
+                   any_value(len(string_split(s.text, chr(10)))) AS n_paras,
+                   count(*)::BIGINT AS n_kept
+            FROM kept k JOIN synth s USING (doc_id)
+            GROUP BY k.doc_id
+        """,
+        # counts duplicated 5-gram windows by the raw gram string (Spark
+        # keys on its md5)
+        "dup_ngrams": """
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, array_to_string(toks[i : i + 4], ' ') AS gram
+              FROM t, LATERAL unnest(
+                generate_series(1, greatest(len(toks) - 4, 1))) AS u(i)
+            ), c AS (
+              SELECT gram, count(*) AS cnt FROM grams GROUP BY gram
+            )
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_windows,
+                   sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_dup_windows,
+                   floor(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END)::DOUBLE
+                         / count(*) * 10000 + 0.5) / 10000 AS dup_frac
+            FROM grams g JOIN c USING (gram)
+            GROUP BY doc_id
+        """,
+        "scd2_intervals": """
+            WITH snaps AS (
+              SELECT 'https://crawl.' || source || '.com/p/'
+                       || doc_id::VARCHAR AS url,
+                     u.k::BIGINT AS ts,
+                     CASE WHEN u.k < doc_id % 4 THEN 'a' ELSE 'b' END AS value
+              FROM documents, LATERAL unnest([0, 1, 2]) AS u(k)
+            ), chg AS (
+              SELECT url, ts, value,
+                     CASE WHEN lag(value) OVER w IS NULL
+                            OR lag(value) OVER w <> value
+                          THEN 1 ELSE 0 END AS is_new
+              FROM snaps WINDOW w AS (PARTITION BY url ORDER BY ts, value)
+            ), runs AS (
+              SELECT url, ts, value,
+                     sum(is_new) OVER (PARTITION BY url ORDER BY ts, value
+                       ROWS UNBOUNDED PRECEDING) AS run
+              FROM chg
+            ), per_run AS (
+              SELECT url, run, min(ts) AS valid_from,
+                     any_value(value) AS value,
+                     count(*)::BIGINT AS n_snapshots
+              FROM runs GROUP BY url, run
+            )
+            SELECT url, value, valid_from,
+                   lead(valid_from) OVER w2 AS valid_to,
+                   n_snapshots,
+                   (lead(valid_from) OVER w2 IS NULL) AS is_current
+            FROM per_run WINDOW w2 AS (PARTITION BY url ORDER BY run)
+        """,
+        "claim_vote": """
+            WITH claims AS (
+              SELECT 'e' || (doc_id % 1000)::VARCHAR AS subj,
+                     'lang' AS pred, lang AS obj FROM documents
+              UNION ALL
+              SELECT 'e' || (doc_id % 1000)::VARCHAR, 'source', source
+              FROM documents
+            ), per_obj AS (
+              SELECT subj, pred, obj, count(*)::BIGINT AS support
+              FROM claims GROUP BY subj, pred, obj
+            ), ranked AS (
+              SELECT subj, pred, obj, support,
+                     row_number() OVER (PARTITION BY subj, pred
+                       ORDER BY support DESC, obj ASC) AS rn,
+                     sum(support) OVER (PARTITION BY subj, pred)
+                       AS total_support,
+                     count(*) OVER (PARTITION BY subj, pred) AS n_objects
+              FROM per_obj
+            )
+            SELECT subj, pred, obj, support,
+                   total_support::BIGINT AS total_support,
+                   n_objects::BIGINT AS n_objects,
+                   floor(support::DOUBLE / total_support * 10000 + 0.5)
+                     / 10000 AS confidence
+            FROM ranked WHERE rn = 1
         """,
         "pack_seq": """
             WITH d AS (

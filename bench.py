@@ -97,7 +97,8 @@ def main() -> None:
                  "train_order", "dsir_weights", "corpus_cube", "pq_codes",
                  "cross_dedup", "len_quantiles", "asof_join", "range_join",
                  "sample_weighted", "sample_poisson", "vocab_kmv", "bpe_vocab",
-                 "pmi_top"]:
+                 "pmi_top", "para_dedup", "dup_ngrams", "scd2_intervals",
+                 "claim_vote"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the

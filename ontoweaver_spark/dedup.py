@@ -631,3 +631,93 @@ def cross_corpus_duplicates(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    scope: str = "corpus",
+) -> DataFrame:
+    """Paragraph-level exact deduplication (the CCNet / RefinedWeb pass the
+    reference has no analog for: its unit of work is a row, ours is a span
+    inside the row). Splits each document on ``sep``, keeps every distinct
+    paragraph only at its FIRST occurrence — the lexicographically-minimal
+    ``(doc_id, position)`` for that exact paragraph string — and reassembles
+    documents in original paragraph order. Documents whose every paragraph
+    was seen earlier disappear from the output (they carry zero novel text).
+
+    ``scope='corpus'`` dedups across the whole corpus; ``scope='doc'``
+    only removes repeats within a single document (a cheap boilerplate
+    variant that never shuffles on paragraph hash).
+
+    Returns ``(id_col, text, n_paras, n_kept)``.
+
+    100-TB shape: posexplode is a flat map (no shuffle); the winner is a
+    min(struct(id,pos)) hash aggregate on the paragraph hash with map-side
+    partial combine, so a boilerplate paragraph repeated 10^9 times still
+    reduces to one row per partition before the exchange; the re-join on
+    (hash,id,pos) is co-partitioned with the agg output, and AQE splits the
+    residually-hot probe side. Reassembly is one groupBy(doc) of the kept
+    rows. Three shuffles total, each on a necessary key.
+    """
+    from .textops import md5_int
+
+    if scope == "doc":
+        # intra-doc only: one HOF filter per row (keep element i iff the
+        # FIRST occurrence of that exact paragraph is at i) — zero
+        # shuffles, zero explodes; O(paras²) per doc is bounded by doc
+        # size, never corpus size
+        # NB: the kept array is materialized under a private name FIRST and
+        # the output 'text' aliased in a second projection — aliasing the
+        # output with the input's name inside the same select makes the
+        # analyzer re-bind one of the lambda's references to the NEW column
+        # (observed: n_kept filtering split(old) by array_position(new))
+        arr = F.split(F.col(text_col), sep)
+        kept_arr = F.filter(arr, lambda x, i: F.array_position(arr, x) - 1 == i)
+        return df.select(
+            F.col(id_col),
+            kept_arr.alias("_kept"),
+            F.size(arr).alias("n_paras"),
+        ).select(
+            id_col,
+            F.array_join("_kept", sep).alias("text"),
+            "n_paras",
+            F.size("_kept").alias("n_kept"),
+        )
+    if scope != "corpus":
+        raise ValueError(f"paragraph_dedup: unknown scope {scope!r}")
+
+    pos = F.col("_pos")
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+    ).withColumn("_h", md5_int(F.col("_para")))
+
+    winner = paras.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col), pos)).alias("_w")
+    )
+    kept = (
+        paras.join(winner, "_h")
+        .where((F.col(id_col) == F.col("_w")[id_col]) & (pos == F.col("_w._pos")))
+        .select(id_col, "_pos", "_para", "_h")
+    )
+
+    n_paras = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), sep)).alias("n_paras")
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_para"))),
+                    lambda s: s["_para"],
+                ),
+                sep,
+            ).alias("text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    return rebuilt.join(n_paras, id_col).select(id_col, "text", "n_paras", "n_kept")

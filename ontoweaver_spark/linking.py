@@ -146,3 +146,64 @@ def comention_edges(
     ).select("p.a", "p.b")
     out = pairs.groupBy("a", "b").agg(F.count("*").alias("n_docs"))
     return out.where(F.col("n_docs") >= min_count) if min_count > 1 else out
+
+
+def resolve_claims(
+    claims: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Majority-vote truth finding over conflicting extracted triples —
+    the canonicalization step AFTER linking: many pages assert
+    ``(subj, pred, ·)`` with different objects (stale recrawls, spam,
+    extraction noise), and the KG should materialize one winning object
+    per functional predicate. The winner is the object with the highest
+    support (sum of ``weight_col``, or vote count when None); ties break
+    on the lexicographically smallest object so the result is
+    deterministic — Spark's ``max_by`` alone is not, which is why the
+    pick is a struct-max: ``max(struct(support, neg_rank(obj)))`` can't
+    express string descent, so a two-level aggregate is used instead.
+
+    Returns ``(subj, pred, obj, support, total_support, n_objects,
+    confidence)`` with ``confidence = support/total_support`` IEEE-rounded
+    to 4 digits.
+
+    100-TB shape: two hash aggregates on progressively coarser keys —
+    (s,p,o) then (s,p) — both with map-side partial combine, so a hub
+    subject asserted by 10^9 pages collapses per map partition before
+    either exchange; the second agg is co-located with the first
+    (HashPartitioning(s,p,o) does NOT satisfy clustering on (s,p), so
+    this one re-shuffles — necessary, and it moves one row per distinct
+    (s,p,o), not one per claim). No windows, no sort.
+    """
+    from .textops import round_ieee
+
+    w = F.lit(1).cast("long") if weight_col is None else F.col(weight_col).cast("long")
+    per_obj = claims.groupBy(subj_col, pred_col, obj_col).agg(
+        F.sum(w).alias("support")
+    )
+    # min(struct(-support, obj)) picks max support, then min obj — one agg,
+    # deterministic
+    resolved = per_obj.groupBy(subj_col, pred_col).agg(
+        F.min(
+            F.struct(
+                F.negate(F.col("support")).alias("_ns"),
+                F.col(obj_col).alias("_o"),
+            )
+        ).alias("_w"),
+        F.sum("support").alias("total_support"),
+        F.count("*").alias("n_objects"),
+    )
+    return resolved.select(
+        subj_col,
+        pred_col,
+        F.col("_w")["_o"].alias(obj_col),
+        F.negate(F.col("_w")["_ns"]).alias("support"),
+        "total_support",
+        "n_objects",
+    ).select(
+        "*",
+        round_ieee(F.col("support") / F.col("total_support"), 4).alias("confidence"),
+    )

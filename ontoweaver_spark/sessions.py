@@ -185,3 +185,53 @@ def range_join(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
     )
     return joined.drop("_bin")
+
+
+def validity_intervals(
+    snapshots: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Collapse per-key recrawl snapshots into SCD2 validity intervals —
+    the temporal-KG materialization step (the reference emits a static
+    graph; a crawl re-fetches pages, so edge/property values need
+    (valid_from, valid_to) lineage). One row per maximal run of consecutive
+    equal values in ``ts`` order within a key:
+    ``(key, value, valid_from, valid_to, n_snapshots, is_current)`` where
+    ``valid_to`` is the NEXT run's first timestamp (exclusive upper bound)
+    and NULL on the currently-valid run.
+
+    Equal-``ts`` duplicates within a key are tolerated only if their values
+    agree (ordering ties on (ts, value) keep runs deterministic).
+
+    100-TB shape: everything is keyed on ``key_col`` — the lag/cumsum
+    windows, the run rollup (grouping on (key, run) is co-located with the
+    key-partitioned window output: HashPartitioning(key) satisfies the
+    clustering requirement, so Spark adds NO second exchange), and the
+    lead() that stitches valid_to. ONE shuffle total; per-key state is the
+    snapshot history, never the corpus.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, value_col)
+    chg = (
+        F.when(F.lag(value_col).over(w).isNull(), 1)
+        .when(F.lag(value_col).over(w) != F.col(value_col), 1)
+        .otherwise(0)
+    )
+    runs = snapshots.select(
+        key_col, ts_col, value_col, F.sum(chg).over(w).alias("_run")
+    )
+    per_run = runs.groupBy(key_col, "_run").agg(
+        F.min(ts_col).alias("valid_from"),
+        F.first(value_col).alias(value_col),
+        F.count("*").alias("n_snapshots"),
+    )
+    w2 = Window.partitionBy(key_col).orderBy("_run")
+    return per_run.select(
+        key_col,
+        value_col,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_snapshots",
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )

@@ -1023,3 +1023,52 @@ def pmi_collocations(
         )
     )
     return scored.orderBy(F.desc("score"), F.asc("x"), F.asc("y")).limit(k)
+
+
+def duplicated_ngram_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-n-gram fraction — the Gopher/Dolma repetition
+    signal the reference has no analog for: for each document, the share of
+    its token n-gram WINDOWS whose exact n-gram occurs more than once in the
+    whole corpus (counting every window occurrence, including repeats inside
+    one document). Docs assembled from boilerplate score high; novel text
+    scores ~0. Returns ``(id_col, n_windows, n_dup_windows, dup_frac)`` with
+    ``dup_frac`` IEEE-rounded to 4 digits so a SQL oracle matches
+    bit-for-bit. Documents shorter than ``n`` tokens contribute their single
+    partial-prefix window (same clamping as :func:`~.dedup.shingles`).
+
+    100-TB shape: the window explode is a flat map; corpus counts are one
+    hash aggregate on the n-gram hash with map-side partial combine (a
+    boilerplate gram seen 10^9 times collapses to one row per map
+    partition); the count join back is co-partitioned with the agg, and the
+    per-doc rollup is one more hash aggregate. No windows, no sort, three
+    necessary shuffles.
+    """
+    toks = tokens(F.col(text_col))
+    sz = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(sz - (n - 1), F.lit(1)))
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+        ).alias("_gram"),
+    ).select(id_col, md5_int(F.col("_gram")).alias("_g"))
+    counts = grams.groupBy("_g").agg(F.count("*").alias("_c"))
+    return (
+        grams.join(counts, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("_c") > 1, 1).otherwise(0)).alias("n_dup_windows"),
+        )
+        .select(
+            id_col,
+            "n_windows",
+            "n_dup_windows",
+            round_ieee(F.col("n_dup_windows") / F.col("n_windows"), 4).alias("dup_frac"),
+        )
+    )

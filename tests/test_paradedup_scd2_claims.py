@@ -1,0 +1,138 @@
+"""Round-4 session ops: paragraph dedup, duplicated-n-gram fraction,
+SCD2 validity intervals, majority-vote claim resolution."""
+
+from pyspark.sql import functions as F
+
+
+def _corpus(spark):
+    # docs 1 and 3 share paragraph "P"; doc 2 repeats its own paragraph;
+    # doc 4 is entirely paragraphs seen earlier (must vanish)
+    rows = [
+        (1, "A\nP\nB"),
+        (2, "C\nC\nD"),
+        (3, "P\nE"),
+        (4, "A\nP"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_paragraph_dedup_corpus_first_occurrence(spark):
+    from ontoweaver_spark.dedup import paragraph_dedup
+
+    out = {
+        r["doc_id"]: (r["text"], r["n_paras"], r["n_kept"])
+        for r in paragraph_dedup(_corpus(spark)).collect()
+    }
+    # doc 1 keeps everything (first occurrences of A, P, B)
+    assert out[1] == ("A\nP\nB", 3, 3)
+    # doc 2: first C kept at pos 0, second C dropped, D kept
+    assert out[2] == ("C\nD", 3, 2)
+    # doc 3: P already seen in doc 1; only E survives
+    assert out[3] == ("E", 2, 1)
+    # doc 4: nothing novel -> no output row
+    assert 4 not in out
+
+
+def test_paragraph_dedup_doc_scope(spark):
+    from ontoweaver_spark.dedup import paragraph_dedup
+
+    out = {
+        r["doc_id"]: (r["text"], r["n_kept"])
+        for r in paragraph_dedup(_corpus(spark), scope="doc").collect()
+    }
+    # doc scope: only intra-doc repeats removed — docs 1/3/4 unchanged
+    assert out[1] == ("A\nP\nB", 3)
+    assert out[2] == ("C\nD", 2)
+    assert out[3] == ("P\nE", 2)
+    assert out[4] == ("A\nP", 2)
+
+
+def test_duplicated_ngram_fraction(spark):
+    from ontoweaver_spark.textops import duplicated_ngram_fraction
+
+    rows = [
+        (1, "a b c d"),   # bigrams: ab bc cd
+        (2, "a b x"),     # bigrams: ab bx
+        (3, "q r"),       # bigram qr (unique)
+        (4, "w"),         # shorter than n: one partial window "w"
+        (5, "w"),         # duplicates doc 4's partial window
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_frac"])
+        for r in duplicated_ngram_fraction(df, n=2).collect()
+    }
+    assert out[1] == (3, 1, 0.3333)  # only "a b" repeats corpus-wide
+    assert out[2] == (2, 1, 0.5)
+    assert out[3] == (1, 0, 0.0)
+    assert out[4] == (1, 1, 1.0)
+    assert out[5] == (1, 1, 1.0)
+
+
+def test_validity_intervals(spark):
+    from ontoweaver_spark.sessions import validity_intervals
+
+    rows = [
+        ("u1", 0, "a"), ("u1", 1, "a"), ("u1", 2, "b"), ("u1", 3, "a"),
+        ("u2", 5, "x"),
+    ]
+    df = spark.createDataFrame(rows, "url string, ts bigint, value string")
+    out = sorted(
+        (
+            r["url"], r["value"], r["valid_from"], r["valid_to"],
+            r["n_snapshots"], r["is_current"],
+        )
+        for r in validity_intervals(df).collect()
+    )
+    assert out == [
+        ("u1", "a", 0, 2, 2, False),
+        ("u1", "a", 3, None, 1, True),   # value flips BACK: a new run, not a merge
+        ("u1", "b", 2, 3, 1, False),
+        ("u2", "x", 5, None, 1, True),
+    ]
+
+
+def test_resolve_claims_majority_and_ties(spark):
+    from ontoweaver_spark.linking import resolve_claims
+
+    rows = [
+        ("e1", "lang", "en"), ("e1", "lang", "en"), ("e1", "lang", "de"),
+        # tie 1-1 -> lexicographically smaller object wins
+        ("e2", "lang", "fr"), ("e2", "lang", "de"),
+        ("e3", "src", "a"),
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = {
+        (r["subj"], r["pred"]): (
+            r["obj"], r["support"], r["total_support"], r["n_objects"],
+            r["confidence"],
+        )
+        for r in resolve_claims(df).collect()
+    }
+    assert out[("e1", "lang")] == ("en", 2, 3, 2, 0.6667)
+    assert out[("e2", "lang")] == ("de", 1, 2, 2, 0.5)
+    assert out[("e3", "src")] == ("a", 1, 1, 1, 1.0)
+
+
+def test_resolve_claims_weighted(spark):
+    from ontoweaver_spark.linking import resolve_claims
+
+    rows = [
+        ("e1", "p", "x", 1), ("e1", "p", "x", 1), ("e1", "p", "y", 5),
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string, w int")
+    r = resolve_claims(df, weight_col="w").collect()[0]
+    assert (r["obj"], r["support"], r["total_support"]) == ("y", 5, 7)
+
+
+def test_validity_intervals_single_shuffle(spark):
+    """The run rollup must NOT add a second exchange on top of the
+    key-partitioned window (HashPartitioning(url) satisfies clustering
+    on (url, _run))."""
+    from ontoweaver_spark.sessions import validity_intervals
+
+    df = spark.createDataFrame(
+        [("u1", 0, "a"), ("u1", 1, "b")], "url string, ts bigint, value string"
+    )
+    plan = validity_intervals(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
