@@ -1544,6 +1544,59 @@ def q_rdf_ntriples(spark, sf_dir):
     )
 
 
+def q_cms_topk(spark, sf_dir):
+    """Count-min-sketch token-frequency estimates for the exact top-25
+    tokens: the sketch is d*w rows of FIXED state no matter the corpus
+    size; estimates (min over d hash rows) upper-bound the exact counts.
+    Deterministic md5 hash rows make the sketch itself oracle-exact."""
+    from ontoweaver_spark.textops import cms_estimate, cms_sketch, tokens
+
+    _tune(spark)
+    docs = _docs_spread(spark, sf_dir)
+    sk = cms_sketch(docs, d=4, w=1024)
+    exact = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("token"))
+        .limit(25)
+    )
+    return cms_estimate(sk, exact, d=4, w=1024)
+
+
+def q_group_sample(spark, sf_dir):
+    """Exactly-100-docs-per-language sample (md5-priority winners) — the
+    per-stratum budget stage rate-based sampling can't promise."""
+    from ontoweaver_spark.sampling import per_group_sample
+
+    _tune(spark)
+    return per_group_sample(
+        _docs(spark, sf_dir), "lang", k=100, key_col="doc_id", seed=5
+    ).select("doc_id", "lang")
+
+
+def q_kg_negatives(spark, sf_dir):
+    """Deterministic corrupted-triple negative sampling over the sparse
+    doc graph (KG-embedding training prep): 2 hash-picked candidates per
+    true edge, anti-joined against the graph."""
+    from ontoweaver_spark.graphstats import negative_triples
+
+    _tune(spark)
+    edges = _doc_graph(spark, sf_dir).distinct().withColumn("label", F.lit("rel"))
+    return negative_triples(edges, m=2, seed=7)
+
+
+def q_bpe_apply(spark, sf_dir):
+    """Train 6 BPE merge rules on the corpus, then tokenize the corpus
+    with them (distinct-word collapse, inline chained replaces) — per-doc
+    exact BPE token budget."""
+    from ontoweaver_spark.textops import bpe_apply, bpe_merges
+
+    _tune(spark)
+    docs = _docs_spread(spark, sf_dir)
+    return bpe_apply(docs, bpe_merges(docs, k_merges=6))
+
+
 def q_para_dedup(spark, sf_dir):
     """Corpus-wide paragraph-level exact dedup (the CCNet/RefinedWeb pass):
     the corpus is paragraphized deterministically from documents — two
@@ -1716,6 +1769,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngrams": q_dup_ngrams,
         "scd2_intervals": q_scd2,
         "claim_vote": q_claim_vote,
+        "cms_topk": q_cms_topk,
+        "sample_group_k": q_group_sample,
+        "kg_negatives": q_kg_negatives,
+        "bpe_tokenize": q_bpe_apply,
         "corpus_prep": q_corpus_prep,
     }
 
@@ -2146,6 +2203,52 @@ def _sssp_sql(rounds: int = 6) -> str:
       ) GROUP BY node
     )""")
     parts.append(f"\n    SELECT node, dist FROM d{rounds}")
+    return "".join(parts)
+
+
+def _bpe_apply_sql(k: int = 6) -> str:
+    """Unrolled train-then-apply BPE mirroring textops.bpe_merges +
+    bpe_apply: the same v-chain as the bpe_vocab oracle but carrying the
+    word through every merge round, then the per-doc token rollup."""
+    parts = [
+        """
+    WITH dw AS MATERIALIZED (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ), words AS MATERIALIZED (
+      SELECT w, count(*) AS freq FROM dw GROUP BY w
+    ), a0 AS MATERIALIZED (
+      SELECT w, '  ' || list_aggregate(regexp_split_to_array(w, ''),
+                                       'string_agg', '  ')
+             || '  </w>  ' AS s, freq
+      FROM words
+    )"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(f""", p{r} AS MATERIALIZED (
+      SELECT x.l[i] AS a, x.l[i + 1] AS b, CAST(sum(x.freq) AS BIGINT) AS cnt
+      FROM (SELECT regexp_split_to_array(trim(s), '  ') AS l, freq
+            FROM a{r - 1}) x,
+           UNNEST(range(1, len(x.l))) AS t(i)
+      GROUP BY 1, 2
+    ), t{r} AS MATERIALIZED (
+      SELECT a, b FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1
+    ), a{r} AS MATERIALIZED (
+      SELECT v.w, replace(v.s, ' ' || t.a || '  ' || t.b || ' ',
+                          ' ' || t.a || t.b || ' ') AS s, v.freq
+      FROM a{r - 1} v CROSS JOIN t{r} t
+    )""")
+    parts.append(f""", tokc AS (
+      SELECT w, len(regexp_split_to_array(trim(s), '  ')) - 1 AS n
+      FROM a{k}
+    )
+    SELECT dw.doc_id, count(*)::BIGINT AS n_words,
+           sum(tokc.n)::BIGINT AS n_bpe_tokens
+    FROM dw JOIN tokc USING (w)
+    GROUP BY dw.doc_id""")
     return "".join(parts)
 
 
@@ -3393,6 +3496,71 @@ def oracle_sql() -> dict[str, str]:
                    len(toks[start + 1 : start + 20])::INTEGER AS n_chunk_toks
             FROM s
         """,
+        "cms_topk": f"""
+            WITH toks AS (
+              SELECT UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok
+              FROM documents
+            ), cells AS (
+              SELECT u.i AS row,
+                     {_SQL_MD5INT.format(x="'cms' || u.i::VARCHAR || ':' || tok")}
+                       % 1024 AS bucket
+              FROM toks, LATERAL unnest([0, 1, 2, 3]) AS u(i)
+            ), sk AS (
+              SELECT row, bucket, count(*)::BIGINT AS c
+              FROM cells GROUP BY row, bucket
+            ), exact AS (
+              SELECT tok AS token, count(*)::BIGINT AS exact_n
+              FROM toks GROUP BY tok
+              ORDER BY exact_n DESC, token ASC LIMIT 25
+            ), keys AS (
+              SELECT token, exact_n, u.i AS row,
+                     {_SQL_MD5INT.format(x="'cms' || u.i::VARCHAR || ':' || token")}
+                       % 1024 AS bucket
+              FROM exact, LATERAL unnest([0, 1, 2, 3]) AS u(i)
+            )
+            SELECT k.token, any_value(k.exact_n) AS exact_n,
+                   min(coalesce(sk.c, 0))::BIGINT AS cms_n
+            FROM keys k LEFT JOIN sk USING (row, bucket)
+            GROUP BY k.token
+        """,
+        "sample_group_k": f"""
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY {_SQL_MD5INT.format(x="'5:' || doc_id::VARCHAR")}
+                         ASC, doc_id ASC) AS rn
+              FROM documents
+            ) WHERE rn <= 100
+        """,
+        "kg_negatives": f"""
+            WITH raw AS (
+              {_doc_graph_sql()}
+            ), e AS (
+              SELECT DISTINCT src, 'rel' AS label, dst FROM raw
+            ), nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+              )
+            ), idx AS (
+              SELECT node, row_number() OVER (ORDER BY node) - 1 AS i
+              FROM nodes
+            ), cand AS (
+              SELECT e.src, e.label, e.dst, u.j,
+                     {_SQL_MD5INT.format(
+                         x="'neg7:' || u.j::VARCHAR || ':' || e.src || '>' "
+                           "|| e.label || '>' || e.dst")}
+                       % (SELECT count(*) FROM nodes) AS i
+              FROM e, LATERAL unnest([0, 1]) AS u(j)
+            )
+            SELECT c.src, c.label, x.node AS neg_dst, c.j
+            FROM cand c JOIN idx x USING (i)
+            WHERE x.node <> c.dst
+              AND NOT EXISTS (
+                SELECT 1 FROM e t
+                WHERE t.src = c.src AND t.label = c.label AND t.dst = x.node
+              )
+        """,
+        "bpe_tokenize": _bpe_apply_sql(6),
         # groups by the raw paragraph string (Spark keys on its md5 —
         # independent derivation of the same first-occurrence winner set)
         "para_dedup": """

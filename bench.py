@@ -98,7 +98,8 @@ def main() -> None:
                  "cross_dedup", "len_quantiles", "asof_join", "range_join",
                  "sample_weighted", "sample_poisson", "vocab_kmv", "bpe_vocab",
                  "pmi_top", "para_dedup", "dup_ngrams", "scd2_intervals",
-                 "claim_vote"]:
+                 "claim_vote", "cms_topk", "sample_group_k", "kg_negatives",
+                 "bpe_tokenize"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the

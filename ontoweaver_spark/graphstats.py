@@ -718,3 +718,76 @@ def shortest_paths(
     if stats is not None:
         stats["rounds"] = n
     return dist
+
+
+def negative_triples(
+    edges: DataFrame,
+    m: int = 2,
+    seed: int = 7,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    label_col: str = "label",
+) -> DataFrame:
+    """Deterministic negative sampling for KG-embedding training
+    (TransE/DistMult-style corrupted triples): for every true edge, ``m``
+    candidates ``(src, label, dst')`` with ``dst'`` hash-picked uniformly
+    from the node universe, minus any candidate that collides with a true
+    edge (or with its own ``dst``). A pure function of (graph, seed) —
+    the pick index is ``md5('neg<seed>:<j>:' src '>' label '>' dst) % N``
+    against the rank-by-id node table, so a SQL oracle reproduces the
+    exact negative set (library samplers are RNG-state-dependent).
+
+    Returns ``(src, label, neg_dst, j)``; expect slightly fewer than
+    ``m x |E|`` rows (true-edge collisions are dropped, and two ``j`` of
+    one edge may pick the same node — kept as distinct training examples
+    with their ``j``).
+
+    Scale shape: nodes are indexed by the lazy distributed zip-with-index
+    over a range-partitioned sort (no single-task window); candidates
+    join the node table on the pick index (plain equi-join, uniform by
+    construction — md5 spreads hub edges across all of [0, N)), then one
+    anti-join against the true edge set. No step holds more than
+    ``m x |E|`` rows; nothing collects.
+    """
+    from .compiler import with_row_index
+    from .textops import md5_int
+
+    nodes = (
+        edges.select(F.col(src_col).alias("_node"))
+        .unionByName(edges.select(F.col(dst_col).alias("_node")))
+        .distinct()
+    )
+    indexed = with_row_index(nodes.orderBy("_node").localCheckpoint(eager=False), "_idx")
+    n_total = indexed.agg(F.count("*").alias("_n"))
+
+    cand = (
+        edges.select(src_col, label_col, dst_col)
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            src_col,
+            label_col,
+            dst_col,
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"),
+            F.col("_n"),
+        )
+        .withColumn(
+            "_idx",
+            md5_int(
+                F.concat(
+                    F.lit(f"neg{seed}:"), F.col("j").cast("string"), F.lit(":"),
+                    F.col(src_col), F.lit(">"), F.col(label_col), F.lit(">"),
+                    F.col(dst_col),
+                )
+            )
+            % F.col("_n"),
+        )
+    )
+    picked = (
+        cand.join(indexed, "_idx")
+        .where(F.col("_node") != F.col(dst_col))
+        .select(src_col, label_col, F.col("_node").alias("neg_dst"), "j")
+    )
+    true_edges = edges.select(
+        F.col(src_col), F.col(label_col), F.col(dst_col).alias("neg_dst")
+    ).distinct()
+    return picked.join(true_edges, [src_col, label_col, "neg_dst"], "left_anti")

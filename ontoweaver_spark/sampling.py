@@ -198,3 +198,34 @@ def weighted_sample(
             .drop("_w_total")
         )
     raise ValueError(f"unknown method {method!r} (priority|poisson)")
+
+
+def per_group_sample(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly-min(k, |group|) rows PER GROUP, picked by md5 priority —
+    the "give me 10k docs per language" stage that rate-based
+    :func:`stratified_sample` can't promise (rates give binomial counts).
+    Pure function of (rows, seed): the winners are the k smallest
+    ``md5(seed ':' key)`` in each group, key tie-break, so re-runs,
+    repartitionings, and a SQL engine all pick the same rows.
+
+    Scale shape: ONE shuffle keyed on the group for the rank window; rows
+    ranked past k are dropped before anything downstream. A group 100x
+    hotter than the rest (web-scale 'en') makes that partition's sort
+    bigger, not the output — for truly pathological skew, pre-filter with
+    ``stratified_sample`` at ~2x the target rate, then exact-k here.
+    """
+    from pyspark.sql import Window
+
+    h = md5_int(F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

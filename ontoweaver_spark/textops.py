@@ -1072,3 +1072,146 @@ def duplicated_ngram_fraction(
             round_ieee(F.col("n_dup_windows") / F.col("n_windows"), 4).alias("dup_frac"),
         )
     )
+
+
+def cms_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Count-min sketch of the corpus token frequencies ->
+    ``(row, bucket, c)`` with exactly ``d * w`` possible rows — FIXED-SIZE
+    state no matter the corpus size, which is the whole point at 10^12
+    documents: the exact token count table is Zipf-huge, the sketch is
+    4 KB-ish and mergeable across partitions/batches by plain addition.
+    Hash row ``i`` buckets a token at ``md5('cms<i>:' || token) % w``,
+    so the sketch is a DETERMINISTIC pure function of the corpus (unlike
+    library CMS implementations whose seeds differ per engine) and a SQL
+    oracle rebuilds it bit-for-bit.
+
+    Scale shape: one token explode (flat map) fans out ``d`` (row, bucket)
+    cells per occurrence via a nested transform/posexplode, then ONE hash
+    aggregate; map-side partial combine bounds what reaches the exchange
+    at ``d * w`` rows PER PARTITION regardless of token skew — the
+    hottest token in the corpus costs the shuffle nothing extra.
+    """
+    cells = df.select(
+        F.explode(tokens(F.col(text_col))).alias("_tok")
+    ).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(d - 1)),
+                lambda i: F.struct(
+                    i.cast("int").alias("row"),
+                    (
+                        md5_int(
+                            F.concat(F.lit("cms"), i.cast("string"), F.lit(":"), F.col("_tok"))
+                        ) % w
+                    ).cast("int").alias("bucket"),
+                ),
+            )
+        ).alias("_cell")
+    )
+    return (
+        cells.groupBy(F.col("_cell.row").alias("row"), F.col("_cell.bucket").alias("bucket"))
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    token_col: str = "token",
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Point-query the count-min sketch for each probe token: the estimate
+    is ``min`` over the ``d`` hash rows of the bucket counters — an upper
+    bound on the true count (CMS never under-counts). Adds ``cms_n`` to
+    the probe frame.
+
+    Scale shape: the sketch is at most ``d * w`` rows, so it BROADCASTS;
+    probing any number of tokens is a map-side join + one (token-keyed)
+    min aggregate. Absent buckets count 0 (coalesce), though with corpus
+    data every bucket of a real token's row exists.
+    """
+    from pyspark.sql.functions import broadcast
+
+    keys = probes.select(
+        token_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(d - 1)),
+                lambda i: F.struct(
+                    i.cast("int").alias("row"),
+                    (
+                        md5_int(
+                            F.concat(F.lit("cms"), i.cast("string"), F.lit(":"), F.col(token_col))
+                        ) % w
+                    ).cast("int").alias("bucket"),
+                ),
+            )
+        ).alias("_cell"),
+    ).select(token_col, "_cell.row", "_cell.bucket")
+    joined = keys.join(broadcast(sketch), ["row", "bucket"], "left")
+    est = joined.groupBy(token_col).agg(
+        F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_n")
+    )
+    return probes.join(est, token_col)
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Tokenize the corpus with TRAINED BPE merge rules (the other half of
+    :func:`bpe_merges` — train once, apply everywhere) ->
+    ``(id_col, n_words, n_bpe_tokens)``, the pre-training token-budget
+    accounting at the real tokenizer's granularity rather than the
+    whitespace approximation.
+
+    The merge table is config-sized (k rows — a tokenizer has a few 10k
+    rules, bytes not gigabytes), so it is collected driver-side and
+    inlined as literal chained replaces — the same policy as `translate`'s
+    inline map (transformers.py) and the reference's in-memory
+    translation tables. Rules apply in training order over the
+    double-spaced symbol string (see bpe_merges for why the double
+    separator makes chained merges match in one left-to-right pass).
+
+    Scale shape: tokenization runs on the DISTINCT-WORD table (Zipf-small),
+    never per occurrence — one distinct agg, k chained JVM literal
+    replaces on that small frame, one join back keyed on the word (the
+    Zipf-hot words broadcast well: Spark's AQE turns the join map-side
+    when the vocab fits), one doc-keyed rollup.
+    """
+    rules = [
+        (r["a"], r["b"])
+        for r in merges.orderBy("step").select("step", "a", "b").collect()
+    ]
+    c = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    doc_words = df.select(
+        F.col(id_col), F.explode(tokens(c)).alias("w")
+    ).where(F.col("w") != "")
+    vocab = doc_words.select("w").distinct()
+    s = F.concat(
+        F.lit("  "), F.array_join(F.split(F.col("w"), ""), "  "), F.lit("  </w>  ")
+    )
+    for a, b in rules:
+        s = F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    # symbols = split on the double separator; </w> is one trailing symbol
+    # that every word carries, excluded from the count
+    tokc = vocab.select(
+        "w", (F.size(F.split(F.trim(s), "  ")) - 1).alias("_n")
+    )
+    return (
+        doc_words.join(tokc, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("_n").alias("n_bpe_tokens"),
+        )
+    )

@@ -1,0 +1,151 @@
+"""CMS sketch, per-group exact-k sampling, KG negative sampling, BPE apply."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+
+def _md5int(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_cms_sketch_and_estimate(spark):
+    from ontoweaver_spark.textops import cms_estimate, cms_sketch
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b c")], "doc_id bigint, text string"
+    )
+    sk = cms_sketch(df, d=2, w=8)
+    cells = {(r["row"], r["bucket"]): r["c"] for r in sk.collect()}
+    # python reference
+    ref = {}
+    for tok in ["a", "a", "a", "b", "a", "b", "c"]:
+        for i in range(2):
+            k = (i, _md5int(f"cms{i}:{tok}") % 8)
+            ref[k] = ref.get(k, 0) + 1
+    assert cells == ref
+    # sum per row == total token count
+    for i in range(2):
+        assert sum(v for (r, _), v in cells.items() if r == i) == 7
+
+    probes = spark.createDataFrame([("a",), ("b",), ("c",), ("zz",)], "token string")
+    est = {r["token"]: r["cms_n"] for r in cms_estimate(sk, probes, d=2, w=8).collect()}
+    # CMS never under-counts
+    assert est["a"] >= 4 and est["b"] >= 2 and est["c"] >= 1
+    # exact unless a collision in BOTH rows
+    exp = {
+        t: min(
+            sum(
+                v
+                for (i2, b2), v in ref.items()
+                if i2 == i and b2 == _md5int(f"cms{i}:{t}") % 8
+            )
+            for i in range(2)
+        )
+        for t in ["a", "b", "c", "zz"]
+    }
+    assert est == exp
+
+
+def test_per_group_sample_exact_k(spark):
+    from ontoweaver_spark.sampling import per_group_sample
+
+    rows = [(i, "g1" if i % 2 == 0 else "g2") for i in range(20)] + [(100, "g3")]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = per_group_sample(df, "lang", k=3, key_col="doc_id", seed=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["lang"], []).append(r["doc_id"])
+    assert len(got["g1"]) == 3 and len(got["g2"]) == 3
+    assert got["g3"] == [100]  # smaller group returned whole
+    # winners = k smallest md5(seed:key) per group (python reference)
+    for g, members in [("g1", range(0, 20, 2)), ("g2", range(1, 20, 2))]:
+        exp = sorted(members, key=lambda i: (_md5int(f"5:{i}"), i))[:3]
+        assert sorted(got[g]) == sorted(exp)
+    # deterministic across partitionings
+    again = per_group_sample(df.repartition(7), "lang", k=3, key_col="doc_id", seed=5)
+    assert {tuple(sorted(r)) for r in [[x["doc_id"] for x in again.collect()]]} == {
+        tuple(sorted([x for v in got.values() for x in v]))
+    }
+
+
+def test_negative_triples(spark):
+    from ontoweaver_spark.graphstats import negative_triples
+
+    edges = spark.createDataFrame(
+        [("n1", "rel", "n2"), ("n2", "rel", "n3"), ("n3", "rel", "n1")],
+        "src string, label string, dst string",
+    )
+    out = [
+        (r["src"], r["label"], r["neg_dst"], r["j"])
+        for r in negative_triples(edges, m=4, seed=3).collect()
+    ]
+    nodes = sorted(["n1", "n2", "n3"])
+    true = {("n1", "rel", "n2"), ("n2", "rel", "n3"), ("n3", "rel", "n1")}
+    # python reference: same hash-pick, same filters
+    exp = []
+    for s, l, d in sorted(true):
+        for j in range(4):
+            pick = nodes[_md5int(f"neg3:{j}:{s}>{l}>{d}") % 3]
+            if pick != d and (s, l, pick) not in true:
+                exp.append((s, l, pick, j))
+    assert sorted(out) == sorted(exp)
+    assert len(out) > 0
+    # no negative is a true edge or a self-correction
+    for s, l, nd, _ in out:
+        assert (s, l, nd) not in true
+
+
+def test_bpe_apply_counts(spark):
+    from ontoweaver_spark.textops import bpe_apply, bpe_merges
+
+    # corpus where 'ab' merges first: "abab abab cd"
+    df = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "ab cd cd")], "doc_id bigint, text string"
+    )
+    merges = bpe_merges(df, k_merges=2)
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_apply(df, merges).collect()
+    }
+    rules = [(r["a"], r["b"]) for r in merges.orderBy("step").collect()]
+
+    def apply_word(w):
+        syms = "  " + "  ".join(list(w)) + "  </w>  "
+        for a, b in rules:
+            syms = syms.replace(f" {a}  {b} ", f" {a}{b} ")
+        return len(syms.strip().split("  ")) - 1
+
+    exp = {}
+    for doc, text in [(1, "abab abab cd"), (2, "ab cd cd")]:
+        ws = text.split()
+        exp[doc] = (len(ws), sum(apply_word(w) for w in ws))
+    assert out == exp
+    # merges actually compressed: fewer bpe tokens than characters
+    assert out[1][1] < len("ababababcd")
+
+
+def test_cms_estimate_broadcasts_sketch(spark):
+    """The sketch side of the probe join must be a broadcast (it is at
+    most d*w rows by construction)."""
+    from ontoweaver_spark.textops import cms_estimate, cms_sketch
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    probes = spark.createDataFrame([("a",)], "token string")
+    plan = (
+        cms_estimate(cms_sketch(df, d=2, w=8), probes, d=2, w=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_per_group_sample_one_exchange(spark):
+    """Exactly one shuffle: the group-keyed rank window."""
+    from ontoweaver_spark.sampling import per_group_sample
+
+    df = spark.createDataFrame([(1, "g")], "doc_id bigint, lang string")
+    plan = (
+        per_group_sample(df, "lang", k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
