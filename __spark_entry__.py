@@ -1544,6 +1544,57 @@ def q_rdf_ntriples(spark, sf_dir):
     )
 
 
+def q_containment(spark, sf_dir):
+    """Asymmetric containment near-dup pairs (quote/subset detection):
+    |Sa∩Sb|/|Sa| per LSH candidate pair — the short-doc-inside-long-doc
+    case symmetric Jaccard misses."""
+    from ontoweaver_spark.dedup import containment_duplicates
+
+    _tune(spark)
+    return containment_duplicates(_docs_spread(spark, sf_dir), threshold=0.8)
+
+
+def q_event_windows(spark, sf_dir):
+    """Tumbling-window rollup via the NATIVE F.window operator (the batch
+    twin of the streaming crawl-rate aggregation): per (hour, event_type)
+    exact-integer stats. Epoch-aligned hours make DuckDB's date_trunc the
+    same bucketing."""
+    _tune(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = F.window(F.col("ts").cast("timestamp"), "1 hour")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("window_start_us"),
+            F.unix_micros(F.col("w.end").cast("timestamp")).alias("window_end_us"),
+            "event_type", "n", "first_event", "last_event",
+        )
+    )
+
+
+def q_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix through Spark's PIVOT surface: declared
+    lang x predicted lang counts as one grouping pass (zh has no marker
+    table, so its row concentrates in 'und' — the interesting cell)."""
+    from ontoweaver_spark.textops import lang_id
+
+    _tune(spark)
+    preds = ["de", "en", "es", "fr", "und"]
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", lang_id(F.col("text")).alias("pred"))
+        .groupBy("lang")
+        .pivot("pred", preds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, preds)
+    )
+
+
 def q_cms_topk(spark, sf_dir):
     """Count-min-sketch token-frequency estimates for the exact top-25
     tokens: the sketch is d*w rows of FIXED state no matter the corpus
@@ -1769,6 +1820,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngrams": q_dup_ngrams,
         "scd2_intervals": q_scd2,
         "claim_vote": q_claim_vote,
+        "dedup_containment": q_containment,
+        "event_windows": q_event_windows,
+        "lang_confusion": q_lang_confusion,
         "cms_topk": q_cms_topk,
         "sample_group_k": q_group_sample,
         "kg_negatives": q_kg_negatives,
@@ -3495,6 +3549,58 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[start + 1 : start + 20], ' ') AS chunk,
                    len(toks[start + 1 : start + 20])::INTEGER AS n_chunk_toks
             FROM s
+        """,
+        "dedup_containment": _minhash_sql_parts(collapse=True) + """
+          , counts AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+          ), cand AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.band_key = r.band_key
+             AND l.doc_id < r.doc_id
+          ), scored AS (
+            SELECT c.a, c.b,
+                   floor(count(*)::DOUBLE / any_value(ca.n_sh)
+                         * 10000 + 0.5) / 10000 AS containment_a,
+                   floor(count(*)::DOUBLE / any_value(cb.n_sh)
+                         * 10000 + 0.5) / 10000 AS containment_b,
+                   floor(count(*)::DOUBLE /
+                         (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*))
+                         * 10000 + 0.5) / 10000 AS jaccard
+            FROM cand c
+            JOIN sh la ON la.doc_id = c.a
+            JOIN sh lb ON lb.doc_id = c.b AND lb.s = la.s
+            JOIN counts ca ON ca.doc_id = c.a
+            JOIN counts cb ON cb.doc_id = c.b
+            GROUP BY c.a, c.b
+          )
+          SELECT a, b, containment_a, containment_b, jaccard FROM scored
+          WHERE containment_a >= 0.8 OR containment_b >= 0.8
+          UNION ALL
+          SELECT a, b, 1.0::DOUBLE AS containment_a, 1.0::DOUBLE AS containment_b,
+                 1.0::DOUBLE AS jaccard
+          FROM star
+        """,
+        "event_windows": """
+            SELECT epoch_us(date_trunc('hour', ts))::BIGINT AS window_start_us,
+                   (epoch_us(date_trunc('hour', ts)) + 3600000000)::BIGINT
+                     AS window_end_us,
+                   event_type, count(*)::BIGINT AS n,
+                   min(event_id) AS first_event, max(event_id) AS last_event
+            FROM events
+            GROUP BY date_trunc('hour', ts), event_type
+        """,
+        "lang_confusion": f"""
+            WITH p AS (
+              SELECT lang, {_lang_id_sql()} AS pred FROM documents
+            )
+            SELECT lang,
+                   sum(CASE WHEN pred = 'de' THEN 1 ELSE 0 END)::BIGINT AS de,
+                   sum(CASE WHEN pred = 'en' THEN 1 ELSE 0 END)::BIGINT AS en,
+                   sum(CASE WHEN pred = 'es' THEN 1 ELSE 0 END)::BIGINT AS es,
+                   sum(CASE WHEN pred = 'fr' THEN 1 ELSE 0 END)::BIGINT AS fr,
+                   sum(CASE WHEN pred = 'und' THEN 1 ELSE 0 END)::BIGINT AS und
+            FROM p GROUP BY lang
         """,
         "cms_topk": f"""
             WITH toks AS (

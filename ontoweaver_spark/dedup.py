@@ -721,3 +721,77 @@ def paragraph_dedup(
         )
     )
     return rebuilt.join(n_paras, id_col).select(id_col, "text", "n_paras", "n_kept")
+
+
+def containment_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """ASYMMETRIC near-duplicate pairs by shingle containment ->
+    ``(a, b, containment_a, containment_b, jaccard)`` where
+    ``containment_a = |Sa ∩ Sb| / |Sa|`` — the quote/subset detector: a
+    short doc wholesale-included in a long one scores containment ~1.0
+    while its Jaccard stays near |short|/|long| and symmetric dedup never
+    fires. Keeps pairs where EITHER direction's containment >= threshold.
+
+    Candidate recall caveat (documented, deliberate): candidates come from
+    the same MinHash band join as :func:`verified_candidates`, whose
+    collision probability follows JACCARD — a contained-but-tiny doc
+    (jaccard << threshold) may never band-collide. Raising ``bands``
+    (more, narrower bands) pushes the curve left; a true containment
+    index needs asymmetric sketches (e.g. prefix/bottom-k of the SHORTER
+    set only), which is the production extension point. Exact-duplicate
+    family members keep containment 1.0 with zero verify work.
+
+    Scale shape: identical to verified_candidates — banded self-join for
+    candidates, two id-keyed hash joins to attach shingle arrays,
+    partition-local intersection; never the raw inverted-index blowup.
+    """
+    if collapse_exact:
+        star, canon_ids = _exact_family_star(df, text_col, id_col)
+        canon_docs = df.join(canon_ids, id_col, "left_semi")
+        banded = minhash_bands(canon_docs, text_col, id_col, num_hashes, bands, shingle_k)
+        cand = _band_pairs(banded, id_col)
+        sets_df = canon_docs
+    else:
+        star = None
+        cand = minhash_candidates(
+            df, text_col, id_col, num_hashes, bands, shingle_k, collapse_exact=False
+        )
+        sets_df = df
+    sets_ = sets_df.select(F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    verified = (
+        cand.join(sets_.select(F.col(id_col).alias("a"), F.col("sh").alias("sa")), "a")
+        .join(sets_.select(F.col(id_col).alias("b"), F.col("sh").alias("sb")), "b")
+        .withColumn("_i", inter)
+        .select(
+            "a", "b",
+            round_ieee(F.col("_i") / F.size("sa"), 4).alias("containment_a"),
+            round_ieee(F.col("_i") / F.size("sb"), 4).alias("containment_b"),
+            round_ieee(
+                F.col("_i") / (F.size("sa") + F.size("sb") - F.col("_i")), 4
+            ).alias("jaccard"),
+        )
+        .where(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+    )
+    if star is not None:
+        one = F.lit(1.0).cast("double")
+        star_rows = (
+            star.withColumn("containment_a", one)
+            .withColumn("containment_b", one)
+            .withColumn("jaccard", one)
+        )
+        if threshold > 1.0:
+            star_rows = star_rows.where(F.lit(False))
+        verified = verified.unionByName(star_rows)
+    return verified

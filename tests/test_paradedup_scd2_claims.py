@@ -136,3 +136,31 @@ def test_validity_intervals_single_shuffle(spark):
     )
     plan = validity_intervals(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_containment_asymmetric(spark):
+    """A short doc quoted inside a long one: containment fires where
+    symmetric Jaccard stays low."""
+    from ontoweaver_spark.dedup import containment_duplicates, verified_candidates
+
+    short = " ".join(f"s{i}" for i in range(20))
+    long_ = short + " " + " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, long_), (2, short)], "doc_id bigint, text string"
+    )
+    # bands=16 (every single minhash its own band) maximizes collision
+    # odds: jaccard ~0.64 here, so >=1 of 16 bands sharing a minimum is
+    # near-certain, while 0.64 stays below the 0.8 symmetric threshold
+    rows = containment_duplicates(
+        df, threshold=0.8, num_hashes=16, bands=16
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a"], r["b"]) == (1, 2)
+    # all of the short doc's shingles are in the long doc
+    assert r["containment_b"] == 1.0
+    assert r["containment_a"] < 0.8
+    assert r["jaccard"] < 0.8
+    # symmetric verify at the same threshold misses the pair entirely
+    sym = verified_candidates(df, threshold=0.8, num_hashes=16, bands=16)
+    assert sym.count() == 0
