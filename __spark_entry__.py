@@ -1544,6 +1544,29 @@ def q_rdf_ntriples(spark, sf_dir):
     )
 
 
+def q_er_pairs(spark, sf_dir):
+    """Sorted-neighborhood ER blocking + levenshtein verify over synthetic
+    entity mentions (two per doc; every third doc's second mention carries
+    a corp->crop typo). Number-adjacent names ('entity 100/101 corp')
+    legitimately pair at distance 1 too — the oracle mirrors exactly."""
+    from ontoweaver_spark.linking import er_candidates
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    base = F.concat(
+        F.lit("entity "), (F.col("doc_id") % 500).cast("string"), F.lit(" corp")
+    )
+    m1 = docs.select(
+        (F.col("doc_id") * 2).alias("entity_id"), base.alias("name")
+    )
+    m2 = docs.select(
+        (F.col("doc_id") * 2 + 1).alias("entity_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.replace(base, F.lit("corp"), F.lit("crop")))
+        .otherwise(base).alias("name"),
+    )
+    return er_candidates(m1.unionByName(m2), window=3, max_distance=2)
+
+
 def q_containment(spark, sf_dir):
     """Asymmetric containment near-dup pairs (quote/subset detection):
     |Sa∩Sb|/|Sa| per LSH candidate pair — the short-doc-inside-long-doc
@@ -1820,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngrams": q_dup_ngrams,
         "scd2_intervals": q_scd2,
         "claim_vote": q_claim_vote,
+        "er_pairs": q_er_pairs,
         "dedup_containment": q_containment,
         "event_windows": q_event_windows,
         "lang_confusion": q_lang_confusion,
@@ -3549,6 +3573,31 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[start + 1 : start + 20], ' ') AS chunk,
                    len(toks[start + 1 : start + 20])::INTEGER AS n_chunk_toks
             FROM s
+        """,
+        "er_pairs": """
+            WITH ents AS (
+              SELECT doc_id * 2 AS entity_id,
+                     'entity ' || (doc_id % 500)::VARCHAR || ' corp' AS cn
+              FROM documents
+              UNION ALL
+              SELECT doc_id * 2 + 1,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN replace('entity ' || (doc_id % 500)::VARCHAR
+                                       || ' corp', 'corp', 'crop')
+                          ELSE 'entity ' || (doc_id % 500)::VARCHAR || ' corp'
+                     END
+              FROM documents
+            ), ranked AS (
+              SELECT entity_id, cn,
+                     row_number() OVER (ORDER BY cn, entity_id) - 1 AS rk
+              FROM ents
+            )
+            SELECT l.entity_id AS a, r.entity_id AS b,
+                   l.cn AS name_a, r.cn AS name_b,
+                   levenshtein(l.cn, r.cn) AS distance
+            FROM ranked l JOIN ranked r
+              ON r.rk > l.rk AND r.rk - l.rk <= 3
+            WHERE levenshtein(l.cn, r.cn) <= 2
         """,
         "dedup_containment": _minhash_sql_parts(collapse=True) + """
           , counts AS (

@@ -207,3 +207,67 @@ def resolve_claims(
         "*",
         round_ieee(F.col("support") / F.col("total_support"), 4).alias("confidence"),
     )
+
+
+def er_candidates(
+    entities: DataFrame,
+    name_col: str = "name",
+    id_col: str = "entity_id",
+    window: int = 3,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood entity-resolution blocking + edit-distance
+    verification -> ``(a, b, name_a, name_b, distance)``: the fuzzy-match
+    stage BETWEEN exact canonicalization (:func:`canonical_entity`) and
+    human review — typo'd variants ("acme corp" / "acme crop") block
+    together because they sort together, then ``levenshtein`` confirms.
+
+    Sorted-neighborhood is the classic alternative to LSH blocking for
+    SHORT strings (names), where shingle minhash is noise: sort all
+    canonical names once, compare each row only to the ``window`` rows
+    after it, verify the O(n * window) candidate pairs exactly.
+
+    Pairs are emitted with ``a`` = the sort-earlier entity id; both
+    directions of a match appear once. Entities whose canonical names are
+    EQUAL are each other's duplicates already (distance 0) and still pair
+    here (rank neighbors), so the output subsumes exact-name matching
+    inside the window.
+
+    Scale shape: ONE range-partitioned distributed sort (never a
+    single-task window — the rank is the lazy zip-with-index of
+    training_order), then a bucketed self-join on ``rank // window``
+    (each row joins its own and the next bucket only — 2 probes per row,
+    |pairs| <= n * window before the distance filter). ``levenshtein``
+    is JVM whole-stage-codegen; nothing collects.
+    """
+    from .compiler import with_row_index
+
+    canon = entities.select(
+        F.col(id_col), canonical_entity(F.col(name_col)).alias("_cn")
+    )
+    ordered = canon.orderBy("_cn", id_col).localCheckpoint(eager=False)
+    ranked = with_row_index(ordered, "_rk").localCheckpoint(eager=False)
+
+    left = ranked.select(
+        F.col(id_col).alias("a"), F.col("_cn").alias("name_a"),
+        F.col("_rk").alias("_ra"), (F.col("_rk") / window).cast("long").alias("_bk"),
+    )
+    probe = ranked.select(
+        F.col(id_col).alias("b"), F.col("_cn").alias("name_b"),
+        F.col("_rk").alias("_rb"),
+        F.explode(
+            F.array(
+                (F.col("_rk") / window).cast("long"),
+                (F.col("_rk") / window).cast("long") - 1,
+            )
+        ).alias("_bk"),
+    )
+    return (
+        left.join(probe, "_bk")
+        .where(
+            (F.col("_rb") > F.col("_ra")) & (F.col("_rb") - F.col("_ra") <= window)
+        )
+        .withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .where(F.col("distance") <= max_distance)
+        .select("a", "b", "name_a", "name_b", "distance")
+    )

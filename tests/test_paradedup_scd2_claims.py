@@ -164,3 +164,49 @@ def test_containment_asymmetric(spark):
     # symmetric verify at the same threshold misses the pair entirely
     sym = verified_candidates(df, threshold=0.8, num_hashes=16, bands=16)
     assert sym.count() == 0
+
+
+def test_er_candidates_sorted_neighborhood(spark):
+    """Typo variants pair within the window; identical names pair at
+    distance 0; far-apart names never meet; matches a python reference."""
+    from ontoweaver_spark.linking import er_candidates
+
+    rows = [
+        (1, "Acme Corp"), (2, "acme corp"),   # canonical-equal -> dist 0
+        (3, "acme crop"),                     # transposition  -> dist 2
+        (4, "zzz totally different"),
+        (5, "acme corp international"),       # within window, dist > 2 -> out
+    ]
+    df = spark.createDataFrame(rows, "entity_id bigint, name string")
+    out = sorted(
+        (r["a"], r["b"], r["distance"])
+        for r in er_candidates(df, window=3, max_distance=2).collect()
+    )
+
+    # python reference: same canonicalization, rank, window, distance
+    import re
+
+    def canon(s):
+        return re.sub(r"\s+", " ", re.sub(r"[^a-z0-9]+", " ", s.lower())).strip()
+
+    def lev(x, y):
+        dp = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            prev, dp[0] = dp[0], i
+            for j, cy in enumerate(y, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (cx != cy))
+        return dp[-1]
+
+    ranked = sorted(((canon(n), i) for i, n in rows))
+    exp = sorted(
+        (ranked[i][1], ranked[j][1], lev(ranked[i][0], ranked[j][0]))
+        for i in range(len(ranked))
+        for j in range(i + 1, min(i + 4, len(ranked)))
+        if lev(ranked[i][0], ranked[j][0]) <= 2
+    )
+    assert out == exp
+    ids = {(a, b) for a, b, _ in out}
+    assert (1, 2) in ids or (2, 1) in ids          # exact pair found
+    assert any(3 in p for p in ids)                # typo variant found
+    assert not any(4 in p for p in ids)            # unrelated name isolated
+    assert not any(5 in p for p in ids)            # >max_distance filtered
