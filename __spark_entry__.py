@@ -1544,6 +1544,29 @@ def q_rdf_ntriples(spark, sf_dir):
     )
 
 
+def q_walk_pairs(spark, sf_dir):
+    """Skip-gram (center, context) pair frequencies from the deterministic
+    random walks — the node2vec training-pair stage; oracle re-derives the
+    walks via unrolled arg_min CTEs and self-joins on step distance."""
+    from ontoweaver_spark.graphstats import random_walks, walk_skipgram_pairs
+
+    _tune(spark)
+    walks = random_walks(
+        _doc_graph(spark, sf_dir), walk_length=3, walks_per_node=1, seed=0
+    )
+    return walk_skipgram_pairs(walks, window=2)
+
+
+def q_filter_audit(spark, sf_dir):
+    """Attribute-then-filter with an audit bitmask (never drop a doc
+    without recording which rule fired): five exact-rational rules in one
+    zero-shuffle projection."""
+    from ontoweaver_spark.textops import filter_audit
+
+    _tune(spark)
+    return filter_audit(_docs(spark, sf_dir), min_tokens=5, max_tokens=5000)
+
+
 def q_er_pairs(spark, sf_dir):
     """Sorted-neighborhood ER blocking + levenshtein verify over synthetic
     entity mentions (two per doc; every third doc's second mention carries
@@ -1843,6 +1866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngrams": q_dup_ngrams,
         "scd2_intervals": q_scd2,
         "claim_vote": q_claim_vote,
+        "walk_pairs": q_walk_pairs,
+        "filter_audit": q_filter_audit,
         "er_pairs": q_er_pairs,
         "dedup_containment": q_containment,
         "event_windows": q_event_windows,
@@ -3573,6 +3598,45 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[start + 1 : start + 20], ' ') AS chunk,
                    len(toks[start + 1 : start + 20])::INTEGER AS n_chunk_toks
             FROM s
+        """,
+        "walk_pairs": f"""
+            WITH walks AS (
+              {_walks_sql(3, 0)}
+            ), fwd AS (
+              SELECT l.node AS center, r.node AS context
+              FROM walks l JOIN walks r
+                ON l.walk_id = r.walk_id
+               AND r.step > l.step AND r.step - l.step <= 2
+            )
+            SELECT center, context, count(*)::BIGINT AS n_pairs FROM (
+              SELECT center, context FROM fwd
+              UNION ALL
+              SELECT context AS center, center AS context FROM fwd
+            ) GROUP BY center, context
+        """,
+        "filter_audit": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(regexp_split_to_array(trim(text), '\\s+')) AS n,
+                     len(list_distinct(
+                       regexp_split_to_array(trim(text), '\\s+'))) AS nd,
+                     length(regexp_replace(text, '\\s+', '', 'g')) AS chars,
+                     len(regexp_extract_all(lower(text),
+                       '\\b(the|a|an|and|or|of|to|in|is|it)\\b', 1)) AS stop_hits
+              FROM documents
+            ), r AS (
+              SELECT doc_id, n,
+                     (CASE WHEN n < 5 THEN 1 ELSE 0 END
+                      + CASE WHEN n > 5000 THEN 2 ELSE 0 END
+                      + CASE WHEN chars < 3 * n OR chars > 10 * n
+                             THEN 4 ELSE 0 END
+                      + CASE WHEN stop_hits = 0 THEN 8 ELSE 0 END
+                      + CASE WHEN n > 2 * nd THEN 16 ELSE 0 END) AS reasons
+              FROM t
+            )
+            SELECT doc_id, n::BIGINT AS n_tokens, reasons::INTEGER AS reasons,
+                   (reasons = 0) AS keep
+            FROM r
         """,
         "er_pairs": """
             WITH ents AS (

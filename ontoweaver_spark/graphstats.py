@@ -791,3 +791,49 @@ def negative_triples(
         F.col(src_col), F.col(label_col), F.col(dst_col).alias("neg_dst")
     ).distinct()
     return picked.join(true_edges, [src_col, label_col, "neg_dst"], "left_anti")
+
+
+def walk_skipgram_pairs(
+    walks: DataFrame,
+    window: int = 2,
+    walk_col: str = "walk_id",
+    step_col: str = "step",
+    node_col: str = "node",
+) -> DataFrame:
+    """Skip-gram training pairs from walk positions (the DeepWalk/node2vec
+    stage between :func:`random_walks` and the embedding trainer) ->
+    ``(center, context, n_pairs)``: every ordered position pair within
+    ``window`` steps of each other, BOTH directions, aggregated to
+    frequencies — exactly the (input, output) distribution word2vec's
+    skip-gram objective samples from.
+
+    Scale shape: one groupBy(walk_id) collects each walk into a bounded
+    array (walk_length is config-small — the state is never corpus-sized),
+    a HOF slice/transform explodes the within-window pairs with zero
+    joins, and one counting aggregate with map-side partials absorbs the
+    hub-pair skew. Two shuffles total, both on necessary keys.
+    """
+    seq = F.array_sort(F.collect_list(F.struct(step_col, node_col)))
+    per_walk = walks.groupBy(walk_col).agg(seq.alias("_seq"))
+    pairs = per_walk.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_seq"),
+                    lambda s, i: F.transform(
+                        F.slice(F.col("_seq"), i + 2, window),
+                        lambda t: F.struct(
+                            s[node_col].alias("center"),
+                            t[node_col].alias("context"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.center", "p.context")
+    both = pairs.unionByName(
+        pairs.select(
+            F.col("context").alias("center"), F.col("center").alias("context")
+        )
+    )
+    return both.groupBy("center", "context").agg(F.count("*").alias("n_pairs"))

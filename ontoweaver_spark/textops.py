@@ -1215,3 +1215,54 @@ def bpe_apply(
             F.sum("_n").alias("n_bpe_tokens"),
         )
     )
+
+
+def filter_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_tokens: int = 5000,
+) -> DataFrame:
+    """Quality filtering WITH an audit trail (the Dolma/RefinedWeb
+    attribute-then-filter pattern: never drop a document without recording
+    which rule fired) -> ``(id, n_tokens, reasons, keep)`` where
+    ``reasons`` is a bitmask over the five rules:
+
+    - 1: fewer than ``min_tokens`` tokens
+    - 2: more than ``max_tokens`` tokens
+    - 4: mean word length outside [3, 10] chars (tested RATIONALLY as
+      ``3*n <= total_chars <= 10*n`` — no FP division to diverge between
+      engines)
+    - 8: zero stopword hits (word-soup / non-language detector)
+    - 16: duplicate-token fraction above 1/2 (``n > 2 * n_distinct``)
+
+    ``keep = (reasons == 0)``. At 100 TB this is the shape that matters:
+    ONE projection, zero shuffles, every rule a codegen'd integer
+    comparison; the mask aggregates cheaply downstream (per-rule kill
+    counts = one sum of bit tests) and filtering is ``WHERE keep`` with
+    full scan pushdown.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    chars = F.length(F.regexp_replace(c, r"\s+", ""))
+    stop_hits = marker_count(c, STOPWORDS)
+    rules = [
+        (n < min_tokens, 1),
+        (n > max_tokens, 2),
+        ((chars < 3 * n) | (chars > 10 * n), 4),
+        (stop_hits == 0, 8),
+        (n > 2 * n_distinct, 16),
+    ]
+    reasons = None
+    for cond, bit in rules:
+        term = F.when(cond, F.lit(bit)).otherwise(F.lit(0))
+        reasons = term if reasons is None else reasons + term
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        reasons.cast("int").alias("reasons"),
+        (reasons == 0).alias("keep"),
+    )

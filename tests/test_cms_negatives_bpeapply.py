@@ -149,3 +149,39 @@ def test_per_group_sample_one_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_walk_skipgram_pairs(spark):
+    from ontoweaver_spark.graphstats import walk_skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [("w1", 0, "a"), ("w1", 1, "b"), ("w1", 2, "c"), ("w1", 3, "d"),
+         ("w2", 0, "a"), ("w2", 1, "b")],
+        "walk_id string, step int, node string",
+    )
+    out = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in walk_skipgram_pairs(walks, window=2).collect()
+    }
+    # w1 fwd: ab ac bc bd cd ; w2 fwd: ab — then mirrored
+    assert out[("a", "b")] == 2 and out[("b", "a")] == 2
+    assert out[("a", "c")] == 1 and out[("c", "a")] == 1
+    assert ("a", "d") not in out  # distance 3 > window
+    assert sum(out.values()) == 12  # 6 fwd pairs, both directions
+
+
+def test_filter_audit_bitmask(spark):
+    from ontoweaver_spark.textops import filter_audit
+
+    rows = [
+        (1, "the quick brown fox jumps over it"),      # clean
+        (2, "a b"),                                    # too short + short words
+        (3, "the " + "spam " * 30),                    # dup tokens
+        (4, "zz qq ww rr tt yy uu"),                   # no stopword, short words
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: (r["reasons"], r["keep"]) for r in filter_audit(df).collect()}
+    assert out[1] == (0, True)
+    assert out[2][0] & 1 and out[2][0] & 4 and not out[2][1]
+    assert out[3][0] & 16 and not out[3][1]
+    assert out[4][0] & 8 and out[4][0] & 4 and not out[4][1]
