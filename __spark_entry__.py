@@ -1544,6 +1544,32 @@ def q_rdf_ntriples(spark, sf_dir):
     )
 
 
+def q_norm_text(spark, sf_dir):
+    """Crawl-text normalization over a deterministically-dirtied corpus
+    (ZWSP + tabs + a BEL control char + a 4-newline run injected around
+    each document's text): byte-noise variants normalize to one string."""
+    from ontoweaver_spark.textops import normalize_text
+
+    _tune(spark)
+    dirty = F.concat(
+        F.lit("\u200b  "), F.col("text"),
+        F.lit("\t\tend\u0007here\n\n\n\ntail  "),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", normalize_text(dirty).alias("clean")
+    )
+
+
+def q_dedup_keep(spark, sf_dir):
+    """The actionable dedup output: one (doc_id, cluster_id, keep) row per
+    document — keep = cluster canonical or unclustered. Downstream
+    filtering is a pure WHERE keep."""
+    from ontoweaver_spark.dedup import dedup_decisions
+
+    _tune(spark)
+    return dedup_decisions(_docs_spread(spark, sf_dir), threshold=0.8)
+
+
 def q_walk_pairs(spark, sf_dir):
     """Skip-gram (center, context) pair frequencies from the deterministic
     random walks — the node2vec training-pair stage; oracle re-derives the
@@ -1866,6 +1892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngrams": q_dup_ngrams,
         "scd2_intervals": q_scd2,
         "claim_vote": q_claim_vote,
+        "norm_text": q_norm_text,
+        "dedup_keep": q_dedup_keep,
         "walk_pairs": q_walk_pairs,
         "filter_audit": q_filter_audit,
         "er_pairs": q_er_pairs,
@@ -2366,6 +2394,37 @@ def oracle_sql() -> dict[str, str]:
     norm_text = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
     fingerprint_sql = _SQL_MD5INT.format(x=norm_text)
     n_tokens_sql = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    clusters_sql = _minhash_sql_parts().replace("WITH toks", "WITH RECURSIVE toks") + """
+          , counts AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+          ), cand AS (
+            -- LSH candidate pairs (same as the dedup_minhash oracle)
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.band_key = r.band_key
+             AND l.doc_id < r.doc_id
+          ), jp AS (
+            -- exact-Jaccard verification restricted to LSH candidates
+            SELECT c.a, c.b
+            FROM cand c
+            JOIN sh la ON la.doc_id = c.a
+            JOIN sh lb ON lb.doc_id = c.b AND lb.s = la.s
+            JOIN counts ca ON ca.doc_id = c.a
+            JOIN counts cb ON cb.doc_id = c.b
+            GROUP BY c.a, c.b
+            HAVING floor(count(*)::DOUBLE /
+                         (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*))
+                         * 10000 + 0.5) / 10000 >= 0.8
+          ), und AS (
+            SELECT a, b FROM jp UNION SELECT b, a FROM jp
+          ), reach(x, y) AS (
+            SELECT a, b FROM und
+            UNION
+            SELECT r.x, u.b FROM reach r JOIN und u ON r.y = u.a
+          )
+          SELECT x AS doc_id, least(x, min(y)) AS cluster_id
+          FROM reach GROUP BY x
+        """
     return {
         "kg_nodes": """
             SELECT doc_id::VARCHAR || ':document' AS id, 'document' AS label FROM documents
@@ -2661,37 +2720,7 @@ def oracle_sql() -> dict[str, str]:
         # purpose: the collapsed Spark path must produce identical clusters
         # (star edges preserve connectivity exactly), so this is an
         # independent-derivation check, not a mirrored one.
-        "dedup_clusters": _minhash_sql_parts().replace("WITH toks", "WITH RECURSIVE toks") + """
-          , counts AS (
-            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
-          ), cand AS (
-            -- LSH candidate pairs (same as the dedup_minhash oracle)
-            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-            FROM banded l JOIN banded r
-              ON l.band = r.band AND l.band_key = r.band_key
-             AND l.doc_id < r.doc_id
-          ), jp AS (
-            -- exact-Jaccard verification restricted to LSH candidates
-            SELECT c.a, c.b
-            FROM cand c
-            JOIN sh la ON la.doc_id = c.a
-            JOIN sh lb ON lb.doc_id = c.b AND lb.s = la.s
-            JOIN counts ca ON ca.doc_id = c.a
-            JOIN counts cb ON cb.doc_id = c.b
-            GROUP BY c.a, c.b
-            HAVING floor(count(*)::DOUBLE /
-                         (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*))
-                         * 10000 + 0.5) / 10000 >= 0.8
-          ), und AS (
-            SELECT a, b FROM jp UNION SELECT b, a FROM jp
-          ), reach(x, y) AS (
-            SELECT a, b FROM und
-            UNION
-            SELECT r.x, u.b FROM reach r JOIN und u ON r.y = u.a
-          )
-          SELECT x AS doc_id, least(x, min(y)) AS cluster_id
-          FROM reach GROUP BY x
-        """,
+        "dedup_clusters": clusters_sql,
         "decontam": f"""
             WITH toks AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
@@ -3598,6 +3627,35 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[start + 1 : start + 20], ' ') AS chunk,
                    len(toks[start + 1 : start + 20])::INTEGER AS n_chunk_toks
             FROM s
+        """,
+        "norm_text": """
+            WITH dirty AS (
+              SELECT doc_id,
+                     chr(8203) || '  ' || text || chr(9) || chr(9) || 'end'
+                       || chr(7) || 'here' || repeat(chr(10), 4) || 'tail  '
+                       AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(t,
+                               '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'),
+                             '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\t]', ' ', 'g'),
+                           ' {2,}', ' ', 'g'),
+                         ' *\\n *', chr(10), 'g'),
+                       '\\n{3,}', chr(10) || chr(10), 'g'),
+                     '^[\\s]+|[\\s]+$', '', 'g') AS clean
+            FROM dirty
+        """,
+        "dedup_keep": f"""
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                   (c.cluster_id IS NULL OR c.cluster_id = d.doc_id) AS keep
+            FROM documents d LEFT JOIN ({clusters_sql}) c USING (doc_id)
         """,
         "walk_pairs": f"""
             WITH walks AS (

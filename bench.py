@@ -100,7 +100,8 @@ def main() -> None:
                  "pmi_top", "para_dedup", "dup_ngrams", "scd2_intervals",
                  "claim_vote", "cms_topk", "sample_group_k", "kg_negatives",
                  "bpe_tokenize", "dedup_containment", "event_windows",
-                 "lang_confusion", "er_pairs", "walk_pairs", "filter_audit"]:
+                 "lang_confusion", "er_pairs", "walk_pairs", "filter_audit",
+                 "dedup_keep", "norm_text"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the

@@ -795,3 +795,38 @@ def containment_duplicates(
             star_rows = star_rows.where(F.lit(False))
         verified = verified.unionByName(star_rows)
     return verified
+
+
+def dedup_decisions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """The ACTIONABLE output of near-dedup — one row per document:
+    ``(id, cluster_id, keep)`` where ``cluster_id`` is the doc's near-dup
+    cluster canonical (its own id when unclustered) and ``keep`` marks the
+    cluster minimum. Downstream is a pure ``WHERE keep`` filter with full
+    pushdown; the drop set, grouped by cluster, is the dedup report.
+
+    Scale shape: :func:`duplicate_clusters` (LSH -> verify -> CC) produces
+    rows ONLY for clustered docs — Zipf-small next to the corpus — so the
+    decision join is a LEFT join of the corpus against a small frame
+    (broadcastable; AQE picks that up from its actual size at runtime).
+    """
+    clusters = duplicate_clusters(
+        df, text_col, id_col, threshold, shingle_k, num_hashes, bands
+    )
+    return (
+        df.select(id_col)
+        .join(clusters, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+            (F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col(id_col)))
+            .alias("keep"),
+        )
+    )

@@ -1266,3 +1266,25 @@ def filter_audit(
         reasons.cast("int").alias("reasons"),
         (reasons == 0).alias("keep"),
     )
+
+
+def normalize_text(c: Column) -> Column:
+    """Crawl-text normalization (the cleanup pass before fingerprinting /
+    shingling — byte-noise variants of one page must normalize to the
+    SAME string or every downstream dedup treats them as distinct):
+
+    - zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) removed
+    - C0 control characters (except newline) and tabs -> a space
+    - space runs collapsed; spaces hugging a newline dropped
+    - 3+ consecutive newlines collapsed to a paragraph break (2)
+    - leading/trailing whitespace trimmed
+
+    Pure Column expression — zero shuffle, whole-stage codegen, pushdown-
+    composable; the regex chain is fixed so any engine reproduces it.
+    """
+    x = F.regexp_replace(c, "[\u200B\u200C\u200D\uFEFF]", "")
+    x = F.regexp_replace(x, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\t]", " ")
+    x = F.regexp_replace(x, r" {2,}", " ")
+    x = F.regexp_replace(x, r" *\n *", "\n")
+    x = F.regexp_replace(x, r"\n{3,}", "\n\n")
+    return F.regexp_replace(x, r"^[\s]+|[\s]+$", "")

@@ -210,3 +210,34 @@ def test_er_candidates_sorted_neighborhood(spark):
     assert any(3 in p for p in ids)                # typo variant found
     assert not any(4 in p for p in ids)            # unrelated name isolated
     assert not any(5 in p for p in ids)            # >max_distance filtered
+
+
+def test_dedup_decisions_keep_list(spark):
+    from ontoweaver_spark.dedup import dedup_decisions
+
+    t = "alpha beta gamma delta epsilon zeta"
+    rows = [(1, t), (2, t), (3, t + " extra"), (4, "totally different words here")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in dedup_decisions(df, threshold=0.5, num_hashes=16, bands=16).collect()
+    }
+    assert len(out) == 4                      # every doc gets a decision
+    assert out[1] == (1, True)                # cluster canonical kept
+    assert out[2] == (1, False)               # exact dup dropped
+    assert out[3][1] is False or out[3][0] == 3  # near-dup joins cluster 1 (LSH permitting)
+    assert out[4] == (4, True)                # unclustered doc kept
+
+
+def test_normalize_text(spark):
+    from ontoweaver_spark.textops import normalize_text
+    from pyspark.sql import functions as F
+
+    dirty = "\u200b  hello\tworld\x07!  \n   \n\n\n  tail  "
+    df = spark.createDataFrame([(1, dirty)], "i bigint, t string")
+    out = df.select(normalize_text(F.col("t")).alias("c")).collect()[0]["c"]
+    assert out == "hello world !\n\ntail"
+    # idempotent: normalizing a normalized string is a no-op
+    df2 = spark.createDataFrame([(1, out)], "i bigint, t string")
+    again = df2.select(normalize_text(F.col("t")).alias("c")).collect()[0]["c"]
+    assert again == out
