@@ -1544,6 +1544,37 @@ def q_rdf_ntriples(spark, sf_dir):
     )
 
 
+def q_sliding_windows(spark, sf_dir):
+    """SLIDING-window rollup (1h window, 30m slide — each event lands in
+    exactly two windows) via the native F.window overlap explode; the
+    oracle derives both covering windows arithmetically per event."""
+    _tune(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = F.window(F.col("ts").cast("timestamp"), "1 hour", "30 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.min("event_id").alias("first_event"))
+        .select(
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("window_start_us"),
+            "event_type", "n", "first_event",
+        )
+    )
+
+
+def q_quality_tiles(spark, sf_dir):
+    """Per-language length deciles via ntile (deterministic order:
+    n_chars DESC, doc_id) — the curriculum-bucketing stage. Partitioned by
+    lang so no single-task global sort; the global variant should go
+    through the histogram quantiles (len_quantiles) instead."""
+    from pyspark.sql import Window
+
+    _tune(spark)
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.ntile(10).over(w).alias("tile")
+    )
+
+
 def q_norm_text(spark, sf_dir):
     """Crawl-text normalization over a deterministically-dirtied corpus
     (ZWSP + tabs + a BEL control char + a 4-newline run injected around
@@ -1892,6 +1923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngrams": q_dup_ngrams,
         "scd2_intervals": q_scd2,
         "claim_vote": q_claim_vote,
+        "sliding_windows": q_sliding_windows,
+        "quality_tiles": q_quality_tiles,
         "norm_text": q_norm_text,
         "dedup_keep": q_dedup_keep,
         "walk_pairs": q_walk_pairs,
@@ -3627,6 +3660,26 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[start + 1 : start + 20], ' ') AS chunk,
                    len(toks[start + 1 : start + 20])::INTEGER AS n_chunk_toks
             FROM s
+        """,
+        "sliding_windows": """
+            WITH ev AS (
+              SELECT event_id, event_type,
+                     (epoch_us(ts) // 1800000000) * 1800000000 AS g
+              FROM events
+            ), x AS (
+              SELECT event_id, event_type,
+                     g - u.k * 1800000000 AS ws
+              FROM ev, LATERAL unnest([0, 1]) AS u(k)
+            )
+            SELECT ws AS window_start_us, event_type, count(*)::BIGINT AS n,
+                   min(event_id) AS first_event
+            FROM x GROUP BY ws, event_type
+        """,
+        "quality_tiles": """
+            SELECT doc_id, lang,
+                   ntile(10) OVER (PARTITION BY lang
+                     ORDER BY n_chars DESC, doc_id ASC) AS tile
+            FROM documents
         """,
         "norm_text": """
             WITH dirty AS (
