@@ -3697,7 +3697,7 @@ def oracle_sql() -> dict[str, str]:
                            regexp_replace(
                              regexp_replace(t,
                                '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'),
-                             '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\t]', ' ', 'g'),
+                             '[\\x00-\\x08\\x0B-\\x1F\\x7F\\t]', ' ', 'g'),
                            ' {2,}', ' ', 'g'),
                          ' *\\n *', chr(10), 'g'),
                        '\\n{3,}', chr(10) || chr(10), 'g'),

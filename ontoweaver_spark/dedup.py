@@ -332,6 +332,38 @@ def connected_components(
     return labels.select(F.col("v").alias("vertex"), F.col("label").alias("component"))
 
 
+
+def _candidate_sets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+    collapse_exact: bool,
+):
+    """Shared LSH scaffolding for the pairwise verifiers: ``(cand, sets_,
+    star)`` — candidate (a, b) pairs, the per-doc shingle arrays of the
+    frame that was banded, and the exact-family star edges (None when
+    ``collapse_exact`` is off). Keeping this in ONE place makes the
+    collapse invariants (case-preserving fingerprint, O(m) star shape)
+    structurally shared by every verifier built on it."""
+    if collapse_exact:
+        star, canon_ids = _exact_family_star(df, text_col, id_col)
+        canon_docs = df.join(canon_ids, id_col, "left_semi")
+        banded = minhash_bands(canon_docs, text_col, id_col, num_hashes, bands, shingle_k)
+        cand = _band_pairs(banded, id_col)
+        sets_df = canon_docs
+    else:
+        star = None
+        cand = minhash_candidates(
+            df, text_col, id_col, num_hashes, bands, shingle_k, collapse_exact=False
+        )
+        sets_df = df
+    sets_ = sets_df.select(F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh"))
+    return cand, sets_, star
+
+
 def verified_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -356,19 +388,9 @@ def verified_candidates(
     family members re-enter as (canonical, member) rows with jaccard 1.0
     (identical fingerprint => identical shingle set) — no per-member
     verification work, O(m) output per m-doc family."""
-    if collapse_exact:
-        star, canon_ids = _exact_family_star(df, text_col, id_col)
-        canon_docs = df.join(canon_ids, id_col, "left_semi")
-        banded = minhash_bands(canon_docs, text_col, id_col, num_hashes, bands, shingle_k)
-        cand = _band_pairs(banded, id_col)
-        sets_df = canon_docs
-    else:
-        star = None
-        cand = minhash_candidates(
-            df, text_col, id_col, num_hashes, bands, shingle_k, collapse_exact=False
-        )
-        sets_df = df
-    sets_ = sets_df.select(F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh"))
+    cand, sets_, star = _candidate_sets(
+        df, text_col, id_col, num_hashes, bands, shingle_k, collapse_exact
+    )
     inter = F.size(F.array_intersect("sa", "sb"))
     verified = (
         cand.join(sets_.select(F.col(id_col).alias("a"), F.col("sh").alias("sa")), "a")
@@ -652,17 +674,27 @@ def paragraph_dedup(
     only removes repeats within a single document (a cheap boilerplate
     variant that never shuffles on paragraph hash).
 
-    Returns ``(id_col, text, n_paras, n_kept)``.
+    Returns ``(id_col, text, n_paras, n_kept)``. ``sep`` is a LITERAL
+    separator (escaped before the regex split), so ``sep=". "`` splits on
+    the two-character string, not on any-char-plus-space.
 
     100-TB shape: posexplode is a flat map (no shuffle); the winner is a
-    min(struct(id,pos)) hash aggregate on the paragraph hash with map-side
-    partial combine, so a boilerplate paragraph repeated 10^9 times still
-    reduces to one row per partition before the exchange; the re-join on
-    (hash,id,pos) is co-partitioned with the agg output, and AQE splits the
-    residually-hot probe side. Reassembly is one groupBy(doc) of the kept
-    rows. Three shuffles total, each on a necessary key.
+    min(struct(id,pos)) hash aggregate keyed on (hash, paragraph) with
+    map-side partial combine, so a boilerplate paragraph repeated 10^9
+    times still reduces to one row per partition before the exchange — the
+    paragraph string rides in the key so a 60-bit hash collision between
+    two DISTINCT paragraphs yields two winners instead of silently
+    deleting one paragraph's every occurrence (at 10^9 paragraphs the
+    birthday bound makes that a real event, and unlike a sketch, here it
+    would destroy document content). The re-join is co-partitioned with
+    the agg output; AQE splits the residually-hot probe side. Reassembly
+    is one groupBy(doc) of the kept rows. Three shuffles total.
     """
+    import re as _re
+
     from .textops import md5_int
+
+    sep_rx = _re.escape(sep)
 
     if scope == "doc":
         # intra-doc only: one HOF filter per row (keep element i iff the
@@ -674,7 +706,7 @@ def paragraph_dedup(
         # output with the input's name inside the same select makes the
         # analyzer re-bind one of the lambda's references to the NEW column
         # (observed: n_kept filtering split(old) by array_position(new))
-        arr = F.split(F.col(text_col), sep)
+        arr = F.split(F.col(text_col), sep_rx)
         kept_arr = F.filter(arr, lambda x, i: F.array_position(arr, x) - 1 == i)
         return df.select(
             F.col(id_col),
@@ -692,20 +724,20 @@ def paragraph_dedup(
     pos = F.col("_pos")
     paras = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+        F.posexplode(F.split(F.col(text_col), sep_rx)).alias("_pos", "_para"),
     ).withColumn("_h", md5_int(F.col("_para")))
 
-    winner = paras.groupBy("_h").agg(
+    winner = paras.groupBy("_h", "_para").agg(
         F.min(F.struct(F.col(id_col), pos)).alias("_w")
     )
     kept = (
-        paras.join(winner, "_h")
+        paras.join(winner, ["_h", "_para"])
         .where((F.col(id_col) == F.col("_w")[id_col]) & (pos == F.col("_w._pos")))
         .select(id_col, "_pos", "_para", "_h")
     )
 
     n_paras = df.select(
-        F.col(id_col), F.size(F.split(F.col(text_col), sep)).alias("n_paras")
+        F.col(id_col), F.size(F.split(F.col(text_col), sep_rx)).alias("n_paras")
     )
     rebuilt = (
         kept.groupBy(id_col)
@@ -753,19 +785,9 @@ def containment_duplicates(
     candidates, two id-keyed hash joins to attach shingle arrays,
     partition-local intersection; never the raw inverted-index blowup.
     """
-    if collapse_exact:
-        star, canon_ids = _exact_family_star(df, text_col, id_col)
-        canon_docs = df.join(canon_ids, id_col, "left_semi")
-        banded = minhash_bands(canon_docs, text_col, id_col, num_hashes, bands, shingle_k)
-        cand = _band_pairs(banded, id_col)
-        sets_df = canon_docs
-    else:
-        star = None
-        cand = minhash_candidates(
-            df, text_col, id_col, num_hashes, bands, shingle_k, collapse_exact=False
-        )
-        sets_df = df
-    sets_ = sets_df.select(F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh"))
+    cand, sets_, star = _candidate_sets(
+        df, text_col, id_col, num_hashes, bands, shingle_k, collapse_exact
+    )
     inter = F.size(F.array_intersect("sa", "sb"))
     verified = (
         cand.join(sets_.select(F.col(id_col).alias("a"), F.col("sh").alias("sa")), "a")

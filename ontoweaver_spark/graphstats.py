@@ -740,7 +740,10 @@ def negative_triples(
     Returns ``(src, label, neg_dst, j)``; expect slightly fewer than
     ``m x |E|`` rows (true-edge collisions are dropped, and two ``j`` of
     one edge may pick the same node — kept as distinct training examples
-    with their ``j``).
+    with their ``j``). Input edges are DISTINCT-ed internally on
+    (src, label, dst) first, so duplicated input triples (the natural
+    output of multi-part graph builders) do not inflate the negative
+    ratio with duplicated rows.
 
     Scale shape: nodes are indexed by the lazy distributed zip-with-index
     over a range-partitioned sort (no single-task window); candidates
@@ -752,13 +755,17 @@ def negative_triples(
     from .compiler import with_row_index
     from .textops import md5_int
 
+    edges = edges.select(src_col, label_col, dst_col).distinct()
     nodes = (
         edges.select(F.col(src_col).alias("_node"))
         .unionByName(edges.select(F.col(dst_col).alias("_node")))
         .distinct()
     )
     indexed = with_row_index(nodes.orderBy("_node").localCheckpoint(eager=False), "_idx")
-    n_total = indexed.agg(F.count("*").alias("_n"))
+    # count from the plain nodes frame — the same number as counting the
+    # indexed frame, without dragging the zip-with-index machinery into a
+    # query whose answer is one scalar
+    n_total = nodes.agg(F.count("*").alias("_n"))
 
     cand = (
         edges.select(src_col, label_col, dst_col)

@@ -168,7 +168,11 @@ def resolve_claims(
 
     Returns ``(subj, pred, obj, support, total_support, n_objects,
     confidence)`` with ``confidence = support/total_support`` IEEE-rounded
-    to 4 digits.
+    to 4 digits. ``weight_col`` keeps its own numeric type (an int column
+    sums to BIGINT, a double column to DOUBLE — never silently truncated);
+    note that FRACTIONAL weights make ``support`` an FP sum, whose last
+    ulp can depend on partitioning/engine — use integer-scaled weights
+    (e.g. confidence*1000 as int) where bit-exact reproducibility matters.
 
     100-TB shape: two hash aggregates on progressively coarser keys —
     (s,p,o) then (s,p) — both with map-side partial combine, so a hub
@@ -180,7 +184,7 @@ def resolve_claims(
     """
     from .textops import round_ieee
 
-    w = F.lit(1).cast("long") if weight_col is None else F.col(weight_col).cast("long")
+    w = F.lit(1).cast("long") if weight_col is None else F.col(weight_col)
     per_obj = claims.groupBy(subj_col, pred_col, obj_col).agg(
         F.sum(w).alias("support")
     )

@@ -1074,6 +1074,24 @@ def duplicated_ngram_fraction(
     )
 
 
+
+def _cms_cells(token: Column, d: int, w: int) -> Column:
+    """The (row, bucket) cell array for one token — the ONE definition of
+    the CMS hash family (``md5('cms<i>:' || token) % w``). Sketch build
+    and estimate probing must agree bit-for-bit or estimates read the
+    wrong buckets; sharing the expression makes that structural."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        lambda i: F.struct(
+            i.cast("int").alias("row"),
+            (
+                md5_int(F.concat(F.lit("cms"), i.cast("string"), F.lit(":"), token))
+                % w
+            ).cast("int").alias("bucket"),
+        ),
+    )
+
+
 def cms_sketch(
     df: DataFrame,
     text_col: str = "text",
@@ -1098,21 +1116,7 @@ def cms_sketch(
     """
     cells = df.select(
         F.explode(tokens(F.col(text_col))).alias("_tok")
-    ).select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(d - 1)),
-                lambda i: F.struct(
-                    i.cast("int").alias("row"),
-                    (
-                        md5_int(
-                            F.concat(F.lit("cms"), i.cast("string"), F.lit(":"), F.col("_tok"))
-                        ) % w
-                    ).cast("int").alias("bucket"),
-                ),
-            )
-        ).alias("_cell")
-    )
+    ).select(F.explode(_cms_cells(F.col("_tok"), d, w)).alias("_cell"))
     return (
         cells.groupBy(F.col("_cell.row").alias("row"), F.col("_cell.bucket").alias("bucket"))
         .agg(F.count("*").alias("c"))
@@ -1140,19 +1144,7 @@ def cms_estimate(
 
     keys = probes.select(
         token_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(d - 1)),
-                lambda i: F.struct(
-                    i.cast("int").alias("row"),
-                    (
-                        md5_int(
-                            F.concat(F.lit("cms"), i.cast("string"), F.lit(":"), F.col(token_col))
-                        ) % w
-                    ).cast("int").alias("bucket"),
-                ),
-            )
-        ).alias("_cell"),
+        F.explode(_cms_cells(F.col(token_col), d, w)).alias("_cell"),
     ).select(token_col, "_cell.row", "_cell.bucket")
     joined = keys.join(broadcast(sketch), ["row", "bucket"], "left")
     est = joined.groupBy(token_col).agg(
@@ -1274,7 +1266,8 @@ def normalize_text(c: Column) -> Column:
     SAME string or every downstream dedup treats them as distinct):
 
     - zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) removed
-    - C0 control characters (except newline) and tabs -> a space
+    - C0 control characters (except LF) and tabs -> a space, including
+      CR so CRLF- and LF-served crawls of one page normalize identically
     - space runs collapsed; spaces hugging a newline dropped
     - 3+ consecutive newlines collapsed to a paragraph break (2)
     - leading/trailing whitespace trimmed
@@ -1283,7 +1276,7 @@ def normalize_text(c: Column) -> Column:
     composable; the regex chain is fixed so any engine reproduces it.
     """
     x = F.regexp_replace(c, "[\u200B\u200C\u200D\uFEFF]", "")
-    x = F.regexp_replace(x, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\t]", " ")
+    x = F.regexp_replace(x, r"[\x00-\x08\x0B-\x1F\x7F\t]", " ")
     x = F.regexp_replace(x, r" {2,}", " ")
     x = F.regexp_replace(x, r" *\n *", "\n")
     x = F.regexp_replace(x, r"\n{3,}", "\n\n")

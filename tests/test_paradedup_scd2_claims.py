@@ -241,3 +241,50 @@ def test_normalize_text(spark):
     df2 = spark.createDataFrame([(1, out)], "i bigint, t string")
     again = df2.select(normalize_text(F.col("t")).alias("c")).collect()[0]["c"]
     assert again == out
+
+
+def test_normalize_text_crlf(spark):
+    """CRLF- and LF-served crawls of the same page normalize identically."""
+    from ontoweaver_spark.textops import normalize_text
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "foo\r\nbar\r\nbaz"), (2, "foo\nbar\nbaz")], "i bigint, t string"
+    )
+    out = [r["c"] for r in df.select(normalize_text(F.col("t")).alias("c")).collect()]
+    assert out[0] == out[1] == "foo\nbar\nbaz"
+
+
+def test_paragraph_dedup_literal_sep(spark):
+    """sep is literal, not a regex: '. ' must split on the 2-char string."""
+    from ontoweaver_spark.dedup import paragraph_dedup
+
+    df = spark.createDataFrame([(1, "aa. bb. aa")], "doc_id bigint, text string")
+    out = paragraph_dedup(df, sep=". ", scope="doc").collect()[0]
+    assert out["text"] == "aa. bb"
+    assert (out["n_paras"], out["n_kept"]) == (3, 2)
+    corp = paragraph_dedup(df, sep=". ").collect()[0]
+    assert corp["text"] == "aa. bb" and corp["n_kept"] == 2
+
+
+def test_resolve_claims_fractional_weights(spark):
+    """Fractional weights must not be truncated to integers."""
+    from ontoweaver_spark.linking import resolve_claims
+
+    rows = [("e1", "p", "x", 0.5), ("e1", "p", "x", 0.5), ("e1", "p", "y", 0.9)]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string, w double")
+    r = resolve_claims(df, weight_col="w").collect()[0]
+    assert r["obj"] == "x" and r["support"] == 1.0
+    assert abs(r["total_support"] - 1.9) < 1e-9
+
+
+def test_negative_triples_duplicate_edges(spark):
+    """Duplicated input triples must not duplicate negatives."""
+    from ontoweaver_spark.graphstats import negative_triples
+
+    base = [("n1", "rel", "n2"), ("n2", "rel", "n3"), ("n3", "rel", "n1")]
+    e1 = spark.createDataFrame(base, "src string, label string, dst string")
+    e2 = spark.createDataFrame(base + base, "src string, label string, dst string")
+    out1 = sorted(tuple(r) for r in negative_triples(e1, m=4, seed=3).collect())
+    out2 = sorted(tuple(r) for r in negative_triples(e2, m=4, seed=3).collect())
+    assert out1 == out2
