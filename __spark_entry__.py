@@ -1544,6 +1544,18 @@ def q_rdf_ntriples(spark, sf_dir):
     )
 
 
+BM25_QUERY = ["spark", "join", "window"]
+
+
+def q_bm25(spark, sf_dir):
+    """Top-25 BM25 lexical retrieval for a 3-term query — fixed-order
+    per-term partial sums keep the FP score bit-identical cross-engine."""
+    from ontoweaver_spark.textops import bm25_topk
+
+    _tune(spark)
+    return bm25_topk(_docs_spread(spark, sf_dir), BM25_QUERY, k=25)
+
+
 def q_sliding_windows(spark, sf_dir):
     """SLIDING-window rollup (1h window, 30m slide — each event lands in
     exactly two windows) via the native F.window overlap explode; the
@@ -1923,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngrams": q_dup_ngrams,
         "scd2_intervals": q_scd2,
         "claim_vote": q_claim_vote,
+        "bm25_topk": q_bm25,
         "sliding_windows": q_sliding_windows,
         "quality_tiles": q_quality_tiles,
         "norm_text": q_norm_text,
@@ -2368,6 +2381,56 @@ def _sssp_sql(rounds: int = 6) -> str:
     )""")
     parts.append(f"\n    SELECT node, dist FROM d{rounds}")
     return "".join(parts)
+
+
+def _bm25_sql(terms: list[str], k: int = 25) -> str:
+    """Okapi BM25 mirroring textops.bm25_topk: identical expression tree
+    (association order matters — the score is an FP sum in written term
+    order) with k1=1.2, b=0.75."""
+    tf_cols = ",\n                     ".join(
+        f"sum(CASE WHEN t = '{t}' THEN 1 ELSE 0 END)::BIGINT AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n                     ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df{i}"
+        for i in range(len(terms))
+    )
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    score = "\n                     + ".join(
+        f"ln(1.0 + (n_docs::DOUBLE - df{i}::DOUBLE + 0.5) / (df{i}::DOUBLE + 0.5))"
+        f" * (tf{i}::DOUBLE * 2.2000000000000002)"
+        f" / (tf{i}::DOUBLE + 1.2 * (0.25 + 0.75 * (dl::DOUBLE"
+        f" / (total_toks::DOUBLE / n_docs::DOUBLE))))"
+        for i in range(len(terms))
+    )
+    return f"""
+            WITH dl AS (
+              SELECT doc_id,
+                     len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS dl
+              FROM documents
+            ), stats AS (
+              SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_toks
+              FROM dl
+            ), tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+              FROM documents
+            ), per_doc AS (
+              SELECT doc_id,
+                     {tf_cols}
+              FROM tok WHERE t IN ({in_list}) GROUP BY doc_id
+            ), dfs AS (
+              SELECT {df_cols}
+              FROM per_doc
+            ), scored AS (
+              SELECT p.doc_id,
+                     ({score}) AS s
+              FROM per_doc p JOIN dl USING (doc_id)
+              CROSS JOIN stats CROSS JOIN dfs
+            )
+            SELECT doc_id, floor(s * 10000 + 0.5) / 10000 AS score
+            FROM scored ORDER BY s DESC, doc_id LIMIT {k}
+    """
 
 
 def _bpe_apply_sql(k: int = 6) -> str:
@@ -3661,6 +3724,7 @@ def oracle_sql() -> dict[str, str]:
                    len(toks[start + 1 : start + 20])::INTEGER AS n_chunk_toks
             FROM s
         """,
+        "bm25_topk": _bm25_sql(BM25_QUERY, 25),
         "sliding_windows": """
             WITH ev AS (
               SELECT event_id, event_type,

@@ -101,7 +101,8 @@ def main() -> None:
                  "claim_vote", "cms_topk", "sample_group_k", "kg_negatives",
                  "bpe_tokenize", "dedup_containment", "event_windows",
                  "lang_confusion", "er_pairs", "walk_pairs", "filter_audit",
-                 "dedup_keep", "norm_text", "sliding_windows", "quality_tiles"]:
+                 "dedup_keep", "norm_text", "sliding_windows", "quality_tiles",
+                 "bm25_topk"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the

@@ -1281,3 +1281,78 @@ def normalize_text(c: Column) -> Column:
     x = F.regexp_replace(x, r" *\n *", "\n")
     x = F.regexp_replace(x, r"\n{3,}", "\n\n")
     return F.regexp_replace(x, r"^[\s]+|[\s]+$", "")
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25 retrieval for one query -> ``(id, score)`` — the lexical
+    half of the search stack next to the vector ANN operators
+    (similarity.py). Okapi BM25 with the standard
+    ``idf = ln(1 + (N - df + .5)/(df + .5))``.
+
+    Engine-parity discipline: the per-term partial scores are built as
+    SEPARATE conditional-aggregate columns and summed in the WRITTEN query
+    order — an FP sum over a groupBy'd term column would depend on
+    aggregation order and diverge across engines/partitionings. All inputs
+    to the float math (tf, dl, df, N, total token count) are exact BIGINTs;
+    the score is IEEE-rounded to 4 digits for display while the top-k
+    ORDERS on the unrounded double (ties break on the id).
+
+    Scale shape: one corpus scan -> explode filtered TO THE QUERY TERMS
+    (selective: the filter rides inside the explode's projection) -> one
+    (doc)-keyed conditional-tf aggregate; corpus stats (N, total tokens)
+    and per-term document frequencies are 1-row aggregates broadcast back;
+    the top-k plans as TakeOrderedAndProject (per-partition heaps, no
+    global sort). Documents containing no query term never leave the map
+    side.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    c = F.col(text_col)
+    dl_frame = df.select(F.col(id_col), token_count(c).cast("long").alias("_dl"))
+    stats = dl_frame.agg(
+        F.count("*").alias("_n_docs"), F.sum("_dl").alias("_total_toks")
+    )
+
+    toked = df.select(F.col(id_col), F.explode(tokens(c)).alias("_t")).where(
+        F.col("_t").isin(list(query_terms))
+    )
+    tf_aggs = [
+        F.sum(F.when(F.col("_t") == t, 1).otherwise(0)).cast("long").alias(f"_tf{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    per_doc = toked.groupBy(id_col).agg(*tf_aggs)
+    df_aggs = [
+        F.sum(F.when(F.col(f"_tf{i}") > 0, 1).otherwise(0)).cast("long").alias(f"_df{i}")
+        for i in range(len(query_terms))
+    ]
+    dfs = per_doc.agg(*df_aggs)
+
+    scored = (
+        per_doc.join(dl_frame, id_col)
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfs))
+    )
+    n = F.col("_n_docs").cast("double")
+    avgdl = F.col("_total_toks").cast("double") / n
+    norm = F.lit(1.0 - b) + F.lit(b) * (F.col("_dl").cast("double") / avgdl)
+    score = None
+    for i in range(len(query_terms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        dfi = F.col(f"_df{i}").cast("double")
+        idf = F.log(F.lit(1.0) + (n - dfi + F.lit(0.5)) / (dfi + F.lit(0.5)))
+        term = idf * (tf * F.lit(k1 + 1.0)) / (tf + F.lit(k1) * norm)
+        score = term if score is None else score + term
+    return (
+        scored.withColumn("_score", score)
+        .orderBy(F.desc("_score"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, round_ieee(F.col("_score"), 4).alias("score"))
+    )

@@ -185,3 +185,45 @@ def test_filter_audit_bitmask(spark):
     assert out[2][0] & 1 and out[2][0] & 4 and not out[2][1]
     assert out[3][0] & 16 and not out[3][1]
     assert out[4][0] & 8 and out[4][0] & 4 and not out[4][1]
+
+
+def test_bm25_topk(spark):
+    """Matches a python BM25 reference; term frequency and rarity both
+    move the ranking the right way."""
+    import math
+
+    from ontoweaver_spark.textops import bm25_topk
+
+    rows = [
+        (1, "spark join spark spark"),
+        (2, "spark join window table scan"),
+        (3, "table scan merge sort"),
+        (4, "join join join join join join join join"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = [(r["doc_id"], r["score"]) for r in bm25_topk(df, ["spark", "window"], k=3).collect()]
+
+    texts = {i: t.split() for i, t in rows}
+    n = len(texts)
+    avgdl = sum(len(v) for v in texts.values()) / n
+    k1, b = 1.2, 0.75
+
+    def score(doc, terms):
+        s = 0.0
+        for t in terms:
+            dfreq = sum(1 for v in texts.values() if t in v)
+            if t not in texts[doc]:
+                continue
+            tf = texts[doc].count(t)
+            idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(texts[doc]) / avgdl))
+        return math.floor(s * 10000 + 0.5) / 10000
+
+    exp = sorted(
+        ((i, score(i, ["spark", "window"])) for i in texts if score(i, ["spark", "window"]) > 0),
+        key=lambda x: (-x[1], x[0]),
+    )[:3]
+    assert out == exp
+    # doc 2 (has the rare 'window') must beat doc 4 (no query term at all)
+    ids = [i for i, _ in out]
+    assert 2 in ids and 4 not in ids
