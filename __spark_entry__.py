@@ -1544,6 +1544,18 @@ def q_rdf_ntriples(spark, sf_dir):
     )
 
 
+def q_interleave(spark, sf_dir):
+    """Language-balanced interleaved training order: rank r of every
+    language precedes rank r+1 of any language, md5 epoch shuffle within
+    a language — multilingual mix from step one."""
+    from ontoweaver_spark.sampling import interleaved_order
+
+    _tune(spark)
+    return interleaved_order(_docs(spark, sf_dir), "lang", seed=3).select(
+        "doc_id", "lang", "position"
+    )
+
+
 BM25_QUERY = ["spark", "join", "window"]
 
 
@@ -1935,6 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngrams": q_dup_ngrams,
         "scd2_intervals": q_scd2,
         "claim_vote": q_claim_vote,
+        "interleave_order": q_interleave,
         "bm25_topk": q_bm25,
         "sliding_windows": q_sliding_windows,
         "quality_tiles": q_quality_tiles,
@@ -3723,6 +3736,18 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[start + 1 : start + 20], ' ') AS chunk,
                    len(toks[start + 1 : start + 20])::INTEGER AS n_chunk_toks
             FROM s
+        """,
+        "interleave_order": f"""
+            WITH r AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY {_SQL_MD5INT.format(x="'3:' || doc_id::VARCHAR")}
+                         ASC, doc_id ASC) AS rnk
+              FROM documents
+            )
+            SELECT doc_id, lang,
+                   row_number() OVER (ORDER BY rnk, lang) - 1 AS position
+            FROM r
         """,
         "bm25_topk": _bm25_sql(BM25_QUERY, 25),
         "sliding_windows": """

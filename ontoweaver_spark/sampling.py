@@ -229,3 +229,34 @@ def per_group_sample(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def interleaved_order(
+    df: DataFrame,
+    group_col: str,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    position_col: str = "position",
+) -> DataFrame:
+    """Group-balanced global training order: rank r of EVERY group sorts
+    before rank r+1 of any group (round-robin interleave), so a
+    multilingual corpus feeds the trainer a language mix from step one
+    instead of exhausting the biggest language first. Within a group the
+    order is the md5(seed:key) epoch shuffle (same randomness contract as
+    :func:`training_order`); within a rank, groups order by name. The
+    result is a pure function of (rows, seed) — reproducible across
+    re-runs, partitionings, and engines.
+
+    Scale shape: one group-keyed rank window, then the same
+    range-partitioned global sort + lazy zip-with-index as training_order
+    (never a single-task global row_number). Two exchanges total.
+    """
+    from pyspark.sql import Window
+
+    from .compiler import with_row_index
+
+    h = md5_int(F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    ranked = df.withColumn("_rnk", F.row_number().over(w))
+    ordered = ranked.orderBy("_rnk", group_col).localCheckpoint(eager=False)
+    return with_row_index(ordered, position_col).drop("_rnk")

@@ -227,3 +227,28 @@ def test_bm25_topk(spark):
     # doc 2 (has the rare 'window') must beat doc 4 (no query term at all)
     ids = [i for i, _ in out]
     assert 2 in ids and 4 not in ids
+
+
+def test_interleaved_order(spark):
+    from ontoweaver_spark.sampling import interleaved_order
+
+    rows = [(i, "big" if i < 8 else "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = sorted(
+        (r["position"], r["lang"], r["doc_id"])
+        for r in interleaved_order(df, "lang", seed=1).collect()
+    )
+    # positions are contiguous 0..9
+    assert [p for p, _, _ in out] == list(range(10))
+    # round-robin while both groups have members: first 4 positions
+    # alternate big/small (rank 1 of each, then rank 2 of each, ...)
+    langs = [l for _, l, _ in out]
+    assert langs[:4] == ["big", "small", "big", "small"]
+    # after 'small' (2 docs) exhausts, the tail is all 'big'
+    assert set(langs[4:]) == {"big"}
+    # partition invariance
+    again = sorted(
+        (r["position"], r["lang"], r["doc_id"])
+        for r in interleaved_order(df.repartition(7), "lang", seed=1).collect()
+    )
+    assert again == out
