@@ -1544,6 +1544,22 @@ def q_rdf_ntriples(spark, sf_dir):
     )
 
 
+def q_modularity(spark, sf_dir):
+    """Newman modularity of the 3-round LPA communities over the hub
+    co-citation graph — exact-integer numerator/denominator, one FP
+    division; scores the community detection instead of just running it."""
+    from ontoweaver_spark.graphstats import label_propagation, modularity
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    edges = docs.select(
+        F.concat(F.lit("hub"), ((F.col("doc_id") * 7) % 61).cast("string")).alias("src"),
+        F.concat(F.lit("hub"), ((F.col("doc_id") * 11) % 53).cast("string")).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    comm = label_propagation(edges, rounds=3)
+    return modularity(edges, comm)
+
+
 def q_interleave(spark, sf_dir):
     """Language-balanced interleaved training order: rank r of every
     language precedes rank r+1 of any language, md5 epoch shuffle within
@@ -1947,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngrams": q_dup_ngrams,
         "scd2_intervals": q_scd2,
         "claim_vote": q_claim_vote,
+        "kg_modularity": q_modularity,
         "interleave_order": q_interleave,
         "bm25_topk": q_bm25,
         "sliding_windows": q_sliding_windows,
@@ -3736,6 +3753,41 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[start + 1 : start + 20], ' ') AS chunk,
                    len(toks[start + 1 : start + 20])::INTEGER AS n_chunk_toks
             FROM s
+        """,
+        "kg_modularity": f"""
+            WITH comm AS (
+              {_lpa_sql(3)}
+            ), raw AS (
+              SELECT 'hub' || ((doc_id*7)%61)::VARCHAR AS a,
+                     'hub' || ((doc_id*11)%53)::VARCHAR AS b
+              FROM documents WHERE (doc_id*7)%61 <> (doc_id*11)%53
+            ), und AS (
+              SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+              FROM raw WHERE a <> b
+            ), mm AS (
+              SELECT count(*)::BIGINT AS m FROM und
+            ), deg AS (
+              SELECT node, count(*)::BIGINT AS d FROM (
+                SELECT u AS node FROM und UNION ALL SELECT v FROM und
+              ) GROUP BY node
+            ), intra AS (
+              SELECT count(*)::BIGINT AS intra_edges
+              FROM und
+              JOIN comm cu ON cu.node = und.u
+              JOIN comm cv ON cv.node = und.v
+              WHERE cu.community = cv.community
+            ), dsq AS (
+              SELECT sum(dc * dc)::BIGINT AS degree_sq_sum FROM (
+                SELECT sum(d)::BIGINT AS dc
+                FROM deg JOIN comm USING (node) GROUP BY community
+              )
+            )
+            SELECT mm.m, intra.intra_edges, dsq.degree_sq_sum,
+                   floor((4 * mm.m * intra.intra_edges
+                          - dsq.degree_sq_sum)::DOUBLE
+                         / (4 * mm.m * mm.m)::DOUBLE * 10000 + 0.5) / 10000
+                     AS modularity
+            FROM mm, intra, dsq
         """,
         "interleave_order": f"""
             WITH r AS (

@@ -252,3 +252,30 @@ def test_interleaved_order(spark):
         for r in interleaved_order(df.repartition(7), "lang", seed=1).collect()
     )
     assert again == out
+
+
+def test_modularity(spark):
+    """Two clean 3-cliques joined by one bridge edge: hand-computed Q for
+    the true communities; the all-one-community assignment scores 0."""
+    from ontoweaver_spark.graphstats import modularity
+
+    tri = lambda a, b, c: [(a, b), (b, c), (a, c)]
+    edges = tri("a1", "a2", "a3") + tri("b1", "b2", "b3") + [("a1", "b1")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    comm = spark.createDataFrame(
+        [(n, n[0]) for n in ["a1", "a2", "a3", "b1", "b2", "b3"]],
+        "node string, community string",
+    )
+    r = modularity(df, comm).collect()[0]
+    # m=7, intra=6, degrees: a1=3,b1=3, others 2 -> d_a=7, d_b=7, dsq=98
+    # Q = (4*7*6 - 98) / (4*49) = 70/196
+    assert (r["m"], r["intra_edges"], r["degree_sq_sum"]) == (7, 6, 98)
+    assert abs(r["modularity"] - round(70 / 196, 4)) < 5e-5
+
+    one = spark.createDataFrame(
+        [(n, "x") for n in ["a1", "a2", "a3", "b1", "b2", "b3"]],
+        "node string, community string",
+    )
+    r1 = modularity(df, one).collect()[0]
+    # all edges intra, dsq = (2m)^2 -> Q = 0 exactly
+    assert r1["modularity"] == 0.0
