@@ -1544,6 +1544,19 @@ def q_rdf_ntriples(spark, sf_dir):
     )
 
 
+def q_ppr(spark, sf_dir):
+    """Personalized PageRank over the sparse doc graph, seeded at every
+    101st document — proximity-to-trusted-seeds ranking; exact-integer
+    rounds hash-match the unrolled oracle."""
+    from ontoweaver_spark.graphstats import personalized_pagerank
+
+    _tune(spark)
+    seeds = _docs(spark, sf_dir).where(F.col("doc_id") % 101 == 0).select(
+        F.concat(F.lit("n"), F.col("doc_id").cast("string")).alias("node")
+    )
+    return personalized_pagerank(_doc_graph(spark, sf_dir), seeds, iterations=5)
+
+
 def q_modularity(spark, sf_dir):
     """Newman modularity of the 3-round LPA communities over the hub
     co-citation graph — exact-integer numerator/denominator, one FP
@@ -1963,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngrams": q_dup_ngrams,
         "scd2_intervals": q_scd2,
         "claim_vote": q_claim_vote,
+        "kg_ppr": q_ppr,
         "kg_modularity": q_modularity,
         "interleave_order": q_interleave,
         "bm25_topk": q_bm25,
@@ -2240,6 +2254,44 @@ def _pagerank_sql(iterations: int = 5, scale: int = 1_000_000, damping: int = 85
       SELECT n.node,
              ({teleport} + ({damping} * coalesce(t.inb, 0)) // 100)::BIGINT AS "rank"
       FROM nodes n LEFT JOIN (
+        SELECT e.d AS node, sum(r."rank" // o.od) AS inb
+        FROM e JOIN outd o ON e.s = o.s JOIN r{i - 1} r ON r.node = e.s
+        GROUP BY e.d
+      ) t ON t.node = n.node
+    )""")
+    parts.append(f'\n    SELECT node, "rank" FROM r{iterations}')
+    return "".join(parts)
+
+
+def _ppr_sql(iterations: int = 5, scale: int = 1_000_000, damping: int = 85) -> str:
+    """Unrolled integer PERSONALIZED power iteration mirroring graphstats.
+    personalized_pagerank over the sparse doc graph, seeds = every 101st
+    document node."""
+    teleport = (100 - damping) * scale // 100
+    parts = [f"""
+    WITH raw AS (
+      {_doc_graph_sql()}
+    ), e AS (
+      SELECT DISTINCT src AS s, dst AS d FROM raw
+    ), outd AS (
+      SELECT s, count(*) AS od FROM e GROUP BY s
+    ), nodes AS (
+      SELECT s AS node FROM e UNION SELECT d FROM e
+    ), seeds AS (
+      SELECT DISTINCT 'n' || doc_id::VARCHAR AS node FROM documents
+      WHERE doc_id % 101 = 0
+    ), ns AS (
+      SELECT n.node, CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS is_seed
+      FROM nodes n LEFT JOIN seeds sd ON sd.node = n.node
+    ), r0 AS (
+      SELECT node, (is_seed * {scale})::BIGINT AS "rank" FROM ns
+    )"""]
+    for i in range(1, iterations + 1):
+        parts.append(f""", r{i} AS (
+      SELECT n.node,
+             (n.is_seed * {teleport}
+              + ({damping} * coalesce(t.inb, 0)) // 100)::BIGINT AS "rank"
+      FROM ns n LEFT JOIN (
         SELECT e.d AS node, sum(r."rank" // o.od) AS inb
         FROM e JOIN outd o ON e.s = o.s JOIN r{i - 1} r ON r.node = e.s
         GROUP BY e.d
@@ -3754,6 +3806,7 @@ def oracle_sql() -> dict[str, str]:
                    len(toks[start + 1 : start + 20])::INTEGER AS n_chunk_toks
             FROM s
         """,
+        "kg_ppr": _ppr_sql(iterations=5),
         "kg_modularity": f"""
             WITH comm AS (
               {_lpa_sql(3)}

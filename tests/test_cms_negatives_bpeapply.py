@@ -279,3 +279,34 @@ def test_modularity(spark):
     r1 = modularity(df, one).collect()[0]
     # all edges intra, dsq = (2m)^2 -> Q = 0 exactly
     assert r1["modularity"] == 0.0
+
+
+def test_personalized_pagerank(spark):
+    """Seed proximity dominates: on a path seed->a->b, rank decays with
+    distance from the seed; a disconnected node gets 0; global start mass
+    only lives on seeds."""
+    from ontoweaver_spark.graphstats import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [("s", "a"), ("a", "b"), ("x", "y")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("s",)], "node string")
+    r = {
+        row["node"]: row["rank"]
+        for row in personalized_pagerank(edges, seeds, iterations=5).collect()
+    }
+    assert r["s"] > r["a"] > r["b"]          # decay with distance
+    assert r["x"] == 0 and r["y"] == 0      # unreachable from the seed
+    # python reference of the same integer recurrence
+    scale, damp, tel = 1_000_000, 85, 150_000
+    ranks = {n: (scale if n == "s" else 0) for n in ["s", "a", "b", "x", "y"]}
+    out = {"s": ["a"], "a": ["b"], "x": ["y"]}
+    for _ in range(5):
+        inb = {n: 0 for n in ranks}
+        for u, vs in out.items():
+            for v in vs:
+                inb[v] += ranks[u] // len(vs)
+        ranks = {
+            n: (tel if n == "s" else 0) + damp * inb[n] // 100 for n in ranks
+        }
+    assert r == ranks
