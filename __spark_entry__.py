@@ -1544,6 +1544,21 @@ def q_rdf_ntriples(spark, sf_dir):
     )
 
 
+def q_community_graph(spark, sf_dir):
+    """Coarsen the hub graph by its 3-round LPA communities into the
+    weighted super-graph — the multilevel/drill-down step after community
+    detection."""
+    from ontoweaver_spark.graphstats import community_graph, label_propagation
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    edges = docs.select(
+        F.concat(F.lit("hub"), ((F.col("doc_id") * 7) % 61).cast("string")).alias("src"),
+        F.concat(F.lit("hub"), ((F.col("doc_id") * 11) % 53).cast("string")).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    return community_graph(edges, label_propagation(edges, rounds=3))
+
+
 def q_ppr(spark, sf_dir):
     """Personalized PageRank over the sparse doc graph, seeded at every
     101st document — proximity-to-trusted-seeds ranking; exact-integer
@@ -1976,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngrams": q_dup_ngrams,
         "scd2_intervals": q_scd2,
         "claim_vote": q_claim_vote,
+        "kg_community_graph": q_community_graph,
         "kg_ppr": q_ppr,
         "kg_modularity": q_modularity,
         "interleave_order": q_interleave,
@@ -3805,6 +3821,25 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[start + 1 : start + 20], ' ') AS chunk,
                    len(toks[start + 1 : start + 20])::INTEGER AS n_chunk_toks
             FROM s
+        """,
+        "kg_community_graph": f"""
+            WITH comm AS (
+              {_lpa_sql(3)}
+            ), raw AS (
+              SELECT 'hub' || ((doc_id*7)%61)::VARCHAR AS a,
+                     'hub' || ((doc_id*11)%53)::VARCHAR AS b
+              FROM documents WHERE (doc_id*7)%61 <> (doc_id*11)%53
+            ), und AS (
+              SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+              FROM raw WHERE a <> b
+            )
+            SELECT least(cu.community, cv.community) AS src_community,
+                   greatest(cu.community, cv.community) AS dst_community,
+                   count(*)::BIGINT AS weight
+            FROM und
+            JOIN comm cu ON cu.node = und.u
+            JOIN comm cv ON cv.node = und.v
+            GROUP BY 1, 2
         """,
         "kg_ppr": _ppr_sql(iterations=5),
         "kg_modularity": f"""

@@ -102,7 +102,8 @@ def main() -> None:
                  "bpe_tokenize", "dedup_containment", "event_windows",
                  "lang_confusion", "er_pairs", "walk_pairs", "filter_audit",
                  "dedup_keep", "norm_text", "sliding_windows", "quality_tiles",
-                 "bm25_topk", "interleave_order", "kg_modularity", "kg_ppr"]:
+                 "bm25_topk", "interleave_order", "kg_modularity", "kg_ppr",
+                 "kg_community_graph"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the

@@ -978,3 +978,55 @@ def personalized_pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def community_graph(
+    edges: DataFrame,
+    communities: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    community_col: str = "community",
+    keep_self: bool = True,
+) -> DataFrame:
+    """Coarsen the graph by a community assignment -> the SUPER-GRAPH
+    ``(src_community, dst_community, weight)`` where weight counts the
+    distinct underlying (undirected) edges between the two communities —
+    the multilevel step every Louvain-style pipeline and every
+    drill-down graph UI needs after community detection. Self rows
+    (``src_community == dst_community``) carry the intra-community edge
+    counts; ``keep_self=False`` drops them. Community pairs are
+    canonicalized (least, greatest) so each undirected super-edge appears
+    once.
+
+    Scale shape: two node-keyed hash joins attach endpoint labels (the
+    community frame is node-sized — the smaller side), then one counting
+    aggregate on the community pair; map-side partials absorb the
+    quadratic-feeling hub-pair fan-in because the distinct edge list was
+    already linear.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    comm = communities.select(F.col(node_col), F.col(community_col))
+    labeled = und.join(
+        comm.select(F.col(node_col).alias("u"), F.col(community_col).alias("_cu")), "u"
+    ).join(
+        comm.select(F.col(node_col).alias("v"), F.col(community_col).alias("_cv")), "v"
+    )
+    out = (
+        labeled.select(
+            F.least("_cu", "_cv").alias("src_community"),
+            F.greatest("_cu", "_cv").alias("dst_community"),
+        )
+        .groupBy("src_community", "dst_community")
+        .agg(F.count("*").alias("weight"))
+    )
+    if not keep_self:
+        out = out.where(F.col("src_community") != F.col("dst_community"))
+    return out

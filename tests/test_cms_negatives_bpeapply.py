@@ -310,3 +310,24 @@ def test_personalized_pagerank(spark):
             n: (tel if n == "s" else 0) + damp * inb[n] // 100 for n in ranks
         }
     assert r == ranks
+
+
+def test_community_graph(spark):
+    from ontoweaver_spark.graphstats import community_graph
+
+    edges = spark.createDataFrame(
+        [("a1", "a2"), ("a2", "a1"), ("b1", "b2"), ("a1", "b1"), ("a2", "b1")],
+        "src string, dst string",
+    )
+    comm = spark.createDataFrame(
+        [("a1", "A"), ("a2", "A"), ("b1", "B"), ("b2", "B")],
+        "node string, community string",
+    )
+    out = {
+        (r["src_community"], r["dst_community"]): r["weight"]
+        for r in community_graph(edges, comm).collect()
+    }
+    # duplicate/reversed a1-a2 collapses to ONE intra edge
+    assert out == {("A", "A"): 1, ("B", "B"): 1, ("A", "B"): 2}
+    no_self = community_graph(edges, comm, keep_self=False).collect()
+    assert {(r["src_community"], r["dst_community"]) for r in no_self} == {("A", "B")}
