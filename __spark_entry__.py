@@ -1898,6 +1898,85 @@ def q_claim_vote(spark, sf_dir):
     return resolve_claims(claims)
 
 
+def q_redirects(spark, sf_dir):
+    """Redirect-chain resolution by pointer doubling: chain edges
+    u_i -> u_{i-1} (broken every 10th id, so chains run 1..9 hops) plus
+    alias trees a_i -> u_i for every 3rd id. The oracle never iterates —
+    it derives final target and hop count ARITHMETICALLY from doc_id
+    (final = u_{i - i%10}, hops = i%10 [+1 via an alias]), an independent
+    closed-form check of the O(log L)-round join loop."""
+    from ontoweaver_spark.urls import resolve_redirects
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    s = i.cast("string")
+    chain = docs.where(i % 10 != 0).select(
+        F.concat(F.lit("u"), s).alias("src"),
+        F.concat(F.lit("u"), (i - 1).cast("string")).alias("dst"),
+    )
+    alias = docs.where(i % 3 == 0).select(
+        F.concat(F.lit("a"), s).alias("src"),
+        F.concat(F.lit("u"), s).alias("dst"),
+    )
+    return resolve_redirects(chain.unionByName(alias))
+
+
+def q_anchor_profile(spark, sf_dir):
+    """Per-link-target inlink profile (anchor-text aggregation) over the
+    derived pages table: inlink count, exact distinct source hosts, and
+    the top context keyword with a (count desc, ctx asc) total-order
+    tie-break. Spark extracts the links by regexp from the page TEXT; the
+    oracle re-derives them arithmetically from doc_id — an independent
+    derivation that never runs a regex."""
+    from ontoweaver_spark.pages import pages_from_documents
+    from ontoweaver_spark.urls import link_context_profile
+
+    _tune(spark)
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    return link_context_profile(pages, link_pattern=r"(https?://[^\s.,]+)")
+
+
+PHRASE = "hash join"
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact 2-word phrase matching via positional-index anchor joins —
+    the retrieval-side counterpart of inv_index. The oracle rebuilds
+    positions with generate_subscripts and intersects them in SQL."""
+    from ontoweaver_spark.textops import phrase_search
+
+    _tune(spark)
+    return phrase_search(_docs_spread(spark, sf_dir), PHRASE)
+
+
+def q_graph_cycles(spark, sf_dir):
+    """Directed-cycle detection (KG DAG hygiene): ring groups of size
+    3..9 (group g = doc_id//12, ring size 3+(g%7)) plus tail edges that
+    point INTO rings but are not on any cycle. Only complete groups
+    participate (cap = floor(n/12)*12, computed as data in both engines).
+    The oracle is closed-form: node i is on a cycle iff i%12 < ring size,
+    with min_cycle_len = the ring size — it never traverses the graph."""
+    from ontoweaver_spark.graphstats import cycle_nodes
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    cap = docs.agg((F.floor(F.count("*") / 12) * 12).alias("cap"))
+    d = docs.crossJoin(F.broadcast(cap)).where(F.col("doc_id") < F.col("cap"))
+    i = F.col("doc_id")
+    g = F.floor(i / 12)
+    j = i % 12
+    size = F.lit(3) + (g % 7)
+    node = F.concat(F.lit("n"), i.cast("string"))
+    ring_dst = F.concat(F.lit("n"), (g * 12 + (j + 1) % size).cast("string"))
+    tail_dst = F.concat(F.lit("n"), (g * 12 + i % size).cast("string"))
+    edges = d.select(
+        node.alias("src"),
+        F.when(j < size, ring_dst).otherwise(tail_dst).alias("dst"),
+    )
+    return cycle_nodes(edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -2011,6 +2090,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negatives": q_kg_negatives,
         "bpe_tokenize": q_bpe_apply,
         "corpus_prep": q_corpus_prep,
+        "redirect_chains": q_redirects,
+        "anchor_profile": q_anchor_profile,
+        "phrase_search": q_phrase_search,
+        "graph_cycles": q_graph_cycles,
     }
 
 
@@ -4250,5 +4333,82 @@ def oracle_sql() -> dict[str, str]:
                       ROWS UNBOUNDED PRECEDING) - n_toks) // 256)::BIGINT
                      AS seq_id
             FROM d
+        """,
+        # closed-form: the chain structure is u_i -> u_{i-1} broken at
+        # multiples of 10, so the terminal and hop count are pure doc_id
+        # arithmetic — no recursion, an independent derivation of the
+        # pointer-doubling loop.
+        "redirect_chains": """
+            SELECT 'u' || doc_id AS src,
+                   'u' || (doc_id - (doc_id % 10)) AS final_url,
+                   (doc_id % 10)::INT AS hops
+            FROM documents WHERE doc_id % 10 <> 0
+            UNION ALL
+            SELECT 'a' || doc_id,
+                   'u' || (doc_id - (doc_id % 10)),
+                   (1 + doc_id % 10)::INT
+            FROM documents WHERE doc_id % 3 = 0
+        """,
+        # links re-derived arithmetically from doc_id (never parsed from
+        # text): target_k = hub (i*{7,11})%97 / p (i*{13,17})%997, context =
+        # 'kw'||lang, source host = source||'.example'.
+        "anchor_profile": """
+            WITH links AS (
+              SELECT 'https://hub' || ((doc_id*7) % 97)
+                       || '/p' || ((doc_id*13) % 997) AS target,
+                     source || '.example' AS src_host,
+                     'kw' || lang AS ctx
+              FROM documents
+              UNION ALL
+              SELECT 'https://hub' || ((doc_id*11) % 97)
+                       || '/p' || ((doc_id*17) % 997),
+                     source || '.example', 'kw' || lang
+              FROM documents
+            ), totals AS (
+              SELECT target, count(*) AS n_inlinks,
+                     count(DISTINCT src_host) AS n_src_hosts
+              FROM links GROUP BY target
+            ), ctxn AS (
+              SELECT target, ctx, count(*) AS n FROM links GROUP BY target, ctx
+            ), top AS (
+              SELECT target, ctx AS top_context FROM (
+                SELECT target, ctx,
+                       row_number() OVER (PARTITION BY target
+                         ORDER BY n DESC, ctx ASC) AS rn
+                FROM ctxn
+              ) WHERE rn = 1
+            )
+            SELECT t.target, t.n_inlinks, t.n_src_hosts, top.top_context
+            FROM totals t JOIN top USING (target)
+        """,
+        "phrase_search": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                       AS token,
+                     generate_subscripts(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'), 1)
+                       AS pos
+              FROM documents
+            ), a AS (SELECT doc_id, pos FROM toks WHERE token = 'hash'),
+               b AS (SELECT doc_id, pos FROM toks WHERE token = 'join'),
+               m AS (
+              SELECT a.doc_id, a.pos FROM a
+              JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            )
+            SELECT doc_id, count(*) AS n_matches,
+                   (min(pos) - 1)::INT AS first_pos
+            FROM m GROUP BY doc_id
+        """,
+        # closed-form: node i (in a complete group of 12) is on a cycle iff
+        # its in-group position is inside the ring, and the shortest cycle
+        # through it is exactly the ring size 3+((i//12)%7) — the oracle
+        # never walks an edge.
+        "graph_cycles": """
+            SELECT 'n' || doc_id AS node,
+                   (3 + ((doc_id // 12) % 7))::INT AS min_cycle_len
+            FROM documents
+            WHERE doc_id % 12 < 3 + ((doc_id // 12) % 7)
+              AND doc_id < (SELECT (count(*) // 12) * 12 FROM documents)
         """,
     }

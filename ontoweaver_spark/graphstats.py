@@ -1030,3 +1030,36 @@ def community_graph(
     if not keep_self:
         out = out.where(F.col("src_community") != F.col("dst_community"))
     return out
+
+
+def cycle_nodes(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Nodes that lie on a directed cycle -> ``(node, min_cycle_len)`` —
+    the KG hygiene check every ontology ingest runs (a subclass/part-of
+    hierarchy must be a DAG; a cycle makes transitive closure semantics
+    circular and the reference's family automap ill-defined, so surfacing
+    the offending nodes WITH their shortest cycle length is the
+    actionable diagnostic, reference ontology handling
+    src/ontoweaver/fusion.py type hierarchies).
+
+    A node is on a cycle iff it reaches itself, so this is a projection
+    of :func:`ontoweaver_spark.ontology.subclass_closure` (path doubling,
+    min-depth, cycle-tolerant by construction): self-reach rows ARE the
+    cycle membership, and their min depth is the shortest cycle through
+    that node. log2(longest cycle) self-joins total — no per-node DFS,
+    nothing driver-side.
+    """
+    from .ontology import subclass_closure
+
+    closure = subclass_closure(
+        edges.select(F.col(src_col).alias("child"), F.col(dst_col).alias("parent")),
+        max_rounds=max_rounds,
+    )
+    return closure.where(F.col("descendant") == F.col("ancestor")).select(
+        F.col("descendant").alias("node"),
+        F.col("depth").alias("min_cycle_len"),
+    )

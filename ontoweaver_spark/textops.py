@@ -1356,3 +1356,56 @@ def bm25_topk(
         .limit(k)
         .select(id_col, round_ieee(F.col("_score"), 4).alias("score"))
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Exact k-word phrase matching over the positional index ->
+    ``(doc_id, n_matches, first_pos)`` (0-based token position) — the
+    retrieval-side counterpart of :func:`inverted_index` (postings tell
+    you WHERE a token lives; phrase queries additionally need token
+    ADJACENCY, which is what search engines keep positional postings
+    for).
+
+    Anchor-join formulation: word k of the phrase at position p matches
+    anchor ``p - k``, so a full phrase occurrence is one (doc, anchor)
+    value present in ALL k per-word streams — (k-1) equi-joins on
+    (doc, anchor), no window, no per-row Python. Repeated words in the
+    phrase need no special-casing (each stream filters independently).
+
+    Scale shape (10^12 docs): each stream is the positional explode
+    FILTERED to one literal token before any shuffle, so the joins move
+    only the postings of the queried words (the classic intersection
+    cost), never the corpus; the final per-doc count is a hash agg on
+    already-co-located keys. Phrase words are query constants —
+    broadcast of nothing, state of nothing.
+    """
+    words = phrase.split()
+    if not words:
+        raise ValueError("phrase_search needs a non-empty phrase")
+    txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    pos_idx = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(txt)).alias("pos", "token"),
+    )
+    if lowercase:
+        words = [w.lower() for w in words]
+    out = None
+    for k, w in enumerate(words):
+        stream = pos_idx.where(F.col("token") == w).select(
+            "doc", (F.col("pos") - k).alias("anchor")
+        )
+        out = stream if out is None else out.join(stream, ["doc", "anchor"])
+    return (
+        out.where(F.col("anchor") >= 0)
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.min("anchor").cast("int").alias("first_pos"),
+        )
+    )

@@ -163,3 +163,118 @@ def host_link_graph(
     return pairs.groupBy("src_host", "dst_host").agg(
         F.count("*").alias("n_links")
     )
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Resolve every redirect source to its TERMINAL target ->
+    ``(src, final_url, hops)`` — the crawl-frontier canonicalization step
+    (301/302 chains, shortener hops, alias trees all collapse to the page
+    that actually serves content; the reference keys entity identity on
+    the resolved URL the same way its ID canonicalization collapses
+    alias ids, ontoweaver src/ontoweaver/fusion.py congregate-by-id).
+
+    Pointer doubling with path compression: the state frame IS the
+    mapping, so joining it with itself doubles the resolved chain length
+    every round — ``max_rounds=16`` covers chains 2^16 deep in 16 joins,
+    not 65k. Terminal targets (never a source themselves) left-join to
+    nothing and keep their resolution; a fixpoint on (rows, hop-sum)
+    stops early, exactly the convergence contract of
+    ``ontology.subclass_closure``. A redirect CYCLE never reaches the
+    fixpoint (hops grow each round), so exhausting ``max_rounds`` raises
+    instead of silently emitting a partial resolution.
+
+    Scale shape (10^12 urls): each round is ONE self-equi-join on the
+    current-target key plus a localCheckpoint to pin lineage; no window,
+    no driver data. Redirect frontiers are a small fraction of the crawl
+    (sources only), and AQE handles hub targets (link shorteners) as
+    ordinary join skew.
+    """
+    state = (
+        redirects.select(
+            F.col(src_col).cast("string").alias("src"),
+            F.col(dst_col).cast("string").alias("cur"),
+        )
+        .where(F.col("src").isNotNull() & F.col("cur").isNotNull())
+        .distinct()
+        .withColumn("hops", F.lit(1).cast("long"))
+        .localCheckpoint()
+    )
+    prev = (-1, -1)
+    for _ in range(max_rounds):
+        hop = state.select(
+            F.col("src").alias("m_src"),
+            F.col("cur").alias("m_cur"),
+            F.col("hops").alias("m_hops"),
+        )
+        state = (
+            state.join(hop, state["cur"] == hop["m_src"], "left")
+            .select(
+                "src",
+                F.coalesce("m_cur", "cur").alias("cur"),
+                (F.col("hops") + F.coalesce("m_hops", F.lit(0))).alias("hops"),
+            )
+            .localCheckpoint()
+        )
+        stats = state.agg(F.count("*").alias("n"), F.sum("hops").alias("s")).first()
+        if (stats["n"], stats["s"]) == prev:
+            return state.select(
+                "src", F.col("cur").alias("final_url"), F.col("hops").cast("int").alias("hops")
+            )
+        prev = (stats["n"], stats["s"])
+    raise RuntimeError(
+        f"resolve_redirects not converged after {max_rounds} doubling rounds "
+        f"(chains up to {2 ** max_rounds} resolved) — redirect cycle likely"
+    )
+
+
+def link_context_profile(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    context: Column | None = None,
+    link_pattern: str = r"(https?://[^\s\"'<>]+)",
+) -> DataFrame:
+    """Per-link-target inlink profile -> ``(target, n_inlinks,
+    n_src_hosts, top_context)`` — the anchor-text aggregation every web-KG
+    builds (a page is DESCRIBED by the pages that link to it; the top
+    inlink context becomes the target's candidate entity label, inlink
+    count its prior). ``context`` is any Column over the linking page
+    (default: its first ``keywords:`` token as the anchor-text proxy).
+
+    Shape at 10^12 pages: link extraction + explode is one JVM pass; then
+    two hash aggregates on the same ``target`` key — (target, context)
+    partial counts feeding a ``max_by`` top-1 (ties broken toward the
+    smaller context string for determinism), and (target) totals with an
+    exact distinct-host count. No window over the corpus, no Python; hub
+    targets (every page links to the homepage) arrive at reducers as
+    map-side partials, and the two aggregations share one AQE-planned
+    shuffle key.
+    """
+    if context is None:
+        context = F.regexp_extract(F.col(text_col), r"keywords: ([a-z0-9]+)", 1)
+    links = pages.select(
+        host_of(F.col(url_col)).alias("src_host"),
+        context.alias("ctx"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(link_pattern), 1)
+        ).alias("target"),
+    ).where(F.col("src_host") != "")
+    totals = links.groupBy("target").agg(
+        F.count("*").alias("n_inlinks"),
+        F.countDistinct("src_host").alias("n_src_hosts"),
+    )
+    top_ctx = (
+        links.groupBy("target", "ctx")
+        .agg(F.count("*").alias("n"))
+        .groupBy("target")
+        # struct-min on (-n, ctx): highest count, ties to the smaller
+        # context string — total order, so the top-1 is deterministic
+        .agg(F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("ctx"))).alias("_t"))
+        .select("target", F.col("_t.ctx").alias("top_context"))
+    )
+    return totals.join(top_ctx, "target")
