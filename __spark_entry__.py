@@ -1977,6 +1977,90 @@ def q_graph_cycles(spark, sf_dir):
     return cycle_nodes(edges)
 
 
+def q_robots(spark, sf_dir):
+    """Robots-style URL policy over the derived pages table: per-host
+    rules (disallow '/p<digit>', a longer allow '/p<digit>2' carve-out,
+    and a disallow-everything '/' for every 7th host) — longest matching
+    prefix wins, equal-length ties to allow. The oracle evaluates the
+    same rule table independently with a SQL window."""
+    from ontoweaver_spark.pages import pages_from_documents
+    from ontoweaver_spark.urls import robots_filter
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    pages = pages_from_documents(docs)
+    srcs = docs.select("source").distinct()
+    k = F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("long")
+    host = F.concat(F.col("source"), F.lit(".example"))
+    dis = srcs.select(
+        host.alias("host"),
+        F.concat(F.lit("/p"), (k % 10).cast("string")).alias("prefix"),
+        F.lit(False).alias("allow"),
+    )
+    alw = srcs.select(
+        host.alias("host"),
+        F.concat(F.lit("/p"), (k % 10).cast("string"), F.lit("2")).alias("prefix"),
+        F.lit(True).alias("allow"),
+    )
+    blanket = srcs.where(k % 7 == 0).select(
+        host.alias("host"), F.lit("/").alias("prefix"), F.lit(False).alias("allow")
+    )
+    return robots_filter(pages, dis.unionByName(alw).unionByName(blanket))
+
+
+def q_crawl_budget(spark, sf_dir):
+    """Largest-remainder apportionment of a 997-slot crawl budget across
+    sources proportional to page counts — quotas sum to the budget
+    EXACTLY (997 is prime, so remainders are almost always nonzero and
+    the +1 distribution is exercised)."""
+    from ontoweaver_spark.sampling import apportion_budget
+
+    _tune(spark)
+    hosts = _docs(spark, sf_dir).groupBy("source").agg(
+        F.count("*").alias("n_pages")
+    )
+    return apportion_budget(hosts, "source", "n_pages", budget=997)
+
+
+def q_host_sim(spark, sf_dir):
+    """Host-profile Jaccard: sources as keys, their distinct word
+    BIGRAMS as item sets (single tokens are all corpus-wide stopwords
+    here), bigrams present in more than 15 of the ~20 sources dropped
+    (the stop-item cap — 428 of 916 bigrams at sf0.01, so the cap does
+    real work); exact set counts, one portable division, pairs kept at
+    jaccard >= 0.5."""
+    from ontoweaver_spark.dedup import shingles
+    from ontoweaver_spark.similarity import profile_jaccard
+
+    _tune(spark)
+    grams = _docs_spread(spark, sf_dir).select(
+        "source", F.explode(shingles(F.lower(F.col("text")), k=2)).alias("bigram")
+    )
+    return profile_jaccard(
+        grams, "source", "bigram", max_item_df=15, min_jaccard=0.5
+    )
+
+
+def q_kg_transe(spark, sf_dir):
+    """TransE link-prediction eval with integer hash embeddings: triples
+    (e_{i%50}, r_{i%3}, e_{(i*7)%50}) ranked against ALL 50 entity
+    corruptions — exact L1 scores and ranks, engine-portable."""
+    from ontoweaver_spark.similarity import hash_transe_rank
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    triples = docs.select(
+        F.concat(F.lit("e"), (i % 50).cast("string")).alias("head"),
+        F.concat(F.lit("r"), (i % 3).cast("string")).alias("rel"),
+        F.concat(F.lit("e"), ((i * 7) % 50).cast("string")).alias("tail"),
+    )
+    cands = docs.where(i < 50).select(
+        F.concat(F.lit("e"), i.cast("string")).alias("candidate")
+    )
+    return hash_transe_rank(triples, cands, dim=4, mod=1000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -2094,6 +2178,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_profile": q_anchor_profile,
         "phrase_search": q_phrase_search,
         "graph_cycles": q_graph_cycles,
+        "robots_filter": q_robots,
+        "crawl_budget": q_crawl_budget,
+        "host_sim": q_host_sim,
+        "kg_transe": q_kg_transe,
     }
 
 
@@ -2664,6 +2752,43 @@ def _url_canon_sql(col: str) -> str:
     from ontoweaver_spark.urls import canonical_url_sql
 
     return canonical_url_sql(col)
+
+
+def _transe_sql(dim: int = 4, mod: int = 1000) -> str:
+    """Mirror of similarity.hash_transe_rank: md5-derived integer
+    embeddings, L1 score, raw rank against all candidates."""
+
+    def emb(prefix: str, name: str, d: int) -> str:
+        x = f"'{prefix}:' || {name} || ':{d}'"
+        return f"(({_SQL_MD5INT.format(x=x)}) % {mod})"
+
+    def l1(tail_name: str) -> str:
+        return " + ".join(
+            f"abs({emb('e', 'head', d)} + {emb('r', 'rel', d)}"
+            f" - {emb('e', tail_name, d)})"
+            for d in range(dim)
+        )
+
+    return f"""
+        WITH t AS (
+          SELECT DISTINCT 'e' || (doc_id % 50) AS head,
+                 'r' || (doc_id % 3) AS rel,
+                 'e' || ((doc_id * 7) % 50) AS tail
+          FROM documents
+        ), cand AS (
+          SELECT 'e' || doc_id AS candidate FROM documents WHERE doc_id < 50
+        ), scored AS (
+          SELECT head, rel, tail, ({l1('tail')})::BIGINT AS score FROM t
+        ), x AS (
+          SELECT s.head, s.rel, s.tail, s.score,
+                 ({l1('candidate')})::BIGINT AS cscore
+          FROM scored s CROSS JOIN cand
+        )
+        SELECT head, rel, tail, score,
+               (1 + sum(CASE WHEN cscore < score THEN 1 ELSE 0 END))::INT
+                 AS rank
+        FROM x GROUP BY head, rel, tail, score
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4411,4 +4536,91 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 12 < 3 + ((doc_id // 12) % 7)
               AND doc_id < (SELECT (count(*) // 12) * 12 FROM documents)
         """,
+        # same rule table, independently evaluated: path derived from
+        # doc_id (never parsed from the url), winner picked by a SQL
+        # window ordered (prefix length desc, allow desc).
+        "robots_filter": """
+            WITH urls AS (
+              SELECT 'https://' || source || '.example/p' || doc_id AS url,
+                     source, '/p' || doc_id AS path
+              FROM documents
+            ), ks AS (
+              SELECT DISTINCT source,
+                     regexp_extract(source, '(\\d+)', 1)::BIGINT AS k
+              FROM documents
+            ), rules AS (
+              SELECT source, '/p' || (k % 10) AS prefix, FALSE AS allow FROM ks
+              UNION ALL
+              SELECT source, '/p' || (k % 10) || '2', TRUE FROM ks
+              UNION ALL
+              SELECT source, '/', FALSE FROM ks WHERE k % 7 = 0
+            ), m AS (
+              SELECT u.url, r.prefix, r.allow,
+                     row_number() OVER (PARTITION BY u.url
+                       ORDER BY len(r.prefix) DESC, r.allow DESC) AS rn
+              FROM urls u
+              JOIN rules r ON u.source = r.source
+                          AND starts_with(u.path, r.prefix)
+            )
+            SELECT u.url, coalesce(m.allow, TRUE) AS allowed,
+                   m.prefix AS rule_prefix
+            FROM urls u
+            LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (url)
+        """,
+        "crawl_budget": """
+            WITH wgt AS (
+              SELECT source, count(*)::BIGINT AS n_pages
+              FROM documents GROUP BY source
+            ), tot AS (SELECT sum(n_pages) AS S FROM wgt),
+            parts AS (
+              SELECT source, n_pages,
+                     (997 * n_pages) // S AS base,
+                     (997 * n_pages) % S AS rem
+              FROM wgt, tot
+            ), kk AS (SELECT 997 - sum(base) AS K FROM parts),
+            r AS (
+              SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rn
+              FROM parts
+            )
+            SELECT source, n_pages,
+                   (base + CASE WHEN rn <= K THEN 1 ELSE 0 END)::BIGINT AS quota
+            FROM r, kk
+        """,
+        "host_sim": """
+            WITH toks AS (
+              SELECT source, doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                       AS token,
+                     generate_subscripts(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'), 1)
+                       AS pos
+              FROM documents
+            ), raw AS (
+              SELECT a.source AS key, a.token || ' ' || b.token AS item
+              FROM toks a JOIN toks b
+                ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            ), posts0 AS (SELECT DISTINCT key, item FROM raw),
+            posts AS (
+              SELECT * FROM posts0 WHERE item NOT IN (
+                SELECT item FROM posts0 GROUP BY item HAVING count(*) > 15
+              )
+            ), sizes AS (SELECT key, count(*) AS size FROM posts GROUP BY key),
+            shared AS (
+              SELECT a.key AS key_a, b.key AS key_b, count(*) AS shared
+              FROM posts a JOIN posts b
+                ON a.item = b.item AND a.key < b.key
+              GROUP BY 1, 2
+            ), j AS (
+              SELECT key_a, key_b, shared,
+                     sa.size AS size_a, sb.size AS size_b,
+                     floor(shared::DOUBLE
+                           / (sa.size + sb.size - shared) * 10000 + 0.5)
+                       / 10000 AS jaccard
+              FROM shared
+              JOIN sizes sa ON sa.key = key_a
+              JOIN sizes sb ON sb.key = key_b
+            )
+            SELECT * FROM j WHERE jaccard >= 0.5
+        """,
+        "kg_transe": _transe_sql(dim=4, mod=1000),
     }

@@ -260,3 +260,60 @@ def interleaved_order(
     ranked = df.withColumn("_rnk", F.row_number().over(w))
     ordered = ranked.orderBy("_rnk", group_col).localCheckpoint(eager=False)
     return with_row_index(ordered, position_col).drop("_rnk")
+
+
+def apportion_budget(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer ``budget``
+    across keys proportional to integer weights -> ``(key, weight,
+    quota)`` with ``sum(quota) == budget`` exactly — the crawl-budget
+    allocator (fetch slots per host proportional to host value) and the
+    per-source sampling-quota planner for corpus mixing. Floating-point
+    proportional splits never sum back to the budget; this is the
+    standard exact-integer fix.
+
+    base_i = floor(B*w_i / S), and the K = B - sum(base) leftover units
+    go to the K largest remainders ((B*w_i) mod S, ties to the smaller
+    key — a total order, so the allocation is deterministic).
+
+    Shape: one global sum (broadcast back as data), one projection, one
+    row_number over the KEY table ordered by remainder. Keys are hosts /
+    sources — orders of magnitude fewer than rows; for key spaces too big
+    for a single-task sort window, swap the row_number for the
+    length_quantiles histogram threshold (same contract, two passes).
+    ``B*w_i`` stays in LongType: caller guarantees B * max(w) < 2^63
+    (true for any real budget/host-count pair; raise to DECIMAL if not).
+    """
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("long")
+    tot = df.agg(F.sum(w).alias("_S"), F.count("*").alias("_nk"))
+    j = df.select(F.col(key_col).alias("key"), w.alias("weight")).crossJoin(
+        F.broadcast(tot)
+    )
+    parts = j.select(
+        "key",
+        "weight",
+        F.floor(F.lit(budget) * F.col("weight") / F.col("_S")).alias("_base"),
+        ((F.lit(budget) * F.col("weight")) % F.col("_S")).alias("_rem"),
+        F.col("_S"),
+    )
+    win = Window.orderBy(F.desc("_rem"), F.asc("key"))
+    ranked = parts.withColumn("_rn", F.row_number().over(win))
+    # K leftovers = budget - sum(base); sum(base) derivable per-row? No —
+    # one more tiny agg over the KEY table, broadcast back.
+    kdf = parts.agg((F.lit(budget) - F.sum("_base")).alias("_K"))
+    return (
+        ranked.crossJoin(F.broadcast(kdf))
+        .select(
+            F.col("key").alias(key_col),
+            F.col("weight").alias(weight_col),
+            (F.col("_base") + F.when(F.col("_rn") <= F.col("_K"), 1).otherwise(0))
+            .cast("long")
+            .alias("quota"),
+        )
+    )

@@ -453,3 +453,112 @@ def pq_codes(
         .agg(*aggs)
         .select(id_col, F.array(*[F.col(f"_m{s}.c") for s in range(m)]).alias("codes"))
     )
+
+
+def profile_jaccard(
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+    max_item_df: int | None = None,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Pairwise Jaccard similarity between KEYS by their item sets ->
+    ``(key_a, key_b, shared, size_a, size_b, jaccard)`` with
+    ``key_a < key_b`` — host-profile similarity (which sites cover the
+    same keyword vocabulary), source-overlap audits, and the set-level
+    generalization of document n-gram Jaccard (dedup.jaccard_candidates
+    works on docs; this works on any grouping).
+
+    Inverted-index join: distinct (item, key) postings self-join per
+    item, so only keys that SHARE an item ever meet — never a cartesian
+    over keys. ``max_item_df`` drops items shared by more than that many
+    keys before the join (the stop-shingle cap of dedup.py applied to
+    profiles: an item present in every key contributes pairs
+    quadratically and information zero). Counts are exact integers; the
+    one FP division is performed identically in any ANSI engine.
+    """
+    posts = df.select(
+        F.col(item_col).alias("item"), F.col(key_col).cast("string").alias("key")
+    ).distinct()
+    if max_item_df is not None:
+        hot = posts.groupBy("item").agg(F.count("*").alias("_df")).where(
+            F.col("_df") > max_item_df
+        ).select("item")
+        posts = posts.join(F.broadcast(hot), "item", "left_anti")
+    sizes = posts.groupBy("key").agg(F.count("*").alias("size"))
+    a = posts.select("item", F.col("key").alias("key_a"))
+    b = posts.select("item", F.col("key").alias("key_b"))
+    shared = (
+        a.join(b, "item")
+        .where(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    out = (
+        shared.join(sizes.select(F.col("key").alias("key_a"), F.col("size").alias("size_a")), "key_a")
+        .join(sizes.select(F.col("key").alias("key_b"), F.col("size").alias("size_b")), "key_b")
+        .select(
+            "key_a", "key_b", "shared", "size_a", "size_b",
+            round_ieee(
+                F.col("shared")
+                / (F.col("size_a") + F.col("size_b") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+    )
+    if min_jaccard > 0.0:
+        out = out.where(F.col("jaccard") >= min_jaccard)
+    return out
+
+
+def hash_transe_rank(
+    triples: DataFrame,
+    candidates: DataFrame,
+    dim: int = 4,
+    mod: int = 1000,
+) -> DataFrame:
+    """TransE link-prediction evaluation with integer-quantized hash
+    embeddings -> ``(head, rel, tail, score, rank)`` — the KG-embedding
+    eval harness (rank of the TRUE tail among all candidate corruptions
+    under score ``||h + r - t||_1``; mean-rank / hits@k are one agg away).
+    Embeddings here are deterministic md5-derived integers in [0, mod)
+    per dimension, so scores and ranks are EXACT and engine-portable; in
+    production the three ``_emb`` projections swap for joins against a
+    trained embedding table — the ranking plan (broadcast candidates,
+    per-triple min/count agg) is unchanged, which is the part that has to
+    survive 10^12 triples.
+
+    Shape: candidates (the corruption set — entity vocab or a sampled
+    slice) broadcast against the triples; scores are ``dim`` JVM integer
+    columns summed, no arrays, no Python; rank = one hash agg per triple
+    counting strictly-better corruptions (the true tail ranks 1 + that,
+    the standard "raw" protocol; equal scores do not hurt the true
+    tail).
+    """
+    from .textops import md5_int
+
+    def emb(prefix: str, name, d: int) -> Column:
+        return md5_int(F.concat(F.lit(prefix + ":"), name, F.lit(f":{d}"))) % mod
+
+    def l1(tail_name) -> Column:
+        return sum(
+            F.abs(
+                emb("e", F.col("head"), d) + emb("r", F.col("rel"), d)
+                - emb("e", tail_name, d)
+            )
+            for d in range(dim)
+        )
+
+    t = triples.select("head", "rel", "tail").distinct()
+    scored = t.withColumn("score", l1(F.col("tail")).cast("long"))
+    cand = F.broadcast(candidates.select(F.col("candidate").cast("string")))
+    ranked = (
+        scored.crossJoin(cand)
+        .withColumn("_cscore", l1(F.col("candidate")).cast("long"))
+        .groupBy("head", "rel", "tail", "score")
+        .agg(
+            (1 + F.sum(F.when(F.col("_cscore") < F.col("score"), 1).otherwise(0)))
+            .cast("int")
+            .alias("rank")
+        )
+    )
+    return ranked

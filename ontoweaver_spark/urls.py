@@ -278,3 +278,57 @@ def link_context_profile(
         .select("target", F.col("_t.ctx").alias("top_context"))
     )
     return totals.join(top_ctx, "target")
+
+
+def robots_filter(
+    pages: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Robots-style URL policy evaluation -> ``(url, allowed, rule_prefix)``
+    — the crawl-politeness gate every fetch pipeline applies before a URL
+    enters the frontier. ``rules`` is ``(host, prefix, allow boolean)``;
+    the winning rule for a URL is the LONGEST matching path prefix on its
+    host, ties broken toward allow (the de-facto robots.txt evaluation
+    order), and a URL with no matching rule is allowed.
+
+    Shape at 10^12 urls: rules are broadcast (robots files are KBs per
+    host; if a corpus-wide rule set outgrows the broadcast ceiling, drop
+    the F.broadcast hint and this becomes an ordinary host-keyed shuffle
+    join — semantics unchanged), the prefix test is a JVM ``startswith``
+    inside the join condition, and the winner is one ``max_by`` hash
+    aggregate per url. No window, no Python, no regex per rule.
+    """
+    path = F.regexp_extract(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([/?].*)?$", 1)
+    p = pages.select(
+        F.col(url_col).alias("url"),
+        host_of(F.col(url_col)).alias("_host"),
+        F.when(path == "", F.lit("/")).otherwise(path).alias("_path"),
+    )
+    r = F.broadcast(
+        rules.select(
+            F.col("host").alias("r_host"),
+            F.col("prefix").alias("r_prefix"),
+            F.col("allow").cast("boolean").alias("r_allow"),
+        )
+    )
+    joined = p.join(
+        r,
+        (F.col("_host") == F.col("r_host"))
+        & F.col("_path").startswith(F.col("r_prefix")),
+        "left",
+    )
+    win = F.max_by(
+        F.struct(F.col("r_allow"), F.col("r_prefix")),
+        # longest prefix wins; equal-length allow beats disallow
+        F.struct(F.length("r_prefix"), F.col("r_allow").cast("int")),
+    ).alias("_w")
+    return (
+        joined.groupBy("url")
+        .agg(win)
+        .select(
+            "url",
+            F.coalesce(F.col("_w.r_allow"), F.lit(True)).alias("allowed"),
+            F.col("_w.r_prefix").alias("rule_prefix"),
+        )
+    )
