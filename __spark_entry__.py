@@ -2061,6 +2061,49 @@ def q_kg_transe(spark, sf_dir):
     return hash_transe_rank(triples, cands, dim=4, mod=1000)
 
 
+def q_kg_retract(spark, sf_dir):
+    """Tombstone cascade through the fused KG: retract every 9th document
+    and all zh documents — their nodes, their incident edges, and any
+    object node orphaned by the cascade (zh:language loses its last edge
+    and must disappear; sources keep other docs and must stay). Returns
+    the full post-retraction graph state as one frame (nodes + rendered
+    edges), so the oracle checks node drop, edge drop, AND the orphan
+    rule in a single hash."""
+    from ontoweaver_spark.fusion import retract_from_graph
+
+    fnodes, fedges = _kg(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    tomb = docs.where((F.col("doc_id") % 9 == 0) | (F.col("lang") == "zh")).select(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":document")).alias("id")
+    )
+    n2, e2 = retract_from_graph(
+        fnodes.select("id", "label"), fedges.select("src", "dst", "label"), tomb
+    )
+    return n2.select("id", "label", F.lit("node").alias("kind")).unionByName(
+        e2.select(
+            F.concat(F.col("src"), F.lit(">"), F.col("dst")).alias("id"),
+            F.col("label"),
+            F.lit("edge").alias("kind"),
+        )
+    )
+
+
+def q_span_dataset(spark, sf_dir):
+    """Byte-exact span-supervision rows over the derived pages table: the
+    keyword answer with 0-based char offsets plus the materialized
+    substring re-verification. The oracle is CLOSED-FORM — offsets from
+    the n_chars column and the synthesis layout, never from instr."""
+    from ontoweaver_spark.pages import pages_from_documents
+    from ontoweaver_spark.textops import span_dataset
+
+    _tune(spark)
+    pages = pages_from_documents(_docs(spark, sf_dir)).withColumn(
+        "doc_id",
+        F.regexp_extract(F.col("url"), r"/p(\d+)$", 1).cast("long"),
+    )
+    return span_dataset(pages, r"keywords: (kw[a-z]+)")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -2182,6 +2225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget": q_crawl_budget,
         "host_sim": q_host_sim,
         "kg_transe": q_kg_transe,
+        "kg_retract": q_kg_retract,
+        "span_dataset": q_span_dataset,
     }
 
 
@@ -4623,4 +4668,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM j WHERE jaccard >= 0.5
         """,
         "kg_transe": _transe_sql(dim=4, mod=1000),
+        # every node in the pre-retraction graph has >=1 edge, so the
+        # orphan rule reduces to: kept nodes that still appear as an
+        # endpoint of a kept edge.
+        "kg_retract": """
+            WITH keptdocs AS (
+              SELECT * FROM documents
+              WHERE NOT (doc_id % 9 = 0 OR lang = 'zh')
+            ), kept_nodes AS (
+              SELECT doc_id::VARCHAR || ':document' AS id,
+                     'document' AS label
+              FROM keptdocs
+              UNION ALL
+              SELECT DISTINCT lang || ':language', 'language' FROM documents
+              WHERE lang <> 'zh'
+              UNION ALL
+              SELECT DISTINCT source || ':source', 'source' FROM documents
+            ), kept_edges AS (
+              SELECT doc_id::VARCHAR || ':document' AS src,
+                     lang || ':language' AS dst,
+                     'in_language' AS elabel
+              FROM keptdocs
+              UNION ALL
+              SELECT doc_id::VARCHAR || ':document', source || ':source',
+                     'from_source'
+              FROM keptdocs
+            )
+            SELECT id, label, 'node' AS kind FROM kept_nodes
+            WHERE id IN (SELECT src FROM kept_edges
+                         UNION SELECT dst FROM kept_edges)
+            UNION ALL
+            SELECT src || '>' || dst, elabel, 'edge' FROM kept_edges
+        """,
+        # closed-form offsets: the synthesized page text is
+        # docs.text || '. keywords: kw<lang>, ...', so the answer starts
+        # at n_chars + 12 (". keywords: " is 12 chars) — never instr.
+        "span_dataset": """
+            SELECT doc_id, 'kw' || lang AS answer,
+                   (n_chars + 12)::INT AS char_start,
+                   (n_chars + 14 + len(lang))::INT AS char_end,
+                   TRUE AS verified
+            FROM documents
+        """,
     }

@@ -105,7 +105,8 @@ def main() -> None:
                  "bm25_topk", "interleave_order", "kg_modularity", "kg_ppr",
                  "kg_community_graph", "redirect_chains", "anchor_profile",
                  "phrase_search", "graph_cycles", "robots_filter",
-                 "crawl_budget", "host_sim", "kg_transe"]:
+                 "crawl_budget", "host_sim", "kg_transe", "kg_retract",
+                 "span_dataset"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the

@@ -382,3 +382,51 @@ def format_for_export(df: DataFrame, sep: str = "|") -> DataFrame:
             ),
         ),
     )
+
+
+def retract_from_graph(
+    fused_nodes: DataFrame,
+    fused_edges: DataFrame,
+    tombstones: DataFrame,
+    drop_orphans: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Right-to-be-forgotten cascade: remove every tombstoned SUBJECT from
+    the fused graph — the node, all its incident edges, and (by default)
+    any object node left with no remaining edge at all — without
+    re-running fusion. ``tombstones`` is one column ``id``. The inverse
+    lifecycle half of :func:`merge_into_graph` (that one folds a batch
+    IN; this folds one OUT), and the operation a crawl pipeline runs on
+    takedown/robots-revocation lists (reference keeps graphs append-only
+    and re-runs; a 10^12-triple graph cannot).
+
+    Orphan rule: a node is dropped iff it is tombstoned, or it has zero
+    incident edges AFTER the retraction but had at least one BEFORE
+    (pre-existing isolated nodes — e.g. property-only subjects — are
+    preserved; deleting them would make retraction non-idempotent on
+    graphs that legitimately contain isolated nodes).
+
+    Shape: three anti/semi joins on the node-id key, tombstones broadcast
+    (takedown lists are small; drop the hint if yours is not), endpoint
+    sets derived with one distinct-union per side. No window, no
+    collect.
+    """
+    tomb = F.broadcast(tombstones.select(F.col("id").cast("string").alias("id")).distinct())
+    kept_edges = (
+        fused_edges.join(tomb, fused_edges["src"] == tomb["id"], "left_anti")
+        .join(tomb, F.col("dst") == tomb["id"], "left_anti")
+    )
+    kept_nodes = fused_nodes.join(tomb, "id", "left_anti")
+    if not drop_orphans:
+        return kept_nodes, kept_edges
+
+    def endpoints(edges: DataFrame) -> DataFrame:
+        return (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+
+    had_edges = endpoints(fused_edges)
+    still_has = endpoints(kept_edges)
+    orphaned = had_edges.join(still_has, "id", "left_anti")
+    return kept_nodes.join(orphaned, "id", "left_anti"), kept_edges

@@ -1409,3 +1409,48 @@ def phrase_search(
             F.min("anchor").cast("int").alias("first_pos"),
         )
     )
+
+
+def span_dataset(
+    df: DataFrame,
+    pattern: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group: int = 1,
+) -> DataFrame:
+    """Extractive span-supervision rows -> ``(doc_id, answer, char_start,
+    char_end, verified)`` with 0-based character offsets satisfying
+    ``substr(text, char_start+1, char_end-char_start) == answer`` — the
+    builder for QA/NER-style training data where the label is a SPAN of
+    the source text, not a detached string (offset drift is the classic
+    silent corruption in such datasets, hence the materialized
+    ``verified`` re-check column).
+
+    Offsets come from ``instr`` on the FULL regex match, then the group's
+    offset inside it: valid whenever the pattern is context-free (no
+    anchors/lookarounds — then the first regex match IS the first literal
+    occurrence of the matched text) and the group text appears once
+    inside its match; ``verified`` catches any violation row-by-row, so
+    a downstream filter on it is cheap insurance rather than a prayer.
+    Docs that don't match the pattern are dropped.
+
+    Shape: one zero-shuffle JVM projection per row (two regex evals +
+    one instr + one substring); nothing moves until the caller
+    aggregates.
+    """
+    full = F.regexp_extract(F.col(text_col), pattern, 0)
+    ans = F.regexp_extract(F.col(text_col), pattern, group)
+    start = F.instr(F.col(text_col), full) - 1 + F.instr(full, ans) - 1
+    end = start + F.length(ans)
+    return (
+        df.where(full != "")
+        .select(
+            F.col(id_col),
+            ans.alias("answer"),
+            start.cast("int").alias("char_start"),
+            end.cast("int").alias("char_end"),
+            (
+                F.col(text_col).substr(start + 1, F.length(ans)) == ans
+            ).alias("verified"),
+        )
+    )
