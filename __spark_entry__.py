@@ -2104,6 +2104,51 @@ def q_span_dataset(spark, sf_dir):
     return span_dataset(pages, r"keywords: (kw[a-z]+)")
 
 
+def q_frontier(spark, sf_dir):
+    """Politeness-aware frontier plan: a 300-slot global budget
+    apportioned across ~20 hosts by candidate count, per-host top-quota
+    URLs by md5 priority, 1-based politeness slots. Composes
+    apportion_budget with the per-host ranking window."""
+    from ontoweaver_spark.pages import pages_from_documents
+    from ontoweaver_spark.textops import md5_int
+    from ontoweaver_spark.urls import frontier_plan
+
+    _tune(spark)
+    pages = pages_from_documents(_docs(spark, sf_dir)).withColumn(
+        "priority",
+        md5_int(
+            F.concat(
+                F.lit("prio:"),
+                F.regexp_extract(F.col("url"), r"/p(\d+)$", 1),
+            )
+        ),
+    )
+    return frontier_plan(pages, budget=300)
+
+
+def q_kmv_merge(spark, sf_dir):
+    """Mergeable-sketch rollup: per-(lang,source) KMV sketches merged up
+    to per-lang, then finalized. The ORACLE builds the per-lang estimate
+    DIRECTLY from raw tokens (the vocab_kmv derivation) — hash equality
+    proves the merge is lossless, the property that makes the sketch
+    usable for shard-then-rollup at corpus scale."""
+    from ontoweaver_spark.textops import (
+        kmv_estimate_from_sketch, kmv_merge, kmv_sketch, tokens,
+    )
+
+    _tune(spark)
+    tok = _docs(spark, sf_dir).select(
+        F.concat_ws("|", F.col("lang"), F.col("source")).alias("ls"),
+        F.col("lang"),
+        F.explode(tokens(F.lower(F.col("text")))).alias("token"),
+    )
+    sk = kmv_sketch(tok, "ls", "token", k=16)
+    by_lang = sk.select(
+        F.split(F.col("ls"), r"\|").getItem(0).alias("lang"), "sketch"
+    )
+    return kmv_estimate_from_sketch(kmv_merge(by_lang, "lang", k=16), "lang", k=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -2227,6 +2272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_transe": q_kg_transe,
         "kg_retract": q_kg_retract,
         "span_dataset": q_span_dataset,
+        "frontier_plan": q_frontier,
+        "kmv_merge": q_kmv_merge,
     }
 
 
@@ -4709,5 +4756,55 @@ def oracle_sql() -> dict[str, str]:
                    (n_chars + 14 + len(lang))::INT AS char_end,
                    TRUE AS verified
             FROM documents
+        """,
+        "frontier_plan": f"""
+            WITH cand AS (
+              SELECT 'https://' || source || '.example/p' || doc_id AS url,
+                     source || '.example' AS host,
+                     {_SQL_MD5INT.format(x="'prio:' || doc_id")} AS prio
+              FROM documents
+            ), counts AS (SELECT host, count(*)::BIGINT AS n FROM cand GROUP BY host),
+            tot AS (SELECT sum(n) AS S FROM counts),
+            parts AS (
+              SELECT host, n, (300 * n) // S AS base, (300 * n) % S AS rem
+              FROM counts, tot
+            ), kk AS (SELECT 300 - sum(base) AS K FROM parts),
+            q AS (
+              SELECT host,
+                     base + CASE WHEN row_number() OVER
+                       (ORDER BY rem DESC, host ASC) <= K THEN 1 ELSE 0 END
+                       AS quota
+              FROM parts, kk
+            ), r AS (
+              SELECT url, host,
+                     row_number() OVER (PARTITION BY host
+                       ORDER BY prio DESC, url ASC) AS fetch_slot
+              FROM cand
+            )
+            SELECT r.url, r.host, fetch_slot::INT AS fetch_slot
+            FROM r JOIN q USING (host) WHERE fetch_slot <= quota
+        """,
+        # the DIRECT per-lang KMV derivation (same as vocab_kmv): equality
+        # with the merged per-(lang,source) rollup proves merge losslessness
+        "kmv_merge": """
+            WITH tok AS (
+              SELECT lang, UNNEST(regexp_split_to_array(trim(lower(text)),
+                     '\\s+')) AS token
+              FROM documents
+            ), hashed AS (
+              SELECT DISTINCT lang,
+                     (('0x' || substr(md5(token), 1, 15))::BIGINT) AS h
+              FROM tok
+            ), ranked AS (
+              SELECT lang, h,
+                     row_number() OVER (PARTITION BY lang ORDER BY h) AS r
+              FROM hashed
+            )
+            SELECT lang, count(*) AS n_kept,
+                   CASE WHEN count(*) < 16 THEN count(*)
+                        ELSE CAST(floor(15 * 1152921504606846976.0
+                               / max(h)::DOUBLE + 0.5) AS BIGINT)
+                   END AS estimate
+            FROM ranked WHERE r <= 16 GROUP BY lang
         """,
     }

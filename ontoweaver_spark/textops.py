@@ -1454,3 +1454,82 @@ def span_dataset(
             ).alias("verified"),
         )
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """MERGEABLE KMV sketch per group -> ``(group, sketch array<long>)``
+    (the k smallest distinct md5 hashes, ascending) — the partial-state
+    form of :func:`kmv_distinct`. Mergeability is the property that
+    makes a sketch distributed-friendly: sub-corpus sketches union to
+    the EXACT corpus sketch (k smallest of a union = k smallest of the
+    concatenated k-smallest lists), so rollups never rescan raw keys —
+    build per-shard/per-day once, merge upward forever after.
+    """
+    from pyspark.sql import Window
+
+    hashed = (
+        df.select(
+            F.col(group_col).alias("g"),
+            md5_int(F.col(key_col).cast("string")).alias("h"),
+        ).distinct()
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    ranked = hashed.withColumn("r", F.row_number().over(w)).where(F.col("r") <= k)
+    return ranked.groupBy("g").agg(
+        F.sort_array(F.collect_list("h")).alias("sketch")
+    ).select(F.col("g").alias(group_col), "sketch")
+
+
+def kmv_merge(
+    sketches: DataFrame,
+    group_col: str,
+    sketch_col: str = "sketch",
+    k: int = 64,
+) -> DataFrame:
+    """Union KMV sketches up to a coarser group -> same shape as
+    :func:`kmv_sketch` keyed on ``group_col`` — lossless: the merged
+    sketch is identical to one built from the raw keys (asserted against
+    :func:`kmv_distinct` in tests and the driver oracle). Inputs are
+    already <= k values each, so the agg state stays bounded."""
+    return (
+        sketches.groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list(sketch_col)))),
+                1,
+                k,
+            ).alias("sketch")
+        )
+        .select(F.col("g").alias(group_col), "sketch")
+    )
+
+
+def kmv_estimate_from_sketch(
+    sketches: DataFrame,
+    group_col: str,
+    sketch_col: str = "sketch",
+    k: int = 64,
+) -> DataFrame:
+    """Finalize sketches to ``(group, n_kept, estimate)`` — the same
+    estimator as :func:`kmv_distinct` ((k-1)/x_(k) over the 60-bit hash
+    space; exact count below k), so a merged-sketch rollup and a direct
+    raw-key pass are interchangeable downstream."""
+    n = F.size(F.col(sketch_col))
+    kth = F.element_at(F.col(sketch_col), n)
+    return sketches.select(
+        F.col(group_col),
+        n.cast("long").alias("n_kept"),
+        F.when(n < k, n.cast("long"))
+        .otherwise(
+            F.floor(
+                F.lit(float(k - 1)) * F.lit(float(1 << 60)) / kth.cast("double")
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .alias("estimate"),
+    )

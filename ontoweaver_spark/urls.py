@@ -18,7 +18,7 @@ crawl snapshots ``?page=2`` is a different document.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tracking parameters every crawler strips (Google/Facebook/Microsoft
@@ -331,4 +331,46 @@ def robots_filter(
             F.coalesce(F.col("_w.r_allow"), F.lit(True)).alias("allowed"),
             F.col("_w.r_prefix").alias("rule_prefix"),
         )
+    )
+
+
+def frontier_plan(
+    candidates: DataFrame,
+    url_col: str = "url",
+    priority_col: str = "priority",
+    budget: int = 10_000,
+) -> DataFrame:
+    """Politeness-aware crawl frontier plan -> ``(url, host, fetch_slot)``
+    — the scheduling step between URL discovery and fetching: a global
+    fetch ``budget`` is apportioned across hosts proportionally to their
+    candidate counts (exact largest-remainder split, so slots sum to the
+    budget), each host keeps only its top-quota URLs by ``priority_col``
+    (ties to the url string — deterministic), and ``fetch_slot`` is the
+    URL's 1-based position in its host's politeness queue (slot k fetches
+    no earlier than k * crawl-delay, which is exactly how a polite
+    fetcher consumes this table).
+
+    Shape at 10^12 candidates: one count aggregate per host, the
+    row_number window partitioned BY HOST (never a global sort — politeness
+    queues are per-host by definition), and the host→quota table joined
+    back as a broadcast. The quota filter drops the candidate tail before
+    anything downstream materializes.
+    """
+    from .sampling import apportion_budget
+
+    c = candidates.select(
+        F.col(url_col).alias("url"),
+        host_of(F.col(url_col)).alias("host"),
+        F.col(priority_col).alias("_prio"),
+    ).where(F.col("host") != "")
+    counts = c.groupBy("host").agg(F.count("*").alias("n_candidates"))
+    quotas = apportion_budget(counts, "host", "n_candidates", budget)
+    w = Window.partitionBy("host").orderBy(F.desc("_prio"), F.asc("url"))
+    ranked = c.withColumn("fetch_slot", F.row_number().over(w))
+    return (
+        ranked.join(
+            F.broadcast(quotas.select("host", "quota")), "host"
+        )
+        .where(F.col("fetch_slot") <= F.col("quota"))
+        .select("url", "host", F.col("fetch_slot").cast("int").alias("fetch_slot"))
     )
