@@ -2149,6 +2149,82 @@ def q_kmv_merge(spark, sf_dir):
     return kmv_estimate_from_sketch(kmv_merge(by_lang, "lang", k=16), "lang", k=16)
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML -> visible text over deterministically synthesized pages
+    (title, style block, headline, entity-encoded body, trailing script).
+    The oracle is CLOSED-FORM — it reassembles the expected text from the
+    raw columns and never touches a tag or entity."""
+    from ontoweaver_spark.webdoc import html_title, html_to_text
+
+    _tune(spark)
+    docs = _docs_spread(spark, sf_dir)
+    html = F.concat(
+        F.lit("<html><head><title>"), F.upper(F.col("source")),
+        F.lit("</title><style>p{margin:0}</style></head><body><h1>"),
+        F.col("lang"),
+        F.lit("</h1><p>x &amp; "), F.col("text"),
+        F.lit("</p><script>var a=1;\nif(a<2){a++;}</script></body></html>"),
+    )
+    return docs.select(
+        "doc_id",
+        html_title(html).alias("title"),
+        html_to_text(html).alias("clean_text"),
+    )
+
+
+def q_warc_parse(spark, sf_dir):
+    """HTTP response-record parsing over synthesized WARC-style payloads:
+    three statuses round-robin plus every 4th record an unparseable
+    raw-text blob (NULL status, whole payload as body). Closed-form
+    oracle from doc_id arithmetic."""
+    from ontoweaver_spark.webdoc import parse_http_response
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    status = F.element_at(
+        F.array(F.lit("200 OK"), F.lit("301 Moved"), F.lit("404 Not Found")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    rec = F.when(
+        F.col("doc_id") % 4 == 3, F.col("text")
+    ).otherwise(
+        F.concat(
+            F.lit("HTTP/1.1 "), status,
+            F.lit("\r\nServer: t\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"),
+            F.col("text"),
+        )
+    )
+    framed = docs.select("doc_id", F.encode(rec, "utf-8").alias("html"))
+    return parse_http_response(framed).select(
+        "doc_id", "http_status", "content_type", "body"
+    )
+
+
+def q_dag_levels(spark, sf_dir):
+    """Topological LONGEST-PATH layering of a DAG: 8-node chains with a
+    0->4 shortcut edge per group — the shortcut makes min-depth give 4
+    where the generation number is 7, so the oracle (closed-form:
+    level = 7 - i%8) rejects any min-based shortcut-following
+    implementation."""
+    from ontoweaver_spark.ontology import hierarchy_levels
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    cap = docs.agg((F.floor(F.count("*") / 8) * 8).alias("cap"))
+    d = docs.crossJoin(F.broadcast(cap)).where(F.col("doc_id") < F.col("cap"))
+    i = F.col("doc_id")
+    node = F.concat(F.lit("n"), i.cast("string"))
+    chain = d.where(i % 8 < 7).select(
+        node.alias("child"),
+        F.concat(F.lit("n"), (i + 1).cast("string")).alias("parent"),
+    )
+    shortcut = d.where(i % 8 == 0).select(
+        node.alias("child"),
+        F.concat(F.lit("n"), (i + 4).cast("string")).alias("parent"),
+    )
+    return hierarchy_levels(chain.unionByName(shortcut))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -2274,6 +2350,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dataset": q_span_dataset,
         "frontier_plan": q_frontier,
         "kmv_merge": q_kmv_merge,
+        "html_extract": q_html_extract,
+        "warc_parse": q_warc_parse,
+        "dag_levels": q_dag_levels,
     }
 
 
@@ -4806,5 +4885,32 @@ def oracle_sql() -> dict[str, str]:
                                / max(h)::DOUBLE + 0.5) AS BIGINT)
                    END AS estimate
             FROM ranked WHERE r <= 16 GROUP BY lang
+        """,
+        # closed-form: expected visible text reassembled from raw columns
+        # (title, h1 lang, decoded '&', body) — no tag or entity handling
+        # anywhere in the oracle.
+        "html_extract": """
+            SELECT doc_id, upper(source) AS title,
+                   upper(source) || ' ' || lang || ' x & ' || trim(text)
+                     AS clean_text
+            FROM documents
+        """,
+        "warc_parse": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 3 THEN NULL
+                        WHEN doc_id % 3 = 0 THEN 200
+                        WHEN doc_id % 3 = 1 THEN 301
+                        ELSE 404 END AS http_status,
+                   CASE WHEN doc_id % 4 = 3 THEN NULL
+                        ELSE 'text/html; charset=utf-8' END AS content_type,
+                   text AS body
+            FROM documents
+        """,
+        # closed-form: generation number in an 8-chain is 7 - position;
+        # the 0->4 shortcut must NOT shorten it (longest path, not min)
+        "dag_levels": """
+            SELECT 'n' || doc_id AS node, (7 - doc_id % 8)::INT AS level
+            FROM documents
+            WHERE doc_id < (SELECT (count(*) // 8) * 8 FROM documents)
         """,
     }

@@ -106,7 +106,8 @@ def main() -> None:
                  "kg_community_graph", "redirect_chains", "anchor_profile",
                  "phrase_search", "graph_cycles", "robots_filter",
                  "crawl_budget", "host_sim", "kg_transe", "kg_retract",
-                 "span_dataset", "frontier_plan", "kmv_merge"]:
+                 "span_dataset", "frontier_plan", "kmv_merge",
+                 "html_extract", "warc_parse", "dag_levels"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the

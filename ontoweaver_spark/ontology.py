@@ -44,9 +44,14 @@ def subclass_closure(
     child_col: str = "child",
     parent_col: str = "parent",
     max_rounds: int = 12,
+    depth_agg: str = "min",
 ) -> DataFrame:
     """Transitive closure of a (child, parent) hierarchy ->
-    ``(descendant, ancestor, depth)`` with depth = minimum edge count.
+    ``(descendant, ancestor, depth)`` with depth = minimum edge count
+    (``depth_agg="max"`` switches to the LONGEST path — the generation
+    number :func:`hierarchy_levels` needs; on a cyclic graph max-depth
+    never converges, so that mode turns the convergence raise into the
+    cycle detector).
 
     Path doubling: R_{k+1} = min-depth(R_k UNION R_k JOIN R_k), so round k
     covers every path of length <= 2^k exactly — ``max_rounds=12`` handles
@@ -75,10 +80,11 @@ def subclass_closure(
         doubled = reach.join(mid, reach["a"] == mid["m"]).select(
             "d", F.col("a2").alias("a"), (F.col("depth") + F.col("dep2")).alias("depth")
         )
+        agg_fn = F.max if depth_agg == "max" else F.min
         reach = (
             reach.unionByName(doubled)
             .groupBy("d", "a")
-            .agg(F.min("depth").alias("depth"))
+            .agg(agg_fn("depth").alias("depth"))
             .localCheckpoint()
         )
         stats = reach.agg(
@@ -139,3 +145,48 @@ def automap_to_targets(
     return labeled.join(
         F.broadcast(hits), lbl == hits["descendant"], "left"
     ).drop("descendant")
+
+
+def hierarchy_levels(
+    edges: DataFrame,
+    child_col: str = "child",
+    parent_col: str = "parent",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Topological depth layering of a DAG hierarchy -> ``(node, level)``
+    where roots (nodes with no parent) are level 0 and every other node
+    sits at its LONGEST path to a root — the layer assignment ontology
+    browsers and breadth-capped traversals key on (min-depth would pull
+    a deep subclass up through a shortcut edge; longest-path is the
+    conventional "generation" number).
+
+    One :func:`subclass_closure` in max-plus mode (path doubling over the
+    longest-walk semiring, log2(depth) joins), a broadcast anti-join to
+    find roots, and a max aggregate — no per-level frontier loop, which
+    at 10^12 edges would serialize depth rounds. Cycles surface loudly:
+    max-depth closure cannot converge on one (walk lengths grow every
+    round), so the convergence raise is re-thrown as the cycle error.
+    """
+    e = edges.select(
+        F.col(child_col).cast("string").alias("child"),
+        F.col(parent_col).cast("string").alias("parent"),
+    ).where(F.col("child").isNotNull() & F.col("parent").isNotNull())
+    try:
+        closure = subclass_closure(e, max_rounds=max_rounds, depth_agg="max")
+    except RuntimeError as err:
+        raise ValueError(
+            "hierarchy_levels: longest-path closure did not converge — the "
+            "graph has a cycle (levels are undefined; run "
+            "graphstats.cycle_nodes for the offending nodes) or is deeper "
+            f"than 2^{max_rounds}; {err}"
+        ) from err
+    children = e.select(F.col("child").alias("node")).distinct()
+    parents = e.select(F.col("parent").alias("node")).distinct()
+    roots = parents.join(children, "node", "left_anti")
+    deep = (
+        closure.join(roots, closure["ancestor"] == roots["node"])
+        .groupBy("descendant")
+        .agg(F.max("depth").alias("level"))
+        .select(F.col("descendant").alias("node"), F.col("level").cast("int").alias("level"))
+    )
+    return roots.select("node", F.lit(0).alias("level")).unionByName(deep)

@@ -115,3 +115,27 @@ def test_cycle_nodes_dag_empty(spark):
     assert cycle_nodes(
         spark.createDataFrame(edges, "src string, dst string")
     ).count() == 0
+
+
+def test_hierarchy_levels_longest_path_and_roots(spark):
+    from ontoweaver_spark.ontology import hierarchy_levels
+
+    # chain a->b->c->d with shortcut a->c: level(a) must be 3 (longest),
+    # not 2 (min-depth via the shortcut)
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")]
+    got = {r["node"]: r["level"] for r in hierarchy_levels(
+        spark.createDataFrame(edges, "child string, parent string")
+    ).collect()}
+    assert got == {"d": 0, "c": 1, "b": 2, "a": 3}
+
+
+def test_hierarchy_levels_cycle_raises(spark):
+    import pytest as _pytest
+
+    from ontoweaver_spark.ontology import hierarchy_levels
+
+    edges = [("a", "b"), ("b", "a")]
+    with _pytest.raises(ValueError, match="cycle"):
+        hierarchy_levels(
+            spark.createDataFrame(edges, "child string, parent string")
+        )
