@@ -2225,6 +2225,70 @@ def q_dag_levels(spark, sf_dir):
     return hierarchy_levels(chain.unionByName(shortcut))
 
 
+def q_kg_profile(spark, sf_dir):
+    """Schema/health report of the fused KG (label counts, property fill,
+    edge fan-out, hub degrees) in long format. The oracle derives every
+    metric closed-form from the documents table and the known mapping —
+    it never builds the graph."""
+    from ontoweaver_spark.graphstats import profile_graph
+
+    fnodes, fedges = _kg(spark, sf_dir)
+    return profile_graph(
+        fnodes.select("id", "label", "properties"),
+        fedges.select("src", "dst", "label"),
+    )
+
+
+def q_kg_rpq(spark, sf_dir):
+    """Bounded regular-path queries over a synthesized typed graph:
+    the label SEQUENCE cites/about (2 hops) and the Kleene range
+    cites{1,3}, union-tagged by mode. The oracle unrolls the same
+    semantics as plain SQL joins with per-level DISTINCT."""
+    from ontoweaver_spark.graphquery import path_query
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    d = F.concat(F.lit("d"), i.cast("string"))
+    cites = docs.select(
+        d.alias("src"), F.lit("cites").alias("label"),
+        F.concat(F.lit("d"), ((i * 13) % 250).cast("string")).alias("dst"),
+    )
+    about = docs.select(
+        d.alias("src"), F.lit("about").alias("label"),
+        F.concat(F.lit("t"), (i % 7).cast("string")).alias("dst"),
+    )
+    edges = cites.unionByName(about)
+    seq = path_query(edges, ["cites", "about"]).withColumn("mode", F.lit("seq"))
+    kleene = path_query(edges, [{"cites"}], min_len=1, max_len=3).withColumn(
+        "mode", F.lit("kleene")
+    )
+    return seq.unionByName(kleene)
+
+
+def q_scd2_snapshot(spark, sf_dir):
+    """Point-in-time view of the SCD2 intervals at ts=1 (the middle
+    snapshot): exactly one row per url, interval fields intact. The
+    oracle is CLOSED-FORM per doc_id%4 case — it never builds runs."""
+    from ontoweaver_spark.sessions import snapshot_at, validity_intervals
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    snaps = docs.select(
+        "doc_id", "source",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k"),
+    ).select(
+        F.concat(
+            F.lit("https://crawl."), F.col("source"), F.lit(".com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("k").cast("long").alias("ts"),
+        F.when(F.col("k") < F.col("doc_id") % 4, F.lit("a"))
+        .otherwise(F.lit("b")).alias("value"),
+    )
+    return snapshot_at(validity_intervals(snaps, key_col="url", ts_col="ts"), 1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -2353,6 +2417,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "warc_parse": q_warc_parse,
         "dag_levels": q_dag_levels,
+        "kg_profile": q_kg_profile,
+        "kg_rpq": q_kg_rpq,
+        "scd2_snapshot": q_scd2_snapshot,
     }
 
 
@@ -4912,5 +4979,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'n' || doc_id AS node, (7 - doc_id % 8)::INT AS level
             FROM documents
             WHERE doc_id < (SELECT (count(*) // 8) * 8 FROM documents)
+        """,
+        # every metric closed-form from documents + the known mapping:
+        # one doc node per row, one in_language/from_source edge per doc,
+        # n_chars always filled, per-doc out-degree exactly 1.
+        "kg_profile": """
+            SELECT 'node_label' AS section, 'document' AS name,
+                   'count' AS metric, count(*)::BIGINT AS value FROM documents
+            UNION ALL SELECT 'node_label', 'language', 'count',
+                   count(DISTINCT lang) FROM documents
+            UNION ALL SELECT 'node_label', 'source', 'count',
+                   count(DISTINCT source) FROM documents
+            UNION ALL SELECT 'prop_fill', 'document.n_chars', 'count',
+                   count(*) FROM documents WHERE n_chars IS NOT NULL
+            UNION ALL SELECT 'edge_label', 'in_language', 'count',
+                   count(*) FROM documents
+            UNION ALL SELECT 'edge_label', 'in_language', 'distinct_src',
+                   count(*) FROM documents
+            UNION ALL SELECT 'edge_label', 'in_language', 'distinct_dst',
+                   count(DISTINCT lang) FROM documents
+            UNION ALL SELECT 'edge_label', 'from_source', 'count',
+                   count(*) FROM documents
+            UNION ALL SELECT 'edge_label', 'from_source', 'distinct_src',
+                   count(*) FROM documents
+            UNION ALL SELECT 'edge_label', 'from_source', 'distinct_dst',
+                   count(DISTINCT source) FROM documents
+            UNION ALL SELECT 'degree', 'in_language', 'max_out', 1
+            UNION ALL SELECT 'degree', 'from_source', 'max_out', 1
+            UNION ALL SELECT 'degree', 'in_language', 'max_in',
+                   (SELECT max(c) FROM (SELECT count(*) AS c FROM documents
+                                        GROUP BY lang))
+            UNION ALL SELECT 'degree', 'from_source', 'max_in',
+                   (SELECT max(c) FROM (SELECT count(*) AS c FROM documents
+                                        GROUP BY source))
+        """,
+        # the same path semantics unrolled as SQL joins with per-level
+        # DISTINCT (pair semantics, like the implementation)
+        "kg_rpq": """
+            WITH c AS (
+              SELECT DISTINCT 'd' || doc_id AS src,
+                     'd' || ((doc_id * 13) % 250) AS dst
+              FROM documents
+            ), a AS (
+              SELECT DISTINCT 'd' || doc_id AS src,
+                     't' || (doc_id % 7) AS dst
+              FROM documents
+            ), c2 AS (
+              SELECT DISTINCT x.src, y.dst FROM c x JOIN c y ON x.dst = y.src
+            ), c3 AS (
+              SELECT DISTINCT x.src, y.dst FROM c2 x JOIN c y ON x.dst = y.src
+            )
+            SELECT DISTINCT x.src, y.dst, 2 AS path_len, 'seq' AS mode
+            FROM c x JOIN a y ON x.dst = y.src
+            UNION ALL SELECT src, dst, 1, 'kleene' FROM c
+            UNION ALL SELECT src, dst, 2, 'kleene' FROM c2
+            UNION ALL SELECT src, dst, 3, 'kleene' FROM c3
+        """,
+        # closed-form per doc_id%4: which run covers ts=1 and its bounds
+        "scd2_snapshot": """
+            SELECT 'https://crawl.' || source || '.com/p/' || doc_id AS url,
+                   CASE WHEN doc_id % 4 >= 2 THEN 'a' ELSE 'b' END AS value,
+                   CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END::BIGINT
+                     AS valid_from,
+                   CASE WHEN doc_id % 4 = 2 THEN 2 ELSE NULL END::BIGINT
+                     AS valid_to,
+                   CASE WHEN doc_id % 4 IN (0, 3) THEN 3 ELSE 2 END::BIGINT
+                     AS n_snapshots,
+                   (doc_id % 4 <> 2) AS is_current
+            FROM documents
         """,
     }

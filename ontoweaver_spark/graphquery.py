@@ -89,3 +89,74 @@ def match_pattern(
         bound = bound.join(frame, on=keys) if keys else bound.crossJoin(frame)
         seen_vars |= set(cols)
     return bound
+
+
+def path_query(
+    edges: DataFrame,
+    steps: list[object],
+    min_len: int = 1,
+    max_len: int | None = None,
+    src_col: str = "src",
+    pred_col: str = "label",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded regular-path query -> ``(src, dst, path_len)`` DISTINCT
+    pairs — the SPARQL property-path subset real KG traversals use:
+
+    - ``steps=["r1", "r2"]`` — a fixed label SEQUENCE (``r1/r2``);
+      ``min_len``/``max_len`` are ignored (the length is ``len(steps)``).
+    - ``steps=[{"a", "b"}]`` (one set) — Kleene range over an
+      ALTERNATION (``(a|b){min_len,max_len}``): any path of length
+      ``min_len..max_len`` whose every edge label is in the set.
+
+    Unbounded ``*`` is deliberately absent: an unbounded closure over a
+    10^12-edge graph is :func:`ontoweaver_spark.ontology.subclass_closure`
+    (path doubling + convergence raise) — use it when you mean it; query
+    workloads are bounded hops.
+
+    Shape: each hop is one equi-join of label-FILTERED edge projections
+    (constant labels push to the scan; on a label-partitioned edge table
+    that is partition pruning), with a DISTINCT per accumulation step so
+    diamond fan-out cannot blow the frame up combinatorially (pair
+    semantics, like SPARQL DISTINCT paths). max_len joins total.
+    """
+    if not steps:
+        raise ValueError("path_query: empty steps")
+    is_kleene = len(steps) == 1 and isinstance(steps[0], (set, frozenset))
+    base = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(pred_col).alias("label"),
+        F.col(dst_col).alias("dst"),
+    )
+
+    def hop(labels) -> DataFrame:
+        labs = sorted(labels) if isinstance(labels, (set, frozenset)) else [labels]
+        return base.where(F.col("label").isin(labs)).select("src", "dst").distinct()
+
+    if not is_kleene:
+        cur = hop(steps[0]).withColumn("path_len", F.lit(1))
+        for lab in steps[1:]:
+            nxt = hop(lab).select(F.col("src").alias("_m"), F.col("dst").alias("_d"))
+            cur = (
+                cur.join(nxt, cur["dst"] == nxt["_m"])
+                .select("src", F.col("_d").alias("dst"),
+                        (F.col("path_len") + 1).alias("path_len"))
+                .distinct()
+            )
+        return cur
+
+    if max_len is None or max_len < min_len or min_len < 1:
+        raise ValueError("path_query: Kleene form needs 1 <= min_len <= max_len")
+    one = hop(steps[0])
+    cur = one.withColumn("path_len", F.lit(1))
+    out = cur.where(F.lit(min_len <= 1))
+    for _ in range(2, max_len + 1):
+        nxt = one.select(F.col("src").alias("_m"), F.col("dst").alias("_d"))
+        cur = (
+            cur.join(nxt, cur["dst"] == nxt["_m"])
+            .select("src", F.col("_d").alias("dst"),
+                    (F.col("path_len") + 1).alias("path_len"))
+            .distinct()
+        )
+        out = out.unionByName(cur.where(F.col("path_len") >= min_len))
+    return out.distinct()

@@ -1063,3 +1063,84 @@ def cycle_nodes(
         F.col("descendant").alias("node"),
         F.col("depth").alias("min_cycle_len"),
     )
+
+
+def profile_graph(
+    nodes: DataFrame,
+    edges: DataFrame,
+    props_col: str = "properties",
+) -> DataFrame:
+    """Schema/health report of a fused graph -> ``(section, name, metric,
+    value)`` long-format rows — the BioCypher-style summary the reference
+    ecosystem prints after an import (what labels exist, how many, which
+    properties are actually filled, what the edge fan-out looks like),
+    and the first thing to diff between two pipeline runs before diffing
+    a single row:
+
+    - ``('node_label', <label>, 'count', n)``
+    - ``('prop_fill', <label>.<prop>, 'count', n)`` — nodes of that
+      label carrying the property (fill-rate numerator; the label count
+      above is the denominator)
+    - ``('edge_label', <label>, 'count' | 'distinct_src' | 'distinct_dst', n)``
+    - ``('degree', <edge_label>, 'max_out' | 'max_in', n)`` — hub
+      detection: the salted-fusion / AQE-skew decision signal
+
+    All integer metrics (engine-portable). Shape: three hash aggregates
+    (nodes by label, exploded property keys by (label, key), edges by
+    label with exact distinct endpoints) plus two per-label max-degree
+    aggs; each is map-side-partial, nothing driver-side, and the output
+    is label-cardinality-sized.
+    """
+    lbl = F.col("label").cast("string")
+    node_counts = nodes.groupBy(lbl.alias("name")).agg(
+        F.count("*").alias("value")
+    ).select(
+        F.lit("node_label").alias("section"), "name",
+        F.lit("count").alias("metric"), "value",
+    )
+    prop_fill = (
+        nodes.select(lbl.alias("_l"), F.explode(F.map_keys(F.col(props_col))).alias("_p"))
+        .groupBy("_l", "_p")
+        .agg(F.count("*").alias("value"))
+        .select(
+            F.lit("prop_fill").alias("section"),
+            F.concat_ws(".", F.col("_l"), F.col("_p")).alias("name"),
+            F.lit("count").alias("metric"), "value",
+        )
+    )
+    edge_stats = (
+        edges.groupBy(lbl.alias("name"))
+        .agg(
+            F.count("*").alias("count"),
+            F.countDistinct("src").alias("distinct_src"),
+            F.countDistinct("dst").alias("distinct_dst"),
+        )
+        .selectExpr(
+            "stack(3, 'count', count, 'distinct_src', distinct_src, "
+            "'distinct_dst', distinct_dst) AS (metric, value)",
+            "name",
+        )
+        .select(F.lit("edge_label").alias("section"), "name", "metric", "value")
+    )
+    out_deg = (
+        edges.groupBy(lbl.alias("name"), F.col("src"))
+        .agg(F.count("*").alias("d"))
+        .groupBy("name")
+        .agg(F.max("d").alias("value"))
+        .select(F.lit("degree").alias("section"), "name",
+                F.lit("max_out").alias("metric"), "value")
+    )
+    in_deg = (
+        edges.groupBy(lbl.alias("name"), F.col("dst"))
+        .agg(F.count("*").alias("d"))
+        .groupBy("name")
+        .agg(F.max("d").alias("value"))
+        .select(F.lit("degree").alias("section"), "name",
+                F.lit("max_in").alias("metric"), "value")
+    )
+    return (
+        node_counts.unionByName(prop_fill)
+        .unionByName(edge_stats)
+        .unionByName(out_deg)
+        .unionByName(in_deg)
+    )

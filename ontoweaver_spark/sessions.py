@@ -235,3 +235,29 @@ def validity_intervals(
         "n_snapshots",
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
     )
+
+
+def snapshot_at(
+    intervals: DataFrame,
+    at,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time view of SCD2 validity intervals: the rows valid AT
+    ``at`` (``valid_from <= at < valid_to``, open-ended rows have NULL
+    ``valid_to``) — the "what did the KG say on date X" query that makes
+    :func:`validity_intervals` output usable as a temporal store. The
+    interval invariant (per key, intervals partition the timeline) means
+    the result has at most one row per key, and reconstructing snapshot
+    N and diffing against snapshot N+1 is two of these plus
+    ``graphstats.graph_diff``.
+
+    Pure WHERE over the interval table — a partition-pruned scan when
+    the table is written range-partitioned on ``valid_from``; no
+    shuffle, no window.
+    """
+    a = F.lit(at)
+    return intervals.where(
+        (F.col(from_col) <= a)
+        & (F.col(to_col).isNull() | (F.col(to_col) > a))
+    )
