@@ -2289,6 +2289,87 @@ def q_scd2_snapshot(spark, sf_dir):
     return snapshot_at(validity_intervals(snaps, key_col="url", ts_col="ts"), 1)
 
 
+def q_onto_validate(spark, sf_dir):
+    """Ontology domain/range conformance over a synthesized typed edge
+    list: node types cycle through a 5-class hierarchy, edges mix a valid
+    label pair with an unknown label and ghost endpoints. The oracle
+    re-derives every violation closed-form from doc_id arithmetic with
+    the closure unrolled inline."""
+    from ontoweaver_spark.ontology import subclass_closure, validate_edge_types
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    types = F.element_at(
+        F.array(F.lit("person"), F.lit("scientist"), F.lit("org"),
+                F.lit("city"), F.lit("agent")),
+        (i % 5 + 1).cast("int"),
+    )
+    nodes = docs.select(
+        F.concat(F.lit("n"), i.cast("string")).alias("id"),
+        types.alias("label"),
+    )
+    edges = docs.select(
+        F.concat(F.lit("n"), i.cast("string")).alias("src"),
+        F.when(
+            i % 17 == 0, F.concat(F.lit("ghost"), i.cast("string"))
+        ).otherwise(
+            F.concat(F.lit("n"), ((i * 7 + 2) % 250).cast("string"))
+        ).alias("dst"),
+        F.when(i % 10 == 0, F.lit("likes"))
+        .when(i % 2 == 0, F.lit("works_at"))
+        .otherwise(F.lit("located_in")).alias("label"),
+    )
+    hier = spark.createDataFrame(
+        [("scientist", "person"), ("person", "agent"), ("org", "agent"),
+         ("city", "place")],
+        "child string, parent string",
+    )
+    cons = spark.createDataFrame(
+        [("works_at", "person", "org"), ("located_in", "org", "place")],
+        "edge_label string, domain string, range string",
+    )
+    return validate_edge_types(edges, nodes, cons, subclass_closure(hier))
+
+
+def q_sitemap_parse(spark, sf_dir):
+    """Sitemap-protocol parsing over synthesized XML: every 10th doc is a
+    sitemapindex (one child sitemap), the rest are urlsets with two
+    entries — the first fully attributed, the second loc-only. The
+    oracle derives the exploded rows CLOSED-FORM from doc_id arithmetic,
+    never parsing XML."""
+    from ontoweaver_spark.webdoc import parse_sitemap
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    base = F.concat(F.lit("https://crawl."), F.col("source"), F.lit(".com"))
+    day = F.lpad((i % 28 + 1).cast("string"), 2, "0")
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?>\n<urlset>\n  <url>\n    <loc> '),
+        base, F.lit("/p/"), i.cast("string"),
+        F.lit(" </loc>\n    <lastmod>2026-01-"), day,
+        F.lit("</lastmod>\n"),
+        F.when(i % 3 == 0, F.lit("    <changefreq>daily</changefreq>\n"))
+        .otherwise(F.lit("")),
+        F.lit("    <priority>0."), (i % 10).cast("string"),
+        F.lit("</priority>\n  </url>\n  <url><loc>"),
+        base, F.lit("/p/"), i.cast("string"),
+        F.lit("x</loc></url>\n</urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>"), base,
+        F.lit("/sitemap"), i.cast("string"),
+        F.lit(".xml</loc><lastmod>2026-02-01</lastmod></sitemap>"
+              "</sitemapindex>"),
+    )
+    frame = docs.select(
+        F.concat(base, F.lit("/sitemap.xml?d="), i.cast("string")).alias("url"),
+        F.when(i % 10 == 0, index).otherwise(urlset).alias("xml"),
+    )
+    return parse_sitemap(frame)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -2420,6 +2501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_profile": q_kg_profile,
         "kg_rpq": q_kg_rpq,
         "scd2_snapshot": q_scd2_snapshot,
+        "onto_validate": q_onto_validate,
+        "sitemap_parse": q_sitemap_parse,
     }
 
 
@@ -5047,5 +5130,69 @@ def oracle_sql() -> dict[str, str]:
                      AS n_snapshots,
                    (doc_id % 4 <> 2) AS is_current
             FROM documents
+        """,
+        # every violation closed-form from doc_id arithmetic; the closure
+        # is unrolled inline (scientist<=person<=agent, org<=agent,
+        # city<=place). Range check skipped for ghost (untyped) dsts,
+        # domain/range both vacuous for the unknown 'likes' label.
+        "onto_validate": """
+            WITH e AS (
+              SELECT 'n' || doc_id AS src,
+                     CASE WHEN doc_id % 17 = 0 THEN 'ghost' || doc_id
+                          ELSE 'n' || ((doc_id * 7 + 2) % 250) END AS dst,
+                     CASE WHEN doc_id % 10 = 0 THEN 'likes'
+                          WHEN doc_id % 2 = 0 THEN 'works_at'
+                          ELSE 'located_in' END AS label,
+                     ['person','scientist','org','city','agent']
+                       [doc_id % 5 + 1] AS src_type,
+                     CASE WHEN doc_id % 17 = 0 THEN NULL
+                          ELSE ['person','scientist','org','city','agent']
+                               [((doc_id * 7 + 2) % 250) % 5 + 1]
+                     END AS dst_type
+              FROM documents
+            )
+            SELECT src, dst, label, src_type, dst_type,
+                   'unknown_edge_label' AS violation
+            FROM e WHERE label = 'likes'
+            UNION ALL
+            SELECT src, dst, label, src_type, dst_type, 'missing_dst_type'
+            FROM e WHERE dst_type IS NULL
+            UNION ALL
+            SELECT src, dst, label, src_type, dst_type, 'domain'
+            FROM e WHERE (label = 'works_at'
+                          AND src_type NOT IN ('person', 'scientist'))
+                      OR (label = 'located_in' AND src_type <> 'org')
+            UNION ALL
+            SELECT src, dst, label, src_type, dst_type, 'range'
+            FROM e WHERE dst_type IS NOT NULL
+                     AND ((label = 'works_at' AND dst_type <> 'org')
+                       OR (label = 'located_in' AND dst_type <> 'city'))
+        """,
+        # exploded rows closed-form from doc_id arithmetic: index docs
+        # (doc_id%10==0) yield one sitemapindex child, the rest two urlset
+        # entries (full first entry, loc-only second)
+        "sitemap_parse": """
+            WITH d AS (
+              SELECT doc_id,
+                     'https://crawl.' || source || '.com' AS base,
+                     lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') AS day
+              FROM documents
+            )
+            SELECT base || '/sitemap.xml?d=' || doc_id AS url,
+                   'sitemapindex' AS kind,
+                   base || '/sitemap' || doc_id || '.xml' AS loc,
+                   '2026-02-01' AS lastmod,
+                   NULL::VARCHAR AS changefreq, NULL::VARCHAR AS priority
+            FROM d WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT base || '/sitemap.xml?d=' || doc_id, 'urlset',
+                   base || '/p/' || doc_id, '2026-01-' || day,
+                   CASE WHEN doc_id % 3 = 0 THEN 'daily' END,
+                   '0.' || (doc_id % 10)
+            FROM d WHERE doc_id % 10 <> 0
+            UNION ALL
+            SELECT base || '/sitemap.xml?d=' || doc_id, 'urlset',
+                   base || '/p/' || doc_id || 'x', NULL, NULL, NULL
+            FROM d WHERE doc_id % 10 <> 0
         """,
     }

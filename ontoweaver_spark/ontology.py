@@ -190,3 +190,125 @@ def hierarchy_levels(
         .select(F.col("descendant").alias("node"), F.col("level").cast("int").alias("level"))
     )
     return roots.select("node", F.lit(0).alias("level")).unionByName(deep)
+
+
+def validate_edge_types(
+    edges: DataFrame,
+    node_types: DataFrame,
+    constraints: DataFrame,
+    closure: DataFrame | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    label_col: str = "label",
+    id_col: str = "id",
+    type_col: str = "label",
+) -> DataFrame:
+    """Ontology conformance check of a typed edge list -> one row per
+    violated rule: ``(src, dst, label, src_type, dst_type, violation)``.
+
+    This is the graph-integrity half the reference's ``--validate-output``
+    can't see (its tabular rules check cell values, not edge typing;
+    reference validate surface: ``src/ontoweaver/validate.py``): every
+    edge label declares a ``domain`` (allowed subject class) and ``range``
+    (allowed object class), and an endpoint type satisfies the constraint
+    if it IS that class or is a SUBCLASS of it per the ontology closure —
+    the rdfs:domain/rdfs:range semantics OWL ontologies ship.
+
+    ``constraints`` is ``(edge_label, domain, range)`` (config-sized);
+    ``closure`` is :func:`subclass_closure` output (ontology-sized) —
+    both broadcast. ``node_types`` is the full node table, joined twice.
+
+    Violations emitted (one row each, an edge can carry several):
+
+    - ``unknown_edge_label`` — no constraint row for the label (domain/
+      range checks are then vacuous and NOT also emitted)
+    - ``missing_src_type`` / ``missing_dst_type`` — endpoint absent from
+      ``node_types`` (the corresponding domain/range check is skipped)
+    - ``domain`` / ``range`` — typed endpoint outside the declared class
+
+    Shape: two shuffle joins of edges against node types (the only big
+    joins; AQE handles endpoint skew), then broadcast-only work: the
+    constraint lookup and two probes of a ``(type, ancestor)`` satisfies
+    table built from the closure semi-joined to the classes constraints
+    actually mention plus identity pairs. Conforming edges are filtered
+    out before the explode, so output is violation-sized.
+    """
+    e = edges.select(
+        F.col(src_col).cast("string").alias("src"),
+        F.col(dst_col).cast("string").alias("dst"),
+        F.col(label_col).cast("string").alias("label"),
+    )
+    nt = node_types.select(
+        F.col(id_col).cast("string").alias("_nid"),
+        F.col(type_col).cast("string").alias("_ntype"),
+    ).distinct()
+    e = e.join(
+        nt.select(F.col("_nid").alias("src"), F.col("_ntype").alias("src_type")),
+        "src", "left",
+    ).join(
+        nt.select(F.col("_nid").alias("dst"), F.col("_ntype").alias("dst_type")),
+        "dst", "left",
+    )
+
+    cons = constraints.select(
+        F.col("edge_label").cast("string").alias("label"),
+        F.col("domain").cast("string").alias("_dom"),
+        F.col("range").cast("string").alias("_rng"),
+    ).distinct()
+    e = e.join(F.broadcast(cons), "label", "left")
+
+    # (type, ancestor) pairs that satisfy "type is-a ancestor", restricted
+    # to classes the constraints mention; identity pairs make a class
+    # satisfy itself even when absent from the closure.
+    mentioned = cons.select(F.col("_dom").alias("_cls")).unionByName(
+        cons.select(F.col("_rng").alias("_cls"))
+    ).where(F.col("_cls").isNotNull()).distinct()
+    sat = mentioned.select(
+        F.col("_cls").alias("_t"), F.col("_cls").alias("_anc")
+    )
+    if closure is not None:
+        sat = sat.unionByName(
+            closure.select(
+                F.col("descendant").cast("string").alias("_t"),
+                F.col("ancestor").cast("string").alias("_anc"),
+            ).join(mentioned, F.col("_anc") == F.col("_cls")).select("_t", "_anc")
+        )
+    sat = sat.distinct()
+
+    dom_ok = sat.select(
+        F.col("_t").alias("src_type"), F.col("_anc").alias("_dom"),
+        F.lit(True).alias("_dom_ok"),
+    )
+    rng_ok = sat.select(
+        F.col("_t").alias("dst_type"), F.col("_anc").alias("_rng"),
+        F.lit(True).alias("_rng_ok"),
+    )
+    e = e.join(F.broadcast(dom_ok), ["src_type", "_dom"], "left").join(
+        F.broadcast(rng_ok), ["dst_type", "_rng"], "left"
+    )
+
+    known = F.col("_dom").isNotNull()
+    viol = F.filter(
+        F.array(
+            F.when(~known, F.lit("unknown_edge_label")),
+            F.when(F.col("src_type").isNull(), F.lit("missing_src_type")),
+            F.when(F.col("dst_type").isNull(), F.lit("missing_dst_type")),
+            F.when(
+                known & F.col("src_type").isNotNull() & F.col("_dom_ok").isNull(),
+                F.lit("domain"),
+            ),
+            F.when(
+                known & F.col("dst_type").isNotNull() & F.col("_rng_ok").isNull(),
+                F.lit("range"),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        e.withColumn("_viol", viol)
+        .where(F.size("_viol") > 0)
+        .select(
+            "src", "dst", "label", "src_type", "dst_type",
+            F.explode("_viol").alias("violation"),
+        )
+    )

@@ -98,3 +98,51 @@ def parse_http_response(
         F.when(parsed & (ctype != ""), ctype).alias("content_type"),
         F.when(parsed, body).otherwise(raw).alias("body"),
     )
+
+
+def parse_sitemap(
+    df: DataFrame,
+    xml_col: str = "xml",
+    url_col: str = "url",
+) -> DataFrame:
+    """Exploded sitemap entries from a column of sitemap-protocol XML ->
+    ``(url, kind, loc, lastmod, changefreq, priority)`` — the
+    crawl-frontier feed stage between robots.txt discovery
+    (:func:`ontoweaver_spark.urls.robots_filter`) and
+    :func:`ontoweaver_spark.urls.frontier_plan`: a ``urlset`` document
+    yields one row per ``<url>`` entry, a ``sitemapindex`` one row per
+    child ``<sitemap>`` (kind tells the caller which rows to enqueue as
+    pages vs fetch as further sitemaps). Missing optional fields
+    (``lastmod``/``changefreq``/``priority``) are NULL; ``priority``
+    stays a string (the protocol allows junk; cast at use site).
+
+    Tags match lowercase only — the sitemaps.org schema defines
+    lowercase element names, and real generators comply (unlike HTML).
+
+    Shape: one ``regexp_extract_all`` + explode + three per-entry
+    ``regexp_extract`` projections, all JVM-side RE2-safe regexes —
+    zero shuffle, no Python in the row path, oracle-reproducible.
+    """
+    xml = F.col(xml_col)
+    kind = F.when(
+        xml.contains("<sitemapindex"), F.lit("sitemapindex")
+    ).otherwise(F.lit("urlset"))
+    entry_re = F.when(
+        F.col("kind") == "sitemapindex", F.lit(r"(?s)<sitemap>(.*?)</sitemap>")
+    ).otherwise(F.lit(r"(?s)<url>(.*?)</url>"))
+
+    def field(name: str) -> Column:
+        got = F.regexp_extract(F.col("_entry"), rf"(?s)<{name}>(.*?)</{name}>", 1)
+        return F.nullif(F.trim(got), F.lit("")).alias(name)
+
+    return (
+        df.select(F.col(url_col).alias("url"), kind.alias("kind"), xml.alias("_x"))
+        .select(
+            "url", "kind",
+            F.explode(F.regexp_extract_all(F.col("_x"), entry_re, F.lit(1))).alias("_entry"),
+        )
+        .select(
+            "url", "kind", field("loc"), field("lastmod"),
+            field("changefreq"), field("priority"),
+        )
+    )
