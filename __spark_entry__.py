@@ -2370,6 +2370,38 @@ def q_sitemap_parse(spark, sf_dir):
     return parse_sitemap(frame)
 
 
+def q_kg_scc(spark, sf_dir):
+    """Strongly connected components of a synthesized directed graph:
+    the functional map r -> (13r+7) mod 250 (a rho-shaped orbit whose
+    cycles are the multi-node SCCs) plus five reverse edges that weld
+    extra 2-cycles on. The oracle computes mutual reachability with a
+    recursive CTE and takes the same string-min labels."""
+    from ontoweaver_spark.graphstats import strongly_connected_components
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    r = F.col("doc_id") % 250
+
+    def d(c):
+        return F.concat(F.lit("d"), c.cast("string"))
+
+    fwd = docs.select(d(r).alias("src"), d((r * 13 + 7) % 250).alias("dst"))
+    back = docs.where(r % 50 == 0).select(
+        d((r * 13 + 7) % 250).alias("src"), d(r).alias("dst")
+    )
+    return strongly_connected_components(fwd.unionByName(back))
+
+
+def q_dup_spans(spark, sf_dir):
+    """Cross-doc verbatim 5-gram spans over the documents corpus (the
+    substring-dedup masking signal). Oracle replays the identical window
+    hash + distinct-doc threshold + gaps-and-islands merge in SQL."""
+    from ontoweaver_spark.dedup import duplicated_ngram_spans
+
+    _tune(spark)
+    return duplicated_ngram_spans(_docs_spread(spark, sf_dir), n=5, min_docs=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -2503,6 +2535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_snapshot": q_scd2_snapshot,
         "onto_validate": q_onto_validate,
         "sitemap_parse": q_sitemap_parse,
+        "kg_scc": q_kg_scc,
+        "dup_spans": q_dup_spans,
     }
 
 
@@ -5194,5 +5228,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT base || '/sitemap.xml?d=' || doc_id, 'urlset',
                    base || '/p/' || doc_id || 'x', NULL, NULL, NULL
             FROM d WHERE doc_id % 10 <> 0
+        """,
+        # independent derivation: recursive-CTE transitive closure over
+        # the integer residue graph, mutual pairs, then the SAME
+        # string-min labeling the implementation uses ('d'||v ordering)
+        "kg_scc": """
+            WITH RECURSIVE e AS MATERIALIZED (
+              SELECT DISTINCT s, d FROM (
+                SELECT doc_id % 250 AS s, (doc_id % 250 * 13 + 7) % 250 AS d
+                FROM documents
+                UNION ALL
+                SELECT (doc_id % 250 * 13 + 7) % 250, doc_id % 250
+                FROM documents WHERE doc_id % 250 % 50 = 0
+              )
+            ), reach(s, d) AS (
+              SELECT s, d FROM e
+              UNION
+              SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s
+            ), nodes AS (
+              SELECT DISTINCT n FROM (
+                SELECT s AS n FROM e UNION ALL SELECT d FROM e
+              )
+            ), mutual AS (
+              SELECT a.s AS u, a.d AS v FROM reach a
+              JOIN reach b ON a.s = b.d AND a.d = b.s
+            )
+            SELECT 'd' || n AS node,
+                   coalesce(
+                     least('d' || n,
+                           (SELECT min('d' || v) FROM mutual WHERE u = n)),
+                     'd' || n) AS scc_id
+            FROM nodes
+        """,
+        # identical window hashing (md5-prefix 60-bit over the joined
+        # 5-token slice, clamped prefix for short docs), >=2 distinct
+        # docs per gram, lag-based island merge with gap > n
+        "dup_spans": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents
+            ), wins AS (
+              SELECT doc_id, i::INT AS pos,
+                     ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')),
+                                     1, 15))::BIGINT AS g
+              FROM toks,
+                   UNNEST(range(1, greatest(len(t) - 4, 1) + 1)) AS u(i)
+            ), cross_g AS (
+              SELECT g FROM wins GROUP BY g
+              HAVING count(DISTINCT doc_id) >= 2
+            ), hits AS (
+              SELECT w.doc_id, w.pos FROM wins w JOIN cross_g USING (g)
+            ), lagged AS (
+              SELECT doc_id, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM hits
+            ), isl AS (
+              SELECT doc_id, pos,
+                     sum(CASE WHEN prev IS NULL OR pos > prev + 5
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM lagged
+            )
+            SELECT doc_id, min(pos) AS span_start,
+                   max(pos) + 4 AS span_end, count(*) AS n_hits
+            FROM isl GROUP BY doc_id, island
         """,
     }

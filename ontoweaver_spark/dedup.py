@@ -20,7 +20,7 @@ exactly (see textops.md5_int).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textops import md5_int, round_ieee, tokens
@@ -852,3 +852,74 @@ def dedup_decisions(
             .alias("keep"),
         )
     )
+
+
+def duplicated_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document verbatim-overlap spans — the substring-dedup shape
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better") re-expressed as token-window joins instead of a
+    suffix array: for each document, the merged token intervals covered
+    by n-gram windows whose exact n-gram occurs in at least ``min_docs``
+    DISTINCT documents. Intra-document repetition alone never triggers
+    (that is :func:`ontoweaver_spark.textops.duplicated_ngram_fraction`'s
+    signal); these spans are what a masking/removal pass would cut.
+
+    Returns ``(id_col, span_start, span_end, n_hits)`` with 1-based
+    inclusive token positions; overlapping and touching windows merge
+    into one span (gaps-and-islands), ``n_hits`` = windows merged in.
+    Documents shorter than ``n`` tokens contribute their single clamped
+    prefix window, like :func:`shingles`.
+
+    100-TB shape: the window explode is a flat map; the cross-doc test
+    is one hash aggregate on the 60-bit gram hash (map-side partials
+    absorb boilerplate grams) followed by a co-partitioned semi-join
+    back; the island merge is one window over (doc, pos) — per-doc
+    state, bounded by document length, never corpus-sized. Three
+    shuffles total, no cartesian anything.
+    """
+    toks = tokens(F.col(text_col))
+    sz = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(sz - (n - 1), F.lit(1)))
+    wins = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"),
+                    md5_int(F.array_join(F.slice(toks, i, n), " ")).alias("_g"),
+                ),
+            )
+        ).alias("_w"),
+    ).select(id_col, F.col("_w.pos").alias("pos"), F.col("_w._g").alias("_g"))
+
+    cross = (
+        wins.groupBy("_g")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_g")
+    )
+    hits = wins.join(cross, "_g").select(id_col, "pos")
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = hits.select(
+        id_col, "pos",
+        F.sum(
+            F.when(
+                F.lag("pos").over(w).isNull()
+                | (F.col("pos") > F.lag("pos").over(w) + n),
+                1,
+            ).otherwise(0)
+        ).over(w).alias("_isl"),
+    )
+    return islands.groupBy(id_col, "_isl").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (n - 1)).alias("span_end"),
+        F.count("*").alias("n_hits"),
+    ).drop("_isl")

@@ -1144,3 +1144,95 @@ def profile_graph(
         .unionByName(out_deg)
         .unionByName(in_deg)
     )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    trim_rounds: int = 10,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Strongly connected components of a directed graph -> ``(node,
+    scc_id)`` with ``scc_id`` = min member id — the cycle-structure view
+    of redirect graphs and host link graphs (a redirect loop is exactly
+    a multi-node SCC; :func:`ontoweaver_spark.urls.resolve_redirects`
+    raises on them, this names them).
+
+    Two phases, sized to how web graphs actually look:
+
+    1. **Trim** — iteratively drop nodes with no in-edges or no
+       out-edges inside the surviving subgraph (each is a singleton SCC;
+       on link graphs this removes the vast majority — leaves, tails,
+       and everything acyclic peels from both ends). Stopping early at
+       ``trim_rounds`` is safe: trim is purely a core-shrinking
+       optimization, correctness never depends on it.
+    2. **Mutual reachability on the core** — path-doubling transitive
+       closure (:func:`ontoweaver_spark.ontology.subclass_closure`,
+       log2(diameter) shuffles) self-joined against its own reverse;
+       ``scc_id(u)`` = min over u's mutual-reach partners and itself.
+       The closure materializes O(core²) pairs worst-case, which is the
+       deliberate trade: after trim the core is the cyclic residue
+       (redirect loops, link cliques), orders of magnitude smaller than
+       the graph. The closure's convergence raise fires if the core is
+       deeper than 2^max_rounds.
+
+    Singleton policy: every node incident to an edge appears exactly
+    once; self-loop-only and trimmed nodes map to themselves.
+    """
+    from .ontology import subclass_closure
+
+    e = (
+        edges.select(
+            F.col(src_col).cast("string").alias("s"),
+            F.col(dst_col).cast("string").alias("d"),
+        )
+        .where(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .distinct()
+    )
+    nodes_all = (
+        e.select(F.col("s").alias("node"))
+        .unionAll(e.select("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    core = e.where(F.col("s") != F.col("d")).localCheckpoint()
+    prev = -1
+    for _ in range(trim_rounds):
+        n = core.count()
+        if n == prev or n == 0:
+            break
+        prev = n
+        keep = (
+            core.select(F.col("s").alias("node")).distinct()
+            .join(core.select(F.col("d").alias("node")).distinct(), "node")
+        )
+        core = (
+            core.join(keep.select(F.col("node").alias("s")), "s")
+            .join(keep.select(F.col("node").alias("d")), "d")
+            .select("s", "d")
+            .localCheckpoint()
+        )
+
+    if prev == 0 or core.isEmpty():
+        return nodes_all.select("node", F.col("node").alias("scc_id"))
+
+    reach = subclass_closure(
+        core, child_col="s", parent_col="d", max_rounds=max_rounds
+    ).select(F.col("descendant").alias("u"), F.col("ancestor").alias("v"))
+    mutual = reach.join(
+        reach.select(F.col("v").alias("u"), F.col("u").alias("v")),
+        ["u", "v"],
+    )
+    labels = (
+        mutual.groupBy("u")
+        .agg(F.min("v").alias("_m"))
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("u"), F.col("_m")).alias("_scc"),
+        )
+    )
+    return nodes_all.join(labels, "node", "left").select(
+        "node", F.coalesce(F.col("_scc"), F.col("node")).alias("scc_id")
+    )
