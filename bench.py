@@ -107,7 +107,9 @@ def main() -> None:
                  "phrase_search", "graph_cycles", "robots_filter",
                  "crawl_budget", "host_sim", "kg_transe", "kg_retract",
                  "span_dataset", "frontier_plan", "kmv_merge",
-                 "html_extract", "warc_parse", "dag_levels"]:
+                 "html_extract", "warc_parse", "dag_levels",
+                 "kg_profile", "kg_rpq", "scd2_snapshot", "onto_validate",
+                 "sitemap_parse", "kg_scc", "dup_spans"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the
