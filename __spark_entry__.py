@@ -2402,6 +2402,39 @@ def q_dup_spans(spark, sf_dir):
     return duplicated_ngram_spans(_docs_spread(spark, sf_dir), n=5, min_docs=2)
 
 
+def q_bloom_frontier(spark, sf_dir):
+    """Bloom-filter frontier dedup: build the filter over the already-
+    crawled half of the corpus (even doc_ids), probe a candidate mix of
+    seen (/p/) and novel (/q/) URLs. Membership is deterministic given
+    the md5 double-hash family, so the oracle reproduces every hit —
+    INCLUDING the false positives — bit-for-bit."""
+    from ontoweaver_spark.urls import bloom_build, bloom_probe
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    base = F.concat(F.lit("https://crawl."), F.col("source"), F.lit(".com"))
+    did = F.col("doc_id").cast("string")
+    members = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.concat(base, F.lit("/p/"), did).alias("url")
+    )
+    cands = (
+        docs.where(F.col("doc_id") % 3 == 0)
+        .select(
+            F.concat(base, F.lit("/p/"), did).alias("url"),
+            (F.col("doc_id") % 2 == 0).alias("is_member"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 3 == 1).select(
+                F.concat(base, F.lit("/q/"), did).alias("url"),
+                F.lit(False).alias("is_member"),
+            )
+        )
+    )
+    bloom = bloom_build(members, m_bits=1 << 17, k=3)
+    probed = bloom_probe(bloom, cands, m_bits=1 << 17, k=3)
+    return probed.join(cands, "url").select("url", "bloom_hit", "is_member")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -2536,6 +2569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "onto_validate": q_onto_validate,
         "sitemap_parse": q_sitemap_parse,
         "kg_scc": q_kg_scc,
+        "bloom_frontier": q_bloom_frontier,
         "dup_spans": q_dup_spans,
     }
 
@@ -5292,5 +5326,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(pos) AS span_start,
                    max(pos) + 4 AS span_end, count(*) AS n_hits
             FROM isl GROUP BY doc_id, island
+        """,
+        # byte-identical Kirsch-Mitzenmacher double hashing: the oracle
+        # rebuilds the SAME m=131072-bit filter (md5-prefix h1, odd step
+        # from h2, 32-bit words via bit_or) so even the deterministic
+        # false positives match bit-for-bit
+        "bloom_frontier": """
+            WITH members AS (
+              SELECT 'https://crawl.' || source || '.com/p/' || doc_id AS url
+              FROM documents WHERE doc_id % 2 = 0
+            ), cands AS (
+              SELECT 'https://crawl.' || source || '.com/p/' || doc_id AS url,
+                     (doc_id % 2 = 0) AS is_member
+              FROM documents WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT 'https://crawl.' || source || '.com/q/' || doc_id, FALSE
+              FROM documents WHERE doc_id % 3 = 1
+            ), mh AS (
+              SELECT ('0x' || substr(md5(url), 1, 15))::BIGINT AS h1,
+                     (('0x' || substr(md5('b:' || url), 1, 15))::BIGINT
+                      % 131072) * 2 + 1 AS step
+              FROM members
+            ), mpos AS (
+              SELECT (h1 + i * step) % 131072 AS pos
+              FROM mh, UNNEST(range(0, 3)) AS u(i)
+            ), bloom AS (
+              SELECT (pos // 32)::INT AS word_idx,
+                     bit_or(1::BIGINT << (pos % 32)::INT) AS word
+              FROM mpos GROUP BY 1
+            ), ch AS (
+              SELECT url, is_member,
+                     ('0x' || substr(md5(url), 1, 15))::BIGINT AS h1,
+                     (('0x' || substr(md5('b:' || url), 1, 15))::BIGINT
+                      % 131072) * 2 + 1 AS step
+              FROM cands
+            ), cpos AS (
+              SELECT url, is_member, (h1 + i * step) % 131072 AS pos
+              FROM ch, UNNEST(range(0, 3)) AS u(i)
+            ), probed AS (
+              SELECT c.url, c.is_member,
+                     CASE WHEN b.word IS NOT NULL
+                           AND (b.word & (1::BIGINT << (c.pos % 32)::INT)) <> 0
+                          THEN 1 ELSE 0 END AS hit
+              FROM cpos c
+              LEFT JOIN bloom b ON (c.pos // 32)::INT = b.word_idx
+            )
+            SELECT url, sum(hit) = 3 AS bloom_hit, is_member
+            FROM probed GROUP BY url, is_member
         """,
     }

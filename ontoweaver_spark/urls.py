@@ -374,3 +374,97 @@ def frontier_plan(
         .where(F.col("fetch_slot") <= F.col("quota"))
         .select("url", "host", F.col("fetch_slot").cast("int").alias("fetch_slot"))
     )
+
+
+def bloom_build(
+    urls: DataFrame,
+    url_col: str = "url",
+    m_bits: int = 1 << 17,
+    k: int = 3,
+) -> DataFrame:
+    """Build a Bloom filter over a URL set -> ``(word_idx, word)`` — the
+    already-crawled membership structure a frontier dedups against. The
+    filter is a bitmap of ``m_bits`` bits stored as 32-bit words in a
+    DataFrame (``m_bits/32`` rows), built with one explode + one
+    ``bit_or`` hash aggregate; k positions per key come from
+    Kirsch-Mitzenmacher double hashing (two md5 hashes, odd step), so the
+    whole structure is deterministic and oracle-reproducible.
+
+    Shape at 10^12 urls: the build is a single map-side-combining
+    aggregate down to ``m_bits/32`` rows (a few MB even for a
+    billions-capacity filter) — the classic distributed-Bloom build.
+    Membership never false-negatives; false positives are the standard
+    ``(1 - e^{-kn/m})^k`` and are *deterministic* given the hash family,
+    which is what lets the exact oracle reproduce them bit-for-bit.
+
+    Reference parity: the reference has no frontier structure (it maps
+    config-sized CSVs); this is the web-scale ingestion-side operator the
+    north-star pipeline needs in front of :func:`frontier_plan`.
+    """
+    h1 = F.conv(F.substring(F.md5(F.col(url_col)), 1, 15), 16, 10).cast("bigint")
+    h2 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("b:"), F.col(url_col))), 1, 15), 16, 10
+    ).cast("bigint")
+    step = F.pmod(h2, F.lit(m_bits)) * 2 + 1
+    i = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
+    pos = F.pmod(F.col("_h1") + F.col("i") * F.col("_step"), F.lit(m_bits))
+    return (
+        urls.select(h1.alias("_h1"), step.alias("_step"))
+        .select("_h1", "_step", i)
+        .select(pos.alias("_pos"))
+        .select(
+            (F.col("_pos") / 32).cast("int").alias("word_idx"),
+            F.expr("cast(shiftleft(cast(1 as bigint), cast(_pos % 32 as int)) as bigint)").alias("_bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(_bit)").alias("word"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    candidates: DataFrame,
+    url_col: str = "url",
+    m_bits: int = 1 << 17,
+    k: int = 3,
+) -> DataFrame:
+    """Probe a Bloom filter -> ``(url, bloom_hit)`` for each candidate.
+
+    ``m_bits``/``k`` must match the build. Each candidate explodes to its
+    k probe positions, joins the (tiny, broadcast) word table, and hits
+    iff all k bits are set — one broadcast join + one count aggregate, no
+    shuffle of the candidate set beyond the final groupBy on the URL key.
+
+    At 10^12 candidates/day this is THE frontier dedup gate: the filter
+    words stay broadcast (m_bits/32 rows regardless of corpus size) and
+    every false positive is re-checked downstream by the exact
+    latest-per-url store, so correctness never depends on the FP rate.
+    """
+    h1 = F.conv(F.substring(F.md5(F.col(url_col)), 1, 15), 16, 10).cast("bigint")
+    h2 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("b:"), F.col(url_col))), 1, 15), 16, 10
+    ).cast("bigint")
+    step = F.pmod(h2, F.lit(m_bits)) * 2 + 1
+    i = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
+    pos = F.pmod(F.col("_h1") + F.col("i") * F.col("_step"), F.lit(m_bits))
+    probes = (
+        candidates.select(F.col(url_col).alias("url"), h1.alias("_h1"), step.alias("_step"))
+        .select("url", "_h1", "_step", i)
+        .select(
+            "url",
+            (pos / 32).cast("int").alias("word_idx"),
+            F.expr(
+                "cast(shiftleft(cast(1 as bigint), "
+                f"cast(pmod(_h1 + i * _step, {m_bits}) % 32 as int)) as bigint)"
+            ).alias("_bit"),
+        )
+    )
+    joined = probes.join(F.broadcast(bloom), "word_idx", "left")
+    hit = (
+        F.col("word").isNotNull()
+        & (F.col("word").bitwiseAND(F.col("_bit")) != 0)
+    ).cast("int")
+    return (
+        joined.groupBy("url")
+        .agg((F.sum(hit) == F.lit(k)).alias("bloom_hit"))
+    )
