@@ -2435,6 +2435,31 @@ def q_bloom_frontier(spark, sf_dir):
     return probed.join(cands, "url").select("url", "bloom_hit", "is_member")
 
 
+def q_kg_typeinfer(spark, sf_dir):
+    """Seeded neighbor-vote entity typing over a synthetic residue graph
+    (two functional maps per node), seeds on every 4th residue, two
+    propagation rounds. Oracle unrolls the identical vote (distinct
+    neighbors, majority, min-type tie-break) as MATERIALIZED CTEs."""
+    from ontoweaver_spark.linking import infer_types
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    r = F.col("doc_id") % 400
+
+    def d(c):
+        return F.concat(F.lit("d"), c.cast("string"))
+
+    edges = docs.select(d(r).alias("src"), d((r * 7 + 3) % 400).alias("dst")).unionByName(
+        docs.select(d(r).alias("src"), d((r * 11 + 5) % 400).alias("dst"))
+    )
+    seeds = (
+        docs.where(r % 4 == 0)
+        .select(d(r).alias("node"), F.concat(F.lit("T"), (r % 5).cast("string")).alias("type"))
+        .distinct()
+    )
+    return infer_types(edges, seeds, rounds=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -2570,6 +2595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": q_sitemap_parse,
         "kg_scc": q_kg_scc,
         "bloom_frontier": q_bloom_frontier,
+        "kg_typeinfer": q_kg_typeinfer,
         "dup_spans": q_dup_spans,
     }
 
@@ -5373,5 +5399,51 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT url, sum(hit) = 3 AS bloom_hit, is_member
             FROM probed GROUP BY url, is_member
+        """,
+        # unrolled two-round propagation: per round, still-untyped nodes
+        # take the majority type among DISTINCT typed neighbors, ties to
+        # the smallest type string; seeds frozen at round 0
+        "kg_typeinfer": """
+            WITH e0 AS MATERIALIZED (
+              SELECT DISTINCT 'd' || s AS a, 'd' || d AS b FROM (
+                SELECT doc_id % 400 AS s, (doc_id % 400 * 7 + 3) % 400 AS d
+                FROM documents
+                UNION ALL
+                SELECT doc_id % 400, (doc_id % 400 * 11 + 5) % 400
+                FROM documents
+              ) WHERE s <> d
+            ), adj AS MATERIALIZED (
+              SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+            ), t0 AS MATERIALIZED (
+              SELECT DISTINCT 'd' || (doc_id % 400) AS node,
+                     'T' || (doc_id % 400 % 5) AS type, 0 AS "round"
+              FROM documents WHERE doc_id % 400 % 4 = 0
+            ), v1 AS MATERIALIZED (
+              SELECT adj.a AS node, t.type, count(*) AS c
+              FROM adj JOIN t0 t ON adj.b = t.node
+              WHERE adj.a NOT IN (SELECT node FROM t0)
+              GROUP BY 1, 2
+            ), n1 AS MATERIALIZED (
+              SELECT node, type, 1 AS "round" FROM (
+                SELECT node, type,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY c DESC, type) AS rn
+                FROM v1) WHERE rn = 1
+            ), t1 AS MATERIALIZED (
+              SELECT * FROM t0 UNION ALL SELECT * FROM n1
+            ), v2 AS MATERIALIZED (
+              SELECT adj.a AS node, t.type, count(*) AS c
+              FROM adj JOIN t1 t ON adj.b = t.node
+              WHERE adj.a NOT IN (SELECT node FROM t1)
+              GROUP BY 1, 2
+            ), n2 AS MATERIALIZED (
+              SELECT node, type, 2 AS "round" FROM (
+                SELECT node, type,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY c DESC, type) AS rn
+                FROM v2) WHERE rn = 1
+            )
+            SELECT node, type, "round" FROM t1
+            UNION ALL SELECT node, type, "round" FROM n2
         """,
     }

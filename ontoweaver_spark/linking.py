@@ -275,3 +275,65 @@ def er_candidates(
         .where(F.col("distance") <= max_distance)
         .select("a", "b", "name_a", "name_b", "distance")
     )
+
+
+def infer_types(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    type_col: str = "type",
+) -> DataFrame:
+    """Seeded neighbor-vote entity typing -> ``(node, type, round)``.
+
+    The KG-construction step after extraction leaves many nodes untyped
+    (the reference types nodes only when a mapping names a type;
+    everything else falls out of `match_type_from_column` or stays
+    generic — /root/reference/src/ontoweaver/tabular.py's subject/object
+    type plumbing). This operator propagates types from the ``seeds``
+    table over the undirected edge graph for a FIXED number of rounds:
+    each round, every still-untyped node with >=1 typed neighbor takes
+    the majority type among its typed neighbors (distinct neighbors, so
+    parallel edges don't multi-vote), ties broken to the
+    lexicographically smallest type. Seeds are frozen (round 0) and never
+    reassigned; a node typed in round r votes from round r+1 on.
+
+    Fixed rounds (not convergence-polling) keeps the operator a static
+    DAG — resumable, plannable, and oracle-expressible as unrolled CTEs.
+
+    Shape at 10^12 edges: per round, one distinct + one join of the
+    adjacency against the (much smaller) typed frontier, and one hash
+    aggregate for the vote — the typed set is joined on the neighbor key,
+    so AQE can broadcast it while it is small and shuffle it once it
+    grows. `localCheckpoint` per round truncates the lineage exactly like
+    the dedup connected-components loop.
+    """
+    adj = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    typed = seeds.select(
+        F.col(node_col).alias("node"),
+        F.col(type_col).alias("type"),
+        F.lit(0).alias("round"),
+    ).localCheckpoint(eager=False)
+    for r in range(1, rounds + 1):
+        votes = (
+            adj.join(typed.withColumnRenamed("node", "b"), "b")
+            .join(typed.select(F.col("node").alias("a")), "a", "left_anti")
+            .groupBy(F.col("a").alias("node"), "type")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        newly = (
+            votes.groupBy("node")
+            .agg(
+                F.min(F.struct((-F.col("_c")).alias("_neg"), F.col("type"))).alias("_w")
+            )
+            .select("node", F.col("_w.type").alias("type"), F.lit(r).alias("round"))
+        )
+        typed = typed.unionByName(newly).localCheckpoint(eager=False)
+    return typed

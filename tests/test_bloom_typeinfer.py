@@ -48,3 +48,50 @@ def test_bloom_word_table_bounded_and_partition_invariant(spark):
     b2 = bloom_build(members.repartition(7), m_bits=M_BITS, k=K)
     assert b1.count() <= M_BITS // 32
     assert b1.exceptAll(b2).count() == 0 and b2.exceptAll(b1).count() == 0
+
+
+# --------------------------------------------------------------------------
+# infer_types
+# --------------------------------------------------------------------------
+
+from ontoweaver_spark.linking import infer_types
+
+
+def _frames(spark, edges, seeds):
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    s = spark.createDataFrame(seeds, ["node", "type"])
+    return e, s
+
+
+def test_typeinfer_majority_and_tiebreak(spark):
+    # x's typed neighbors: a(T1), b(T1), c(T2) -> majority T1
+    # y's typed neighbors: a(T1), c(T2) -> tie, min type T1
+    edges = [("x", "a"), ("x", "b"), ("x", "c"), ("y", "a"), ("y", "c")]
+    seeds = [("a", "T1"), ("b", "T1"), ("c", "T2")]
+    e, s = _frames(spark, edges, seeds)
+    got = {r["node"]: (r["type"], r["round"]) for r in infer_types(e, s, rounds=1).collect()}
+    assert got["x"] == ("T1", 1)
+    assert got["y"] == ("T1", 1)
+    assert got["a"] == ("T1", 0) and got["c"] == ("T2", 0)
+
+
+def test_typeinfer_parallel_edges_single_vote(spark):
+    # x--a twice (parallel) must not outvote the two distinct T2 neighbors
+    edges = [("x", "a"), ("x", "a"), ("a", "x"), ("x", "b"), ("x", "c")]
+    seeds = [("a", "T9"), ("b", "T2"), ("c", "T2")]
+    e, s = _frames(spark, edges, seeds)
+    got = dict(infer_types(e, s, rounds=1).select("node", "type").collect())
+    assert got["x"] == "T2"
+
+
+def test_typeinfer_seeds_frozen_and_rounds_propagate(spark):
+    # chain seed -> m1 -> m2: m1 types in round 1, m2 in round 2;
+    # the seed keeps its type even though its only neighbor disagrees
+    edges = [("seed", "m1"), ("m1", "m2")]
+    seeds = [("seed", "TA")]
+    e, s = _frames(spark, edges, seeds)
+    got = {r["node"]: (r["type"], r["round"]) for r in infer_types(e, s, rounds=2).collect()}
+    assert got == {"seed": ("TA", 0), "m1": ("TA", 1), "m2": ("TA", 2)}
+    # rounds=1 leaves m2 untyped (absent)
+    got1 = {r["node"] for r in infer_types(e, s, rounds=1).collect()}
+    assert got1 == {"seed", "m1"}
