@@ -2460,6 +2460,35 @@ def q_kg_typeinfer(spark, sf_dir):
     return infer_types(edges, seeds, rounds=2)
 
 
+def q_kg_dangling(spark, sf_dir):
+    """Dangling-endpoint repair: a residue graph where every 7-residue
+    node is absent from the node table and its edges point at synthetic
+    missing ids — the placeholders (id, 'unresolved', n_refs) are the
+    repair output. Oracle: explode endpoints, count, anti-join."""
+    from ontoweaver_spark.validate import repair_dangling_edges
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    r = F.col("doc_id") % 500
+
+    def d(c):
+        return F.concat(F.lit("d"), c.cast("string"))
+
+    nodes = (
+        docs.where(r % 10 != 7)
+        .select(d(r).alias("id"), F.lit("entity").alias("label"))
+        .distinct()
+    )
+    edges = docs.select(
+        d(r).alias("src"),
+        F.when(r % 10 == 7, F.concat(F.lit("m"), (r % 37).cast("string")))
+        .otherwise(d((r * 3) % 500))
+        .alias("dst"),
+    )
+    _, placeholders = repair_dangling_edges(nodes, edges)
+    return placeholders
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -2596,6 +2625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_scc": q_kg_scc,
         "bloom_frontier": q_bloom_frontier,
         "kg_typeinfer": q_kg_typeinfer,
+        "kg_dangling": q_kg_dangling,
         "dup_spans": q_dup_spans,
     }
 
@@ -5445,5 +5475,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, type, "round" FROM t1
             UNION ALL SELECT node, type, "round" FROM n2
+        """,
+        # anti-join repair: endpoints exploded, reference-counted, and
+        # checked against the (distinct) node-id projection
+        "kg_dangling": """
+            WITH nodes AS (
+              SELECT DISTINCT 'd' || (doc_id % 500) AS id
+              FROM documents WHERE doc_id % 500 % 10 <> 7
+            ), edges AS (
+              SELECT 'd' || (doc_id % 500) AS src,
+                     CASE WHEN doc_id % 500 % 10 = 7
+                          THEN 'm' || (doc_id % 500 % 37)
+                          ELSE 'd' || (doc_id % 500 * 3 % 500) END AS dst
+              FROM documents
+            ), refs AS (
+              SELECT id, count(*) AS n_refs FROM (
+                SELECT src AS id FROM edges
+                UNION ALL SELECT dst FROM edges)
+              GROUP BY id
+            )
+            SELECT r.id, 'unresolved' AS label, r.n_refs
+            FROM refs r LEFT JOIN nodes n ON r.id = n.id
+            WHERE n.id IS NULL
         """,
     }

@@ -183,3 +183,43 @@ def graph_integrity(nodes: DataFrame, edges: DataFrame) -> dict:
         and dang_dst == 0
     )
     return report
+
+
+def repair_dangling_edges(
+    nodes: DataFrame,
+    edges: DataFrame,
+    placeholder_label: str = "unresolved",
+) -> tuple[DataFrame, DataFrame]:
+    """Dangling-endpoint repair -> ``(repaired_nodes, placeholders)``.
+
+    :func:`graph_integrity` *detects* dangling endpoints; this is the
+    corresponding REPAIR policy: every edge endpoint (src or dst) with no
+    node row becomes a placeholder node ``(id, placeholder_label, n_refs)``
+    so downstream consumers (Neo4j bulk import rejects dangling edges
+    outright; graph algorithms silently drop them) see a closed graph.
+    ``n_refs`` — how many edge slots reference the missing id — is the
+    triage signal: a placeholder with thousands of references is a broken
+    extraction rule, one with a single reference is a stray value.
+
+    The reference hits this as BioCypher import errors after the fact;
+    making repair explicit keeps the 10^12-edge run from dying at the
+    sink. Shape: one explode of the two endpoint columns, one hash
+    aggregate, one left-anti join against the node-id projection (both
+    sides co-located when read from the bucketed graph tables).
+    """
+    refs = (
+        edges.select(F.explode(F.array(F.col("src"), F.col("dst"))).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_refs"))
+    )
+    placeholders = refs.join(nodes.select("id"), "id", "left_anti").select(
+        "id", F.lit(placeholder_label).alias("label"), "n_refs"
+    )
+    node_cols = nodes.columns
+    pad = placeholders.select(
+        *[
+            F.col(c) if c in ("id", "label") else F.lit(None).cast(nodes.schema[c].dataType).alias(c)
+            for c in node_cols
+        ]
+    )
+    return nodes.unionByName(pad), placeholders

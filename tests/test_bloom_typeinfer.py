@@ -95,3 +95,35 @@ def test_typeinfer_seeds_frozen_and_rounds_propagate(spark):
     # rounds=1 leaves m2 untyped (absent)
     got1 = {r["node"] for r in infer_types(e, s, rounds=1).collect()}
     assert got1 == {"seed", "m1"}
+
+
+# --------------------------------------------------------------------------
+# repair_dangling_edges
+# --------------------------------------------------------------------------
+
+from ontoweaver_spark.validate import graph_integrity, repair_dangling_edges
+
+
+def test_repair_dangling_closes_graph(spark):
+    nodes = spark.createDataFrame(
+        [("a", "person", 30), ("b", "person", 40)], ["id", "label", "age"]
+    )
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "ghost"), ("b", "ghost"), ("ghost2", "a")],
+        ["src", "dst"],
+    )
+    assert not graph_integrity(nodes, edges)["ok"]
+    repaired, placeholders = repair_dangling_edges(nodes, edges)
+    ph = {r["id"]: r["n_refs"] for r in placeholders.collect()}
+    assert ph == {"ghost": 2, "ghost2": 1}
+    # placeholder rows pad the extra node columns with typed nulls
+    assert repaired.columns == nodes.columns
+    assert graph_integrity(repaired, edges)["ok"]
+
+
+def test_repair_dangling_noop_on_closed_graph(spark):
+    nodes = spark.createDataFrame([("a", "x"), ("b", "x")], ["id", "label"])
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    repaired, placeholders = repair_dangling_edges(nodes, edges)
+    assert placeholders.count() == 0
+    assert repaired.count() == 2
