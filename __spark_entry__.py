@@ -2489,6 +2489,24 @@ def q_kg_dangling(spark, sf_dir):
     return placeholders
 
 
+def q_edge_partition(spark, sf_dir):
+    """Skew-aware edge placement over a deliberately skewed residue graph
+    (every 5th residue collapses onto one hub source): hub edges are
+    vertex-cut by (h(src)+h(dst)) % P, normal edges grouped by h(src) % P.
+    Oracle replays the identical md5 arithmetic and load aggregate."""
+    from ontoweaver_spark.graphstats import edge_partition_plan
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    r = F.col("doc_id") % 500
+    src = F.when(r % 5 == 0, F.lit("hub0")).otherwise(
+        F.concat(F.lit("d"), r.cast("string"))
+    )
+    dst = F.concat(F.lit("d"), ((r * 3 + 1) % 500).cast("string"))
+    edges = docs.select(src.alias("src"), dst.alias("dst"))
+    return edge_partition_plan(edges, num_partitions=16, hub_threshold=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -2626,6 +2644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_frontier": q_bloom_frontier,
         "kg_typeinfer": q_kg_typeinfer,
         "kg_dangling": q_kg_dangling,
+        "edge_partition": q_edge_partition,
         "dup_spans": q_dup_spans,
     }
 
@@ -5497,5 +5516,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.id, 'unresolved' AS label, r.n_refs
             FROM refs r LEFT JOIN nodes n ON r.id = n.id
             WHERE n.id IS NULL
+        """,
+        # identical placement arithmetic: out-degree > 50 marks hubs,
+        # hub edges take (h(src)+h(dst)) % 16, the rest h(src) % 16;
+        # HUGEINT sums cast back to BIGINT for dtype parity
+        "edge_partition": """
+            WITH e AS (
+              SELECT CASE WHEN doc_id % 500 % 5 = 0 THEN 'hub0'
+                          ELSE 'd' || (doc_id % 500) END AS src,
+                     'd' || (((doc_id % 500) * 3 + 1) % 500) AS dst
+              FROM documents
+            ), deg AS (
+              SELECT src, count(*) AS outdeg FROM e GROUP BY src
+            ), h AS (
+              SELECT e.src, e.dst, (d.outdeg > 50) AS is_hub,
+                     ('0x' || substr(md5(e.src), 1, 15))::BIGINT AS hs,
+                     ('0x' || substr(md5(e.dst), 1, 15))::BIGINT AS hd
+              FROM e JOIN deg d USING (src)
+            )
+            SELECT (CASE WHEN is_hub THEN (hs + hd) % 16
+                         ELSE hs % 16 END)::INT AS "partition",
+                   count(*) AS n_edges,
+                   (sum(CASE WHEN is_hub THEN 1 ELSE 0 END))::BIGINT AS n_hub_edges,
+                   count(DISTINCT src) AS n_srcs
+            FROM h GROUP BY 1
         """,
     }

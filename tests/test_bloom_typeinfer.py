@@ -127,3 +127,39 @@ def test_repair_dangling_noop_on_closed_graph(spark):
     repaired, placeholders = repair_dangling_edges(nodes, edges)
     assert placeholders.count() == 0
     assert repaired.count() == 2
+
+
+# --------------------------------------------------------------------------
+# edge_partition_plan
+# --------------------------------------------------------------------------
+
+from ontoweaver_spark.graphstats import edge_partition_plan
+
+
+def test_edge_partition_skew_collapse(spark):
+    # 10k edges, half from one hub: naive hash(src) puts ~50% of all
+    # edges on one partition; the vertex-cut plan must spread them so
+    # max/avg load drops below 2 (naive is ~8 at P=16).
+    n, p = 10_000, 16
+    e = spark.range(n).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'hub' ELSE concat('s', id) END AS src",
+        "concat('t', id % 997) AS dst",
+    )
+    plan = edge_partition_plan(e, num_partitions=p, hub_threshold=100)
+    rows = plan.collect()
+    assert sum(r["n_edges"] for r in rows) == n  # every edge placed once
+    loads = [r["n_edges"] for r in rows]
+    assert len(rows) == p
+    assert max(loads) / (n / p) < 2.0
+    # hub edges really are the spread ones
+    assert sum(r["n_hub_edges"] for r in rows) == n // 2
+
+
+def test_edge_partition_no_hubs_is_pure_src_hash(spark):
+    # below threshold nothing is vertex-cut: n_hub_edges == 0 everywhere
+    e = spark.range(200).selectExpr(
+        "concat('s', id % 50) AS src", "concat('t', id) AS dst"
+    )
+    plan = edge_partition_plan(e, num_partitions=8, hub_threshold=100)
+    assert plan.agg({"n_hub_edges": "sum"}).collect()[0][0] == 0
+    assert plan.agg({"n_edges": "sum"}).collect()[0][0] == 200
