@@ -2507,6 +2507,36 @@ def q_edge_partition(spark, sf_dir):
     return edge_partition_plan(edges, num_partitions=16, hub_threshold=50)
 
 
+def q_openie_triples(spark, sf_dir):
+    """Pattern-based relation extraction from synthesized prose (two
+    'works at' mentions + one 'is based in' per doc). Both engines run
+    the byte-identical lookaround-free regex; oracle zips the two
+    regexp_extract_all group arrays and unnests."""
+    from ontoweaver_spark.pages import pattern_triples
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    r = F.col("doc_id")
+    text = F.concat(
+        F.lit("Alice"), (r % 400).cast("string"),
+        F.lit(" works at Org"), (r % 7).cast("string"),
+        F.lit(". Carol"), (r % 400).cast("string"),
+        F.lit(" works at Org"), ((r + 3) % 7).cast("string"),
+        F.lit(". Org"), (r % 7).cast("string"),
+        F.lit(" is based in City"), (r % 13).cast("string"), F.lit("."),
+    )
+    d = docs.select(
+        F.concat(F.lit("u"), r.cast("string")).alias("url"), text.alias("text")
+    )
+    return pattern_triples(
+        d,
+        [
+            ("works_at", "([A-Z][a-zA-Z0-9]+) works at ([A-Z][a-zA-Z0-9]+)"),
+            ("based_in", "([A-Z][a-zA-Z0-9]+) is based in ([A-Z][a-zA-Z0-9]+)"),
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -2645,6 +2675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_typeinfer": q_kg_typeinfer,
         "kg_dangling": q_kg_dangling,
         "edge_partition": q_edge_partition,
+        "openie_triples": q_openie_triples,
         "dup_spans": q_dup_spans,
     }
 
@@ -5540,5 +5571,31 @@ def oracle_sql() -> dict[str, str]:
                    (sum(CASE WHEN is_hub THEN 1 ELSE 0 END))::BIGINT AS n_hub_edges,
                    count(DISTINCT src) AS n_srcs
             FROM h GROUP BY 1
+        """,
+        # byte-identical regex on both engines (no lookarounds, RE2-safe);
+        # group arrays zipped positionally and unnested
+        "openie_triples": """
+            WITH d AS (
+              SELECT 'u' || doc_id AS url,
+                     'Alice' || (doc_id % 400) || ' works at Org' ||
+                     (doc_id % 7) || '. Carol' || (doc_id % 400) ||
+                     ' works at Org' || ((doc_id + 3) % 7) || '. Org' ||
+                     (doc_id % 7) || ' is based in City' ||
+                     (doc_id % 13) || '.' AS text
+              FROM documents
+            ), pats AS (
+              SELECT 'works_at' AS pred,
+                     '([A-Z][a-zA-Z0-9]+) works at ([A-Z][a-zA-Z0-9]+)' AS rx
+              UNION ALL
+              SELECT 'based_in',
+                     '([A-Z][a-zA-Z0-9]+) is based in ([A-Z][a-zA-Z0-9]+)'
+            ), m AS (
+              SELECT d.url, p.pred,
+                     regexp_extract_all(d.text, p.rx, 1) AS s,
+                     regexp_extract_all(d.text, p.rx, 2) AS o
+              FROM d, pats p
+            )
+            SELECT url AS doc, s[i] AS subj, pred, o[i] AS obj
+            FROM m, UNNEST(range(1, len(s) + 1)) AS u(i)
         """,
     }

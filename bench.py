@@ -109,7 +109,9 @@ def main() -> None:
                  "span_dataset", "frontier_plan", "kmv_merge",
                  "html_extract", "warc_parse", "dag_levels",
                  "kg_profile", "kg_rpq", "scd2_snapshot", "onto_validate",
-                 "sitemap_parse", "kg_scc", "dup_spans"]:
+                 "sitemap_parse", "kg_scc", "dup_spans",
+                 "bloom_frontier", "kg_typeinfer", "kg_dangling",
+                 "edge_partition", "openie_triples"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the

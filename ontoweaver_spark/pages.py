@@ -167,3 +167,48 @@ def pages_from_documents(docs: DataFrame) -> DataFrame:
         text.alias("text"),
         F.col("lang").alias("lang"),
     )
+
+
+def pattern_triples(
+    df: DataFrame,
+    patterns: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "url",
+) -> DataFrame:
+    """Free-text relation extraction -> ``(doc, subj, pred, obj)``:
+    every (relation, regex-with-two-groups) pattern is applied to the
+    text with ``regexp_extract_all``, group 1 is the subject mention and
+    group 2 the object mention, one output row per (non-overlapping)
+    match. This is the open-IE counterpart of the mapping-driven
+    extraction in :func:`web_kg` — the reference only extracts from
+    structured cells (transformer.py's column operators); web-scale KG
+    construction also mines the prose.
+
+    Scale shape: each pattern is two JVM ``regexp_extract_all`` calls
+    zipped and exploded — zero shuffle, whole-stage codegen, linear in
+    corpus bytes. Patterns must avoid lookarounds/backrefs so the same
+    string runs identically on Java regex (Spark) and RE2 (the DuckDB
+    oracle); `regexp_extract_all` scans are non-overlapping in both.
+    Union across patterns stays one pass per pattern (Catalyst does not
+    currently fuse them; for dozens of patterns prefer one alternation
+    regex with tagged relations).
+    """
+    outs = []
+    for relation, regex in patterns:
+        subs = F.regexp_extract_all(F.col(text_col), F.lit(regex), 1)
+        objs = F.regexp_extract_all(F.col(text_col), F.lit(regex), 2)
+        outs.append(
+            df.select(
+                F.col(id_col).alias("doc"),
+                F.explode(F.arrays_zip(subs.alias("s"), objs.alias("o"))).alias("_m"),
+            ).select(
+                "doc",
+                F.col("_m.s").alias("subj"),
+                F.lit(relation).alias("pred"),
+                F.col("_m.o").alias("obj"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

@@ -163,3 +163,34 @@ def test_edge_partition_no_hubs_is_pure_src_hash(spark):
     plan = edge_partition_plan(e, num_partitions=8, hub_threshold=100)
     assert plan.agg({"n_hub_edges": "sum"}).collect()[0][0] == 0
     assert plan.agg({"n_edges": "sum"}).collect()[0][0] == 200
+
+
+# --------------------------------------------------------------------------
+# pattern_triples
+# --------------------------------------------------------------------------
+
+from ontoweaver_spark.pages import pattern_triples
+
+
+def test_pattern_triples_multi_match_and_no_match(spark):
+    df = spark.createDataFrame(
+        [
+            ("u1", "Ada works at Acme. Bob works at Initech."),
+            ("u2", "nothing to extract here"),
+            ("u3", "Acme is based in Paris."),
+        ],
+        ["url", "text"],
+    )
+    out = pattern_triples(
+        df,
+        [
+            ("works_at", "([A-Z][a-zA-Z0-9]+) works at ([A-Z][a-zA-Z0-9]+)"),
+            ("based_in", "([A-Z][a-zA-Z0-9]+) is based in ([A-Z][a-zA-Z0-9]+)"),
+        ],
+    )
+    rows = {tuple(r) for r in out.collect()}
+    assert rows == {
+        ("u1", "Ada", "works_at", "Acme"),
+        ("u1", "Bob", "works_at", "Initech"),
+        ("u3", "Acme", "based_in", "Paris"),
+    }
