@@ -2537,6 +2537,58 @@ def q_openie_triples(spark, sf_dir):
     )
 
 
+def q_kg_sameas(spark, sf_dir):
+    """owl:sameAs canonicalization: every 20th residue is declared
+    equivalent to residue+100, chaining into 20 five-member classes;
+    edges are rewritten to class-minimum ids (STRING min, as the
+    implementation's min-label CC does) and deduplicated. Oracle:
+    recursive-CTE closure + the same string-least labeling + remap."""
+    from ontoweaver_spark.fusion import sameas_canonicalize
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    r = F.col("doc_id") % 500
+
+    def d(c):
+        return F.concat(F.lit("d"), c.cast("string"))
+
+    nodes = docs.select(d(r).alias("id"), F.lit("entity").alias("label")).distinct()
+    edges = docs.select(
+        d(r).alias("src"), d((r * 3 + 1) % 500).alias("dst"), F.lit("rel").alias("label")
+    )
+    sameas = (
+        docs.where(r % 20 == 0)
+        .select(d(r).alias("a"), d((r + 100) % 500).alias("b"))
+        .distinct()
+    )
+    _, edges2, _ = sameas_canonicalize(nodes, edges, sameas)
+    return edges2
+
+
+def q_schema_graph(spark, sf_dir):
+    """Observed schema quotient of a typed residue graph (4 node labels x
+    3 edge labels): label-level triple counts + distinct endpoint counts.
+    Oracle: two joins against the label projection + one aggregate."""
+    from ontoweaver_spark.graphstats import schema_graph
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    r = F.col("doc_id") % 500
+
+    def d(c):
+        return F.concat(F.lit("d"), c.cast("string"))
+
+    nodes = docs.select(
+        d(r).alias("id"), F.concat(F.lit("L"), (r % 4).cast("string")).alias("label")
+    ).distinct()
+    edges = docs.select(
+        d(r).alias("src"),
+        d((r * 3 + 1) % 500).alias("dst"),
+        F.concat(F.lit("rel"), (r % 3).cast("string")).alias("label"),
+    )
+    return schema_graph(nodes, edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -2676,6 +2728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_dangling": q_kg_dangling,
         "edge_partition": q_edge_partition,
         "openie_triples": q_openie_triples,
+        "kg_sameas": q_kg_sameas,
+        "schema_graph": q_schema_graph,
         "dup_spans": q_dup_spans,
     }
 
@@ -5597,5 +5651,56 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT url AS doc, s[i] AS subj, pred, o[i] AS obj
             FROM m, UNNEST(range(1, len(s) + 1)) AS u(i)
+        """,
+        # recursive closure over the undirected sameAs pairs, class =
+        # string-min of {self} U reachable, then broadcast-remap + dedup
+        "kg_sameas": """
+            WITH RECURSIVE sa AS MATERIALIZED (
+              SELECT DISTINCT 'd' || (doc_id % 500) AS a,
+                     'd' || ((doc_id % 500 + 100) % 500) AS b
+              FROM documents WHERE doc_id % 500 % 20 = 0
+            ), und AS MATERIALIZED (
+              SELECT a AS v, b AS w FROM sa UNION SELECT b, a FROM sa
+            ), reach(v, w) AS (
+              SELECT v, w FROM und
+              UNION
+              SELECT r.v, u.w FROM reach r JOIN und u ON r.w = u.v
+            ), comp AS MATERIALIZED (
+              SELECT v, least(v, min(w)) AS component FROM reach GROUP BY v
+            ), mapping AS MATERIALIZED (
+              SELECT v AS old_id, component AS new_id
+              FROM comp WHERE v <> component
+            ), e AS (
+              SELECT 'd' || (doc_id % 500) AS src,
+                     'd' || ((doc_id % 500 * 3 + 1) % 500) AS dst,
+                     'rel' AS label
+              FROM documents
+            )
+            SELECT DISTINCT coalesce(m1.new_id, e.src) AS src,
+                            coalesce(m2.new_id, e.dst) AS dst, e.label
+            FROM e LEFT JOIN mapping m1 ON e.src = m1.old_id
+                   LEFT JOIN mapping m2 ON e.dst = m2.old_id
+        """,
+        # label-quotient rollup; HUGEINT-free (count/count-distinct are
+        # BIGINT in both engines)
+        "schema_graph": """
+            WITH nodes AS (
+              SELECT DISTINCT 'd' || (doc_id % 500) AS id,
+                     'L' || (doc_id % 500 % 4) AS label
+              FROM documents
+            ), e AS (
+              SELECT 'd' || (doc_id % 500) AS src,
+                     'd' || ((doc_id % 500 * 3 + 1) % 500) AS dst,
+                     'rel' || (doc_id % 500 % 3) AS label
+              FROM documents
+            )
+            SELECT ns.label AS src_label, e.label AS edge_label,
+                   nd.label AS dst_label,
+                   count(*) AS n_edges,
+                   count(DISTINCT e.src) AS n_srcs,
+                   count(DISTINCT e.dst) AS n_dsts
+            FROM e JOIN nodes ns ON e.src = ns.id
+                   JOIN nodes nd ON e.dst = nd.id
+            GROUP BY 1, 2, 3
         """,
     }

@@ -430,3 +430,52 @@ def retract_from_graph(
     still_has = endpoints(kept_edges)
     orphaned = had_edges.join(still_has, "id", "left_anti")
     return kept_nodes.join(orphaned, "id", "left_anti"), kept_edges
+
+
+def sameas_canonicalize(
+    nodes: DataFrame,
+    edges: DataFrame,
+    sameas: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """owl:sameAs canonicalization -> ``(nodes2, edges2, mapping)`` — the
+    explicit *canonicalization* stage of the north-rule pipeline
+    (extract -> link -> **canonicalize** -> materialize).
+
+    ``sameas`` is an undirected pair table of equivalent entity ids
+    (from alias linking, redirect resolution, or literal owl:sameAs
+    triples). Equivalence classes come from
+    :func:`ontoweaver_spark.dedup.connected_components` (min-label with
+    pointer jumping, O(log diameter) rounds); every class member is
+    rewritten to the class's smallest id. Node rows collapse to one per
+    canonical id (min label — run :func:`reduce`-based fusion afterwards
+    when property merging matters); edges are rewritten through the
+    broadcast mapping and deduplicated.
+
+    The reference reaches the same end state only when the mapping's
+    ``translate`` table already maps every alias to its canonical form
+    (transformer.py's translate); sameAs closure is what replaces that
+    config-sized table when equivalences are DISCOVERED at corpus scale
+    and form chains (a=b, b=c) no static dictionary closes.
+
+    Shape at 10^12 edges: the class computation touches only the sameAs
+    pairs (tiny vs the graph); the node/edge rewrite is the broadcast
+    remap of :func:`remap_edges`; the final dedup is one hash aggregate
+    on the rewritten edge key.
+    """
+    from .dedup import connected_components
+
+    comp = connected_components(sameas, a_col=a_col, b_col=b_col)
+    mapping = comp.where(F.col("vertex") != F.col("component")).select(
+        F.col("vertex").alias("old_id"), F.col("component").alias("new_id")
+    )
+    nodes2 = (
+        nodes.join(F.broadcast(mapping), nodes["id"] == F.col("old_id"), "left")
+        .withColumn("id", F.coalesce(F.col("new_id"), F.col("id")))
+        .drop("old_id", "new_id")
+        .groupBy("id")
+        .agg(F.min("label").alias("label"))
+    )
+    edges2 = remap_edges(edges, mapping).distinct()
+    return nodes2, edges2, mapping

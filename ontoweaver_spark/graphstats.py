@@ -1295,3 +1295,40 @@ def edge_partition_plan(
             F.count_distinct("src").alias("n_srcs"),
         )
     )
+
+
+def schema_graph(
+    nodes: DataFrame,
+    edges: DataFrame,
+) -> DataFrame:
+    """Instance->schema summarization: collapse the typed instance graph
+    to its label-level quotient ``(src_label, edge_label, dst_label,
+    n_edges, n_srcs, n_dsts)`` — the induced ontology a KG-construction
+    run is validated against (does the data contain edge shapes the
+    mapped ontology never declared?). `ontology.validate_edge_types`
+    checks edges against a DECLARED schema; this derives the OBSERVED
+    one, and diffing the two is the schema-drift report.
+
+    Shape at 10^12 edges: two joins against the node label projection —
+    a label table is bounded by node count but joined on node id, so it
+    shuffles once per endpoint unless the graph tables are bucketed by
+    id/src (ours are, pipeline.write_bucketed_graph) — then one hash
+    aggregate on the (tiny) label-triple key.
+    """
+    lab = nodes.select(F.col("id"), F.col("label"))
+    return (
+        edges.join(
+            lab.select(F.col("id").alias("src"), F.col("label").alias("src_label")),
+            "src",
+        )
+        .join(
+            lab.select(F.col("id").alias("dst"), F.col("label").alias("dst_label")),
+            "dst",
+        )
+        .groupBy("src_label", F.col("label").alias("edge_label"), "dst_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.count_distinct("src").alias("n_srcs"),
+            F.count_distinct("dst").alias("n_dsts"),
+        )
+    )
