@@ -2589,6 +2589,75 @@ def q_schema_graph(spark, sf_dir):
     return schema_graph(nodes, edges)
 
 
+def q_kg_closeness(spark, sf_dir):
+    """Landmark harmonic centrality over the sparse doc graph: per-landmark
+    BFS distances (4 exact rounds, zero driver syncs) rolled up to
+    sum(scale DIV dist) per node — the Eppstein-Wang estimator with exact
+    BIGINT arithmetic so an iterative centrality hash-matches a DuckDB
+    oracle that unrolls the same per-landmark relaxations as CTEs."""
+    from ontoweaver_spark.graphstats import harmonic_closeness
+
+    _tune(spark)
+    landmarks = _docs(spark, sf_dir).where(F.col("doc_id") % 97 == 0).select(
+        F.concat(F.lit("n"), F.col("doc_id").cast("string")).alias("node")
+    )
+    return harmonic_closeness(
+        _doc_graph(spark, sf_dir), landmarks, rounds=4, scale=10**6
+    )
+
+
+def q_er_blocking(spark, sf_dir):
+    """Token blocking + CBS meta-blocking over synthetic entity mentions:
+    ultra-common tokens ('entity', 'corp') are purged by the block-size
+    guard, number tokens and the rarer 'inc' survive as blocks, and pairs
+    are CNP-pruned to each endpoint's top-3 by common-block count. The
+    word-reordering-robust complement of er_pairs' sorted neighborhood."""
+    from ontoweaver_spark.linking import token_blocking_candidates
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    num = (F.col("doc_id") % 100).cast("string")
+    m1 = docs.select(
+        (F.col("doc_id") * 2).alias("id"),
+        F.concat(F.lit("entity "), num, F.lit(" corp")).alias("name"),
+    )
+    m2 = docs.select(
+        (F.col("doc_id") * 2 + 1).alias("id"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("entity "), num, F.lit(" inc corp")),
+        ).otherwise(F.concat(F.lit("entity "), num, F.lit(" corp"))).alias("name"),
+    )
+    return token_blocking_candidates(
+        m1.unionByName(m2), max_block_size=100, top_k=3
+    )
+
+
+def q_cc_incremental(spark, sf_dir):
+    """Incremental connected components: CC labels computed on the
+    even-doc pair batch are folded together with the odd-doc batch via
+    merge_components (star edges + new pairs — history edges never
+    re-read). Oracle: recursive-CTE closure over the FULL pair union with
+    the same least labeling — asserting incremental == from-scratch."""
+    from ontoweaver_spark.dedup import connected_components, merge_components
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    r = F.col("doc_id") % 500
+
+    def v(c):
+        return F.concat(F.lit("v"), c.cast("string"))
+
+    hist = docs.where(F.col("doc_id") % 2 == 0).select(
+        v(r).alias("a"), v((r * 7 + 3) % 500).alias("b")
+    ).distinct()
+    new = docs.where(F.col("doc_id") % 2 == 1).select(
+        v(r).alias("a"), v((r * 13 + 5) % 500).alias("b")
+    ).distinct()
+    labels = connected_components(hist)
+    return merge_components(labels, new)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -2730,6 +2799,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "openie_triples": q_openie_triples,
         "kg_sameas": q_kg_sameas,
         "schema_graph": q_schema_graph,
+        "kg_closeness": q_kg_closeness,
+        "er_blocking": q_er_blocking,
+        "cc_incremental": q_cc_incremental,
         "dup_spans": q_dup_spans,
     }
 
@@ -3198,6 +3270,36 @@ def _sssp_sql(rounds: int = 6) -> str:
       ) GROUP BY node
     )""")
     parts.append(f"\n    SELECT node, dist FROM d{rounds}")
+    return "".join(parts)
+
+
+def _closeness_sql(rounds: int = 4, scale: int = 10**6) -> str:
+    """Unrolled per-landmark BFS (hop weights) mirroring graphstats.
+    landmark_distances + the harmonic_closeness rollup. Unlike _sssp_sql
+    the landmark id rides in the relaxation key."""
+    parts = [f"""
+    WITH raw AS (
+      {_doc_graph_sql()}
+    ), e AS MATERIALIZED (
+      SELECT DISTINCT src AS s, dst AS d FROM raw
+    ), d0 AS (
+      SELECT DISTINCT 'n' || doc_id::VARCHAR AS landmark,
+             'n' || doc_id::VARCHAR AS node, CAST(0 AS BIGINT) AS dist
+      FROM documents WHERE doc_id % 97 = 0
+    )"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""", d{i} AS MATERIALIZED (
+      SELECT landmark, node, min(dist) AS dist FROM (
+        SELECT landmark, node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT p.landmark, e.d AS node, p.dist + 1 AS dist
+        FROM d{i - 1} p JOIN e ON p.node = e.s
+      ) GROUP BY landmark, node
+    )""")
+    parts.append(f"""
+    SELECT node, count(*) AS n_landmarks,
+           sum({scale} // dist)::BIGINT AS harmonic
+    FROM d{rounds} WHERE dist > 0 GROUP BY node""")
     return "".join(parts)
 
 
@@ -5702,5 +5804,67 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN nodes ns ON e.src = ns.id
                    JOIN nodes nd ON e.dst = nd.id
             GROUP BY 1, 2, 3
+        """,
+        "kg_closeness": _closeness_sql(4),
+        # token blocking mirror: same canonicalization, block purge at
+        # df<=100, CBS pair weights, symmetric CNP top-3 with (count DESC,
+        # id_a, id_b) tie-break
+        "er_blocking": """
+            WITH m AS (
+              SELECT doc_id * 2 AS id, 'entity ' || (doc_id % 100) || ' corp' AS name
+              FROM documents
+              UNION ALL
+              SELECT doc_id * 2 + 1 AS id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN 'entity ' || (doc_id % 100) || ' inc corp'
+                          ELSE 'entity ' || (doc_id % 100) || ' corp' END
+              FROM documents
+            ), tok AS MATERIALIZED (
+              SELECT DISTINCT id, t AS tok FROM (
+                SELECT id, unnest(regexp_split_to_array(trim(regexp_replace(
+                         regexp_replace(lower(name), '[^a-z0-9]+', ' ', 'g'),
+                         '\\s+', ' ', 'g')), ' ')) AS t
+                FROM m
+              ) WHERE t <> ''
+            ), small AS (
+              SELECT tok FROM tok GROUP BY tok HAVING count(*) <= 100
+            ), kept AS MATERIALIZED (
+              SELECT tok.id, tok.tok FROM tok JOIN small USING (tok)
+            ), pairs AS MATERIALIZED (
+              SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS common_blocks
+              FROM kept a JOIN kept b ON a.tok = b.tok AND a.id < b.id
+              GROUP BY a.id, b.id
+            ), sym AS (
+              SELECT id_a AS ep, id_a, id_b, common_blocks FROM pairs
+              UNION ALL
+              SELECT id_b AS ep, id_a, id_b, common_blocks FROM pairs
+            ), ranked AS (
+              SELECT id_a, id_b, common_blocks,
+                     row_number() OVER (PARTITION BY ep
+                       ORDER BY common_blocks DESC, id_a, id_b) AS rk
+              FROM sym
+            )
+            SELECT DISTINCT id_a, id_b, common_blocks FROM ranked WHERE rk <= 3
+        """,
+        # from-scratch recursive closure over the FULL pair union with the
+        # same least labeling merge_components produces incrementally
+        "cc_incremental": """
+            WITH RECURSIVE p AS MATERIALIZED (
+              SELECT DISTINCT 'v' || (doc_id % 500) AS a,
+                     'v' || ((doc_id % 500 * 7 + 3) % 500) AS b
+              FROM documents WHERE doc_id % 2 = 0
+              UNION
+              SELECT DISTINCT 'v' || (doc_id % 500) AS a,
+                     'v' || ((doc_id % 500 * 13 + 5) % 500) AS b
+              FROM documents WHERE doc_id % 2 = 1
+            ), und AS MATERIALIZED (
+              SELECT a AS v, b AS w FROM p UNION SELECT b, a FROM p
+            ), reach(v, w) AS (
+              SELECT v, w FROM und
+              UNION
+              SELECT r.v, u.w FROM reach r JOIN und u ON r.w = u.v
+            )
+            SELECT v AS vertex, least(v, min(w)) AS component
+            FROM reach GROUP BY v
         """,
     }

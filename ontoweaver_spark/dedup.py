@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textops import md5_int, round_ieee, tokens
+from .session import stats_reset_checkpoint
 
 
 def shingles(c: Column, k: int = 3) -> Column:
@@ -261,76 +262,98 @@ def connected_components(
     max_iterations: int = 50,
     stats: dict | None = None,
 ) -> DataFrame:
-    """Connected components over an undirected pair list via iterative
-    min-label propagation WITH pointer jumping: each round every vertex
-    adopts the smallest label among itself and its neighbors, then
-    shortcuts ``label <- label(label)`` (the PRAM shortcutting step).
+    """Connected components over an undirected pair list via alternating
+    **large-star / small-star** rounds (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14):
 
-    This is THE iterative-algorithm shape Spark needs care with:
-    - each round is two keyed joins + one aggregate (all hash shuffles);
-    - the shortcutting step collapses label chains geometrically, so a
-      path graph converges in O(log diameter) rounds — plain neighbor
-      propagation needs O(diameter) rounds and a 100-long chain would hit
-      ``max_iterations`` (measured: 100-chain converges in <=8 rounds,
-      tests/test_dedup_scale.py);
-    - ``localCheckpoint`` every round truncates the lineage so the plan
-      does not grow exponentially across iterations;
-    - convergence is detected with one count per round (changed labels).
+    - *large-star*: every vertex attaches its strictly-larger neighbors to
+      the minimum of its closed neighborhood;
+    - *small-star*: every vertex attaches itself and its smaller neighbors
+      to the minimum of its smaller neighbors.
+
+    The alternation provably converges to min-rooted stars in O(log^2 n)
+    rounds (O(log n) in practice — measured: 500-cycle 10 rounds,
+    100-chain 8, random graphs 6). This replaced a min-label-propagation +
+    single-pointer-jump loop whose convergence was LINEAR on long cycles:
+    a union of two permutation matchings (exactly what incremental CC
+    merges produce) formed ~500-long cycles and blew ``max_iterations``
+    at 50 while star rounds close it in 10.
+
+    Each round is ~4 hash shuffles of the CURRENT edge set, which only
+    shrinks (stars collapse); per-round state goes through
+    ``session.stats_reset_checkpoint`` — bare ``localCheckpoint`` snapshots
+    compounding size estimates and the BigInteger digit count doubles per
+    round (the loop dies at ~20 rounds no matter the data size; see the
+    helper's docstring). Convergence is one (count, hash-sum) aggregate
+    per round; ``xxhash64`` is Spark-side only so no oracle sees it.
 
     Returns (vertex, component) where component = min vertex id in the
-    component. Vertices not present in ``pairs`` are their own singleton
-    components — callers union them in if needed. ``stats`` (optional
-    dict) receives ``{"rounds": n}`` for round-count assertions.
+    component. Vertices appearing only in self-pairs are their own
+    singleton components; vertices absent from ``pairs`` entirely are not
+    emitted — callers union them in if needed. ``stats`` (optional dict)
+    receives ``{"rounds": n}`` for round-count assertions.
     """
-    # materialize the edge list once — every iteration joins against `und`,
-    # and without this each round would re-execute the entire upstream
-    # pair-generation plan (minhash + verify) from scratch
-    und = pairs.selectExpr(f"{a_col} AS v", f"{b_col} AS w").unionAll(
-        pairs.selectExpr(f"{b_col} AS v", f"{a_col} AS w")
-    ).distinct().localCheckpoint()
-    labels = und.select("v").distinct().withColumn("label", F.col("v"))
+    raw = pairs.selectExpr(f"{a_col} AS u", f"{b_col} AS v")
+    verts = (
+        raw.selectExpr("u AS vertex").unionAll(raw.selectExpr("v AS vertex"))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = stats_reset_checkpoint(
+        raw.where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
 
-    changed, rounds = -1, 0
+    prev, rounds, converged = (-1, -1), 0, False
     for _ in range(max_iterations):
         rounds += 1
-        # each vertex receives its neighbors' labels, keeps the min
-        incoming = (
-            und.join(labels.withColumnRenamed("v", "w2"), und["w"] == F.col("w2"))
-            .select(F.col("v"), F.col("label").alias("nlabel"))
+        # large-star
+        sym = e.selectExpr("u", "v").unionAll(e.selectExpr("v AS u", "u AS v"))
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        ls = stats_reset_checkpoint(
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+            .distinct()
         )
-        prop = (
-            labels.join(incoming, "v", "left")
-            .groupBy("v")
-            .agg(F.least(F.first("label"), F.min("nlabel")).alias("plabel"),
-                 F.first("label").alias("label"))
+        # small-star
+        small = ls.selectExpr("u", "v").unionAll(
+            ls.selectExpr("v AS u", "u AS v")
+        ).where(F.col("v") < F.col("u"))
+        attached = small.join(small.groupBy("u").agg(F.min("v").alias("m")), "u")
+        e = stats_reset_checkpoint(
+            attached.select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionAll(attached.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+            .distinct()
         )
-        # pointer jumping: label <- label(label). Every label IS a vertex
-        # id in the set, so the lookup always hits; "left" + coalesce only
-        # guards the degenerate empty frame.
-        lut = prop.select(F.col("v").alias("_lv"), F.col("plabel").alias("_ll"))
-        jumped = (
-            prop.join(lut, prop["plabel"] == F.col("_lv"), "left")
-            .select(
-                "v", "label",
-                F.coalesce(F.col("_ll"), F.col("plabel")).alias("new_label"),
-            )
-        )
-        changed = jumped.where(F.col("new_label") != F.col("label")).count()
-        labels = jumped.select("v", F.col("new_label").alias("label")).localCheckpoint()
-        if changed == 0:
+        st = e.agg(
+            F.count("*").alias("n"), F.sum(F.xxhash64("u", "v")).alias("h")
+        ).first()
+        cur = (st["n"], st["h"])
+        if cur == prev:
+            converged = True
             break
+        prev = cur
     if stats is not None:
         stats["rounds"] = rounds
-    if changed != 0:
+    if not converged:
         # returning silently would split one component into several —
         # downstream "keep one per cluster" would then keep too many
         raise RuntimeError(
             f"connected_components did not converge within {max_iterations} "
-            f"iterations ({changed} labels still changing); raise "
-            "max_iterations (component diameter exceeds the cap)"
+            "star rounds; raise max_iterations"
         )
-    return labels.select(F.col("v").alias("vertex"), F.col("label").alias("component"))
-
+    # fixpoint edges ARE the component stars: (root=u, child=v)
+    child = e.selectExpr("v AS vertex", "u AS component")
+    roots = verts.join(child.select("vertex"), "vertex", "left_anti").select(
+        "vertex", F.col("vertex").alias("component")
+    )
+    return child.unionByName(roots)
 
 
 def _candidate_sets(
@@ -923,3 +946,40 @@ def duplicated_ngram_spans(
         (F.max("pos") + (n - 1)).alias("span_end"),
         F.count("*").alias("n_hits"),
     ).drop("_isl")
+
+
+def merge_components(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iterations: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Incremental connected components: fold a batch of NEW pairs into an
+    existing ``(vertex, component)`` labeling without ever touching the
+    raw historical edge list -> the updated ``(vertex, component)``.
+
+    The old labeling is replayed as star edges ``vertex -> component``
+    (each class's spanning star, diameter <= 2) and unioned with the new
+    pairs; :func:`connected_components` then runs over |V_old| + |batch|
+    rows instead of |E_history| + |batch|. Because every historical class
+    already carries its min vertex as the label, the merged min-labels
+    are EXACTLY those of a from-scratch run on the full edge union — the
+    equivalence the driver oracle (`cc_incremental`) and the property
+    test assert.
+
+    This is the continuous-crawl shape (same cost model as
+    fusion.merge_into_graph): at 10^12 accumulated edges, re-running CC
+    per batch is history-proportional; this is batch + vertex
+    proportional, and the star edges' tiny diameter keeps the
+    pointer-jumping round count at its floor.
+    """
+    star = labels.select(
+        F.col("vertex").alias(a_col), F.col("component").alias(b_col)
+    )
+    merged = star.unionByName(new_pairs.select(a_col, b_col))
+    return connected_components(
+        merged, a_col=a_col, b_col=b_col,
+        max_iterations=max_iterations, stats=stats,
+    )

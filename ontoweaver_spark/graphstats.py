@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textops import md5_int
+from .session import stats_reset_checkpoint
 
 
 def degree_stats(
@@ -100,11 +101,11 @@ def k_hop_neighborhood(
             .select(F.col("d").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
-            .localCheckpoint()  # eager: the empty-frontier early exit counts it anyway
+            .transform(stats_reset_checkpoint)  # eager: the empty-frontier early exit counts it anyway
         )
         if nxt.rdd.isEmpty():
             break
-        visited = visited.unionByName(nxt.withColumn("hop", F.lit(hop))).localCheckpoint(eager=False)
+        visited = visited.unionByName(nxt.withColumn("hop", F.lit(hop))).transform(lambda _d: stats_reset_checkpoint(_d, eager=False))
         frontier = nxt
     return visited
 
@@ -221,7 +222,7 @@ def pagerank_fixed_point(
                     + F.expr(f"{damping_pct} * coalesce(inb, 0) DIV 100")
                 ).cast("long").alias("rank"),
             )
-            .localCheckpoint(eager=False)
+            .transform(lambda _d: stats_reset_checkpoint(_d, eager=False))
         )
     return ranks
 
@@ -336,13 +337,13 @@ def k_core(
     for i in range(rounds):
         bad = degrees(e).where(F.col("deg") < k).select("node")
         if exact_rounds is None:
-            bad = bad.localCheckpoint()  # eager: counted AND reused by the joins
+            bad = bad.transform(stats_reset_checkpoint)  # eager: counted AND reused by the joins
             if bad.count() == 0:
                 break
         e = (
             e.join(bad.withColumnRenamed("node", "u"), "u", "left_anti")
             .join(bad.withColumnRenamed("node", "v"), "v", "left_anti")
-            .localCheckpoint(eager=False)
+            .transform(lambda _d: stats_reset_checkpoint(_d, eager=False))
         )
     else:
         if exact_rounds is None:
@@ -408,7 +409,7 @@ def label_propagation(
                     F.struct((-F.col("cnt")).alias("nc"), F.col("community")),
                 ).alias("community")
             )
-            .localCheckpoint(eager=False)
+            .transform(lambda _d: stats_reset_checkpoint(_d, eager=False))
         )
     return labels
 
@@ -482,7 +483,7 @@ def random_walks(
             frontier.join(e, frontier["node"] == e["s"])
             .groupBy("walk_id")
             .agg(F.min_by(F.col("d"), order_key).alias("node"))
-            .localCheckpoint(eager=False)
+            .transform(lambda _d: stats_reset_checkpoint(_d, eager=False))
         )
         walks = walks.unionByName(frontier.withColumn("step", F.lit(step)))
     return walks.select("walk_id", "step", "node")
@@ -622,7 +623,7 @@ def hits_fixed_point(
                 "node", "left",
             ).select("node", F.coalesce("auth", F.lit(0)).cast("long").alias("auth"))
         )
-        auth = _norm(a_raw, "auth").localCheckpoint(eager=False)
+        auth = _norm(a_raw, "auth").transform(lambda _d: stats_reset_checkpoint(_d, eager=False))
         h_raw = (
             nodes.join(
                 e.join(auth.select(F.col("node").alias("d"), "auth"), "d")
@@ -631,7 +632,7 @@ def hits_fixed_point(
                 "node", "left",
             ).select("node", F.coalesce("hub", F.lit(0)).cast("long").alias("hub"))
         )
-        hub = _norm(h_raw, "hub").localCheckpoint(eager=False)
+        hub = _norm(h_raw, "hub").transform(lambda _d: stats_reset_checkpoint(_d, eager=False))
     return hub.join(auth, "node").select("node", "hub", "auth")
 
 
@@ -693,14 +694,14 @@ def shortest_paths(
 
     if rounds is not None:
         for _ in range(rounds):
-            dist = relax(dist).localCheckpoint(eager=False)
+            dist = relax(dist).transform(lambda _d: stats_reset_checkpoint(_d, eager=False))
         if stats is not None:
             stats["rounds"] = rounds
         return dist
 
     n = 0
     for n in range(1, max_rounds + 1):
-        nxt = relax(dist).localCheckpoint()
+        nxt = relax(dist).transform(stats_reset_checkpoint)
         changed = (
             nxt.join(dist.withColumnRenamed("dist", "_old"), "node", "left")
             .where(F.col("_old").isNull() | (F.col("dist") != F.col("_old")))
@@ -975,7 +976,7 @@ def personalized_pagerank(
                     + F.expr(f"{damping_pct} * coalesce(inb, 0) DIV 100")
                 ).cast("long").alias("rank"),
             )
-            .localCheckpoint(eager=False)
+            .transform(lambda _d: stats_reset_checkpoint(_d, eager=False))
         )
     return ranks
 
@@ -1212,7 +1213,7 @@ def strongly_connected_components(
             core.join(keep.select(F.col("node").alias("s")), "s")
             .join(keep.select(F.col("node").alias("d")), "d")
             .select("s", "d")
-            .localCheckpoint()
+            .transform(stats_reset_checkpoint)
         )
 
     if prev == 0 or core.isEmpty():
@@ -1330,5 +1331,96 @@ def schema_graph(
             F.count(F.lit(1)).alias("n_edges"),
             F.count_distinct("src").alias("n_srcs"),
             F.count_distinct("dst").alias("n_dsts"),
+        )
+    )
+
+
+def landmark_distances(
+    edges: DataFrame,
+    landmarks: DataFrame,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    directed: bool = True,
+) -> DataFrame:
+    """Per-landmark hop distances -> ``(landmark, node, dist)`` for every
+    (landmark, node) pair within ``rounds`` hops — the k-source BFS table
+    behind landmark centrality and distance-oracle sketches. Unlike
+    :func:`shortest_paths` (which folds all seeds into ONE min-distance
+    surface), the landmark id rides in the relaxation key, so each
+    landmark keeps its own distance field.
+
+    Exact-rounds only (k joins + k min-aggregates keyed on
+    ``(landmark, node)``, zero driver syncs) — a pure function of
+    (graph, landmarks, rounds) that an unrolled SQL oracle mirrors.
+
+    Scale shape: each round's relaxation is bounded by k*|E| rows for k
+    landmarks (choose k in the tens, not thousands — landmark methods'
+    whole point is k << n); the per-round aggregate combines map-side.
+    The hop-count metric keeps everything BIGINT-exact.
+    """
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    if not directed:
+        e = e.unionAll(
+            edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+        )
+    e = e.distinct().localCheckpoint(eager=False)
+
+    dist = (
+        landmarks.select(F.col(landmarks.columns[0]).alias("landmark"))
+        .distinct()
+        .select("landmark", F.col("landmark").alias("node"),
+                F.lit(0).cast("long").alias("dist"))
+    )
+    for _ in range(rounds):
+        cand = e.join(
+            dist.select("landmark", F.col("node").alias("s"), "dist"), "s"
+        ).select(
+            "landmark", F.col("d").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("landmark", "node")
+            .agg(F.min("dist").alias("dist"))
+            .transform(lambda _d: stats_reset_checkpoint(_d, eager=False))
+        )
+    return dist
+
+
+def harmonic_closeness(
+    edges: DataFrame,
+    landmarks: DataFrame,
+    rounds: int,
+    scale: int = 10**6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    directed: bool = True,
+) -> DataFrame:
+    """Landmark-estimated harmonic centrality -> ``(node, n_landmarks,
+    harmonic)``: for each node reached by at least one landmark,
+    ``harmonic = sum over landmarks L (scale DIV d(L, node))`` over the
+    landmarks with ``0 < d <= rounds`` (self-distance excluded, as in
+    Boldi-Vigna's definition), ``n_landmarks`` = how many such landmarks.
+    Unreachable landmarks contribute 0 — exactly harmonic centrality's
+    selling point over closeness on disconnected web graphs.
+
+    ``scale DIV dist`` keeps the score an exact BIGINT (bit-identical
+    across engines and partitionings); true harmonic centrality is the
+    k->n limit — with k hash-chosen landmarks this is the standard
+    unbiased estimator of it (Eppstein-Wang), up to the scale*k factor.
+
+    One aggregate over :func:`landmark_distances`; the rollup key is the
+    node, so hub fan-in combines map-side.
+    """
+    d = landmark_distances(
+        edges, landmarks, rounds, src_col=src_col, dst_col=dst_col,
+        directed=directed,
+    )
+    return (
+        d.where(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).alias("n_landmarks"),
+            F.sum(F.expr(f"{scale} DIV dist")).alias("harmonic"),
         )
     )

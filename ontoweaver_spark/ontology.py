@@ -20,6 +20,7 @@ hygiene as ``dedup.connected_components``.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from .session import stats_reset_checkpoint
 
 RDFS_SUBCLASSOF = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
 
@@ -85,7 +86,7 @@ def subclass_closure(
             reach.unionByName(doubled)
             .groupBy("d", "a")
             .agg(agg_fn("depth").alias("depth"))
-            .localCheckpoint()
+            .transform(stats_reset_checkpoint)
         )
         stats = reach.agg(
             F.count("*").alias("n"), F.sum("depth").alias("s")

@@ -60,3 +60,41 @@ def tune_session(spark: SparkSession) -> SparkSession:
         except Exception:
             pass
     return spark
+
+
+def stats_reset_checkpoint(df, eager: bool = True):
+    """``localCheckpoint`` for ITERATIVE algorithms: truncate the plan AND
+    reset Catalyst's size estimate.
+
+    ``df.localCheckpoint()`` truncates lineage, but the ``LogicalRDD`` it
+    leaves behind SNAPSHOTS the child plan's *estimated* statistics. Size
+    estimates multiply across joins, so in a loop of the form
+    ``state = f(state).localCheckpoint()`` each round's snapshot compounds
+    the last: sizeInBytes grows as a power tower and its BigInteger digit
+    count DOUBLES per round (measured: 38 -> 94 -> 205 -> ... digits; by
+    round ~16 every Catalyst stats visit does arithmetic on million-digit
+    integers and per-round wall time doubles — the loop dies at ~20
+    rounds no matter how small the data is).
+
+    The fix re-wraps the checkpointed (already materialized) RDD of
+    InternalRows as a fresh scan with default leaf statistics — zero
+    recompute, zero serialization, JVM-side only. Falls back to the plain
+    checkpointed frame if the private JVM hook is unavailable (slow at
+    high round counts, never wrong).
+
+    Every unbounded-round loop in this repo (connected components, k-core
+    peel, fixpoint shortest paths, redirect chasing) routes through this
+    instead of bare ``localCheckpoint``.
+    """
+    from pyspark.sql import DataFrame as _DF
+
+    ck = df.localCheckpoint(eager=eager)
+    try:
+        spark = ck.sparkSession
+        jdf = ck._jdf
+        jrdd = jdf.queryExecution().toRdd()
+        schema = jdf.queryExecution().analyzed().schema()
+        fresh = spark._jsparkSession.internalCreateDataFrame(jrdd, schema, False)
+        return _DF(fresh, spark)
+    except Exception:  # pragma: no cover - Connect / future-Spark fallback
+        return ck

@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textops import round_ieee
+from .session import stats_reset_checkpoint
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -184,7 +185,7 @@ def train_centroids(
         )
         cents = merged.agg(F.collect_list(
             F.struct((-F.col("list_id")).alias("neg_cid"), F.col("cvec").alias("cvec"))
-        ).alias("cents")).localCheckpoint()
+        ).alias("cents")).transform(stats_reset_checkpoint)
     return cents
 
 

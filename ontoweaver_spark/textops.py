@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from .session import stats_reset_checkpoint
 
 # language marker words (deterministic n-gram-ish heuristic; shared with the
 # DuckDB oracle — keep in sync with oracle_sql in __spark_entry__.py)
@@ -963,7 +964,7 @@ def bpe_merges(
                 ).alias("s"),
                 "freq",
             )
-            .localCheckpoint(eager=False)
+            .transform(lambda _d: stats_reset_checkpoint(_d, eager=False))
         )
     return merges
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from .session import stats_reset_checkpoint
 
 # tracking parameters every crawler strips (Google/Facebook/Microsoft
 # click ids + utm campaign tags)
@@ -218,7 +219,7 @@ def resolve_redirects(
                 F.coalesce("m_cur", "cur").alias("cur"),
                 (F.col("hops") + F.coalesce("m_hops", F.lit(0))).alias("hops"),
             )
-            .localCheckpoint()
+            .transform(stats_reset_checkpoint)
         )
         stats = state.agg(F.count("*").alias("n"), F.sum("hops").alias("s")).first()
         if (stats["n"], stats["s"]) == prev:

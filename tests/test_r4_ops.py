@@ -1,0 +1,216 @@
+"""Round-4 operators + the iterative-loop stats regression.
+
+Covers:
+- session.stats_reset_checkpoint: Catalyst size estimates must NOT compound
+  across checkpointed loop rounds (the digit count of sizeInBytes doubled
+  per round with bare localCheckpoint, killing every fixpoint loop at ~20
+  rounds regardless of data size).
+- dedup.connected_components (large-star/small-star): convergence on the
+  adversarial shapes the old min-label+jump loop failed — long cycles and
+  unions of permutation matchings.
+- dedup.merge_components: incremental == from-scratch equivalence.
+- graphstats.landmark_distances / harmonic_closeness: hand-computed BFS.
+- linking.token_blocking_candidates: reordered-name recall, hot-token
+  purge, CNP pruning.
+"""
+
+import random
+
+from pyspark.sql import functions as F
+
+from ontoweaver_spark.dedup import connected_components, merge_components
+from ontoweaver_spark.graphstats import harmonic_closeness, landmark_distances
+from ontoweaver_spark.linking import token_blocking_candidates
+from ontoweaver_spark.session import stats_reset_checkpoint
+
+
+def _digits(df):
+    sz = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    return len(str(sz))
+
+
+def test_stats_reset_checkpoint_bounds_size_estimate(spark):
+    """Loop of self-join rounds: with bare localCheckpoint the sizeInBytes
+    digit count doubles per round (38 -> 94 -> 205 -> ...); with
+    stats_reset_checkpoint it stays at the leaf default."""
+    df = spark.createDataFrame([(i, i) for i in range(10)], ["k", "x"])
+    state = df.localCheckpoint()
+    bare = state
+    for _ in range(4):
+        nxt = bare.alias("l").join(
+            bare.alias("r"), F.col("l.k") == F.col("r.k")
+        ).select(F.col("l.k").alias("k"), F.col("r.x").alias("x"))
+        bare = nxt.localCheckpoint()
+    grown = _digits(bare)
+
+    fixed = state
+    for _ in range(4):
+        nxt = fixed.alias("l").join(
+            fixed.alias("r"), F.col("l.k") == F.col("r.k")
+        ).select(F.col("l.k").alias("k"), F.col("r.x").alias("x"))
+        fixed = stats_reset_checkpoint(nxt)
+    flat = _digits(fixed)
+
+    assert grown > 200  # compounding snapshot estimates
+    assert flat <= 20  # leaf default (~Long.MaxValue, 19 digits)
+    assert fixed.count() == 10  # rewrap preserves the data
+
+
+def _py_min_components(edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for v in parent:
+        comp.setdefault(find(v), []).append(v)
+    out = {}
+    for vs in comp.values():
+        m = min(vs)
+        for v in vs:
+            out[v] = m
+    return out
+
+
+def _cc_dict(spark, edges, **kw):
+    pairs = spark.createDataFrame(edges, ["a", "b"])
+    return {
+        r["vertex"]: r["component"]
+        for r in connected_components(pairs, **kw).collect()
+    }
+
+
+def test_cc_long_cycle_converges_in_log_rounds(spark):
+    """A 400-cycle: the old min-label+pointer-jump loop was LINEAR here
+    and blew max_iterations=50; star rounds close it in ~10."""
+    edges = [(f"v{i:03d}", f"v{(i + 1) % 400:03d}") for i in range(400)]
+    stats = {}
+    got = _cc_dict(spark, edges, max_iterations=15, stats=stats)
+    assert got == _py_min_components(edges)
+    assert stats["rounds"] <= 12
+
+
+def test_cc_union_of_matchings(spark):
+    """Two permutation matchings (the incremental-CC merge shape) form
+    long alternating cycles; must converge and match union-find."""
+    n = 300
+    edges = [(f"v{r:03d}", f"v{(r * 7 + 3) % n:03d}") for r in range(0, n, 2)]
+    edges += [(f"v{r:03d}", f"v{(r * 13 + 5) % n:03d}") for r in range(1, n, 2)]
+    got = _cc_dict(spark, edges, max_iterations=20)
+    assert got == _py_min_components(edges)
+
+
+def test_cc_random_graph_matches_union_find(spark):
+    random.seed(7)
+    edges = [
+        (f"r{random.randrange(200):03d}", f"r{random.randrange(200):03d}")
+        for _ in range(150)
+    ]
+    got = _cc_dict(spark, edges)
+    # self-pairs become singleton components of themselves
+    assert got == _py_min_components(edges)
+
+
+def test_merge_components_equals_scratch(spark):
+    """Folding a second batch into existing labels == CC on the union."""
+    random.seed(3)
+    batch1 = [
+        (f"x{random.randrange(120):03d}", f"x{random.randrange(120):03d}")
+        for _ in range(80)
+    ]
+    batch2 = [
+        (f"x{random.randrange(150):03d}", f"x{random.randrange(150):03d}")
+        for _ in range(60)
+    ]
+    labels1 = connected_components(spark.createDataFrame(batch1, ["a", "b"]))
+    merged = {
+        r["vertex"]: r["component"]
+        for r in merge_components(
+            labels1, spark.createDataFrame(batch2, ["a", "b"])
+        ).collect()
+    }
+    scratch = _py_min_components(batch1 + batch2)
+    assert merged == scratch
+
+
+def test_landmark_distances_hand_graph(spark):
+    # path a->b->c->d plus shortcut a->c
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")], ["src", "dst"]
+    )
+    lm = spark.createDataFrame([("a",), ("c",)], ["node"])
+    d = {
+        (r["landmark"], r["node"]): r["dist"]
+        for r in landmark_distances(edges, lm, rounds=3).collect()
+    }
+    assert d == {
+        ("a", "a"): 0, ("a", "b"): 1, ("a", "c"): 1, ("a", "d"): 2,
+        ("c", "c"): 0, ("c", "d"): 1,
+    }
+
+
+def test_harmonic_closeness_values(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")], ["src", "dst"]
+    )
+    lm = spark.createDataFrame([("a",), ("c",)], ["node"])
+    h = {
+        r["node"]: (r["n_landmarks"], r["harmonic"])
+        for r in harmonic_closeness(edges, lm, rounds=3, scale=100).collect()
+    }
+    # self rows (dist 0) excluded; b: only a at dist 1; c: a at 1;
+    # d: a at 2 (100 DIV 2 = 50) + c at 1 (100)
+    assert h == {"b": (1, 100), "c": (1, 100), "d": (2, 150)}
+
+
+def test_token_blocking_reordered_names_pair(spark):
+    """'john smith' vs 'smith, john' share both tokens -> strongest pair;
+    sorted-neighborhood would separate them lexicographically."""
+    recs = spark.createDataFrame(
+        [
+            (1, "John Smith"),
+            (2, "Smith, John"),
+            (3, "Jane Doe"),
+            (4, "doe jane"),
+            (5, "unrelated name"),
+        ],
+        ["id", "name"],
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["common_blocks"]
+        for r in token_blocking_candidates(recs, top_k=5).collect()
+    }
+    assert out[(1, 2)] == 2
+    assert out[(3, 4)] == 2
+    assert (1, 3) not in out and (1, 5) not in out
+
+
+def test_token_blocking_hot_token_purged(spark):
+    """A token above max_block_size never generates pairs."""
+    rows = [(i, f"acme widget {i}") for i in range(30)]
+    recs = spark.createDataFrame(rows, ["id", "name"])
+    out = token_blocking_candidates(recs, max_block_size=10, top_k=5)
+    # 'acme'/'widget' df=30 > 10 purged; numbers unique -> no pairs at all
+    assert out.count() == 0
+
+
+def test_token_blocking_cnp_prune(spark):
+    """top_k=1 keeps only each endpoint's strongest partner (ties by id)."""
+    recs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "alpha")],
+        ["id", "name"],
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["common_blocks"]
+        for r in token_blocking_candidates(recs, top_k=1).collect()
+    }
+    # (1,2) shares 2 blocks; (1,3)/(2,3) share 1 — node 3's best is (1,3)
+    assert out == {(1, 2): 2, (1, 3): 1}
