@@ -2658,6 +2658,26 @@ def q_cc_incremental(spark, sf_dir):
     return merge_components(labels, new)
 
 
+def q_kg_louvain(spark, sf_dir):
+    """Deterministic Louvain move phase (2 synchronous monotone-descent
+    rounds, exact BIGINT gain arithmetic) over the weighted residue graph
+    — parallel doc rows aggregate to edge weights, so sf scales weight
+    not vertex count. Oracle: the same rounds unrolled as CTEs with a
+    row_number argmin (an independent engine running the identical
+    integer recurrence)."""
+    from ontoweaver_spark.graphstats import louvain_move
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    r = F.col("doc_id") % 500
+
+    def d(c):
+        return F.concat(F.lit("d"), c.cast("string"))
+
+    edges = docs.select(d(r).alias("src"), d((r * 3 + 1) % 500).alias("dst"))
+    return louvain_move(edges, rounds=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -2802,6 +2822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_closeness": q_kg_closeness,
         "er_blocking": q_er_blocking,
         "cc_incremental": q_cc_incremental,
+        "kg_louvain": q_kg_louvain,
         "dup_spans": q_dup_spans,
     }
 
@@ -3300,6 +3321,66 @@ def _closeness_sql(rounds: int = 4, scale: int = 10**6) -> str:
     SELECT node, count(*) AS n_landmarks,
            sum({scale} // dist)::BIGINT AS harmonic
     FROM d{rounds} WHERE dist > 0 GROUP BY node""")
+    return "".join(parts)
+
+
+def _louvain_sql(rounds: int = 2) -> str:
+    """Unrolled monotone-descent Louvain move rounds mirroring
+    graphstats.louvain_move over the weighted residue graph: per round the
+    same k_ac / community-total / candidate / score CTEs, argmin via
+    row_number (score DESC, stay-first, community ASC)."""
+    parts = ["""
+    WITH raw AS (
+      SELECT 'd' || (doc_id % 500) AS a, 'd' || ((doc_id % 500 * 3 + 1) % 500) AS b
+      FROM documents
+    ), sym AS MATERIALIZED (
+      SELECT a, b, sum(w)::BIGINT AS w FROM (
+        SELECT a, b, 1 AS w FROM raw WHERE a <> b
+        UNION ALL
+        SELECT b AS a, a AS b, 1 AS w FROM raw WHERE a <> b
+      ) GROUP BY a, b
+    ), deg AS MATERIALIZED (
+      SELECT a, sum(w)::BIGINT AS k FROM sym GROUP BY a
+    ), m2t AS MATERIALIZED (
+      SELECT sum(k)::BIGINT AS m2 FROM deg
+    ), lab0 AS (
+      SELECT a AS node, a AS community FROM deg
+    )"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f""", kac{i} AS MATERIALIZED (
+      SELECT s.a AS node, l.community, sum(s.w)::BIGINT AS k_ac
+      FROM sym s JOIN lab{p} l ON s.b = l.node GROUP BY s.a, l.community
+    ), tot{i} AS MATERIALIZED (
+      SELECT l.community, sum(d.k)::BIGINT AS tot
+      FROM lab{p} l JOIN deg d ON l.node = d.a GROUP BY l.community
+    ), cand{i} AS (
+      SELECT node, community, max(k_ac)::BIGINT AS k_ac FROM (
+        SELECT node, community, k_ac FROM kac{i}
+        UNION ALL
+        SELECT node, community, 0 AS k_ac FROM lab{p}
+      ) GROUP BY node, community
+    ), scored{i} AS MATERIALIZED (
+      SELECT c.node, c.community,
+             (m.m2 * c.k_ac
+              - (t.tot - CASE WHEN c.community = o.community THEN d.k ELSE 0 END)
+                * d.k) AS score,
+             CASE WHEN c.community = o.community THEN 0 ELSE 1 END AS mv
+      FROM cand{i} c
+      JOIN tot{i} t ON c.community = t.community
+      JOIN lab{p} o ON c.node = o.node
+      JOIN deg d ON c.node = d.a
+      CROSS JOIN m2t m
+      WHERE c.community <= o.community
+    ), lab{i} AS MATERIALIZED (
+      SELECT node, community FROM (
+        SELECT node, community,
+               row_number() OVER (PARTITION BY node
+                 ORDER BY score DESC, mv, community) AS rk
+        FROM scored{i}
+      ) WHERE rk = 1
+    )""")
+    parts.append(f"\n    SELECT node, community FROM lab{rounds}")
     return "".join(parts)
 
 
@@ -5867,4 +5948,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT v AS vertex, least(v, min(w)) AS component
             FROM reach GROUP BY v
         """,
+        "kg_louvain": _louvain_sql(2),
     }

@@ -111,7 +111,9 @@ def main() -> None:
                  "kg_profile", "kg_rpq", "scd2_snapshot", "onto_validate",
                  "sitemap_parse", "kg_scc", "dup_spans",
                  "bloom_frontier", "kg_typeinfer", "kg_dangling",
-                 "edge_partition", "openie_triples"]:
+                 "edge_partition", "openie_triples", "kg_sameas",
+                 "schema_graph", "kg_closeness", "er_blocking",
+                 "cc_incremental", "kg_louvain"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the

@@ -1424,3 +1424,123 @@ def harmonic_closeness(
             F.sum(F.expr(f"{scale} DIV dist")).alias("harmonic"),
         )
     )
+
+
+def louvain_move(
+    edges: DataFrame,
+    rounds: int = 4,
+    weight_col: str | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Deterministic Louvain move phase -> ``(node, community)`` after
+    ``rounds`` synchronous MONOTONE-DESCENT greedy modularity moves over
+    the undirected weighted simple graph. Each round every node evaluates
+    the neighbor communities whose id is SMALLER than its current one
+    (plus staying) and moves only on a STRICT modularity-gain
+    improvement; ties keep the node in place, ties between two better
+    targets take the smaller community id.
+
+    The descent restriction is the symmetry breaker: plain synchronous
+    Louvain two-cycles even on a single triangle (a moves to b's
+    community while b simultaneously moves to a's, forever) and
+    hash-parity scheduling still lets same-parity neighbors swap.
+    Monotone descent makes each node's community id non-increasing, so
+    the dynamics TERMINATE at a fixpoint (measured: a two-triangle graph
+    settles into exactly its two triangles by round 3) while staying a
+    pure function of the graph — an iterative, randomized-by-default
+    algorithm that hash-matches an unrolled SQL oracle. One level of
+    moves + :func:`community_graph` coarsening + more moves is the full
+    Louvain cycle; :func:`label_propagation` votes by neighbor COUNT,
+    this moves by modularity GAIN, so hub-heavy webgraph communities stop
+    collapsing into the hub's label.
+
+    The gain comparison is exact BIGINT: moving i to community c is
+    ranked by ``2m * k_{i,c} - SUM_tot'(c) * k_i`` (the Louvain Delta-Q
+    numerator with constant factors dropped — monotone in Delta-Q), with
+    ``SUM_tot'(c)`` subtracting ``k_i`` when c is i's own community.
+    Overflow bound: requires ``2m * max(k_i) < 2^63`` (unit weights:
+    2m = 2|E|) — the same documented family as :func:`modularity`'s
+    ``d_c^2`` bound; scale weights down before calling at the extreme.
+
+    Scale shape (10^12 edges): per round one neighbor-label join (keyed
+    on the endpoint), one ``(node, community)`` weight agg with map-side
+    partials absorbing hub fan-in, one community-total agg over the NODE
+    table, and one argmin per node. The edge list materializes once.
+    """
+    u, v = F.col(src_col), F.col(dst_col)
+    w = (F.col(weight_col) if weight_col else F.lit(1)).cast("long")
+    sym = (
+        edges.select(u.alias("a"), v.alias("b"), w.alias("w"))
+        .where(F.col("a") != F.col("b"))
+        .unionAll(
+            edges.select(v.alias("a"), u.alias("b"), w.alias("w"))
+            .where(F.col("a") != F.col("b"))
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    deg = sym.groupBy("a").agg(F.sum("w").alias("k")).transform(
+        lambda _d: stats_reset_checkpoint(_d, eager=False)
+    )
+    two_m = deg.agg(F.sum("k").alias("m2"))
+    labels = deg.select(F.col("a").alias("node"), F.col("a").alias("community"))
+    for _ in range(rounds):
+        # weight from each node into each neighbor community
+        k_ac = (
+            sym.join(labels.select(F.col("node").alias("b"), "community"), "b")
+            .groupBy(F.col("a").alias("node"), "community")
+            .agg(F.sum("w").alias("k_ac"))
+        )
+        # community totals of weighted degree
+        tot = (
+            labels.join(deg.withColumnRenamed("a", "node"), "node")
+            .groupBy("community")
+            .agg(F.sum("k").alias("tot"))
+        )
+        own = labels.select("node", F.col("community").alias("own_c"))
+        cand = (
+            k_ac.unionByName(
+                own.select("node", F.col("own_c").alias("community"))
+                .withColumn("k_ac", F.lit(0).cast("long"))
+            )
+            .groupBy("node", "community")
+            .agg(F.max("k_ac").alias("k_ac"))
+            .join(own, "node")
+            # monotone descent: only smaller-id targets (or staying put)
+            .where(F.col("community") <= F.col("own_c"))
+        )
+        scored = (
+            cand.join(tot, "community")
+            .join(deg.withColumnRenamed("a", "node"), "node")
+            .crossJoin(F.broadcast(two_m))
+            .select(
+                "node", "community",
+                (
+                    F.col("m2") * F.col("k_ac")
+                    - (
+                        F.col("tot")
+                        - F.when(F.col("community") == F.col("own_c"), F.col("k"))
+                        .otherwise(F.lit(0))
+                    ) * F.col("k")
+                ).alias("score"),
+                # on equal score the OWN community wins (strict-improvement
+                # moves only); among better targets, smaller id wins
+                (F.col("community") != F.col("own_c")).cast("int").alias("mv"),
+            )
+        )
+        labels = (
+            scored.groupBy("node")
+            .agg(
+                F.min_by(
+                    "community",
+                    F.struct(
+                        (-F.col("score")).alias("ns"), F.col("mv"),
+                        F.col("community"),
+                    ),
+                ).alias("community")
+            )
+            .transform(lambda _d: stats_reset_checkpoint(_d, eager=False))
+        )
+    return labels

@@ -214,3 +214,108 @@ def test_token_blocking_cnp_prune(spark):
     }
     # (1,2) shares 2 blocks; (1,3)/(2,3) share 1 — node 3's best is (1,3)
     assert out == {(1, 2): 2, (1, 3): 1}
+
+
+def _py_louvain(edge_list, rounds):
+    """Pure-python mirror of graphstats.louvain_move: synchronous
+    monotone-descent moves (only smaller-id targets, strict improvement,
+    ties stay put / smaller id)."""
+    import collections
+
+    w = collections.Counter()
+    for a, b in edge_list:
+        if a == b:
+            continue
+        w[(a, b)] += 1
+        w[(b, a)] += 1
+    k = collections.Counter()
+    for (a, _b), wt in w.items():
+        k[a] += wt
+    m2 = sum(k.values())
+    comm = {a: a for a in k}
+    for _ in range(rounds):
+        tot = collections.Counter()
+        for a in k:
+            tot[comm[a]] += k[a]
+        k_ac = collections.defaultdict(collections.Counter)
+        for (a, b), wt in w.items():
+            k_ac[a][comm[b]] += wt
+        new = {}
+        for a in k:
+            cands = {
+                c: v for c, v in k_ac[a].items() if c <= comm[a]
+            }
+            cands.setdefault(comm[a], k_ac[a].get(comm[a], 0))
+            new[a] = min(
+                cands.items(),
+                key=lambda kv: (
+                    -(m2 * kv[1]
+                      - (tot[kv[0]] - (k[a] if kv[0] == comm[a] else 0)) * k[a]),
+                    kv[0] != comm[a],
+                    kv[0],
+                ),
+            )[0]
+        comm = new
+    return comm
+
+
+def test_louvain_move_matches_python_reference(spark):
+    from ontoweaver_spark.graphstats import louvain_move
+
+    random.seed(11)
+    edge_list = list({
+        tuple(sorted((f"n{random.randrange(60):02d}", f"n{random.randrange(60):02d}")))
+        for _ in range(90)
+    })
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = {
+        r["node"]: r["community"]
+        for r in louvain_move(edges, rounds=2).collect()
+    }
+    assert got == _py_louvain(edge_list, 2)
+
+
+def test_louvain_move_two_triangles(spark):
+    """Two triangles joined by a bridge: moves must find the triangle
+    structure (2 communities) and improve modularity over singletons."""
+    from ontoweaver_spark.graphstats import louvain_move, modularity
+
+    edge_list = [
+        ("a", "b"), ("b", "c"), ("a", "c"),
+        ("d", "e"), ("e", "f"), ("d", "f"),
+        ("c", "d"),
+    ]
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    labels = louvain_move(edges, rounds=4)
+    got = {r["node"]: r["community"] for r in labels.collect()}
+    assert got == _py_louvain(edge_list, 4)
+    # descent settles into exactly the two triangles (stable by round 3;
+    # plain synchronous moves two-cycle here forever)
+    assert len(set(got.values())) == 2
+    assert got["a"] == got["b"] == got["c"]
+    assert got["d"] == got["e"] == got["f"]
+    again = {
+        r["node"]: r["community"]
+        for r in louvain_move(edges, rounds=6).collect()
+    }
+    assert again == got  # fixpoint reached, extra rounds are no-ops
+    q = modularity(edges, labels).collect()[0]["modularity"]
+    singles = spark.createDataFrame(
+        [(n, n) for n in "abcdef"], ["node", "community"]
+    )
+    q0 = modularity(edges, singles).collect()[0]["modularity"]
+    assert q > q0
+
+
+def test_louvain_move_parallel_edges_sum(spark):
+    """Duplicate input edges act as weight 2 — they must aggregate, not
+    dedupe (weighted-graph semantics)."""
+    from ontoweaver_spark.graphstats import louvain_move
+
+    edge_list = [("a", "b"), ("a", "b"), ("b", "c"), ("c", "d"), ("c", "d")]
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = {
+        r["node"]: r["community"]
+        for r in louvain_move(edges, rounds=2).collect()
+    }
+    assert got == _py_louvain(edge_list, 2)
