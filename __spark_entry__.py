@@ -2678,6 +2678,75 @@ def q_kg_louvain(spark, sf_dir):
     return louvain_move(edges, rounds=2)
 
 
+def q_kg_clustering(spark, sf_dir):
+    """Per-node local clustering coefficient over the hub co-citation
+    graph (same derived graph as kg_triangles): exact scaled-integer
+    2T*scale DIV d(d-1) so the FP-looking metric hash-matches the
+    oracle's re-derivation from its own triangle CTE."""
+    from ontoweaver_spark.graphstats import clustering_coefficient
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+
+    def hub(m, p):
+        return F.concat(F.lit("hub"), ((F.col("doc_id") * m) % p).cast("string"))
+
+    cocite = docs.select(hub(7, 61).alias("src"), hub(11, 53).alias("dst"))
+    return clustering_coefficient(cocite)
+
+
+def q_kg_assortativity(spark, sf_dir):
+    """Newman degree assortativity of the hub co-citation graph: exact
+    BIGINT sums (S1, S2, S3) with ONE final integer division — the web
+    graph sanity number (r < 0 = hubs link to leaves)."""
+    from ontoweaver_spark.graphstats import degree_assortativity
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+
+    def hub(m, p):
+        return F.concat(F.lit("hub"), ((F.col("doc_id") * m) % p).cast("string"))
+
+    cocite = docs.select(hub(7, 61).alias("src"), hub(11, 53).alias("dst"))
+    return degree_assortativity(cocite)
+
+
+def q_kg_pagerank_w(spark, sf_dir):
+    """WEIGHTED PageRank (anchor-count mass routing) over the sparse doc
+    graph with md5-derived integer edge weights; parallel rows collapse
+    to summed weight, contribution = rank*w DIV out_weight — all BIGINT,
+    so 3 damped power iterations hash-match the unrolled oracle."""
+    from ontoweaver_spark.graphstats import pagerank_fixed_point
+    from ontoweaver_spark.textops import md5_int
+
+    _tune(spark)
+    weighted = _doc_graph(spark, sf_dir).select(
+        "src", "dst",
+        (1 + md5_int(F.concat(F.lit("w:"), F.col("src"), F.lit(">"), F.col("dst"))) % 9)
+        .alias("w"),
+    )
+    return pagerank_fixed_point(weighted, iterations=3, weight_col="w")
+
+
+def q_kg_ktruss(spark, sf_dir):
+    """k=4 truss, 2 exact peel rounds (zero driver syncs) over the hub
+    co-citation graph: every surviving edge certified by >= 2 shared
+    neighbors mid-cascade — the dense-backbone signal one notch stricter
+    than k-core. Oracle: the same two support/filter rounds unrolled with
+    id-ordered triangle enumeration (support counts are enumeration-order
+    independent, so the degree-ordered Spark wedges match)."""
+    from ontoweaver_spark.graphstats import k_truss
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+
+    def hub(m, p):
+        return F.concat(F.lit("hub"), ((F.col("doc_id") * m) % p).cast("string"))
+
+    cocite = docs.select(hub(7, 61).alias("src"), hub(11, 53).alias("dst"))
+    return k_truss(cocite, k=4, exact_rounds=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -2823,6 +2892,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_blocking": q_er_blocking,
         "cc_incremental": q_cc_incremental,
         "kg_louvain": q_kg_louvain,
+        "kg_clustering": q_kg_clustering,
+        "kg_assortativity": q_kg_assortativity,
+        "kg_pagerank_w": q_kg_pagerank_w,
+        "kg_ktruss": q_kg_ktruss,
         "dup_spans": q_dup_spans,
     }
 
@@ -3084,6 +3157,40 @@ def _pagerank_sql(iterations: int = 5, scale: int = 1_000_000, damping: int = 85
              ({teleport} + ({damping} * coalesce(t.inb, 0)) // 100)::BIGINT AS "rank"
       FROM nodes n LEFT JOIN (
         SELECT e.d AS node, sum(r."rank" // o.od) AS inb
+        FROM e JOIN outd o ON e.s = o.s JOIN r{i - 1} r ON r.node = e.s
+        GROUP BY e.d
+      ) t ON t.node = n.node
+    )""")
+    parts.append(f'\n    SELECT node, "rank" FROM r{iterations}')
+    return "".join(parts)
+
+
+def _pagerank_w_sql(iterations: int = 3, scale: int = 1_000_000, damping: int = 85) -> str:
+    """Unrolled WEIGHTED integer power iteration mirroring
+    pagerank_fixed_point(weight_col=...) over the md5-weighted doc graph:
+    parallel rows sum into the edge weight, contribution rank*w//out_w."""
+    teleport = (100 - damping) * scale // 100
+    w_expr = "1 + " + _SQL_MD5INT.format(x="'w:' || src || '>' || dst") + " % 9"
+    parts = [f"""
+    WITH raw AS (
+      {_doc_graph_sql()}
+    ), e AS MATERIALIZED (
+      SELECT s, d, sum(w)::BIGINT AS w FROM (
+        SELECT src AS s, dst AS d, {w_expr} AS w FROM raw
+      ) GROUP BY s, d
+    ), outd AS (
+      SELECT s, sum(w)::BIGINT AS od FROM e GROUP BY s
+    ), nodes AS (
+      SELECT s AS node FROM e UNION SELECT d FROM e
+    ), r0 AS (
+      SELECT node, {scale}::BIGINT AS "rank" FROM nodes
+    )"""]
+    for i in range(1, iterations + 1):
+        parts.append(f""", r{i} AS MATERIALIZED (
+      SELECT n.node,
+             ({teleport} + ({damping} * coalesce(t.inb, 0)) // 100)::BIGINT AS "rank"
+      FROM nodes n LEFT JOIN (
+        SELECT e.d AS node, sum(r."rank" * e.w // o.od) AS inb
         FROM e JOIN outd o ON e.s = o.s JOIN r{i - 1} r ON r.node = e.s
         GROUP BY e.d
       ) t ON t.node = n.node
@@ -5949,4 +6056,103 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY v
         """,
         "kg_louvain": _louvain_sql(2),
+        "kg_pagerank_w": _pagerank_w_sql(3),
+        # two unrolled k=4 truss peel rounds over the hub graph:
+        # support_i = per-edge triangle count over e_{i-1}, filter >= 2
+        "kg_ktruss": """
+            WITH e0 AS MATERIALIZED (
+              -- canonicalize on the STRING ids (Spark's least/greatest
+              -- compares the prefixed strings: 'hub10' < 'hub9')
+              SELECT DISTINCT least('hub' || ((doc_id*7)%61)::VARCHAR,
+                                    'hub' || ((doc_id*11)%53)::VARCHAR) AS u,
+                              greatest('hub' || ((doc_id*7)%61)::VARCHAR,
+                                       'hub' || ((doc_id*11)%53)::VARCHAR) AS v
+              FROM documents WHERE (doc_id*7)%61 <> (doc_id*11)%53
+            ), tri1 AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM e0 e1
+              JOIN e0 e2 ON e2.u = e1.v
+              JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
+            ), sup1 AS MATERIALIZED (
+              SELECT u, v, count(*)::BIGINT AS support FROM (
+                SELECT a AS u, b AS v FROM tri1
+                UNION ALL SELECT a, c FROM tri1
+                UNION ALL SELECT b, c FROM tri1
+              ) GROUP BY u, v
+            ), e1 AS MATERIALIZED (
+              SELECT u, v FROM sup1 WHERE support >= 2
+            ), tri2 AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM e1
+              JOIN e1 e2 ON e2.u = e1.v
+              JOIN e1 e3 ON e3.u = e1.u AND e3.v = e2.v
+            ), sup2 AS (
+              SELECT u, v, count(*)::BIGINT AS support FROM (
+                SELECT a AS u, b AS v FROM tri2
+                UNION ALL SELECT a, c FROM tri2
+                UNION ALL SELECT b, c FROM tri2
+              ) GROUP BY u, v
+            )
+            SELECT u, v, support FROM sup2 WHERE support >= 2
+        """,
+        # same hub graph + triangle CTE as kg_triangles; clustering =
+        # scaled-integer 2T*1e6 // d(d-1), degree-1 nodes -> 0
+        "kg_clustering": """
+            WITH e AS MATERIALIZED (
+              SELECT DISTINCT least((doc_id*7)%61, (doc_id*11)%53) AS u,
+                              greatest((doc_id*7)%61, (doc_id*11)%53) AS v
+              FROM documents WHERE (doc_id*7)%61 <> (doc_id*11)%53
+            ), deg AS (
+              SELECT node, count(*)::BIGINT AS degree FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v FROM e
+              ) GROUP BY node
+            ), tri AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM e e1
+              JOIN e e2 ON e2.u = e1.v
+              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+            ), tcnt AS (
+              SELECT node, count(*)::BIGINT AS triangles FROM (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+              ) GROUP BY node
+            )
+            SELECT 'hub' || d.node::VARCHAR AS node, d.degree,
+                   coalesce(t.triangles, 0)::BIGINT AS triangles,
+                   CASE WHEN d.degree > 1
+                        THEN 2 * coalesce(t.triangles, 0) * 1000000
+                             // (d.degree * (d.degree - 1))
+                        ELSE 0 END::BIGINT AS clustering
+            FROM deg d LEFT JOIN tcnt t ON d.node = t.node
+        """,
+        # Newman r over the same graph: exact integer S1/S2/S3, one FP
+        # division, floor(x*1e4+0.5)/1e4 rounding (round_ieee parity)
+        "kg_assortativity": """
+            WITH e AS MATERIALIZED (
+              SELECT DISTINCT least((doc_id*7)%61, (doc_id*11)%53) AS u,
+                              greatest((doc_id*7)%61, (doc_id*11)%53) AS v
+              FROM documents WHERE (doc_id*7)%61 <> (doc_id*11)%53
+            ), deg AS (
+              SELECT node, count(*)::BIGINT AS d FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v FROM e
+              ) GROUP BY node
+            ), ann AS (
+              SELECT du.d AS ju, dv.d AS jv
+              FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+            ), s AS (
+              SELECT count(*)::BIGINT AS m,
+                     sum(ju * jv)::BIGINT AS sum_prod,
+                     sum(ju + jv)::BIGINT AS sum_sum,
+                     sum(ju * ju + jv * jv)::BIGINT AS sum_sq
+              FROM ann
+            )
+            SELECT m, sum_prod, sum_sum, sum_sq,
+                   CASE WHEN (2*m*sum_sq - sum_sum*sum_sum) <> 0 THEN
+                     floor((4*m*sum_prod - sum_sum*sum_sum)::DOUBLE
+                           / (2*m*sum_sq - sum_sum*sum_sum)::DOUBLE
+                           * 10000 + 0.5) / 10000
+                   ELSE 0.0 END AS assortativity
+            FROM s
+        """,
     }

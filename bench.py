@@ -113,7 +113,8 @@ def main() -> None:
                  "bloom_frontier", "kg_typeinfer", "kg_dangling",
                  "edge_partition", "openie_triples", "kg_sameas",
                  "schema_graph", "kg_closeness", "er_blocking",
-                 "cc_incremental", "kg_louvain"]:
+                 "cc_incremental", "kg_louvain", "kg_clustering",
+                 "kg_assortativity", "kg_pagerank_w", "kg_ktruss"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the

@@ -311,25 +311,34 @@ def connected_components(
         # large-star
         sym = e.selectExpr("u", "v").unionAll(e.selectExpr("v AS u", "u AS v"))
         mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        # lazy: ls is consumed only by the small-star pass below, so an
+        # eager materialization here would add one job per round; the
+        # checkpoint still pins it so the small-star self-reference does
+        # not recompute the large-star subtree twice
         ls = stats_reset_checkpoint(
             sym.join(mins, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .where(F.col("a") != F.col("b"))
             .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
-            .distinct()
+            .distinct(),
+            eager=False,
         )
         # small-star
         small = ls.selectExpr("u", "v").unionAll(
             ls.selectExpr("v AS u", "u AS v")
         ).where(F.col("v") < F.col("u"))
         attached = small.join(small.groupBy("u").agg(F.min("v").alias("m")), "u")
+        # lazy too: the convergence agg right below is the materializing
+        # action (computes AND persists in one job); the next round then
+        # reads the persisted partitions
         e = stats_reset_checkpoint(
             attached.select(F.col("v").alias("a"), F.col("m").alias("b"))
             .unionAll(attached.select(F.col("u").alias("a"), F.col("m").alias("b")))
             .where(F.col("a") != F.col("b"))
             .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
-            .distinct()
+            .distinct(),
+            eager=False,
         )
         st = e.agg(
             F.count("*").alias("n"), F.sum(F.xxhash64("u", "v")).alias("h")

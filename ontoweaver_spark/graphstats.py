@@ -169,6 +169,7 @@ def pagerank_fixed_point(
     iterations: int = 5,
     scale: int = 1_000_000,
     damping_pct: int = 85,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list ->
     ``(node, rank)`` with rank scaled by ``scale`` (rank=scale is the
@@ -191,13 +192,36 @@ def pagerank_fixed_point(
     iterative-graph plan. Dangling nodes (no out-edges) keep receiving
     the teleport term; their mass is not redistributed (the standard
     simplified formulation, stated here so the semantics are explicit).
+    ``weight_col`` (optional, non-negative integers) makes it WEIGHTED
+    PageRank — anchor-text counts, link multiplicity, or edge confidence
+    as mass routing: parallel edges collapse to their weight SUM and each
+    edge carries ``rank * w DIV total_out_weight``. ``weight_col=None``
+    keeps the bit-exact unweighted semantics (and its oracle). Overflow
+    bound for the weighted path: ``max_rank * max_w < 2^63`` — rank stays
+    near ``scale`` except on extreme mass concentrators; scale the
+    weights down if both are huge.
     """
-    e = (
-        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-        .distinct()
-        .localCheckpoint(eager=False)
+    if weight_col is None:
+        e = (
+            edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        contrib = "rank DIV od"
+    else:
+        e = (
+            edges.select(
+                F.col(src_col).alias("s"), F.col(dst_col).alias("d"),
+                F.col(weight_col).cast("long").alias("w"),
+            )
+            .groupBy("s", "d")
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=False)
+        )
+        contrib = "rank * w DIV od"
+    outd = e.groupBy("s").agg(
+        (F.count("*") if weight_col is None else F.sum("w")).alias("od")
     )
-    outd = e.groupBy("s").agg(F.count("*").alias("od"))
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionAll(e.select(F.col("d").alias("node")))
@@ -210,7 +234,7 @@ def pagerank_fixed_point(
         contribs = (
             e.join(outd, "s")
             .join(ranks.select(F.col("node").alias("s"), "rank"), "s")
-            .select(F.col("d").alias("node"), F.expr("rank DIV od").alias("c"))
+            .select(F.col("d").alias("node"), F.expr(contrib).alias("c"))
         )
         inbound = contribs.groupBy("node").agg(F.sum("c").alias("inb"))
         ranks = (
@@ -1544,3 +1568,215 @@ def louvain_move(
             .transform(lambda _d: stats_reset_checkpoint(_d, eager=False))
         )
     return labels
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    scale: int = 10**6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node local clustering coefficient over the undirected simple
+    graph -> ``(node, degree, triangles, clustering)`` with
+    ``clustering = (2 * triangles * scale) DIV (degree * (degree - 1))``
+    — exact BIGINT (the scaled-integer idiom that keeps an FP-looking
+    metric engine-bit-identical), 0 for degree-1 nodes, one row per node
+    that has at least one edge. The link-farm / tightly-knit-community
+    signal next to :func:`k_core` (a spam cluster scores high, a crawl
+    frontier hub scores near 0).
+
+    Scale shape: triangles come from :func:`triangle_count`'s
+    degree-ordered wedge enumeration (out-adjacency bounded O(sqrt m));
+    degrees one count agg; the final join is node-keyed with the triangle
+    frame the (much) smaller side. Overflow: needs
+    ``2 * triangles * scale < 2^63`` per node — a node in 4.6e12/scale
+    triangles; document-graph safe at any realistic scale.
+    """
+    u, v = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select("v"))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    tri = triangle_count(e, src_col="u", dst_col="v")
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node", "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+            F.when(
+                F.col("degree") > 1,
+                F.expr(
+                    f"2 * coalesce(triangles, 0) * CAST({scale} AS BIGINT) "
+                    "DIV (degree * (degree - 1))"
+                ),
+            ).otherwise(F.lit(0)).cast("long").alias("clustering"),
+        )
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Pearson degree-degree correlation over the undirected simple graph
+    -> ONE row ``(m, sum_prod, sum_sum, sum_sq, assortativity)`` — the
+    Newman assortativity coefficient r. Social networks are assortative
+    (r > 0), the web graph famously disassortative (hubs link to leaves,
+    r < 0) — a one-number sanity check that a synthetic or filtered crawl
+    still looks like a web graph.
+
+    Every aggregate term is an exact BIGINT over each edge's endpoint
+    degrees (j, k): ``S1 = sum(j*k)``, ``S2 = sum(j+k)``,
+    ``S3 = sum(j^2+k^2)``; r = (4m*S1 - S2^2) / (2m*S3 - S2^2) — the only
+    FP op is ONE division of exact integers (IEEE-rounded to 4 digits).
+    Overflow bound: ``4m * S1 < 2^63`` — S1 <= m * max_deg^2, fine below
+    max_deg ~ 2e4 at m = 1e10; salt hub degrees down past that.
+
+    Scale shape: one degree agg, two node-keyed joins to annotate each
+    edge's endpoints, one 1-row rollup. No self-joins, no iteration.
+    """
+    from .textops import round_ieee
+
+    u, v = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select("v"))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    annotated = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("d").alias("ju")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("jv")), "v")
+    )
+    sums = annotated.agg(
+        F.count("*").alias("m"),
+        F.sum(F.col("ju") * F.col("jv")).alias("sum_prod"),
+        F.sum(F.col("ju") + F.col("jv")).alias("sum_sum"),
+        F.sum(F.col("ju") * F.col("ju") + F.col("jv") * F.col("jv")).alias("sum_sq"),
+    )
+    num = 4 * F.col("m") * F.col("sum_prod") - F.col("sum_sum") * F.col("sum_sum")
+    den = 2 * F.col("m") * F.col("sum_sq") - F.col("sum_sum") * F.col("sum_sum")
+    return sums.select(
+        "m", "sum_prod", "sum_sum", "sum_sq",
+        F.when(den != 0, round_ieee(num.cast("double") / den.cast("double"), 4))
+        .otherwise(F.lit(0.0)).alias("assortativity"),
+    )
+
+
+def _edge_support(e: DataFrame) -> DataFrame:
+    """Per-edge triangle support over a canonical (u < v) edge frame ->
+    ``(u, v, support)`` for edges in at least one triangle. Same
+    degree-ordered wedge enumeration as :func:`triangle_count` (hub
+    out-adjacency bounded O(sqrt m)), but emitting each triangle's three
+    EDGES instead of its corners."""
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select("v"))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    lo_is_u = F.col("du") <= F.col("dv")
+    oriented = ed.select(
+        F.when(lo_is_u, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(lo_is_u, F.col("v")).otherwise(F.col("u")).alias("hi"),
+    ).localCheckpoint(eager=False)
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2, (F.col("o1.lo") == F.col("o2.lo")) & (F.col("o1.hi") < F.col("o2.hi"))
+    ).select(
+        F.col("o1.lo").alias("a"), F.col("o1.hi").alias("b"), F.col("o2.hi").alias("c")
+    )
+    tri = wedges.join(
+        e, (F.col("b") == F.col("u")) & (F.col("c") == F.col("v")), "inner"
+    ).select("a", "b", "c")
+    sides = (
+        tri.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .unionAll(tri.select(F.least("a", "c").alias("u"), F.greatest("a", "c").alias("v")))
+        .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+    )
+    return sides.groupBy("u", "v").agg(F.count("*").alias("support"))
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    exact_rounds: int | None = None,
+    max_rounds: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """k-truss of the undirected simple graph: iteratively drop every
+    edge in fewer than ``k - 2`` triangles until fixpoint -> the
+    surviving canonical edge list ``(u, v, support)`` (Cohen's truss —
+    the standard dense-community backbone one notch stricter than
+    :func:`k_core`: a k-core can be a sparse tree-like shell, a k-truss
+    edge is certified by k-2 shared neighbors, which is what separates a
+    link farm's clique core from a crawl hub's star).
+
+    ``exact_rounds=r`` runs exactly r peel rounds with zero driver syncs
+    (the SQL-oracle-mirrorable mode, same design as k_core); fixpoint
+    mode counts dropped edges per round and raises loudly at
+    ``max_rounds``. Peel rounds are bounded by |E| drops total; each
+    round is one triangle-support pass (degree-ordered wedge join — hub
+    out-adjacency O(sqrt m)) + one semi-join filter on the shrinking
+    edge frame, through ``stats_reset_checkpoint`` like every other
+    fixpoint loop here.
+    """
+    if k < 3:
+        raise ValueError(f"k-truss requires k >= 3, got {k}")
+    if exact_rounds is not None and exact_rounds < 1:
+        raise ValueError("exact_rounds must be >= 1")
+    u, v = F.col(src_col), F.col(dst_col)
+    e = stats_reset_checkpoint(
+        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    rounds = exact_rounds if exact_rounds is not None else max_rounds
+    n_rounds, converged = 0, exact_rounds is not None
+    for _ in range(rounds):
+        n_rounds += 1
+        sup = _edge_support(e)
+        kept = sup.where(F.col("support") >= k - 2).select("u", "v", "support")
+        if exact_rounds is None:
+            kept = stats_reset_checkpoint(kept)
+            n_before = e.count()
+            n_after = kept.count()
+            e = kept.select("u", "v")
+            if n_after == n_before:
+                converged = True
+                e = kept  # keep the support column for the final result
+                break
+        else:
+            e = stats_reset_checkpoint(kept.select("u", "v"), eager=False)
+            last = kept
+    if stats is not None:
+        stats["rounds"] = n_rounds
+    if not converged:
+        raise RuntimeError(
+            f"k_truss did not converge within {max_rounds} peel rounds; "
+            "raise max_rounds"
+        )
+    if exact_rounds is not None:
+        return last
+    return e

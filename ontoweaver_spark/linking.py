@@ -389,7 +389,11 @@ def token_blocking_candidates(
         .where(F.col("_df") <= max_block_size)
         .select("_tok")
     )
-    toks = toks.join(F.broadcast(small), "_tok")
+    # pin the surviving token list: the pair self-join below references it
+    # twice and would otherwise tokenize + purge the corpus once per side
+    toks = stats_reset_checkpoint(
+        toks.join(F.broadcast(small), "_tok"), eager=False
+    )
 
     pairs = (
         toks.alias("a")

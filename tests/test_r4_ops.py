@@ -319,3 +319,204 @@ def test_louvain_move_parallel_edges_sum(spark):
         for r in louvain_move(edges, rounds=2).collect()
     }
     assert got == _py_louvain(edge_list, 2)
+
+
+def test_clustering_coefficient_hand_graph(spark):
+    """Triangle a-b-c with pendant d on c: a,b fully clustered (1e6),
+    c has 1 triangle of 3 possible neighbor pairs (333333), d degree-1
+    -> 0."""
+    from ontoweaver_spark.graphstats import clustering_coefficient
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")], ["src", "dst"]
+    )
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["clustering"])
+        for r in clustering_coefficient(edges).collect()
+    }
+    assert got == {
+        "a": (2, 1, 1000000),
+        "b": (2, 1, 1000000),
+        "c": (3, 1, 333333),
+        "d": (1, 0, 0),
+    }
+
+
+def test_clustering_coefficient_matches_brute_force(spark):
+    from ontoweaver_spark.graphstats import clustering_coefficient
+
+    random.seed(13)
+    und = list({
+        tuple(sorted((f"g{random.randrange(25)}", f"g{random.randrange(25)}")))
+        for _ in range(60)
+    })
+    und = [e for e in und if e[0] != e[1]]
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {}
+    for n, nb in adj.items():
+        nbl = sorted(nb)
+        t = sum(
+            1
+            for i in range(len(nbl))
+            for j in range(i + 1, len(nbl))
+            if nbl[j] in adj[nbl[i]]
+        )
+        d = len(nb)
+        expect[n] = (d, t, (2 * t * 10**6) // (d * (d - 1)) if d > 1 else 0)
+    edges = spark.createDataFrame(und, ["src", "dst"])
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["clustering"])
+        for r in clustering_coefficient(edges).collect()
+    }
+    assert got == expect
+
+
+def test_assortativity_star_is_minus_one(spark):
+    """K_{1,3}: perfect hub-leaf mixing -> r = -1 exactly."""
+    from ontoweaver_spark.graphstats import degree_assortativity
+
+    edges = spark.createDataFrame(
+        [("h", "l1"), ("h", "l2"), ("h", "l3")], ["src", "dst"]
+    )
+    row = degree_assortativity(edges).collect()[0]
+    assert row["m"] == 3 and row["assortativity"] == -1.0
+
+
+def test_assortativity_regular_graph_guard(spark):
+    """A triangle is degree-regular: r is 0/0-undefined; the operator
+    reports the documented 0.0 instead of NaN/null."""
+    from ontoweaver_spark.graphstats import degree_assortativity
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], ["src", "dst"]
+    )
+    assert degree_assortativity(edges).collect()[0]["assortativity"] == 0.0
+
+
+def test_weighted_pagerank_mass_follows_weight(spark):
+    """b receives 9x a->b weight vs a->c: after 1 iteration b's rank
+    reflects the 9:1 split of a's mass; unweighted treats them equally.
+    Hand arithmetic: teleport=150000; a's rank 1e6 splits 900000/100000;
+    b also gets c's... c->b? no — graph: a->b (w9), a->c (w1)."""
+    from ontoweaver_spark.graphstats import pagerank_fixed_point
+
+    edges = spark.createDataFrame(
+        [("a", "b", 9), ("a", "c", 1)], ["src", "dst", "w"]
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(
+            edges, iterations=1, weight_col="w"
+        ).collect()
+    }
+    # a: no inbound -> teleport only = 150000
+    # b: 150000 + 85 * (1e6 * 9 // 10) // 100 = 150000 + 765000
+    # c: 150000 + 85 * (1e6 * 1 // 10) // 100 = 150000 + 85000
+    assert got == {"a": 150000, "b": 915000, "c": 235000}
+    # unweighted: both children get the same
+    got_u = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(edges, iterations=1).collect()
+    }
+    assert got_u["b"] == got_u["c"]
+
+
+def test_weighted_pagerank_parallel_edges_sum(spark):
+    """Duplicate (src,dst) rows sum their weights, not dedupe."""
+    from ontoweaver_spark.graphstats import pagerank_fixed_point
+
+    dup = spark.createDataFrame(
+        [("a", "b", 5), ("a", "b", 4), ("a", "c", 1)], ["src", "dst", "w"]
+    )
+    single = spark.createDataFrame(
+        [("a", "b", 9), ("a", "c", 1)], ["src", "dst", "w"]
+    )
+    r1 = {r["node"]: r["rank"]
+          for r in pagerank_fixed_point(dup, iterations=2, weight_col="w").collect()}
+    r2 = {r["node"]: r["rank"]
+          for r in pagerank_fixed_point(single, iterations=2, weight_col="w").collect()}
+    assert r1 == r2
+
+
+def _py_ktruss(edge_list, k):
+    """Iterative python k-truss: drop edges with < k-2 triangles."""
+    e = {tuple(sorted(x)) for x in edge_list if x[0] != x[1]}
+    while True:
+        adj = {}
+        for a, b in e:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {
+            (a, b): len(adj[a] & adj[b]) for a, b in e
+        }
+        kept = {ed for ed in e if sup[ed] >= k - 2}
+        if kept == e:
+            return {ed: sup[ed] for ed in e}
+        e = kept
+
+
+def test_ktruss_k4_with_pendant(spark):
+    """K4 + a dangling edge: the dangling edge (0 triangles) peels, the
+    K4 survives k=4 (every edge in 2 triangles)."""
+    from ontoweaver_spark.graphstats import k_truss
+
+    k4 = [("1", "2"), ("1", "3"), ("1", "4"), ("2", "3"), ("2", "4"), ("3", "4")]
+    edges = spark.createDataFrame(k4 + [("4", "x")], ["src", "dst"])
+    got = {
+        (r["u"], r["v"]): r["support"] for r in k_truss(edges, k=4).collect()
+    }
+    assert got == {(a, b): 2 for a, b in k4}
+    # k=5 needs support >= 3: nothing survives
+    assert k_truss(edges, k=5).count() == 0
+
+
+def test_ktruss_cascade(spark):
+    """Triangle hanging off K4: its two private edges peel in round 1,
+    which does NOT cascade into the K4 (supports stay >= 2)."""
+    from ontoweaver_spark.graphstats import k_truss
+
+    k4 = [("1", "2"), ("1", "3"), ("1", "4"), ("2", "3"), ("2", "4"), ("3", "4")]
+    extra = [("1", "5"), ("2", "5")]
+    edges = spark.createDataFrame(k4 + extra, ["src", "dst"])
+    stats = {}
+    got = {
+        (r["u"], r["v"]) for r in k_truss(edges, k=4, stats=stats).collect()
+    }
+    assert got == set(k4)
+    assert stats["rounds"] <= 3
+
+
+def test_ktruss_matches_python(spark):
+    from ontoweaver_spark.graphstats import k_truss
+
+    random.seed(17)
+    el = list({
+        tuple(sorted((f"t{random.randrange(30):02d}", f"t{random.randrange(30):02d}")))
+        for _ in range(120)
+    })
+    el = [e for e in el if e[0] != e[1]]
+    edges = spark.createDataFrame(el, ["src", "dst"])
+    got = {
+        (r["u"], r["v"]): r["support"] for r in k_truss(edges, k=3).collect()
+    }
+    assert got == _py_ktruss(el, 3)
+
+
+def test_ktruss_exact_rounds_mode(spark):
+    """exact_rounds=1 reports the state after ONE peel (mid-cascade),
+    the SQL-oracle-mirrorable mode."""
+    from ontoweaver_spark.graphstats import k_truss
+
+    k4 = [("1", "2"), ("1", "3"), ("1", "4"), ("2", "3"), ("2", "4"), ("3", "4")]
+    extra = [("1", "5"), ("2", "5")]
+    edges = spark.createDataFrame(k4 + extra, ["src", "dst"])
+    one = {
+        (r["u"], r["v"]): r["support"]
+        for r in k_truss(edges, k=4, exact_rounds=1).collect()
+    }
+    # after round 1 the K4 edges carry their PRE-peel supports
+    assert one[("1", "2")] == 3
+    assert ("1", "5") not in one
