@@ -404,6 +404,11 @@ def token_blocking_candidates(
         )
         .agg(F.count(F.lit(1)).alias("common_blocks"))
     )
+    # pin: the symmetric CNP union below references the pair frame once
+    # per endpoint — unpinned, the block self-join (the expensive part)
+    # would execute twice (seen in the physical plan as two SortMergeJoin
+    # subtrees; plan-asserted in test_plan_shapes_r4)
+    pairs = stats_reset_checkpoint(pairs, eager=False)
 
     sym = pairs.select(
         F.col("id_a").alias("ep"), "id_a", "id_b", "common_blocks"

@@ -50,3 +50,66 @@ def test_pmi_and_bpe_topk_are_takeordered(spark):
     df = spark.createDataFrame([("a b a b c",)] * 4, "text string")
     assert "TakeOrderedAndProject" in _plan(pmi_collocations(df, min_count=1, k=3))
     assert "TakeOrderedAndProject" in _plan(bpe_merges(df, k_merges=1))
+
+
+def test_token_blocking_purge_is_broadcast_no_cartesian(spark):
+    """The surviving-token filter must reach the token stream as a
+    BROADCAST join, and nothing in the blocking plan may be a cartesian
+    product."""
+    from ontoweaver_spark.linking import token_blocking_candidates
+
+    recs = spark.createDataFrame(
+        [(i, f"name {i % 7} x{i}") for i in range(100)], ["id", "name"]
+    )
+    plan = _plan(token_blocking_candidates(recs))
+    assert "CartesianProduct" not in plan
+    # the block self-join runs ONCE: the pair frame is pinned before the
+    # symmetric per-endpoint union, so no duplicated join subtree
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 1
+    # (the broadcast token purge sits inside the pinned subtree, checked
+    # separately on the un-pinned prefix)
+    from ontoweaver_spark.linking import canonical_entity
+    toks = recs.select(
+        F.col("id"),
+        F.explode(F.array_distinct(
+            F.split(canonical_entity(F.col("name")), " ")
+        )).alias("_tok"),
+    ).where(F.col("_tok") != "")
+    small = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df")).where(
+        F.col("_df") <= 100).select("_tok")
+    purged = toks.join(F.broadcast(small), "_tok")
+    assert "BroadcastHashJoin" in _plan(purged)
+
+
+def test_louvain_round_no_cartesian(spark):
+    """One Louvain move round: only keyed joins plus the single 1-row
+    total broadcast; no cartesian product anywhere."""
+    from ontoweaver_spark.graphstats import louvain_move
+
+    edges = spark.createDataFrame(
+        [(f"a{i}", f"a{(i * 3 + 1) % 40}") for i in range(40)], ["src", "dst"]
+    )
+    plan = _plan(louvain_move(edges, rounds=1))
+    assert "CartesianProduct" not in plan
+    # the 2m total is the only row source allowed to broadcast-nest-loop
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_schema_graph_two_keyed_joins(spark):
+    from ontoweaver_spark.graphstats import schema_graph
+
+    nodes = spark.createDataFrame([("a", "x"), ("b", "y")], ["id", "label"])
+    edges = spark.createDataFrame([("a", "b", "r")], ["src", "dst", "label"])
+    plan = _plan(schema_graph(nodes, edges))
+    assert "CartesianProduct" not in plan
+
+
+def test_harmonic_closeness_no_cartesian(spark):
+    from ontoweaver_spark.graphstats import harmonic_closeness
+
+    edges = spark.createDataFrame(
+        [(f"b{i}", f"b{(i + 1) % 20}") for i in range(20)], ["src", "dst"]
+    )
+    lm = spark.createDataFrame([("b0",), ("b7",)], ["node"])
+    plan = _plan(harmonic_closeness(edges, lm, rounds=2))
+    assert "CartesianProduct" not in plan
