@@ -2747,6 +2747,21 @@ def q_kg_ktruss(spark, sf_dir):
     return k_truss(cocite, k=4, exact_rounds=2)
 
 
+def q_kg_n2v_walks(spark, sf_dir):
+    """node2vec-BIASED deterministic walks (w_return=4, w_near=2,
+    w_far=1 — BFS-ish) over the sparse doc graph: second-order bias via
+    one adjacency probe per step, weighted choice via integer
+    hash-priority (h DIV w), still a pure function of (graph, seed) so
+    a biased random walk hash-matches the unrolled oracle."""
+    from ontoweaver_spark.graphstats import node2vec_walks
+
+    _tune(spark)
+    return node2vec_walks(
+        _doc_graph(spark, sf_dir), walk_length=3,
+        w_return=4, w_near=2, w_far=1, seed=0,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -2896,6 +2911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_assortativity": q_kg_assortativity,
         "kg_pagerank_w": q_kg_pagerank_w,
         "kg_ktruss": q_kg_ktruss,
+        "kg_n2v_walks": q_kg_n2v_walks,
         "dup_spans": q_dup_spans,
     }
 
@@ -3291,6 +3307,49 @@ def _walks_sql(walk_length: int = 3, seed: int = 0) -> str:
       FROM (SELECT w.walk_id, e.d, {hi} AS h
             FROM w{i - 1} w JOIN e ON w.node = e.s)
       GROUP BY walk_id
+    )""")
+    selects = [
+        f"SELECT walk_id, {i} AS step, node FROM w{i}"
+        for i in range(walk_length + 1)
+    ]
+    parts.append("\n    " + "\n    UNION ALL ".join(selects))
+    return "".join(parts)
+
+
+def _n2v_sql(walk_length: int = 3, wr: int = 4, wn: int = 2,
+             wf: int = 1, seed: int = 0) -> str:
+    """Unrolled node2vec-biased walks mirroring graphstats.node2vec_walks:
+    per step the same adjacency probe, weight CASE (return/near/far) and
+    integer-DIV hash priority, arg_min on the padded composite key."""
+    parts = [f"""
+    WITH raw AS (
+      {_doc_graph_sql()}
+    ), e AS MATERIALIZED (
+      SELECT DISTINCT s, d FROM (
+        SELECT src AS s, dst AS d FROM raw
+        UNION ALL SELECT dst AS s, src AS d FROM raw
+      ) WHERE s <> d
+    ), w0 AS (
+      SELECT DISTINCT s || '#0' AS walk_id, s AS node,
+             CAST(NULL AS VARCHAR) AS prev
+      FROM e
+    )"""]
+    for i in range(1, walk_length + 1):
+        hi = _SQL_MD5INT.format(x=f"w.walk_id || ':{seed}:{i}:' || e.d")
+        parts.append(f""", c{i} AS (
+      SELECT w.walk_id, e.d,
+             ({hi}) // (CASE WHEN e.d = w.prev THEN {wr}
+                             WHEN adj.s IS NOT NULL THEN {wn}
+                             ELSE {wf} END) AS pr
+      FROM w{i - 1} w
+      JOIN e ON w.node = e.s
+      LEFT JOIN e adj ON adj.s = w.prev AND adj.d = e.d
+    ), w{i} AS MATERIALIZED (
+      SELECT c.walk_id,
+             arg_min(c.d, lpad(c.pr::VARCHAR, 20, '0') || c.d) AS node,
+             any_value(p.node) AS prev
+      FROM c{i} c JOIN w{i - 1} p ON c.walk_id = p.walk_id
+      GROUP BY c.walk_id
     )""")
     selects = [
         f"SELECT walk_id, {i} AS step, node FROM w{i}"
@@ -6057,6 +6116,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_louvain": _louvain_sql(2),
         "kg_pagerank_w": _pagerank_w_sql(3),
+        "kg_n2v_walks": _n2v_sql(3, 4, 2, 1, 0),
         # two unrolled k=4 truss peel rounds over the hub graph:
         # support_i = per-edge triangle count over e_{i-1}, filter >= 2
         "kg_ktruss": """

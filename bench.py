@@ -114,7 +114,8 @@ def main() -> None:
                  "edge_partition", "openie_triples", "kg_sameas",
                  "schema_graph", "kg_closeness", "er_blocking",
                  "cc_incremental", "kg_louvain", "kg_clustering",
-                 "kg_assortativity", "kg_pagerank_w", "kg_ktruss"]:
+                 "kg_assortativity", "kg_pagerank_w", "kg_ktruss",
+                 "kg_n2v_walks"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the

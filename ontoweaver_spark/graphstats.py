@@ -1754,19 +1754,22 @@ def k_truss(
     )
     rounds = exact_rounds if exact_rounds is not None else max_rounds
     n_rounds, converged = 0, exact_rounds is not None
+    n_before = None  # lazily counted once; each round reuses last n_after
     for _ in range(rounds):
         n_rounds += 1
         sup = _edge_support(e)
         kept = sup.where(F.col("support") >= k - 2).select("u", "v", "support")
         if exact_rounds is None:
             kept = stats_reset_checkpoint(kept)
-            n_before = e.count()
+            if n_before is None:
+                n_before = e.count()
             n_after = kept.count()
             e = kept.select("u", "v")
             if n_after == n_before:
                 converged = True
                 e = kept  # keep the support column for the final result
                 break
+            n_before = n_after
         else:
             e = stats_reset_checkpoint(kept.select("u", "v"), eager=False)
             last = kept
@@ -1780,3 +1783,110 @@ def k_truss(
     if exact_rounds is not None:
         return last
     return e
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_length: int = 3,
+    w_return: int = 1,
+    w_near: int = 1,
+    w_far: int = 1,
+    seed: int = 0,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    directed: bool = False,
+) -> DataFrame:
+    """Deterministic node2vec-BIASED walks -> ``(walk_id, step, node)``
+    (step 0 = start; one walk per node with an out-edge). Second-order
+    bias via Grover-Leskovec's three candidate classes, weighted by
+    integer weights instead of 1/p, 1, 1/q:
+
+    - ``w_return``: the candidate IS the previous node (distance 0);
+    - ``w_near``: the candidate is ALSO a neighbor of the previous node
+      (distance 1 — triangle-closing step);
+    - ``w_far``: everything else (distance 2 — exploration step).
+
+    node2vec's (p, q) map as ``w_return ~ 1/p``, ``w_far ~ 1/q`` scaled
+    to integers (BFS-like: raise w_return/w_near; DFS-like: raise
+    w_far). All defaults 1 == :func:`random_walks`' uniform choice.
+
+    The weighted choice stays a pure function of (graph, seed): each
+    candidate's priority is ``md5_int(walk ':' seed ':' step ':' c)
+    DIV w(c)`` and the walk takes the argmin — the integer Ohlsson-style
+    hash-priority scheme (:func:`ontoweaver_spark.sampling.weighted_sample`);
+    a weight-w candidate wins ~proportionally more often, deterministic
+    enough to hash-match an unrolled SQL oracle, which is what no
+    RNG-based node2vec implementation can offer across engines.
+
+    Scale shape: per step one frontier join keyed on the current node,
+    ONE extra left semi-style join against the edge list keyed on
+    (prev, candidate) for the distance-1 test (the price of second-order
+    bias; first-order :func:`random_walks` skips it), and one min_by agg
+    keyed on walk_id with map-side partials absorbing hub fan-out. No
+    adjacency arrays, ever.
+    """
+    if min(w_return, w_near, w_far) < 1:
+        raise ValueError("weights must be positive integers")
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    if not directed:
+        e = e.unionAll(
+            edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+        )
+    e = e.where(F.col("s") != F.col("d")).distinct().localCheckpoint(eager=False)
+
+    starts = (
+        e.select(F.col("s").alias("node"))
+        .distinct()
+        .select(
+            F.concat(F.col("node"), F.lit("#0")).alias("walk_id"), "node"
+        )
+        .localCheckpoint(eager=False)
+    )
+    walks = starts.withColumn("step", F.lit(0))
+    frontier = starts.withColumn("prev", F.lit(None).cast("string"))
+    adj = e.select(F.col("s").alias("_pa"), F.col("d").alias("_pb")).withColumn(
+        "_is_near", F.lit(1)
+    )
+    for step in range(1, walk_length + 1):
+        cand = (
+            frontier.join(e, frontier["node"] == e["s"])
+            .select("walk_id", "prev", F.col("d").alias("nxt"))
+            .join(
+                adj,
+                (F.col("prev") == F.col("_pa")) & (F.col("nxt") == F.col("_pb")),
+                "left",
+            )
+            .select(
+                "walk_id", "prev", "nxt",
+                F.when(F.col("nxt") == F.col("prev"), F.lit(w_return))
+                .when(F.col("_is_near") == 1, F.lit(w_near))
+                .otherwise(F.lit(w_far)).alias("w"),
+            )
+        )
+        h = md5_int(
+            F.concat(F.col("walk_id"), F.lit(f":{seed}:{step}:"), F.col("nxt"))
+        )
+        # integer DIV, not FP: a 60-bit hash through a double loses the
+        # low bits (2^60 > 2^53) and the tie-break would drift cross-engine
+        scored = cand.withColumn("_h", h).withColumn(
+            "_pr", F.expr("_h DIV w")
+        )
+        order_key = F.concat(
+            F.lpad(F.col("_pr").cast("string"), 20, "0"), F.col("nxt")
+        )
+        chosen = (
+            scored.groupBy("walk_id")
+            .agg(F.min_by(F.col("nxt"), order_key).alias("node"))
+        )
+        nxt_frontier = (
+            chosen.join(
+                frontier.select("walk_id", F.col("node").alias("prev")), "walk_id"
+            )
+            .select("walk_id", "node", "prev")
+            .transform(lambda _d: stats_reset_checkpoint(_d, eager=False))
+        )
+        walks = walks.unionByName(
+            nxt_frontier.select("walk_id", "node").withColumn("step", F.lit(step))
+        )
+        frontier = nxt_frontier
+    return walks.select("walk_id", "step", "node")

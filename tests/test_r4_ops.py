@@ -520,3 +520,103 @@ def test_ktruss_exact_rounds_mode(spark):
     # after round 1 the K4 edges carry their PRE-peel supports
     assert one[("1", "2")] == 3
     assert ("1", "5") not in one
+
+
+def _py_node2vec(edge_list, walk_length, wr, wn, wf, seed=0, directed=False):
+    import hashlib
+
+    e = set()
+    for a, b in edge_list:
+        if a == b:
+            continue
+        e.add((a, b))
+        if not directed:
+            e.add((b, a))
+    out = {}
+    for a, b in e:
+        out.setdefault(a, set()).add(b)
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = []
+    for node in sorted(out):
+        wid, prev, cur = f"{node}#0", None, node
+        rows.append((wid, 0, cur))
+        for step in range(1, walk_length + 1):
+            cands = out.get(cur)
+            if not cands:
+                break
+            best = None
+            for nxt in cands:
+                if prev is not None and nxt == prev:
+                    w = wr
+                elif prev is not None and (prev, nxt) in e:
+                    w = wn
+                else:
+                    w = wf
+                key = str(h(f"{wid}:{seed}:{step}:{nxt}") // w).zfill(20) + nxt
+                if best is None or key < best[0]:
+                    best = (key, nxt)
+            prev, cur = cur, best[1]
+            rows.append((wid, step, cur))
+    return set(rows)
+
+
+def test_node2vec_matches_python_mirror(spark):
+    from ontoweaver_spark.graphstats import node2vec_walks
+
+    random.seed(23)
+    el = list({
+        tuple(sorted((f"w{random.randrange(30):02d}", f"w{random.randrange(30):02d}")))
+        for _ in range(70)
+    })
+    el = [e for e in el if e[0] != e[1]]
+    edges = spark.createDataFrame(el, ["src", "dst"])
+    got = {
+        (r["walk_id"], r["step"], r["node"])
+        for r in node2vec_walks(
+            edges, walk_length=3, w_return=4, w_near=2, w_far=1
+        ).collect()
+    }
+    assert got == _py_node2vec(el, 3, 4, 2, 1)
+
+
+def test_node2vec_unit_weights_equals_uniform_walks(spark):
+    """All weights 1 must reproduce random_walks' hash-min choice
+    exactly (h DIV 1 == h, same walk ids, same order key)."""
+    from ontoweaver_spark.graphstats import node2vec_walks, random_walks
+
+    el = [(f"u{i}", f"u{(i * 3 + 1) % 17}") for i in range(17)]
+    edges = spark.createDataFrame(el, ["src", "dst"])
+    a = {
+        (r["walk_id"], r["step"], r["node"])
+        for r in node2vec_walks(edges, walk_length=3).collect()
+    }
+    b = {
+        (r["walk_id"], r["step"], r["node"])
+        for r in random_walks(edges, walk_length=3, walks_per_node=1).collect()
+    }
+    assert a == b
+
+
+def test_node2vec_return_bias(spark):
+    """Overwhelming w_return makes step 2 bounce back to the start on
+    most walks (priority h DIV w shrinks ~w-fold)."""
+    from ontoweaver_spark.graphstats import node2vec_walks
+
+    random.seed(29)
+    el = list({
+        tuple(sorted((f"z{random.randrange(40):02d}", f"z{random.randrange(40):02d}")))
+        for _ in range(100)
+    })
+    el = [e for e in el if e[0] != e[1]]
+    edges = spark.createDataFrame(el, ["src", "dst"])
+    walks = node2vec_walks(edges, walk_length=2, w_return=1000).collect()
+    pos = {}
+    for r in walks:
+        pos.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    start = {w: p[0] for w, p in pos.items() if 0 in p}
+    back = [w for w, p in pos.items() if 2 in p and p[2] == start[w]]
+    with_step2 = [w for w, p in pos.items() if 2 in p]
+    assert len(back) > 0.7 * len(with_step2)
