@@ -2762,6 +2762,23 @@ def q_kg_n2v_walks(spark, sf_dir):
     )
 
 
+def q_kg_betweenness(spark, sf_dir):
+    """Landmark betweenness (bounded Brandes, 3 hops, landmarks = every
+    97th doc node): exact integer path counts forward, scaled-integer
+    dependency accumulation backward (per-term DIV truncation is
+    deterministic), so the broker-score centrality hash-matches the
+    unrolled oracle."""
+    from ontoweaver_spark.graphstats import betweenness_landmark
+
+    _tune(spark)
+    landmarks = _docs(spark, sf_dir).where(F.col("doc_id") % 97 == 0).select(
+        F.concat(F.lit("n"), F.col("doc_id").cast("string")).alias("node")
+    )
+    return betweenness_landmark(
+        _doc_graph(spark, sf_dir), landmarks, rounds=3, directed=True
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -2912,6 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank_w": q_kg_pagerank_w,
         "kg_ktruss": q_kg_ktruss,
         "kg_n2v_walks": q_kg_n2v_walks,
+        "kg_betweenness": q_kg_betweenness,
         "dup_spans": q_dup_spans,
     }
 
@@ -3547,6 +3565,80 @@ def _louvain_sql(rounds: int = 2) -> str:
       ) WHERE rk = 1
     )""")
     parts.append(f"\n    SELECT node, community FROM lab{rounds}")
+    return "".join(parts)
+
+
+def _betweenness_sql(rounds: int = 3, scale: int = 10**6) -> str:
+    """Unrolled bounded-Brandes betweenness mirroring graphstats.
+    betweenness_landmark: per-landmark BFS dist CTEs, exact sigma path
+    counts per level, scaled-integer delta accumulation backward."""
+    parts = [f"""
+    WITH raw AS (
+      {_doc_graph_sql()}
+    ), e AS MATERIALIZED (
+      SELECT DISTINCT src AS s, dst AS d FROM raw WHERE src <> dst
+    ), d0 AS (
+      SELECT DISTINCT 'n' || doc_id::VARCHAR AS landmark,
+             'n' || doc_id::VARCHAR AS node, CAST(0 AS BIGINT) AS dist
+      FROM documents WHERE doc_id % 97 = 0
+    )"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""", d{i} AS MATERIALIZED (
+      SELECT landmark, node, min(dist) AS dist FROM (
+        SELECT landmark, node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT p.landmark, e.d AS node, p.dist + 1 AS dist
+        FROM d{i - 1} p JOIN e ON p.node = e.s
+      ) GROUP BY landmark, node
+    )""")
+    parts.append(f""", s0 AS (
+      SELECT landmark, node, CAST(1 AS BIGINT) AS sigma
+      FROM d{rounds} WHERE dist = 0
+    )""")
+    for t in range(1, rounds + 1):
+        parts.append(f""", s{t} AS MATERIALIZED (
+      SELECT p.landmark, e.d AS node, sum(p.sigma)::BIGINT AS sigma
+      FROM s{t - 1} p
+      JOIN e ON p.node = e.s
+      JOIN d{rounds} dd ON dd.landmark = p.landmark AND dd.node = e.d
+                        AND dd.dist = {t}
+      GROUP BY p.landmark, e.d
+    )""")
+    sig_union = "\n        UNION ALL ".join(
+        f"SELECT landmark, node, {t} AS dist, sigma FROM s{t}"
+        for t in range(rounds + 1)
+    )
+    parts.append(f""", sall AS MATERIALIZED (
+        {sig_union}
+    )""")
+    prev_delta = None
+    for t in range(rounds - 1, 0, -1):
+        dw = (
+            f"coalesce(dl.delta, 0)" if prev_delta else "0"
+        )
+        dj = (
+            f"LEFT JOIN {prev_delta} dl ON dl.landmark = w.landmark"
+            f" AND dl.node = w.node" if prev_delta else ""
+        )
+        parts.append(f""", del{t} AS MATERIALIZED (
+      SELECT v.landmark, v.node,
+             sum(v.sigma * ({scale} + {dw}) // w.sigma)::BIGINT AS delta
+      FROM sall v
+      JOIN e ON v.node = e.s
+      JOIN sall w ON w.landmark = v.landmark AND w.node = e.d
+                  AND w.dist = {t + 1}
+      {dj}
+      WHERE v.dist = {t}
+      GROUP BY v.landmark, v.node
+    )""")
+        prev_delta = f"del{t}"
+    del_union = "\n        UNION ALL ".join(
+        f"SELECT node, delta FROM del{t}" for t in range(1, rounds)
+    )
+    parts.append(f"""
+    SELECT node, sum(delta)::BIGINT AS betweenness FROM (
+        {del_union}
+    ) GROUP BY node""")
     return "".join(parts)
 
 
@@ -6117,6 +6209,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_louvain": _louvain_sql(2),
         "kg_pagerank_w": _pagerank_w_sql(3),
         "kg_n2v_walks": _n2v_sql(3, 4, 2, 1, 0),
+        "kg_betweenness": _betweenness_sql(3),
         # two unrolled k=4 truss peel rounds over the hub graph:
         # support_i = per-edge triangle count over e_{i-1}, filter >= 2
         "kg_ktruss": """

@@ -1890,3 +1890,121 @@ def node2vec_walks(
         )
         frontier = nxt_frontier
     return walks.select("walk_id", "step", "node")
+
+
+def betweenness_landmark(
+    edges: DataFrame,
+    landmarks: DataFrame,
+    rounds: int,
+    scale: int = 10**6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    directed: bool = True,
+) -> DataFrame:
+    """Landmark betweenness centrality (Brandes' dependency accumulation,
+    bounded to shortest paths of <= ``rounds`` hops) -> ``(node,
+    betweenness)``: the bridge/broker score — which entities sit ON the
+    shortest paths between others, the one classic centrality
+    :func:`pagerank_fixed_point` (flow) and :func:`harmonic_closeness`
+    (reach) don't capture.
+
+    Exactly Brandes, made engine-reproducible:
+    - forward: per-landmark BFS levels with EXACT integer path counts
+      ``sigma`` (level t's count = sum of level t-1 predecessors');
+    - backward: scaled-integer dependencies
+      ``delta(v) = sum over BFS-DAG successors w of
+      sigma_v * (scale + delta(w)) DIV sigma_w`` — each term one integer
+      division (truncation deterministic and identical cross-engine),
+      the sum exact, so a fractional-by-definition metric hash-matches
+      an unrolled SQL oracle. ``betweenness(v) = sum over landmarks of
+      delta(v)`` (landmarks themselves excluded, as in Brandes).
+    True betweenness is the all-sources, unbounded-depth limit; k
+    hash-chosen landmarks give the standard unbiased sample estimate.
+
+    Overflow bound: sigma grows with path multiplicity —
+    ``max_sigma * (scale + max_delta) < 2^63`` caps usable depth around
+    4-6 on dense graphs at scale=1e6; document-graph safe.
+
+    Scale shape: the forward pass reuses :func:`landmark_distances`
+    (k*|E| rows/round); each sigma level and each backward delta level
+    is ONE edge join filtered to consecutive BFS levels + one
+    map-side-combinable sum. Everything keyed on (landmark, node) — hub
+    fan-in lands in aggregate partials.
+    """
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    if not directed:
+        e = e.unionAll(
+            edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+        )
+    e = e.where(F.col("s") != F.col("d")).distinct().localCheckpoint(eager=False)
+
+    dist = stats_reset_checkpoint(
+        landmark_distances(e, landmarks, rounds, src_col="s", dst_col="d"),
+        eager=False,
+    )
+
+    # forward: per-level exact path counts
+    levels = [
+        dist.where(F.col("dist") == 0)
+        .select("landmark", "node", F.lit(1).cast("long").alias("sigma"))
+        .localCheckpoint(eager=False)
+    ]
+    for t in range(1, rounds + 1):
+        at_t = dist.where(F.col("dist") == t).select("landmark", "node")
+        nxt = (
+            levels[-1]
+            .join(e, levels[-1]["node"] == e["s"])
+            .select("landmark", F.col("d").alias("node"), "sigma")
+            .join(at_t, ["landmark", "node"])
+            .groupBy("landmark", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+            .transform(lambda _d: stats_reset_checkpoint(_d, eager=False))
+        )
+        levels.append(nxt)
+
+    sig = levels[0]
+    for lv in levels[1:]:
+        sig = sig.unionByName(lv)
+    sig = stats_reset_checkpoint(
+        sig.join(dist, ["landmark", "node"]).select(
+            "landmark", "node", "dist", "sigma"
+        )
+    )
+
+    # backward: deepest level has no in-bound successors -> delta 0
+    delta = None
+    for t in range(rounds - 1, 0, -1):
+        v_t = sig.where(F.col("dist") == t).select(
+            "landmark", F.col("node").alias("v"), F.col("sigma").alias("sig_v")
+        )
+        w_t1 = sig.where(F.col("dist") == t + 1).select(
+            "landmark", F.col("node").alias("w"), F.col("sigma").alias("sig_w")
+        )
+        if delta is not None:
+            w_t1 = w_t1.join(
+                delta.select("landmark", F.col("node").alias("w"),
+                             F.col("delta").alias("d_w")),
+                ["landmark", "w"], "left",
+            ).select("landmark", "w", "sig_w",
+                     F.coalesce(F.col("d_w"), F.lit(0)).alias("d_w"))
+        else:
+            w_t1 = w_t1.withColumn("d_w", F.lit(0).cast("long"))
+        terms = (
+            v_t.join(e, v_t["v"] == e["s"])
+            .select("landmark", "v", "sig_v", F.col("d").alias("w"))
+            .join(w_t1, ["landmark", "w"])
+            .select(
+                "landmark", F.col("v").alias("node"),
+                F.expr(f"sig_v * ({scale} + d_w) DIV sig_w").alias("term"),
+            )
+        )
+        lvl_delta = terms.groupBy("landmark", "node").agg(
+            F.sum("term").alias("delta")
+        ).transform(lambda _d: stats_reset_checkpoint(_d, eager=False))
+        delta = lvl_delta if delta is None else delta.unionByName(lvl_delta)
+
+    if delta is None:
+        return sig.sparkSession.createDataFrame(
+            [], "node string, betweenness long"
+        )
+    return delta.groupBy("node").agg(F.sum("delta").alias("betweenness"))

@@ -620,3 +620,106 @@ def test_node2vec_return_bias(spark):
     back = [w for w, p in pos.items() if 2 in p and p[2] == start[w]]
     with_step2 = [w for w, p in pos.items() if 2 in p]
     assert len(back) > 0.7 * len(with_step2)
+
+
+def _py_betweenness(edge_list, landmarks, rounds, scale=10**6, directed=False):
+    import collections
+
+    e = set()
+    for a, b in edge_list:
+        if a == b:
+            continue
+        e.add((a, b))
+        if not directed:
+            e.add((b, a))
+    adj = collections.defaultdict(set)
+    for a, b in e:
+        adj[a].add(b)
+    bc = collections.Counter()
+    for L in landmarks:
+        dist = {L: 0}
+        levels = {0: {L}}
+        for t in range(1, rounds + 1):
+            nxt = set()
+            for u in levels[t - 1]:
+                for w in adj[u]:
+                    if w not in dist:
+                        nxt.add(w)
+            for w in nxt:
+                dist[w] = t
+            levels[t] = nxt
+        sigma = {L: 1}
+        for t in range(1, rounds + 1):
+            for v in levels[t]:
+                sigma[v] = sum(
+                    sigma[u] for u in levels[t - 1] if v in adj[u]
+                )
+        delta = {}
+        for t in range(rounds - 1, 0, -1):
+            for v in levels[t]:
+                s = 0
+                for w in adj[v]:
+                    if dist.get(w) == t + 1:
+                        s += sigma[v] * (scale + delta.get(w, 0)) // sigma[w]
+                if s:
+                    delta[v] = s
+        for v, d in delta.items():
+            bc[v] += d
+    return dict(bc)
+
+
+def test_betweenness_path_graph(spark):
+    """a->b->c->d from landmark a: b bridges two nodes (2*scale), c one
+    (scale), d none."""
+    from ontoweaver_spark.graphstats import betweenness_landmark
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    lm = spark.createDataFrame([("a",)], ["node"])
+    got = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_landmark(
+            edges, lm, rounds=3, directed=True
+        ).collect()
+    }
+    assert got == {"b": 2_000_000, "c": 1_000_000}
+
+
+def test_betweenness_diamond_splits_paths(spark):
+    """a->{b,c}->d: two shortest paths to d, each broker carries half
+    (sigma_d = 2 -> scale DIV 2 each)."""
+    from ontoweaver_spark.graphstats import betweenness_landmark
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")], ["src", "dst"]
+    )
+    lm = spark.createDataFrame([("a",)], ["node"])
+    got = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_landmark(
+            edges, lm, rounds=2, directed=True
+        ).collect()
+    }
+    assert got == {"b": 500_000, "c": 500_000}
+
+
+def test_betweenness_matches_python_mirror(spark):
+    from ontoweaver_spark.graphstats import betweenness_landmark
+
+    random.seed(31)
+    el = list({
+        tuple(sorted((f"q{random.randrange(40):02d}", f"q{random.randrange(40):02d}")))
+        for _ in range(80)
+    })
+    el = [e for e in el if e[0] != e[1]]
+    lms = sorted({a for a, _ in el})[:3]
+    edges = spark.createDataFrame(el, ["src", "dst"])
+    lm = spark.createDataFrame([(x,) for x in lms], ["node"])
+    got = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_landmark(
+            edges, lm, rounds=3, directed=False
+        ).collect()
+    }
+    assert got == _py_betweenness(el, lms, 3)
