@@ -2779,6 +2779,21 @@ def q_kg_betweenness(spark, sf_dir):
     )
 
 
+def q_kg_anf(spark, sf_dir):
+    """ANF neighborhood-function sketches (2 hops, k=8 KMV) over the
+    UNDIRECTED doc graph — effective-diameter machinery whose sketch
+    merge is deterministic min-k. Oracle: EXACT reachable sets via
+    unrolled union CTEs + the identical (k-1)/x_(k) estimator — the
+    approximation is checked against exact reachability, the strongest
+    independent-derivation form."""
+    from ontoweaver_spark.graphstats import neighborhood_function
+
+    _tune(spark)
+    return neighborhood_function(
+        _doc_graph(spark, sf_dir), rounds=2, k=8, directed=False
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -2930,6 +2945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ktruss": q_kg_ktruss,
         "kg_n2v_walks": q_kg_n2v_walks,
         "kg_betweenness": q_kg_betweenness,
+        "kg_anf": q_kg_anf,
         "dup_spans": q_dup_spans,
     }
 
@@ -6210,6 +6226,64 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank_w": _pagerank_w_sql(3),
         "kg_n2v_walks": _n2v_sql(3, 4, 2, 1, 0),
         "kg_betweenness": _betweenness_sql(3),
+        # exact 2-hop reachability + the same KMV estimator; Spark's
+        # iterated sketch merge must equal min-k over the exact set
+        "kg_anf": """
+            WITH raw AS (
+      SELECT 'n' || doc_id::VARCHAR AS src,
+             'n' || ((doc_id::BIGINT * 7919 + 13) %
+                     (SELECT count(*) FROM documents))::VARCHAR AS dst
+      FROM documents
+      UNION ALL
+      SELECT 'n' || doc_id::VARCHAR AS src,
+             'n' || ((doc_id::BIGINT * 104729 + 101) %
+                     (SELECT count(*) FROM documents))::VARCHAR AS dst
+      FROM documents
+      UNION ALL
+      SELECT 'n' || doc_id::VARCHAR AS src,
+             'n' || ((doc_id::BIGINT * 1299709 + 977) %
+                     (SELECT count(*) FROM documents))::VARCHAR AS dst
+      FROM documents
+            ), e AS MATERIALIZED (
+              SELECT DISTINCT s, d FROM (
+                SELECT src AS s, dst AS d FROM raw
+                UNION ALL SELECT dst, src FROM raw
+              ) WHERE s <> d
+            ), r0 AS (
+              SELECT node, node AS reached FROM (
+                SELECT s AS node FROM e UNION SELECT d FROM e
+              )
+            ), r1 AS MATERIALIZED (
+              SELECT DISTINCT node, reached FROM (
+                SELECT node, reached FROM r0
+                UNION ALL
+                SELECT r.node, e.d AS reached
+                FROM r0 r JOIN e ON r.reached = e.s
+              )
+            ), r2 AS MATERIALIZED (
+              SELECT DISTINCT node, reached FROM (
+                SELECT node, reached FROM r1
+                UNION ALL
+                SELECT r.node, e.d AS reached
+                FROM r1 r JOIN e ON r.reached = e.s
+              )
+            ), hashed AS (
+              SELECT node, (('0x' || substr(md5(reached), 1, 15))::BIGINT) AS h FROM r2
+            ), ranked AS (
+              SELECT node, h,
+                     row_number() OVER (PARTITION BY node ORDER BY h) AS rk
+              FROM hashed
+            ), topk AS (
+              SELECT node, count(*)::BIGINT AS n_kept, max(h) AS kth
+              FROM ranked WHERE rk <= 8 GROUP BY node
+            )
+            SELECT node, n_kept,
+                   CASE WHEN n_kept < 8 THEN n_kept
+                        ELSE floor(7.0 * 1152921504606846976.0
+                                   / kth::DOUBLE + 0.5)::BIGINT
+                   END AS estimate
+            FROM topk
+        """,
         # two unrolled k=4 truss peel rounds over the hub graph:
         # support_i = per-edge triangle count over e_{i-1}, filter >= 2
         "kg_ktruss": """

@@ -2008,3 +2008,84 @@ def betweenness_landmark(
             [], "node string, betweenness long"
         )
     return delta.groupBy("node").agg(F.sum("delta").alias("betweenness"))
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    rounds: int,
+    k: int = 32,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    directed: bool = False,
+) -> DataFrame:
+    """ANF / effective-diameter estimation via mergeable KMV sketches ->
+    ``(node, n_kept, estimate)``: for every node, an estimate of
+    ``|{u: dist(node, u) <= rounds}|`` (the node's h-hop neighborhood
+    size, node itself included). Sum the estimates over nodes and sweep
+    ``rounds`` to trace the neighborhood function N(h) — the curve whose
+    90% point is the web graph's effective diameter (Palmer et al.'s ANF;
+    HyperANF does this with HLL registers whose layout differs per
+    engine — KMV min-hash order statistics make the sketch DETERMINISTIC,
+    so an approximation algorithm hash-matches an exact-reachability
+    oracle applying the same estimator).
+
+    Per round each node's sketch absorbs its (out-)neighbors' sketches:
+    ``S_h(v) = min-k(S_{h-1}(v) ∪ ∪_u S_{h-1}(u))`` — KMV's merge is
+    just "union then keep the k smallest", associative and exact, which
+    is the whole trick. Nodes with < k reachable report EXACT counts;
+    past k the classic ``(k-1)/x_(k)`` estimate (same arithmetic as
+    :func:`ontoweaver_spark.textops.kmv_distinct`).
+
+    Scale shape: sketches live as (node, hash) ROWS, never arrays — a
+    hub absorbing 10^9 neighbor sketches fans into a distinct + rank
+    shuffle keyed on the node (bounded to k rows per node per round),
+    not an array build on one task. Per round: one edge join + distinct
+    + one per-node rank window over <= (|E|+|V|)*k rows.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    if not directed:
+        e = e.unionAll(
+            edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+        )
+    e = e.where(F.col("s") != F.col("d")).distinct().localCheckpoint(eager=False)
+
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionAll(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    sketch = stats_reset_checkpoint(
+        nodes.select("node", md5_int(F.col("node")).alias("h")), eager=False
+    )
+    w = Window.partitionBy("node").orderBy("h")
+    for _ in range(rounds):
+        gathered = (
+            e.join(sketch.select(F.col("node").alias("d"), "h"), "d")
+            .select(F.col("s").alias("node"), "h")
+        )
+        sketch = stats_reset_checkpoint(
+            sketch.unionByName(gathered)
+            .distinct()
+            .withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= k)
+            .drop("_r"),
+            eager=False,
+        )
+    return (
+        sketch.groupBy("node")
+        .agg(F.count("*").alias("n_kept"), F.max("h").alias("_kth"))
+        .select(
+            "node", "n_kept",
+            F.when(F.col("n_kept") < k, F.col("n_kept"))
+            .otherwise(
+                F.floor(
+                    F.lit(float(k - 1)) * F.lit(float(1 << 60))
+                    / F.col("_kth").cast("double")
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            .alias("estimate"),
+        )
+    )

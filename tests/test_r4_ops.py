@@ -723,3 +723,77 @@ def test_betweenness_matches_python_mirror(spark):
         ).collect()
     }
     assert got == _py_betweenness(el, lms, 3)
+
+
+def _py_anf(edge_list, rounds, k, directed=False):
+    import hashlib
+
+    e = set()
+    for a, b in edge_list:
+        if a == b:
+            continue
+        e.add((a, b))
+        if not directed:
+            e.add((b, a))
+    adj = {}
+    for a, b in e:
+        adj.setdefault(a, set()).add(b)
+    nodes = {x for ab in e for x in ab}
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    # exact reachability then KMV estimate — the oracle formulation
+    out = {}
+    for v in nodes:
+        reach = {v}
+        frontier = {v}
+        for _ in range(rounds):
+            frontier = {w for u in frontier for w in adj.get(u, ())} - reach
+            reach |= frontier
+        hs = sorted(h(x) for x in reach)[:k]
+        n_kept = len(hs)
+        if n_kept < k:
+            est = n_kept
+        else:
+            est = int((k - 1) * float(1 << 60) / float(hs[-1]) + 0.5)
+        out[v] = (n_kept, est)
+    return out
+
+
+def test_anf_exact_below_k(spark):
+    """Small graph, big k: sketches never saturate, counts are EXACT
+    h-hop neighborhood sizes."""
+    from ontoweaver_spark.graphstats import neighborhood_function
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], ["src", "dst"]
+    )
+    got = {
+        r["node"]: (r["n_kept"], r["estimate"])
+        for r in neighborhood_function(edges, rounds=2, k=16).collect()
+    }
+    # undirected: a reaches {a,b,c} in 2; b reaches all 4; x,y reach {x,y}
+    assert got["a"] == (3, 3)
+    assert got["b"] == (4, 4)
+    assert got["x"] == (2, 2)
+    assert got["y"] == (2, 2)
+
+
+def test_anf_matches_exact_reachability_estimator(spark):
+    """Sketch merge == min-k of the exact reachable set's hashes (the
+    KMV merge is exact on the k smallest), incl. saturated nodes."""
+    from ontoweaver_spark.graphstats import neighborhood_function
+
+    random.seed(37)
+    el = list({
+        tuple(sorted((f"m{random.randrange(50):02d}", f"m{random.randrange(50):02d}")))
+        for _ in range(110)
+    })
+    el = [e for e in el if e[0] != e[1]]
+    edges = spark.createDataFrame(el, ["src", "dst"])
+    got = {
+        r["node"]: (r["n_kept"], r["estimate"])
+        for r in neighborhood_function(edges, rounds=3, k=8).collect()
+    }
+    assert got == _py_anf(el, 3, 8)
