@@ -2794,6 +2794,23 @@ def q_kg_anf(spark, sf_dir):
     )
 
 
+def q_kg_densest(spark, sf_dir):
+    """Densest-subgraph peel (Bahmani et al. (2+2eps)-approx), 2 exact
+    rounds over the hub co-citation graph: every node with degree <=
+    1.1x average peels each round (exact integer comparison). Oracle:
+    the same two peel rounds unrolled with 1-row stats CTEs."""
+    from ontoweaver_spark.graphstats import densest_subgraph
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+
+    def hub(m, p):
+        return F.concat(F.lit("hub"), ((F.col("doc_id") * m) % p).cast("string"))
+
+    cocite = docs.select(hub(7, 61).alias("src"), hub(11, 53).alias("dst"))
+    return densest_subgraph(cocite, epsilon_pct=10, exact_rounds=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -2946,6 +2963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_n2v_walks": q_kg_n2v_walks,
         "kg_betweenness": q_kg_betweenness,
         "kg_anf": q_kg_anf,
+        "kg_densest": q_kg_densest,
         "dup_spans": q_dup_spans,
     }
 
@@ -6226,6 +6244,42 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank_w": _pagerank_w_sql(3),
         "kg_n2v_walks": _n2v_sql(3, 4, 2, 1, 0),
         "kg_betweenness": _betweenness_sql(3),
+        "kg_densest": """
+            WITH e0 AS MATERIALIZED (
+              SELECT DISTINCT least('hub' || ((doc_id*7)%61)::VARCHAR,
+                                    'hub' || ((doc_id*11)%53)::VARCHAR) AS u,
+                              greatest('hub' || ((doc_id*7)%61)::VARCHAR,
+                                       'hub' || ((doc_id*11)%53)::VARCHAR) AS v
+              FROM documents WHERE (doc_id*7)%61 <> (doc_id*11)%53
+            ), deg0 AS MATERIALIZED (
+              SELECT node, count(*)::BIGINT AS deg FROM (
+                SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0
+              ) GROUP BY node
+            ), st0 AS (
+              SELECT count(*)::BIGINT AS nv, (sum(deg) // 2)::BIGINT AS ne
+              FROM deg0
+            ), bad0 AS MATERIALIZED (
+              SELECT node FROM deg0, st0
+              WHERE deg * nv * 100 <= 2 * ne * 110
+            ), e1 AS MATERIALIZED (
+              SELECT u, v FROM e0
+              WHERE u NOT IN (SELECT node FROM bad0)
+                AND v NOT IN (SELECT node FROM bad0)
+            ), deg1 AS MATERIALIZED (
+              SELECT node, count(*)::BIGINT AS deg FROM (
+                SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1
+              ) GROUP BY node
+            ), st1 AS (
+              SELECT count(*)::BIGINT AS nv, (sum(deg) // 2)::BIGINT AS ne
+              FROM deg1
+            ), bad1 AS MATERIALIZED (
+              SELECT node FROM deg1, st1
+              WHERE deg * nv * 100 <= 2 * ne * 110
+            )
+            SELECT u, v FROM e1
+            WHERE u NOT IN (SELECT node FROM bad1)
+              AND v NOT IN (SELECT node FROM bad1)
+        """,
         # exact 2-hop reachability + the same KMV estimator; Spark's
         # iterated sketch merge must equal min-k over the exact set
         "kg_anf": """

@@ -797,3 +797,64 @@ def test_anf_matches_exact_reachability_estimator(spark):
         for r in neighborhood_function(edges, rounds=3, k=8).collect()
     }
     assert got == _py_anf(el, 3, 8)
+
+
+def _py_densest_trace(edge_list, eps_pct, scale=10**6):
+    e = {tuple(sorted(x)) for x in edge_list if x[0] != x[1]}
+    trace = []
+    i = 0
+    while True:
+        deg = {}
+        for a, b in e:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        nv, ne = len(deg), len(e)
+        trace.append((i, nv, ne, (ne * scale) // nv if nv else 0))
+        if nv == 0:
+            break
+        bad = {n for n, d in deg.items() if d * nv * 100 <= 2 * ne * (100 + eps_pct)}
+        e = {(a, b) for a, b in e if a not in bad and b not in bad}
+        i += 1
+    return trace
+
+
+def test_densest_clique_plus_fringe(spark):
+    """K5 with pendant leaves: the peel strips the fringe first; the best
+    density row is the clique's (10 edges / 5 nodes = 2*scale)."""
+    from ontoweaver_spark.graphstats import densest_subgraph
+
+    k5 = [(f"c{i}", f"c{j}") for i in range(5) for j in range(i + 1, 5)]
+    fringe = [(f"c{i}", f"leaf{i}{j}") for i in range(5) for j in range(2)]
+    edges = spark.createDataFrame(k5 + fringe, ["src", "dst"])
+    trace = sorted(
+        (r["round"], r["n_nodes"], r["n_edges"], r["density"])
+        for r in densest_subgraph(edges, epsilon_pct=10).collect()
+    )
+    assert trace == sorted(_py_densest_trace(k5 + fringe, 10))
+    best = max(trace, key=lambda t: t[3])
+    assert best[1] == 5 and best[2] == 10 and best[3] == 2_000_000
+    # exact_rounds at the best round materializes the clique itself
+    sub = {
+        tuple(sorted((r["u"], r["v"])))
+        for r in densest_subgraph(
+            edges, epsilon_pct=10, exact_rounds=best[0]
+        ).collect()
+    }
+    assert sub == {tuple(sorted(p)) for p in k5}
+
+
+def test_densest_trace_matches_python(spark):
+    from ontoweaver_spark.graphstats import densest_subgraph
+
+    random.seed(41)
+    el = list({
+        tuple(sorted((f"d{random.randrange(35):02d}", f"d{random.randrange(35):02d}")))
+        for _ in range(90)
+    })
+    el = [e for e in el if e[0] != e[1]]
+    edges = spark.createDataFrame(el, ["src", "dst"])
+    trace = sorted(
+        (r["round"], r["n_nodes"], r["n_edges"], r["density"])
+        for r in densest_subgraph(edges, epsilon_pct=25).collect()
+    )
+    assert trace == sorted(_py_densest_trace(el, 25))
