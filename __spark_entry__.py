@@ -2811,6 +2811,44 @@ def q_kg_densest(spark, sf_dir):
     return densest_subgraph(cocite, epsilon_pct=10, exact_rounds=2)
 
 
+def q_er_resolve(spark, sf_dir):
+    """END-TO-END entity resolution: sorted-neighborhood blocking ->
+    levenshtein verify (distance <= 1) -> connected components over the
+    match graph -> every mention mapped to its component-canonical id.
+    The north-rule linking+canonicalization stages composed as one
+    declarative plan; numerically-adjacent names chain into components
+    exactly as the oracle's recursive closure derives them."""
+    from ontoweaver_spark.dedup import connected_components
+    from ontoweaver_spark.linking import er_candidates
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    base = F.concat(
+        F.lit("entity "), (F.col("doc_id") % 500).cast("string"), F.lit(" corp")
+    )
+    m1 = docs.select((F.col("doc_id") * 2).alias("entity_id"), base.alias("name"))
+    m2 = docs.select(
+        (F.col("doc_id") * 2 + 1).alias("entity_id"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.replace(base, F.lit("corp"), F.lit("crop")))
+        .otherwise(base).alias("name"),
+    )
+    mentions = m1.unionByName(m2)
+    matches = er_candidates(mentions, window=3, max_distance=2).where(
+        F.col("distance") <= 1
+    ).select("a", "b")
+    comp = connected_components(matches, a_col="a", b_col="b")
+    return (
+        mentions.join(
+            comp.withColumnRenamed("vertex", "entity_id"), "entity_id", "left"
+        )
+        .select(
+            "entity_id",
+            F.coalesce(F.col("component"), F.col("entity_id")).alias("canonical"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -2964,6 +3002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_betweenness": q_kg_betweenness,
         "kg_anf": q_kg_anf,
         "kg_densest": q_kg_densest,
+        "er_resolve": q_er_resolve,
         "dup_spans": q_dup_spans,
     }
 
@@ -6244,6 +6283,45 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank_w": _pagerank_w_sql(3),
         "kg_n2v_walks": _n2v_sql(3, 4, 2, 1, 0),
         "kg_betweenness": _betweenness_sql(3),
+        # the er_pairs formulation filtered to distance<=1, closed
+        # transitively (recursive CTE), least-labeled, mapped back over
+        # every mention
+        "er_resolve": """
+            WITH RECURSIVE ents AS MATERIALIZED (
+              SELECT doc_id * 2 AS entity_id,
+                     'entity ' || (doc_id % 500)::VARCHAR || ' corp' AS cn
+              FROM documents
+              UNION ALL
+              SELECT doc_id * 2 + 1,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN replace('entity ' || (doc_id % 500)::VARCHAR
+                                       || ' corp', 'corp', 'crop')
+                          ELSE 'entity ' || (doc_id % 500)::VARCHAR || ' corp'
+                     END
+              FROM documents
+            ), ranked AS (
+              SELECT entity_id, cn,
+                     row_number() OVER (ORDER BY cn, entity_id) - 1 AS rk
+              FROM ents
+            ), matches AS MATERIALIZED (
+              SELECT l.entity_id AS a, r.entity_id AS b
+              FROM ranked l JOIN ranked r
+                ON r.rk > l.rk AND r.rk - l.rk <= 3
+              WHERE levenshtein(l.cn, r.cn) <= 1
+            ), und AS MATERIALIZED (
+              SELECT a AS v, b AS w FROM matches
+              UNION SELECT b, a FROM matches
+            ), reach(v, w) AS (
+              SELECT v, w FROM und
+              UNION
+              SELECT r.v, u.w FROM reach r JOIN und u ON r.w = u.v
+            ), comp AS MATERIALIZED (
+              SELECT v, least(v, min(w)) AS component FROM reach GROUP BY v
+            )
+            SELECT e.entity_id,
+                   coalesce(c.component, e.entity_id) AS canonical
+            FROM ents e LEFT JOIN comp c ON e.entity_id = c.v
+        """,
         "kg_densest": """
             WITH e0 AS MATERIALIZED (
               SELECT DISTINCT least('hub' || ((doc_id*7)%61)::VARCHAR,

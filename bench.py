@@ -115,7 +115,8 @@ def main() -> None:
                  "schema_graph", "kg_closeness", "er_blocking",
                  "cc_incremental", "kg_louvain", "kg_clustering",
                  "kg_assortativity", "kg_pagerank_w", "kg_ktruss",
-                 "kg_n2v_walks", "kg_betweenness", "kg_anf", "kg_densest"]:
+                 "kg_n2v_walks", "kg_betweenness", "kg_anf", "kg_densest",
+                 "er_resolve"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the
