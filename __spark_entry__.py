@@ -2849,6 +2849,18 @@ def q_er_resolve(spark, sf_dir):
     )
 
 
+def q_dedup_jaccard_prefix(spark, sf_dir):
+    """PPJoin-style prefix-filtered exact Jaccard at t=0.8: rarest-first
+    global shingle order, only each set's (n - ceil(t*n) + 1)-prefix is
+    indexed, candidates verified on full sets. The ORACLE computes plain
+    all-shared-pairs Jaccard with NO prefix machinery — the filter's
+    losslessness is the checked property."""
+    from ontoweaver_spark.dedup import jaccard_pairs_prefix
+
+    _tune(spark)
+    return jaccard_pairs_prefix(_docs_spread(spark, sf_dir), threshold=0.8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -3003,6 +3015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_anf": q_kg_anf,
         "kg_densest": q_kg_densest,
         "er_resolve": q_er_resolve,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "dup_spans": q_dup_spans,
     }
 
@@ -4133,6 +4146,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b FROM star
         """,
         "dedup_jaccard": _shingle_sql(max_df=20) + """
+            SELECT l.doc_id AS a, r.doc_id AS b,
+                   floor(count(*)::DOUBLE /
+                         (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*))
+                         * 10000 + 0.5) / 10000 AS jaccard
+            FROM sh l
+            JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+            JOIN counts ca ON ca.doc_id = l.doc_id
+            JOIN counts cb ON cb.doc_id = r.doc_id
+            GROUP BY l.doc_id, r.doc_id
+            HAVING floor(count(*)::DOUBLE /
+                         (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*))
+                         * 10000 + 0.5) / 10000 >= 0.8
+        """,
+        # NO prefix logic here on purpose: plain all-shared-pairs
+        # jaccard >= 0.8 — checks the prefix filter drops nothing
+        "dedup_jaccard_prefix": _shingle_sql() + """
             SELECT l.doc_id AS a, r.doc_id AS b,
                    floor(count(*)::DOUBLE /
                          (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*))

@@ -992,3 +992,93 @@ def merge_components(
         merged, a_col=a_col, b_col=b_col,
         max_iterations=max_iterations, stats=stats,
     )
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact threshold Jaccard via PPJoin-style PREFIX FILTERING
+    (Chaudhuri et al. / Xiao et al.) -> ``(a, b, jaccard)`` — the same
+    output as ``jaccard_pairs(threshold=t)``, from a candidate set that
+    can be orders of magnitude smaller than the full inverted-index
+    join.
+
+    The pruning theorem: order the shingle universe globally
+    (rarest-first by (df, shingle)); for Jaccard >= t the intersection
+    satisfies ``|A∩B| >= t*|A|``, so the minimum-rank shared shingle
+    must sit within each set's first ``|S| - ceil(t*|S|) + 1`` shingles
+    — index ONLY those prefixes and every qualifying pair still
+    collides. At t=0.8 the prefix is ~20% of each set, cutting join
+    rows ~25x before any frequency cap; rarest-first ordering pushes
+    boilerplate shingles to the suffix where they are never indexed —
+    the hot-shingle O(df^2) blowup the plain index needs
+    ``max_shingle_df`` for largely disappears by construction.
+
+    Verification is exact: candidates join the FULL per-doc shingle
+    arrays and intersect partition-locally. The oracle for this
+    operator computes plain all-shared-pairs Jaccard with NO prefix
+    machinery, so the filter's LOSSLESSNESS is itself the checked
+    property.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError("prefix filtering needs a threshold in (0, 1]")
+    sh = df.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("shingle"),
+    ).distinct()
+    # global rarest-first order (rank via the lazy distributed zip-index
+    # over one range-partitioned sort — never a single-task window)
+    from .compiler import with_row_index
+
+    ranked_sh = with_row_index(
+        sh.groupBy("shingle").agg(F.count("*").alias("_df")).orderBy("_df", "shingle"),
+        "_rank",
+    ).select("shingle", "_rank").localCheckpoint(eager=False)
+
+    counted = sh.join(ranked_sh, "shingle")
+    n_sh = counted.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    # position of each shingle within its doc's rarest-first order
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("_rank")
+    positioned = (
+        counted.withColumn("_pos", F.row_number().over(w))
+        .join(n_sh, id_col)
+        .withColumn(
+            "_prefix_len",
+            F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1,
+        )
+    )
+    prefix = stats_reset_checkpoint(
+        positioned.where(F.col("_pos") <= F.col("_prefix_len")).select(
+            id_col, "shingle"
+        ),
+        eager=False,
+    )
+    cand = (
+        prefix.select(F.col(id_col).alias("a"), "shingle")
+        .join(prefix.select(F.col(id_col).alias("b"), "shingle"), "shingle")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sets_ = df.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    return (
+        cand.join(sets_.select(F.col(id_col).alias("a"), F.col("sh").alias("sa")), "a")
+        .join(sets_.select(F.col(id_col).alias("b"), F.col("sh").alias("sb")), "b")
+        .withColumn("_i", inter)
+        .select(
+            "a", "b",
+            round_ieee(
+                F.col("_i") / (F.size("sa") + F.size("sb") - F.col("_i")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -858,3 +858,72 @@ def test_densest_trace_matches_python(spark):
         for r in densest_subgraph(edges, epsilon_pct=25).collect()
     )
     assert trace == sorted(_py_densest_trace(el, 25))
+
+
+def _near_dup_corpus(spark):
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    words = base.split()
+    for i in range(40):
+        w = list(words)
+        w[i % len(w)] = f"tok{i}"
+        rows.append((i, " ".join(w)))
+    rows.append((100, " ".join(words)))        # exact of the base shape
+    rows.append((101, "completely different content about spark engines"))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_prefix_jaccard_equals_plain_inverted_index(spark):
+    """The prefix filter must be LOSSLESS: identical output to the full
+    inverted-index join at the same threshold."""
+    from ontoweaver_spark.dedup import jaccard_pairs, jaccard_pairs_prefix
+
+    docs = _near_dup_corpus(spark)
+    plain = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    pref = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in jaccard_pairs_prefix(docs, threshold=0.6).collect()
+    }
+    assert pref == plain
+    assert len(pref) > 10  # the corpus genuinely has near-dup pairs
+
+
+def test_prefix_jaccard_prunes_candidates(spark):
+    """At t=0.8 the prefix index is ~20% of shingles -> far fewer raw
+    candidate pairs than the full inverted-index join."""
+    from ontoweaver_spark.dedup import jaccard_pairs_prefix, shingles
+    from pyspark.sql import functions as F
+
+    docs = _near_dup_corpus(spark)
+    sh = docs.select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("s")).distinct()
+    full_pairs = (
+        sh.alias("l").join(sh.alias("r"), "s")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select("l.doc_id", "r.doc_id").distinct().count()
+    )
+    # reproduce the operator's internal candidate count at t=0.8
+    out = jaccard_pairs_prefix(docs, threshold=0.8)
+    # the output is a subset of candidates; the real assertion is
+    # correctness + that the index got smaller — measure prefix size
+    from ontoweaver_spark.compiler import with_row_index
+    ranked = with_row_index(
+        sh.groupBy("s").agg(F.count("*").alias("_df")).orderBy("_df", "s"), "_rank"
+    ).select("s", "_rank")
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy("_rank")
+    counted = sh.join(ranked, "s")
+    n = counted.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pos = counted.withColumn("_p", F.row_number().over(w)).join(n, "doc_id")
+    prefix = pos.where(
+        F.col("_p") <= F.col("n_sh") - F.ceil(F.lit(0.8) * F.col("n_sh")) + 1
+    )
+    pref_pairs = (
+        prefix.alias("l").join(prefix.alias("r"), "s")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select("l.doc_id", "r.doc_id").distinct().count()
+    )
+    assert pref_pairs < full_pairs / 3
+    assert out.count() >= 1
