@@ -2861,6 +2861,31 @@ def q_dedup_jaccard_prefix(spark, sf_dir):
     return jaccard_pairs_prefix(_docs_spread(spark, sf_dir), threshold=0.8)
 
 
+def q_kg_metapath(spark, sf_dir):
+    """Typed 2-hop metapath census over the labeled residue graph (4
+    node labels x 3 edge labels): instance counts + distinct endpoints
+    per (A)-[r1]->(B)-[r2]->(C) shape — the metapath2vec / KG-audit
+    schema signal one level deeper than schema_graph."""
+    from ontoweaver_spark.graphstats import metapath_counts
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    r = F.col("doc_id") % 500
+
+    def d(c):
+        return F.concat(F.lit("d"), c.cast("string"))
+
+    nodes = docs.select(
+        d(r).alias("id"), F.concat(F.lit("L"), (r % 4).cast("string")).alias("label")
+    ).distinct()
+    edges = docs.select(
+        d(r).alias("src"),
+        d((r * 3 + 1) % 500).alias("dst"),
+        F.concat(F.lit("rel"), (r % 3).cast("string")).alias("label"),
+    ).distinct()
+    return metapath_counts(nodes, edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -3016,6 +3041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_densest": q_kg_densest,
         "er_resolve": q_er_resolve,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "kg_metapath": q_kg_metapath,
         "dup_spans": q_dup_spans,
     }
 
@@ -6309,6 +6335,31 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY v
         """,
         "kg_louvain": _louvain_sql(2),
+        "kg_metapath": """
+            WITH nodes AS MATERIALIZED (
+              SELECT DISTINCT 'd' || (doc_id % 500) AS id,
+                     'L' || (doc_id % 500 % 4) AS label
+              FROM documents
+            ), e AS MATERIALIZED (
+              SELECT DISTINCT 'd' || (doc_id % 500) AS src,
+                     'd' || ((doc_id % 500 * 3 + 1) % 500) AS dst,
+                     'rel' || (doc_id % 500 % 3) AS label
+              FROM documents
+            ), two AS (
+              SELECT e1.src AS s, e1.label AS edge1, e1.dst AS m,
+                     e2.label AS edge2, e2.dst AS t
+              FROM e e1 JOIN e e2 ON e1.dst = e2.src
+            )
+            SELECT ns.label AS src_label, two.edge1, nm.label AS mid_label,
+                   two.edge2, nd.label AS dst_label,
+                   count(*) AS n_paths,
+                   count(DISTINCT two.s) AS n_src,
+                   count(DISTINCT two.t) AS n_dst
+            FROM two JOIN nodes ns ON two.s = ns.id
+                     JOIN nodes nm ON two.m = nm.id
+                     JOIN nodes nd ON two.t = nd.id
+            GROUP BY 1, 2, 3, 4, 5
+        """,
         "kg_pagerank_w": _pagerank_w_sql(3),
         "kg_n2v_walks": _n2v_sql(3, 4, 2, 1, 0),
         "kg_betweenness": _betweenness_sql(3),

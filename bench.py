@@ -116,7 +116,7 @@ def main() -> None:
                  "cc_incremental", "kg_louvain", "kg_clustering",
                  "kg_assortativity", "kg_pagerank_w", "kg_ktruss",
                  "kg_n2v_walks", "kg_betweenness", "kg_anf", "kg_densest",
-                 "er_resolve", "dedup_jaccard_prefix"]:
+                 "er_resolve", "dedup_jaccard_prefix", "kg_metapath"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the

@@ -2162,3 +2162,50 @@ def densest_subgraph(
     return spark.createDataFrame(
         trace, "round int, n_nodes long, n_edges long, density long"
     )
+
+
+def metapath_counts(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_hops: int = 2,
+) -> DataFrame:
+    """Typed 2-hop metapath census over the labeled KG ->
+    ``(src_label, edge1, mid_label, edge2, dst_label, n_paths,
+    n_src, n_dst)``: how many (A)-[r1]->(B)-[r2]->(C) instances each
+    typed path shape has — the schema-level signal heterogeneous-graph
+    embeddings (metapath2vec) and KG-quality audits start from, one
+    level deeper than :func:`schema_graph`'s single-edge quotient.
+
+    ``max_hops`` is fixed at 2 (the census of longer shapes explodes
+    combinatorially at the SCHEMA level, not just the instance level —
+    enumerate longer paths per-shape with graphquery.match_pattern).
+
+    Scale shape: one mid-node self-join of the edge list (the only
+    heavy join — keyed on the shared node id, hub fan-in bounded by the
+    count aggregate's map-side partials), three label-projection joins,
+    one tiny-key rollup.
+    """
+    if max_hops != 2:
+        raise ValueError("metapath census is defined for max_hops=2; "
+                         "use graphquery.match_pattern for longer shapes")
+    lab = nodes.select(F.col("id"), F.col("label"))
+    two = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
+        .select(
+            F.col("e1.src").alias("s"), F.col("e1.label").alias("edge1"),
+            F.col("e1.dst").alias("m"), F.col("e2.label").alias("edge2"),
+            F.col("e2.dst").alias("t"),
+        )
+    )
+    return (
+        two.join(lab.select(F.col("id").alias("s"), F.col("label").alias("src_label")), "s")
+        .join(lab.select(F.col("id").alias("m"), F.col("label").alias("mid_label")), "m")
+        .join(lab.select(F.col("id").alias("t"), F.col("label").alias("dst_label")), "t")
+        .groupBy("src_label", "edge1", "mid_label", "edge2", "dst_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_paths"),
+            F.count_distinct("s").alias("n_src"),
+            F.count_distinct("t").alias("n_dst"),
+        )
+    )

@@ -82,3 +82,30 @@ def test_schema_graph_drops_dangling(spark):
     )
     out = schema_graph(nodes, edges).collect()
     assert len(out) == 1 and out[0]["n_edges"] == 1
+
+
+def test_metapath_counts_hand_graph(spark):
+    from ontoweaver_spark.graphstats import metapath_counts
+
+    nodes = spark.createDataFrame(
+        [("p1", "person"), ("p2", "person"), ("c1", "city"), ("s1", "state")],
+        ["id", "label"],
+    )
+    edges = spark.createDataFrame(
+        [
+            ("p1", "c1", "lives_in"),
+            ("p2", "c1", "lives_in"),
+            ("c1", "s1", "in_state"),
+            ("p1", "p2", "knows"),
+        ],
+        ["src", "dst", "label"],
+    )
+    rows = {
+        (r["src_label"], r["edge1"], r["mid_label"], r["edge2"], r["dst_label"]):
+        (r["n_paths"], r["n_src"], r["n_dst"])
+        for r in metapath_counts(nodes, edges).collect()
+    }
+    assert rows == {
+        ("person", "lives_in", "city", "in_state", "state"): (2, 2, 1),
+        ("person", "knows", "person", "lives_in", "city"): (1, 1, 1),
+    }
