@@ -2886,6 +2886,153 @@ def q_kg_metapath(spark, sf_dir):
     return metapath_counts(nodes, edges)
 
 
+def q_kg_mis(spark, sf_dir):
+    """Luby maximal independent set over the sparse doc graph — the
+    parallel symmetry-breaker (which entity merges may apply
+    simultaneously). Deterministic md5 priorities make the randomized
+    algorithm a pure function of (graph, seed); the oracle replays the
+    same rounds as materialized CTEs with NOT EXISTS eliminations
+    instead of Spark's anti-joins."""
+    from ontoweaver_spark.graphstats import maximal_independent_set
+
+    _tune(spark)
+    return maximal_independent_set(_doc_graph(spark, sf_dir), rounds=14, seed=0)
+
+
+# block-local graph for the MSF query: 16-node blocks with two affine
+# intra-block edges per node, so Borůvka provably converges in <= 4
+# rounds (components at most halve from 16) and the selection
+# pseudo-forest flattens in <= 4 pointer jumps — the bound the unrolled
+# oracle mirrors. Weights are md5 of the canonical edge key.
+def _block_graph(spark, sf_dir):
+    from ontoweaver_spark.textops import md5_int
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    nb = (n // 16) * 16
+    i = F.col("doc_id").cast("long")
+    blk, j = i - (i % 16), i % 16
+
+    def node(c):
+        return F.concat(F.lit("n"), c.cast("string"))
+
+    base = docs.where(i < nb)
+    edges = base.select(
+        node(i).alias("src"), node(blk + (j * 3 + 1) % 16).alias("dst")
+    ).unionByName(
+        base.select(node(i).alias("src"), node(blk + (j * 7 + 2) % 16).alias("dst"))
+    ).where(F.col("src") != F.col("dst"))
+    w = md5_int(
+        F.concat_ws(
+            "|", F.lit("w"), F.least("src", "dst"), F.greatest("src", "dst")
+        )
+    )
+    return edges.withColumn("weight", w)
+
+
+def q_kg_msf(spark, sf_dir):
+    """Borůvka minimum spanning forest over the block-local graph:
+    unique forest under the (weight, src, dst) total order. The oracle
+    unrolls the same rounds — per-component arg_min on a padded
+    composite key, mutual-choice 2-cycle break, fixed pointer-doubling
+    — an independent formulation of each step."""
+    from ontoweaver_spark.graphstats import min_spanning_forest
+
+    _tune(spark)
+    return min_spanning_forest(_block_graph(spark, sf_dir), rounds=6, jump_rounds=8)
+
+
+def q_funnel(spark, sf_dir):
+    """Ordered view->click->purchase funnel per user with a 24h horizon
+    from the first view; earliest-completion semantics (greedy-earliest
+    is exact). Exact unix-microsecond stage timestamps; the oracle
+    derives each stage as a correlated min-aggregation CTE."""
+    from ontoweaver_spark.sessions import funnel
+
+    _tune(spark)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(
+        events, ["view", "click", "purchase"], horizon_minutes=1440
+    )
+
+
+_ENTAIL_SP = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
+_ENTAIL_DOM = "http://www.w3.org/2000/01/rdf-schema#domain"
+_ENTAIL_RNG = "http://www.w3.org/2000/01/rdf-schema#range"
+_ENTAIL_INV = "http://www.w3.org/2002/07/owl#inverseOf"
+_ENTAIL_SC = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+_ENTAIL_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+# exercises every ρdf rule plus the sp∘inverse∘sp interaction chain:
+# cites -> references -> relatedTo, cites -> citedBy (inv) -> referencedBy,
+# hasPart -> partOf (inv) -> containedIn -> range Composite.
+_ENTAIL_SCHEMA = [
+    ("cites", _ENTAIL_SP, "references"),
+    ("references", _ENTAIL_SP, "relatedTo"),
+    ("mentions", _ENTAIL_SP, "relatedTo"),
+    ("cites", _ENTAIL_INV, "citedBy"),
+    ("citedBy", _ENTAIL_SP, "referencedBy"),
+    ("hasPart", _ENTAIL_INV, "partOf"),
+    ("partOf", _ENTAIL_SP, "containedIn"),
+    ("cites", _ENTAIL_DOM, "Document"),
+    ("cites", _ENTAIL_RNG, "Work"),
+    ("containedIn", _ENTAIL_RNG, "Composite"),
+    ("relatedTo", _ENTAIL_DOM, "Entity"),
+    ("Document", _ENTAIL_SC, "Work"),
+    ("Work", _ENTAIL_SC, "Thing"),
+    ("Composite", _ENTAIL_SC, "Thing"),
+    ("Entity", _ENTAIL_SC, "Thing"),
+]
+
+
+def q_kg_entail(spark, sf_dir):
+    """ρdf + owl:inverseOf entailment materialization: close a synthetic
+    instance graph (5 predicates cycling over the docs, seeded types on
+    every 5th doc) under the 15-triple schema and emit ALL derivable
+    triples — entailed edges plus type assertions as rdf:type rows. The
+    oracle recomputes the property rewrite set with a RECURSIVE CTE over
+    the same signed property graph."""
+    from ontoweaver_spark.ontology import rdfs_entailment
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    i = F.col("doc_id").cast("long")
+
+    def ent(c):
+        return F.concat(F.lit("e"), c.cast("string"))
+
+    pred = (
+        F.when(i % 5 == 0, "cites")
+        .when(i % 5 == 1, "mentions")
+        .when(i % 5 == 2, "hasPart")
+        .when(i % 5 == 3, "derivedFrom")
+        .otherwise("partOf")
+    )
+    edges = docs.select(
+        ent(i).alias("subject"),
+        pred.alias("predicate"),
+        ent((i * 7 + 3) % n).alias("object"),
+    )
+    cls = (
+        F.when((i / 5).cast("long") % 3 == 0, "Document")
+        .when((i / 5).cast("long") % 3 == 1, "Entity")
+        .otherwise("Composite")
+    )
+    types = docs.where(i % 5 == 0).select(ent(i).alias("node"), cls.alias("cls"))
+    schema = spark.createDataFrame(
+        _ENTAIL_SCHEMA, "subject string, predicate string, object string"
+    )
+    ec, tc = rdfs_entailment(schema, edges, types)
+    return ec.unionByName(
+        tc.select(
+            F.col("node").alias("subject"),
+            F.lit(_ENTAIL_TYPE).alias("predicate"),
+            F.col("cls").alias("object"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -3043,6 +3190,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "kg_metapath": q_kg_metapath,
         "dup_spans": q_dup_spans,
+        "kg_mis": q_kg_mis,
+        "kg_msf": q_kg_msf,
+        "funnel_users": q_funnel,
+        "kg_entail": q_kg_entail,
     }
 
 
@@ -3890,6 +4041,231 @@ def _transe_sql(dim: int = 4, mod: int = 1000) -> str:
                (1 + sum(CASE WHEN cscore < score THEN 1 ELSE 0 END))::INT
                  AS rank
         FROM x GROUP BY head, rel, tail, score
+    """
+
+
+def _mis_sql(rounds: int = 14, seed: int = 0) -> str:
+    """Unrolled Luby MIS mirroring graphstats.maximal_independent_set
+    over the sparse doc graph: per round a min-over-active-neighbors
+    CTE, a winners CTE, and a NOT EXISTS survivor CTE (vs Spark's
+    anti-joins) — independent formulation, same deterministic rule."""
+    key = _SQL_MD5INT.format(x=f"'{seed}:' || node")
+    parts = [f"""
+    WITH raw AS (
+      {_doc_graph_sql()}
+    ), e AS MATERIALIZED (
+      SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM raw
+        UNION ALL SELECT dst AS a, src AS b FROM raw
+      ) WHERE a <> b
+    ), n0 AS MATERIALIZED (
+      SELECT node, lpad(({key})::VARCHAR, 20, '0') || node AS k
+      FROM (SELECT DISTINCT a AS node FROM e)
+    )"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""", nm{i} AS MATERIALIZED (
+      SELECT e.a AS node, min(b.k) AS mk
+      FROM e JOIN n{i - 1} b ON b.node = e.b
+      GROUP BY e.a
+    ), m{i} AS MATERIALIZED (
+      SELECT a.node, a.k FROM n{i - 1} a
+      LEFT JOIN nm{i} nm ON nm.node = a.node
+      WHERE nm.mk IS NULL OR a.k < nm.mk
+    ), n{i} AS MATERIALIZED (
+      SELECT a.node, a.k FROM n{i - 1} a
+      WHERE NOT EXISTS (SELECT 1 FROM m{i} w WHERE w.node = a.node)
+        AND NOT EXISTS (SELECT 1 FROM e JOIN m{i} w ON w.node = e.a
+                        WHERE e.b = a.node)
+    )""")
+    selects = [
+        f"SELECT node, {i} AS sel_round FROM m{i}" for i in range(1, rounds + 1)
+    ]
+    parts.append("\n    " + "\n    UNION ALL ".join(selects))
+    return "".join(parts)
+
+
+def _msf_sql(rounds: int = 4, jumps: int = 4) -> str:
+    """Unrolled Borůvka MSF mirroring graphstats.min_spanning_forest
+    over the 16-node block graph: per round an inter-component edge CTE,
+    an arg_min choice on the padded (weight,u,v) key, an EXISTS-based
+    mutual-2-cycle break (vs Spark's join + min-agg), and fixed
+    pointer-doubling. Block size 16 bounds rounds at 4 and pseudo-tree
+    depth at 16 (= 4 jumps)."""
+    w_key = _SQL_MD5INT.format(
+        x="'w|' || least(src, dst) || '|' || greatest(src, dst)"
+    )
+    parts = [f"""
+    WITH nn AS (SELECT (count(*) // 16) * 16 AS nb FROM documents),
+    raw AS (
+      SELECT 'n' || doc_id::VARCHAR AS src,
+             'n' || ((doc_id - doc_id % 16) + ((doc_id % 16) * 3 + 1) % 16)::VARCHAR AS dst
+      FROM documents, nn WHERE doc_id < nn.nb
+      UNION ALL
+      SELECT 'n' || doc_id::VARCHAR,
+             'n' || ((doc_id - doc_id % 16) + ((doc_id % 16) * 7 + 2) % 16)::VARCHAR
+      FROM documents, nn WHERE doc_id < nn.nb
+    ), e AS MATERIALIZED (
+      SELECT u, v, min(w) AS w FROM (
+        SELECT least(src, dst) AS u, greatest(src, dst) AS v, {w_key} AS w
+        FROM raw WHERE src <> dst)
+      GROUP BY u, v
+    ), c0 AS MATERIALIZED (
+      SELECT node, node AS comp FROM (
+        SELECT u AS node FROM e UNION SELECT v FROM e)
+    )"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""", ec{r} AS MATERIALIZED (
+      SELECT e.u, e.v, e.w, cu.comp AS cu, cv.comp AS cv
+      FROM e JOIN c{r - 1} cu ON cu.node = e.u
+             JOIN c{r - 1} cv ON cv.node = e.v
+      WHERE cu.comp <> cv.comp
+    ), ch{r} AS MATERIALIZED (
+      SELECT c, arg_min(oc, kk) AS oc, arg_min(u, kk) AS u,
+             arg_min(v, kk) AS v, arg_min(w, kk) AS w
+      FROM (SELECT *, lpad(w::VARCHAR, 20, '0') || u || '|' || v AS kk FROM (
+              SELECT cu AS c, cv AS oc, u, v, w FROM ec{r}
+              UNION ALL SELECT cv, cu, u, v, w FROM ec{r}))
+      GROUP BY c
+    ), par{r}_0 AS MATERIALIZED (
+      SELECT ac.c, coalesce(
+        CASE WHEN EXISTS (SELECT 1 FROM ch{r} x
+                          WHERE x.c = ch.oc AND x.oc = ch.c)
+                  AND ch.c < ch.oc
+             THEN ch.c ELSE ch.oc END, ac.c) AS p
+      FROM (SELECT DISTINCT comp AS c FROM c{r - 1}) ac
+      LEFT JOIN ch{r} ch ON ch.c = ac.c
+    )""")
+        for k in range(1, jumps + 1):
+            parts.append(f""", par{r}_{k} AS MATERIALIZED (
+      SELECT a.c, b.p FROM par{r}_{k - 1} a
+      JOIN par{r}_{k - 1} b ON b.c = a.p
+    )""")
+        parts.append(f""", c{r} AS MATERIALIZED (
+      SELECT n.node, pr.p AS comp FROM c{r - 1} n
+      JOIN par{r}_{jumps} pr ON pr.c = n.comp
+    )""")
+    selects = [
+        f"""SELECT u AS src, v AS dst, w AS weight, {r} AS msf_round
+    FROM (SELECT DISTINCT u, v, w FROM ch{r})"""
+        for r in range(1, rounds + 1)
+    ]
+    parts.append("\n    " + "\n    UNION ALL ".join(selects))
+    return "".join(parts)
+
+
+def _funnel_sql(horizon_minutes: int = 1440) -> str:
+    """Stage-by-stage correlated min CTEs mirroring sessions.funnel."""
+    h = horizon_minutes * 60 * 1_000_000
+    return f"""
+    WITH ev AS (
+      SELECT user_id AS u, event_type AS s, epoch_us(ts) AS t FROM events
+    ), s1 AS (
+      SELECT u, min(t) AS t_1 FROM ev WHERE s = 'view' GROUP BY u
+    ), s2 AS (
+      SELECT e.u, min(e.t) AS t_2 FROM ev e JOIN s1 ON s1.u = e.u
+      WHERE e.s = 'click' AND e.t > s1.t_1 AND e.t <= s1.t_1 + {h}
+      GROUP BY e.u
+    ), s3 AS (
+      SELECT e.u, min(e.t) AS t_3 FROM ev e
+      JOIN s1 ON s1.u = e.u JOIN s2 ON s2.u = e.u
+      WHERE e.s = 'purchase' AND e.t > s2.t_2 AND e.t <= s1.t_1 + {h}
+      GROUP BY e.u
+    )
+    SELECT s1.u AS "user",
+           1 + (s2.u IS NOT NULL)::INT + (s3.u IS NOT NULL)::INT
+             AS stages_completed,
+           s1.t_1, s2.t_2, s3.t_3
+    FROM s1 LEFT JOIN s2 ON s2.u = s1.u LEFT JOIN s3 ON s3.u = s1.u
+    """
+
+
+def _entail_sql() -> str:
+    """ρdf + inverseOf closure mirroring ontology.rdfs_entailment: the
+    property rewrite set as a RECURSIVE CTE over the signed property
+    graph ('~' = flipped orientation), then single joins for the
+    instance-side expansions — independent engine and formulation
+    (recursion vs path doubling)."""
+    values = ",\n      ".join(f"('{s}', '{p}', '{o}')" for s, p, o in _ENTAIL_SCHEMA)
+    return f"""
+    WITH RECURSIVE sch(s, p, o) AS (
+      SELECT * FROM (VALUES {values})
+    ), sp AS (SELECT s AS x, o AS y FROM sch WHERE p = '{_ENTAIL_SP}'),
+    inv AS (SELECT s AS x, o AS y FROM sch WHERE p = '{_ENTAIL_INV}'),
+    dm AS (SELECT s AS x, o AS y FROM sch WHERE p = '{_ENTAIL_DOM}'),
+    rg AS (SELECT s AS x, o AS y FROM sch WHERE p = '{_ENTAIL_RNG}'),
+    sc AS (SELECT s AS x, o AS y FROM sch WHERE p = '{_ENTAIL_SC}'),
+    signed AS (
+      SELECT x AS c, y AS pr FROM sp
+      UNION ALL SELECT '~' || x, '~' || y FROM sp
+      UNION ALL SELECT x, '~' || y FROM inv
+      UNION ALL SELECT '~' || x, y FROM inv
+      UNION ALL SELECT y, '~' || x FROM inv
+      UNION ALL SELECT '~' || y, x FROM inv
+    ),
+    reach(a, b) AS (
+      SELECT c, pr FROM signed
+      UNION
+      SELECT r.a, s2.pr FROM reach r JOIN signed s2 ON s2.c = r.b
+    ),
+    inst AS (
+      SELECT 'e' || doc_id::VARCHAR AS s,
+             CASE doc_id % 5 WHEN 0 THEN 'cites' WHEN 1 THEN 'mentions'
+                  WHEN 2 THEN 'hasPart' WHEN 3 THEN 'derivedFrom'
+                  ELSE 'partOf' END AS p,
+             'e' || ((doc_id * 7 + 3) %
+                     (SELECT count(*) FROM documents))::VARCHAR AS o
+      FROM documents
+    ),
+    props AS (
+      SELECT DISTINCT p FROM inst
+      UNION SELECT x FROM sp UNION SELECT y FROM sp
+      UNION SELECT x FROM inv UNION SELECT y FROM inv
+    ),
+    rew AS (
+      SELECT p, p AS q, 0 AS flip FROM props
+      UNION
+      SELECT regexp_replace(a, '^~', ''), regexp_replace(b, '^~', ''),
+             CASE WHEN (a LIKE '~%') <> (b LIKE '~%') THEN 1 ELSE 0 END
+      FROM reach
+    ),
+    ec AS MATERIALIZED (
+      SELECT DISTINCT
+        CASE WHEN r.flip = 0 THEN i.s ELSE i.o END AS subject,
+        r.q AS predicate,
+        CASE WHEN r.flip = 0 THEN i.o ELSE i.s END AS object
+      FROM inst i JOIN rew r ON r.p = i.p
+    ),
+    basety AS (
+      SELECT 'e' || doc_id::VARCHAR AS node,
+             CASE (doc_id // 5) % 3 WHEN 0 THEN 'Document'
+                  WHEN 1 THEN 'Entity' ELSE 'Composite' END AS cls
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    rawty AS (
+      SELECT node, cls FROM basety
+      UNION ALL SELECT ec.subject, d.y FROM ec JOIN dm d ON d.x = ec.predicate
+      UNION ALL SELECT ec.object, r2.y FROM ec JOIN rg r2 ON r2.x = ec.predicate
+    ),
+    screach(c, a) AS (
+      SELECT x, y FROM sc
+      UNION
+      SELECT r.c, s3.y FROM screach r JOIN sc s3 ON s3.x = r.a
+    ),
+    allcls AS (
+      SELECT DISTINCT cls AS c FROM rawty
+      UNION SELECT x FROM sc UNION SELECT y FROM sc
+    ),
+    scref AS (
+      SELECT c AS cls, c AS anc FROM allcls
+      UNION SELECT c, a FROM screach
+    ),
+    tyc AS (
+      SELECT DISTINCT t.node, s4.anc AS cls
+      FROM rawty t JOIN scref s4 ON s4.cls = t.cls
+    )
+    SELECT subject, predicate, object FROM ec
+    UNION ALL
+    SELECT node, '{_ENTAIL_TYPE}', cls FROM tyc
     """
 
 
@@ -6594,4 +6970,8 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 0.0 END AS assortativity
             FROM s
         """,
+        "kg_mis": _mis_sql(14, 0),
+        "kg_msf": _msf_sql(4, 4),
+        "funnel_users": _funnel_sql(1440),
+        "kg_entail": _entail_sql(),
     }

@@ -2209,3 +2209,240 @@ def metapath_counts(
             F.count_distinct("t").alias("n_dst"),
         )
     )
+
+
+def maximal_independent_set(
+    edges: DataFrame,
+    rounds: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed: int = 0,
+    require_convergence: bool = True,
+) -> DataFrame:
+    """Luby-style maximal independent set over the undirected simple
+    graph -> ``(node, sel_round)``: no two selected nodes are adjacent,
+    and every unselected node has a selected neighbor. Each round, an
+    ACTIVE node enters the set iff its priority key is strictly smaller
+    than every active neighbor's; winners and their neighbors then
+    deactivate. The priority is the 60-bit ``md5_int(seed ':' node)``
+    padded to a 20-char string with the node id appended — a total order,
+    so the classic randomized algorithm becomes a pure function of
+    (graph, seed) that a DuckDB oracle can replay round by round.
+
+    MIS is the standard parallel symmetry-breaker: a conflict-free
+    scheduling set for in-place graph mutations (e.g. which entity-merge
+    candidates may apply simultaneously without touching the same node).
+
+    Scale shape (10^12-edge KG): the symmetrized edge list materializes
+    once; each round is one join keyed on the neighbor + one min agg
+    (map-side partials absorb hub fan-in) + two anti-joins, all keyed on
+    node id. Luby's bound: O(log n) rounds with high probability — the
+    per-round survivor frame is stats-reset-checkpointed so Catalyst
+    re-estimates the shrinking actives instead of compounding. Raises
+    after ``rounds`` non-empty rounds when ``require_convergence`` (the
+    loud-failure convention shared with connected_components).
+    """
+    u, v = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.select(u.alias("a"), v.alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .unionAll(edges.select(v.alias("a"), u.alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    key = F.concat(
+        F.lpad(
+            md5_int(F.concat_ws(":", F.lit(str(seed)), F.col("node"))).cast("string"),
+            20,
+            "0",
+        ),
+        F.col("node"),
+    )
+    act = (
+        e.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("k", key)
+        .transform(stats_reset_checkpoint)
+    )
+    spark = edges.sparkSession
+    selected = spark.createDataFrame([], "node string, sel_round int")
+    for i in range(1, rounds + 1):
+        if act.isEmpty():
+            return selected
+        nbr_min = (
+            e.join(act.select(F.col("node").alias("b"), F.col("k").alias("bk")), "b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("bk").alias("mk"))
+        )
+        winners = (
+            act.join(nbr_min, "node", "left")
+            .where(F.col("mk").isNull() | (F.col("k") < F.col("mk")))
+            .select("node")
+            .transform(stats_reset_checkpoint)  # eager: reused by selected AND the two removals
+        )
+        selected = selected.unionByName(
+            winners.withColumn("sel_round", F.lit(i))
+        ).transform(lambda _d: stats_reset_checkpoint(_d, eager=False))
+        hit = e.join(winners.select(F.col("node").alias("a")), "a").select(
+            F.col("b").alias("node")
+        )
+        act = (
+            act.join(winners, "node", "left_anti")
+            .join(hit, "node", "left_anti")
+            .transform(stats_reset_checkpoint)
+        )
+    if require_convergence and not act.isEmpty():
+        raise RuntimeError(
+            f"maximal_independent_set: active nodes remain after {rounds} rounds; "
+            "raise `rounds` (Luby needs O(log n) w.h.p.)"
+        )
+    return selected
+
+
+def min_spanning_forest(
+    edges: DataFrame,
+    rounds: int = 10,
+    jump_rounds: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+    require_convergence: bool = True,
+) -> DataFrame:
+    """Borůvka minimum spanning forest -> the chosen edges
+    ``(src, dst, weight, msf_round)`` with ``src < dst`` canonical
+    orientation. Ties are broken by the lexicographic composite
+    ``(weight, src, dst)`` — a strict total order over edges, so the MSF
+    is UNIQUE and the algorithm is a pure function of the graph (the
+    classic distinct-weights argument, without requiring distinct
+    weights).
+
+    The KG use: a spanning forest is the cheapest skeleton that keeps
+    every entity cluster connected — the standard backbone extraction
+    for visualizing / sparsifying hub-dense co-mention graphs, and the
+    correctness core of single-linkage clustering over similarity edges
+    (cut the forest at a threshold = single-linkage dendrogram).
+
+    Borůvka round: every component selects its minimum incident
+    OUTGOING edge (components shrink >= 2x per round, so <= log2 n
+    rounds); the selected edges join the forest, and components contract
+    by pointer-doubling over the selection pseudo-forest (each root is a
+    mutual-choice 2-cycle, broken toward the smaller id — after the
+    break, parents form a forest whose depth pointer-doubling flattens
+    in <= log2(depth) inner jumps).
+
+    Scale shape (10^12-edge graph): each outer round is two
+    comp-relabel joins keyed on the node, one min_by aggregation keyed
+    on the component (map-side partials absorb hub fan-in), and the
+    inner doubling joins keyed on the component — every frame
+    stats-reset-checkpointed so Catalyst re-estimates the shrinking
+    actives. The per-round driver sync is one count on the REMAINING
+    inter-component edge set (the k_hop_neighborhood convention).
+    """
+    u, v, w = F.col(src_col), F.col(dst_col), F.col(weight_col)
+    e = (
+        edges.select(
+            F.least(u, v).alias("u"), F.greatest(u, v).alias("v"), w.alias("w")
+        )
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    comp = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .transform(stats_reset_checkpoint)
+    )
+    spark = edges.sparkSession
+    forest = spark.createDataFrame(
+        [], "src string, dst string, weight long, msf_round int"
+    )
+    order_key = F.struct(F.col("w"), F.col("u"), F.col("v"))
+    for i in range(1, rounds + 1):
+        ec = (
+            e.join(comp.select(F.col("node").alias("u"), F.col("comp").alias("cu")), "u")
+            .join(comp.select(F.col("node").alias("v"), F.col("comp").alias("cv")), "v")
+            .where(F.col("cu") != F.col("cv"))
+            .transform(stats_reset_checkpoint)  # eager: counted + two downstream uses
+        )
+        if ec.isEmpty():
+            return forest
+        sym = ec.select(
+            F.col("cu").alias("c"), F.col("cv").alias("oc"), "u", "v", "w"
+        ).unionByName(
+            ec.select(F.col("cv").alias("c"), F.col("cu").alias("oc"), "u", "v", "w")
+        )
+        choice = (
+            sym.groupBy("c")
+            .agg(
+                F.min_by(F.struct("oc", "u", "v", "w"), order_key).alias("pick")
+            )
+            .select("c", "pick.oc", "pick.u", "pick.v", "pick.w")
+            .transform(stats_reset_checkpoint)  # eager: forest + mutual probe + parent map
+        )
+        forest = forest.unionByName(
+            choice.select(
+                F.col("u").alias("src"),
+                F.col("v").alias("dst"),
+                F.col("w").alias("weight"),
+            )
+            .distinct()
+            .withColumn("msf_round", F.lit(i))
+        ).transform(lambda _d: stats_reset_checkpoint(_d, eager=False))
+        back = choice.select(F.col("oc").alias("c"), F.col("c").alias("oc2"))
+        parent = (
+            choice.join(back, ["c"], "left")
+            .select(
+                "c",
+                F.when(
+                    (F.col("oc2") == F.col("oc")) & (F.col("c") < F.col("oc")),
+                    F.col("c"),
+                )
+                .otherwise(F.col("oc"))
+                .alias("p"),
+            )
+            .groupBy("c")
+            .agg(F.min("p").alias("p"))
+        )
+        # components with no outgoing edge this round keep themselves
+        par = (
+            comp.select(F.col("comp").alias("c"))
+            .distinct()
+            .join(parent, "c", "left")
+            .select("c", F.coalesce("p", "c").alias("p"))
+            .transform(stats_reset_checkpoint)
+        )
+        for _ in range(jump_rounds):
+            hop = par.select(F.col("c").alias("p"), F.col("p").alias("pp"))
+            nxt = (
+                par.join(hop, "p")
+                .select("c", F.col("pp").alias("p"))
+                .transform(stats_reset_checkpoint)
+            )
+            changed = (
+                nxt.join(par.select("c", F.col("p").alias("old")), "c")
+                .where(F.col("p") != F.col("old"))
+                .isEmpty()
+            )
+            par = nxt
+            if changed:
+                break
+        else:
+            raise RuntimeError(
+                f"min_spanning_forest: pointer doubling not flat after "
+                f"{jump_rounds} jumps; raise jump_rounds"
+            )
+        comp = (
+            comp.join(par.select(F.col("c").alias("comp"), "p"), "comp")
+            .select("node", F.col("p").alias("comp"))
+            .transform(stats_reset_checkpoint)
+        )
+    if require_convergence:
+        raise RuntimeError(
+            f"min_spanning_forest: inter-component edges remain after {rounds} "
+            "Borůvka rounds; raise rounds (needs <= log2 n)"
+        )
+    return forest

@@ -313,3 +313,133 @@ def validate_edge_types(
             F.explode("_viol").alias("violation"),
         )
     )
+
+
+RDFS_SUBPROPERTYOF = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
+RDFS_DOMAIN = "http://www.w3.org/2000/01/rdf-schema#domain"
+RDFS_RANGE = "http://www.w3.org/2000/01/rdf-schema#range"
+OWL_INVERSEOF = "http://www.w3.org/2002/07/owl#inverseOf"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def rdfs_entailment(
+    schema: DataFrame,
+    edges: DataFrame,
+    types: DataFrame,
+    max_rounds: int = 12,
+):
+    """Materialize the ρdf entailment closure (subPropertyOf, domain,
+    range, subClassOf + ``owl:inverseOf``) over an instance graph ->
+    ``(edges_closed, types_closed)``: every derivable edge triple
+    ``(subject, predicate, object)`` and every derivable type assertion
+    ``(node, cls)``, base facts included.
+
+    This is the materialization dual of :func:`validate_edge_types` —
+    the reference checks instance edges against the OWL hierarchy
+    (``src/ontoweaver/owl.py:1-218``); web-scale KG construction usually
+    wants the inferred triples written out instead, so downstream
+    consumers query the closed graph without reasoning.
+
+    Inputs: ``schema`` is a (subject, predicate, object) frame of RDFS/OWL
+    vocabulary triples (config-sized, like an ontology file); ``edges``
+    holds instance triples with non-type predicates; ``types`` is
+    ``(node, cls)``.
+
+    Stratification makes one pass exact: edge rules (sp, inv) only
+    produce edge triples and type rules (dom, rng, sc) only produce type
+    triples, so closing properties FIRST, then applying dom/range to the
+    closed edge set, then closing classes, reaches the full fixpoint —
+    no instance-level iteration. The property rewrite set
+    ``REW(p, q, flip)`` ("a p-edge entails a q-edge, reversed iff flip")
+    is reachability over a signed property graph: ``p sp q`` preserves
+    orientation, ``p inv q`` flips it in BOTH directions. Flipped nodes
+    are encoded as ``'~' || property`` (property IRIs never start with
+    ``~``), and the reachability reuses :func:`subclass_closure` path
+    doubling.
+
+    Scale shape (10^12-triple KG): every fixpoint runs on the SCHEMA
+    (config-sized — broadcast); the instance side is exactly two
+    broadcast joins (REW onto edges, dom/rng + sc onto the results) and
+    the two distincts that set semantics require. No instance-level
+    iteration, no driver loop over data size.
+    """
+    s, p, o = F.col("subject"), F.col("predicate"), F.col("object")
+
+    def _sel(pred):
+        return schema.where(p == pred).select(s.alias("x"), o.alias("y")).distinct()
+
+    sp, inv = _sel(RDFS_SUBPROPERTYOF), _sel(OWL_INVERSEOF)
+    dom, rng = _sel(RDFS_DOMAIN), _sel(RDFS_RANGE)
+    sc = _sel(RDFS_SUBCLASSOF)
+
+    plus, minus = F.col("x"), F.concat(F.lit("~"), F.col("x"))
+    plus_y, minus_y = F.col("y"), F.concat(F.lit("~"), F.col("y"))
+    signed = (
+        sp.select(plus.alias("child"), plus_y.alias("parent"))
+        .unionByName(sp.select(minus.alias("child"), minus_y.alias("parent")))
+        .unionByName(inv.select(plus.alias("child"), minus_y.alias("parent")))
+        .unionByName(inv.select(minus.alias("child"), plus_y.alias("parent")))
+        .unionByName(inv.select(plus_y.alias("child"), minus.alias("parent")))
+        .unionByName(inv.select(minus_y.alias("child"), plus.alias("parent")))
+    )
+    props = (
+        edges.select(p.alias("prop"))
+        .unionByName(sp.select(F.col("x").alias("prop")))
+        .unionByName(sp.select(F.col("y").alias("prop")))
+        .unionByName(inv.select(F.col("x").alias("prop")))
+        .unionByName(inv.select(F.col("y").alias("prop")))
+        .distinct()
+    )
+    ident = props.select(
+        F.col("prop").alias("p"), F.col("prop").alias("q"), F.lit(0).alias("flip")
+    )
+    rew = ident
+    if not signed.isEmpty():
+        reach = subclass_closure(signed, max_rounds=max_rounds)
+        decoded = reach.select(
+            F.regexp_replace("descendant", "^~", "").alias("p"),
+            F.regexp_replace("ancestor", "^~", "").alias("q"),
+            (
+                F.startswith(F.col("descendant"), F.lit("~")).cast("int")
+                != F.startswith(F.col("ancestor"), F.lit("~")).cast("int")
+            ).cast("int").alias("flip"),
+        )
+        rew = ident.unionByName(decoded).distinct()
+
+    b_rew = F.broadcast(rew.select(F.col("p").alias("predicate"), "q", "flip"))
+    joined = edges.select("subject", "predicate", "object").join(b_rew, "predicate")
+    edges_closed = (
+        joined.select(
+            F.when(F.col("flip") == 0, s).otherwise(o).alias("subject"),
+            F.col("q").alias("predicate"),
+            F.when(F.col("flip") == 0, o).otherwise(s).alias("object"),
+        )
+        .distinct()
+    )
+
+    b_dom = F.broadcast(dom.select(F.col("x").alias("predicate"), F.col("y").alias("cls")))
+    b_rng = F.broadcast(rng.select(F.col("x").alias("predicate"), F.col("y").alias("cls")))
+    raw_types = (
+        types.select(F.col("node"), F.col("cls"))
+        .unionByName(edges_closed.join(b_dom, "predicate").select(s.alias("node"), "cls"))
+        .unionByName(edges_closed.join(b_rng, "predicate").select(o.alias("node"), "cls"))
+    )
+    classes = (
+        raw_types.select(F.col("cls").alias("c"))
+        .unionByName(sc.select(F.col("x").alias("c")))
+        .unionByName(sc.select(F.col("y").alias("c")))
+        .distinct()
+    )
+    sc_reflexive = classes.select(F.col("c").alias("cls"), F.col("c").alias("anc"))
+    if not sc.isEmpty():
+        sc_closed = subclass_closure(
+            sc.select(F.col("x").alias("child"), F.col("y").alias("parent")),
+            max_rounds=max_rounds,
+        ).select(F.col("descendant").alias("cls"), F.col("ancestor").alias("anc"))
+        sc_reflexive = sc_reflexive.unionByName(sc_closed)
+    types_closed = (
+        raw_types.join(F.broadcast(sc_reflexive), "cls")
+        .select("node", F.col("anc").alias("cls"))
+        .distinct()
+    )
+    return edges_closed, types_closed

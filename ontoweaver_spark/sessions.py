@@ -261,3 +261,71 @@ def snapshot_at(
         (F.col(from_col) <= a)
         & (F.col(to_col).isNull() | (F.col(to_col) > a))
     )
+
+
+def funnel(
+    events: DataFrame,
+    stages: list,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    horizon_minutes: int = None,
+) -> DataFrame:
+    """Ordered-funnel analysis -> one row per user who entered the funnel:
+    ``(user, stages_completed, t_stage1 .. t_stageK)`` as exact
+    ``unix_micros`` integers (NULL past the last completed stage).
+
+    Earliest-completion semantics, the standard product-analytics contract:
+    ``t_1`` is the user's first ``stages[0]`` event; ``t_k`` is the first
+    ``stages[k-1]`` event STRICTLY after ``t_{k-1}`` (and, with
+    ``horizon_minutes``, within that horizon of ``t_1``). Greedy earliest
+    matching is optimal here: taking the earliest possible event for each
+    stage can only leave more room for later stages, so a user completes
+    the funnel under this rule iff any ordered assignment exists.
+
+    Scale shape (10^12-event log): stage k is one filtered aggregation
+    ``min(ts) GROUP BY user`` joined to the survivors of stage k-1 — K-1
+    shuffles on the user key over strictly shrinking frames, never a
+    per-user event collect (a hub user with 10^8 events costs its
+    aggregation partials, not a row explosion). The raw event scan is
+    re-filtered per stage so stage predicates push down to the source.
+    """
+    if len(stages) < 2:
+        raise ValueError("funnel needs at least 2 stages")
+    # cast handles TIMESTAMP_NTZ inputs (parquet naive timestamps)
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = events.select(
+        F.col(user_col).alias("user"),
+        F.col(type_col).alias("stage"),
+        micros.alias("t"),
+    )
+    cur = (
+        ev.where(F.col("stage") == stages[0])
+        .groupBy("user")
+        .agg(F.min("t").alias("t_1"))
+    )
+    if horizon_minutes is not None:
+        cur = cur.withColumn(
+            "_deadline", F.col("t_1") + F.lit(horizon_minutes * 60_000_000)
+        )
+    for k, stage in enumerate(stages[1:], start=2):
+        nxt = (
+            ev.where(F.col("stage") == stage)
+            .join(cur.select("user", F.col(f"t_{k - 1}").alias("_prev"),
+                             *(["_deadline"] if horizon_minutes is not None else [])),
+                  "user")
+            .where(
+                (F.col("t") > F.col("_prev"))
+                if horizon_minutes is None
+                else (F.col("t") > F.col("_prev"))
+                & (F.col("t") <= F.col("_deadline"))
+            )
+            .groupBy("user")
+            .agg(F.min("t").alias(f"t_{k}"))
+        )
+        cur = cur.join(nxt, "user", "left")
+    t_cols = [f"t_{k}" for k in range(1, len(stages) + 1)]
+    reached = sum((F.col(c).isNotNull()).cast("int") for c in t_cols)
+    return cur.select(
+        "user", reached.alias("stages_completed"), *t_cols
+    )
