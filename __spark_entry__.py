@@ -2886,6 +2886,56 @@ def q_kg_metapath(spark, sf_dir):
     return metapath_counts(nodes, edges)
 
 
+def q_temporal_reach(spark, sf_dir):
+    """Time-respecting reachability over the sparse doc graph with
+    md5-free arithmetic edge timestamps (each edge usable only at its
+    crawl tick, waiting allowed): earliest discovery time per node from
+    the every-97th seeds, exactly 6 relaxation rounds — the unrolled
+    mode the oracle mirrors with per-round min-agg CTEs."""
+    from ontoweaver_spark.graphstats import temporal_reachability
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    i = F.col("doc_id").cast("long")
+
+    def node(c):
+        return F.concat(F.lit("n"), c.cast("string"))
+
+    parts = [
+        docs.select(
+            node(i).alias("src"),
+            node((i * p + c) % n).alias("dst"),
+            ((i * (17 + j) + 7 * j) % 240).alias("t"),
+        )
+        for j, (p, c) in enumerate(_DOC_GRAPH_PARAMS)
+    ]
+    edges = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    seeds = docs.where(i % 97 == 0).select(
+        node(i).alias("node"), F.lit(0).alias("start")
+    )
+    return temporal_reachability(edges, seeds, rounds=6)
+
+
+def q_cover_sources(spark, sf_dir):
+    """Greedy set cover: which 5 sources' word-BIGRAM vocabularies cover
+    the most of the corpus (single tokens are corpus-wide stopwords here
+    — one source covers everything, so bigrams are what discriminate).
+    Deterministic (gain DESC, source ASC) picks; the oracle replays the
+    same 5 rounds with ORDER BY ... LIMIT 1 argmax CTEs and NOT EXISTS
+    uncovered filters."""
+    from ontoweaver_spark.dedup import shingles
+    from ontoweaver_spark.sampling import greedy_cover
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    pairs = docs.select(
+        F.col("source").alias("set_id"),
+        F.explode(shingles(F.lower(F.col("text")), k=2)).alias("item"),
+    )
+    return greedy_cover(pairs, k=5)
+
+
 def q_kg_mis(spark, sf_dir):
     """Luby maximal independent set over the sparse doc graph — the
     parallel symmetry-breaker (which entity merges may apply
@@ -3194,6 +3244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_msf": q_kg_msf,
         "funnel_users": q_funnel,
         "kg_entail": q_kg_entail,
+        "temporal_reach": q_temporal_reach,
+        "cover_sources": q_cover_sources,
     }
 
 
@@ -4267,6 +4319,80 @@ def _entail_sql() -> str:
     UNION ALL
     SELECT node, '{_ENTAIL_TYPE}', cls FROM tyc
     """
+
+
+def _temporal_sql(rounds: int = 6) -> str:
+    """Unrolled time-respecting relaxation mirroring
+    graphstats.temporal_reachability over the timestamped doc graph."""
+    edge_selects = []
+    for j, (p, c) in enumerate(_DOC_GRAPH_PARAMS):
+        edge_selects.append(f"""SELECT 'n' || doc_id::VARCHAR AS u,
+             'n' || ((doc_id::BIGINT * {p} + {c}) %
+                     (SELECT count(*) FROM documents))::VARCHAR AS v,
+             (doc_id::BIGINT * {17 + j} + {7 * j}) % 240 AS t
+      FROM documents""")
+    parts = [f"""
+    WITH e AS MATERIALIZED (
+      {'''
+      UNION ALL
+      '''.join(edge_selects)}
+    ), a0 AS MATERIALIZED (
+      SELECT 'n' || doc_id::VARCHAR AS node, 0::BIGINT AS arrival
+      FROM documents WHERE doc_id % 97 = 0
+    )"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""", a{r} AS MATERIALIZED (
+      SELECT node, min(arrival) AS arrival FROM (
+        SELECT node, arrival FROM a{r - 1}
+        UNION ALL
+        SELECT e.v AS node, e.t AS arrival
+        FROM e JOIN a{r - 1} a ON a.node = e.u
+        WHERE e.t >= a.arrival
+      ) GROUP BY node
+    )""")
+    parts.append(f"\n    SELECT node, arrival FROM a{rounds}")
+    return "".join(parts)
+
+
+def _cover_sql(k: int = 5) -> str:
+    """Unrolled greedy set cover mirroring sampling.greedy_cover:
+    per round an ORDER BY gain DESC, set ASC LIMIT 1 argmax (vs Spark's
+    min_by struct) and a NOT EXISTS uncovered filter (vs anti-join)."""
+    parts = ["""
+    WITH toks AS (
+      SELECT source, doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token,
+             generate_subscripts(
+               regexp_split_to_array(trim(lower(text)), '\\s+'), 1) AS pos
+      FROM documents
+    ), p AS MATERIALIZED (
+      SELECT DISTINCT a.source AS s, a.token || ' ' || b.token AS i
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ), g1 AS (
+      SELECT s, count(*) AS g FROM p GROUP BY s
+    ), b1 AS MATERIALIZED (
+      SELECT s, g FROM g1 WHERE g > 0 ORDER BY g DESC, s ASC LIMIT 1
+    ), cov1 AS MATERIALIZED (
+      SELECT DISTINCT p.i FROM p JOIN b1 ON p.s = b1.s
+    )"""]
+    for r in range(2, k + 1):
+        parts.append(f""", g{r} AS (
+      SELECT s, count(*) AS g FROM p
+      WHERE NOT EXISTS (SELECT 1 FROM cov{r - 1} c WHERE c.i = p.i)
+      GROUP BY s
+    ), b{r} AS MATERIALIZED (
+      SELECT s, g FROM g{r} WHERE g > 0 ORDER BY g DESC, s ASC LIMIT 1
+    ), cov{r} AS MATERIALIZED (
+      SELECT i FROM cov{r - 1}
+      UNION SELECT p.i FROM p JOIN b{r} ON p.s = b{r}.s
+    )""")
+    selects = [
+        f"SELECT {r} AS pick_round, s AS set_id, g AS gain FROM b{r}"
+        for r in range(1, k + 1)
+    ]
+    parts.append("\n    " + "\n    UNION ALL ".join(selects))
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6974,4 +7100,6 @@ def oracle_sql() -> dict[str, str]:
         "kg_msf": _msf_sql(4, 4),
         "funnel_users": _funnel_sql(1440),
         "kg_entail": _entail_sql(),
+        "temporal_reach": _temporal_sql(6),
+        "cover_sources": _cover_sql(5),
     }

@@ -117,7 +117,8 @@ def main() -> None:
                  "kg_assortativity", "kg_pagerank_w", "kg_ktruss",
                  "kg_n2v_walks", "kg_betweenness", "kg_anf", "kg_densest",
                  "er_resolve", "dedup_jaccard_prefix", "kg_metapath",
-                 "kg_mis", "kg_msf", "funnel_users", "kg_entail"]:
+                 "kg_mis", "kg_msf", "funnel_users", "kg_entail",
+                 "temporal_reach", "cover_sources"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the

@@ -2446,3 +2446,68 @@ def min_spanning_forest(
             "Borůvka rounds; raise rounds (needs <= log2 n)"
         )
     return forest
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 6,
+    exact_rounds: bool = True,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    time_col: str = "t",
+) -> DataFrame:
+    """Time-respecting reachability -> ``(node, arrival)``: the earliest
+    time each node can be reached from the seed set when a path may only
+    use an edge whose timestamp is >= the arrival time at its source
+    (waiting is free). The crawl-lineage question: given link-discovery
+    edges stamped with crawl time, when could a URL first have been
+    discovered from the seeds?
+
+    ``seeds`` is ``(node, start)``. Each round relaxes one more hop:
+    ``arrival'(v) = min(arrival(v), min {t : (u,v,t), t >= arrival(u)})``.
+    The relaxation is monotone (arrivals only decrease), so with
+    ``exact_rounds=True`` the output after exactly ``rounds`` rounds is a
+    pure function of the input — the unrolled-oracle mode, reaching every
+    node whose optimal temporal path has <= ``rounds`` hops. With
+    ``exact_rounds=False`` it runs to the fixpoint ((count, sum) of the
+    arrival frame) and raises on round exhaustion, like shortest_paths.
+
+    Scale shape (10^12-edge crawl graph): each round is one join keyed
+    on the edge source + one min agg keyed on the destination — hub
+    fan-in lands in the agg's map-side partials. The arrival frame is
+    stats-reset-checkpointed per round (the compounding-estimates trap).
+    """
+    e = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v"),
+        F.col(time_col).cast("long").alias("t"),
+    ).localCheckpoint(eager=False)
+    arrival = (
+        seeds.select(F.col("node"), F.col("start").cast("long").alias("arrival"))
+        .groupBy("node")
+        .agg(F.min("arrival").alias("arrival"))
+        .transform(stats_reset_checkpoint)
+    )
+    prev = (-1, -1)
+    for r in range(rounds):
+        relax = (
+            e.join(arrival.select(F.col("node").alias("u"), "arrival"), "u")
+            .where(F.col("t") >= F.col("arrival"))
+            .select(F.col("v").alias("node"), F.col("t").alias("arrival"))
+        )
+        arrival = (
+            arrival.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("arrival").alias("arrival"))
+            .transform(stats_reset_checkpoint)
+        )
+        if not exact_rounds:
+            stats = arrival.agg(F.count("*").alias("n"), F.sum("arrival").alias("s")).first()
+            if (stats["n"], stats["s"]) == prev:
+                return arrival
+            prev = (stats["n"], stats["s"])
+    if not exact_rounds:
+        raise RuntimeError(
+            f"temporal_reachability: arrivals still relaxing after {rounds} rounds"
+        )
+    return arrival

@@ -317,3 +317,61 @@ def apportion_budget(
             .alias("quota"),
         )
     )
+
+
+def greedy_cover(
+    pairs: DataFrame,
+    k: int = 5,
+    set_col: str = "set_id",
+    item_col: str = "item",
+) -> DataFrame:
+    """Greedy weighted set cover -> ``(pick_round, set_id, gain)``: pick
+    up to ``k`` sets, each round the set covering the most NOT-yet-covered
+    items (ties -> smallest set id), stopping early when no set adds
+    anything. The classic (1 - 1/e) approximation — the crawl-seed
+    question: which k hosts' vocabularies cover the most of the corpus?
+
+    Deterministic by the (gain DESC, set_id ASC) total order, so a DuckDB
+    oracle can replay the same k rounds. A set is never re-picked: after a
+    pick its items are covered, so its residual gain is 0.
+
+    Scale shape (10^12-item corpus): ``covered`` stays a DISTRIBUTED
+    frame — each round is one anti-join (pairs vs covered, keyed on the
+    item) + one count agg keyed on the set + a single-row global argmax.
+    Driver traffic is exactly one row per round (the argmax), k <= dozens
+    — NOT a per-item collect. The covered frame is localCheckpoint-ed per
+    round so the growing union doesn't recompute.
+    """
+    p = (
+        pairs.select(
+            F.col(set_col).cast("string").alias("s"), F.col(item_col).alias("i")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    spark = pairs.sparkSession
+    covered = spark.createDataFrame([], p.select("i").schema)
+    picks = []
+    for r in range(1, k + 1):
+        gains = (
+            p.join(covered, "i", "left_anti")
+            .groupBy("s")
+            .agg(F.count("*").alias("g"))
+        )
+        # single-row argmax with (g DESC, s ASC) tie-break
+        best = gains.agg(
+            F.min_by(F.struct("s", "g"), F.struct((-F.col("g")).alias("ng"), F.col("s"))).alias("b")
+        ).select("b.s", "b.g").first()
+        if best is None or best["s"] is None or best["g"] == 0:
+            break
+        picks.append((r, best["s"], best["g"]))
+        covered = (
+            covered.unionByName(
+                p.where(F.col("s") == best["s"]).select("i")
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+    return spark.createDataFrame(
+        picks, "pick_round int, set_id string, gain long"
+    )
