@@ -415,6 +415,9 @@ def rdfs_entailment(
             F.when(F.col("flip") == 0, o).otherwise(s).alias("object"),
         )
         .distinct()
+        # consumed three times (returned + dom join + rng join): pin the
+        # instance-scale closure so the expansion runs once, not thrice
+        .localCheckpoint(eager=False)
     )
 
     b_dom = F.broadcast(dom.select(F.col("x").alias("predicate"), F.col("y").alias("cls")))
