@@ -276,3 +276,56 @@ def stream_upsert_graph(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_fetch_parse_join(
+    fetches: DataFrame,
+    parses: DataFrame,
+    url_col: str = "url",
+    fetch_ts_col: str = "fetch_ts",
+    parse_ts_col: str = "parse_ts",
+    max_lag: str = "10 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream INNER interval join: pair each fetch
+    event with the parse events for the same url that land within
+    ``max_lag`` AFTER the fetch — the crawl-pipeline correlation step
+    (did the fetched page get parsed, and how long did it take?).
+
+    Both sides carry a watermark and the join predicate bounds
+    ``parse_ts`` to ``[fetch_ts, fetch_ts + max_lag]``, which is what
+    lets Spark EVICT buffered state: a fetch older than
+    ``watermark + max_lag`` can never match a future parse, so the state
+    store stays bounded no matter how long the streams run — the
+    unbounded-state trap of an unconstrained stream-stream join is a
+    compile-time error avoided by construction here. Output rows append
+    as soon as both sides arrive (inner join; per Spark semantics a
+    fetch with no parse simply never emits — use the batch anti-join
+    audit for missing-parse detection).
+
+    Batch DataFrames run through the identical plan (watermark is a
+    no-op in batch), so the batch join is the oracle for the streamed
+    result on the same data.
+    """
+    from pyspark.sql import functions as F
+
+    f = fetches.withWatermark(fetch_ts_col, watermark).alias("f")
+    p = parses.withWatermark(parse_ts_col, watermark).alias("p")
+    lag_expr = f"INTERVAL {max_lag}"
+    cond = (
+        (F.col(f"f.{url_col}") == F.col(f"p.{url_col}"))
+        & (F.col(f"p.{parse_ts_col}") >= F.col(f"f.{fetch_ts_col}"))
+        & (
+            F.col(f"p.{parse_ts_col}")
+            <= F.col(f"f.{fetch_ts_col}") + F.expr(lag_expr)
+        )
+    )
+    return f.join(p, cond, "inner").select(
+        F.col(f"f.{url_col}").alias("url"),
+        F.col(f"f.{fetch_ts_col}").alias("fetch_ts"),
+        F.col(f"p.{parse_ts_col}").alias("parse_ts"),
+        (
+            F.unix_micros(F.col(f"p.{parse_ts_col}").cast("timestamp"))
+            - F.unix_micros(F.col(f"f.{fetch_ts_col}").cast("timestamp"))
+        ).alias("lag_us"),
+    )
