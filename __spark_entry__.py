@@ -3083,6 +3083,83 @@ def q_kg_entail(spark, sf_dir):
     )
 
 
+def q_kg_butterflies(spark, sf_dir):
+    """Exact butterfly (2x2 biclique) count of a doc-token-style
+    bipartite incidence graph (left = doc_id % 73, right =
+    (doc_id*13) % 97 — coprime asymmetric sides so the pivot-side
+    choice is exercised). One row (n_edges, butterflies);
+    the bipartite density signal of doc-feature co-occurrence."""
+    from ontoweaver_spark.graphstats import butterfly_count
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    bip = docs.select(
+        F.concat(F.lit("d"), (F.col("doc_id") % 73).cast("string")).alias("l"),
+        F.concat(F.lit("t"), ((F.col("doc_id") * 13) % 97).cast("string")).alias("r"),
+    )
+    return butterfly_count(bip)
+
+
+def q_kg_njaccard(spark, sf_dir):
+    """Neighborhood-Jaccard node similarity over a synthetic sparse
+    co-occurrence graph (u = doc_id % 41, v = (doc_id*7+1) % 43 -- coprime moduli so the incidence mixes):
+    pairs sharing >= 3 undirected neighbors, Jaccard as exact integer
+    ppm. The structural-equivalence 'probably the same entity'
+    signal."""
+    from ontoweaver_spark.graphstats import neighbor_jaccard
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    e = docs.select(
+        F.concat(F.lit("n"), (F.col("doc_id") % 41).cast("string")).alias("src"),
+        F.concat(F.lit("m"), ((F.col("doc_id") * 7 + 1) % 43).cast("string")).alias("dst"),
+    )
+    return neighbor_jaccard(e, min_common=3)
+
+
+def q_dag_reduce(spark, sf_dir):
+    """Transitive reduction of the chain+shortcut DAG (8-node chains
+    with a 0->4 shortcut per group, same family as dag_levels): the
+    shortcut edges are exactly the implied ones, so the reduction must
+    return the chains alone. Oracle derives it the long way — recursive
+    closure, compose, anti-join."""
+    from ontoweaver_spark.graphstats import transitive_reduction
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    cap = docs.agg((F.floor(F.count("*") / 8) * 8).alias("cap"))
+    d = docs.crossJoin(F.broadcast(cap)).where(F.col("doc_id") < F.col("cap"))
+    i = F.col("doc_id")
+    node = F.concat(F.lit("n"), i.cast("string"))
+    chain = d.where(i % 8 < 7).select(
+        node.alias("src"),
+        F.concat(F.lit("n"), (i + 1).cast("string")).alias("dst"),
+    )
+    shortcut = d.where(i % 8 == 0).select(
+        node.alias("src"),
+        F.concat(F.lit("n"), (i + 4).cast("string")).alias("dst"),
+    )
+    return transitive_reduction(chain.unionByName(shortcut))
+
+
+def q_skyline_docs(spark, sf_dir):
+    """Pareto frontier of documents maximizing (n_chars, an
+    md5-derived score): 'longest AND best — no arbitrary weights'
+    corpus selection. Restricted to every 3rd doc so the DuckDB
+    NOT-EXISTS oracle stays quadratic-small; the Spark side is the
+    two-phase partition/merge skyline."""
+    from ontoweaver_spark.sampling import skyline
+    from ontoweaver_spark.textops import md5_int
+
+    _tune(spark)
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % 3 == 0)
+        .withColumn("score", md5_int(F.col("text")) % 100000)
+    )
+    return skyline(docs, ["n_chars", "score"]).select("doc_id", "n_chars", "score")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -3246,6 +3323,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entail": q_kg_entail,
         "temporal_reach": q_temporal_reach,
         "cover_sources": q_cover_sources,
+        "kg_butterflies": q_kg_butterflies,
+        "kg_njaccard": q_kg_njaccard,
+        "dag_reduce": q_dag_reduce,
+        "skyline_docs": q_skyline_docs,
     }
 
 
@@ -7102,4 +7183,84 @@ def oracle_sql() -> dict[str, str]:
         "kg_entail": _entail_sql(),
         "temporal_reach": _temporal_sql(6),
         "cover_sources": _cover_sql(5),
+
+        "kg_butterflies": """
+            WITH e AS (
+              SELECT DISTINCT 'd' || (doc_id % 73)::VARCHAR AS l,
+                              't' || ((doc_id*13) % 97)::VARCHAR AS r
+              FROM documents
+            ), w AS (
+              SELECT a.l AS la, b.l AS lb, count(*) AS c
+              FROM e a JOIN e b ON a.r = b.r AND a.l < b.l
+              GROUP BY 1, 2
+            )
+            SELECT (SELECT count(*) FROM e) AS n_edges,
+                   coalesce((SELECT sum(c*(c-1)//2) FROM w), 0)::BIGINT AS butterflies
+        """,
+        "kg_njaccard": """
+            WITH e0 AS (
+              SELECT 'n' || (doc_id % 41)::VARCHAR AS src,
+                     'm' || ((doc_id*7+1) % 43)::VARCHAR AS dst
+              FROM documents
+            ), und AS (
+              SELECT DISTINCT x, y FROM (
+                SELECT src AS x, dst AS y FROM e0
+                UNION ALL SELECT dst, src FROM e0
+              ) WHERE x <> y
+            ), deg AS (
+              SELECT x, count(*) AS deg FROM und GROUP BY x
+            ), pairs AS (
+              SELECT a.x AS node_a, b.x AS node_b, count(*) AS common
+              FROM und a JOIN und b ON a.y = b.y AND a.x < b.x
+              GROUP BY 1, 2 HAVING count(*) >= 3
+            )
+            SELECT p.node_a, p.node_b, p.common,
+                   da.deg AS degree_a, db.deg AS degree_b,
+                   (p.common * 1000000) // (da.deg + db.deg - p.common) AS jaccard_ppm
+            FROM pairs p
+            JOIN deg da ON da.x = p.node_a
+            JOIN deg db ON db.x = p.node_b
+        """,
+        "dag_reduce": """
+            WITH RECURSIVE
+            cap AS (SELECT (count(*)//8)*8 AS c FROM documents),
+            d AS (SELECT doc_id FROM documents, cap WHERE doc_id < c),
+            e AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT 'n'||doc_id::VARCHAR AS src,
+                       'n'||(doc_id+1)::VARCHAR AS dst
+                FROM d WHERE doc_id % 8 < 7
+                UNION ALL
+                SELECT 'n'||doc_id::VARCHAR, 'n'||(doc_id+4)::VARCHAR
+                FROM d WHERE doc_id % 8 = 0
+              )
+            ),
+            r AS (
+              SELECT src, dst FROM e
+              UNION
+              SELECT r.src, e2.dst FROM r JOIN e e2 ON e2.src = r.dst
+            ),
+            via2 AS (
+              SELECT DISTINCT c1.src, c2.dst
+              FROM r c1 JOIN r c2 ON c1.dst = c2.src
+            )
+            SELECT e.src, e.dst FROM e
+            WHERE NOT EXISTS (
+              SELECT 1 FROM via2 v WHERE v.src = e.src AND v.dst = e.dst
+            )
+        """,
+        "skyline_docs": """
+            WITH d AS (
+              SELECT doc_id, n_chars,
+                     (('0x' || substr(md5(text), 1, 15))::BIGINT) % 100000 AS score
+              FROM documents
+              WHERE doc_id % 3 = 0 AND text IS NOT NULL AND n_chars IS NOT NULL
+            )
+            SELECT d.doc_id, d.n_chars, d.score FROM d
+            WHERE NOT EXISTS (
+              SELECT 1 FROM d o
+              WHERE o.n_chars >= d.n_chars AND o.score >= d.score
+                AND (o.n_chars > d.n_chars OR o.score > d.score)
+            )
+        """,
     }

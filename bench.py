@@ -118,7 +118,8 @@ def main() -> None:
                  "kg_n2v_walks", "kg_betweenness", "kg_anf", "kg_densest",
                  "er_resolve", "dedup_jaccard_prefix", "kg_metapath",
                  "kg_mis", "kg_msf", "funnel_users", "kg_entail",
-                 "temporal_reach", "cover_sources"]:
+                 "temporal_reach", "cover_sources", "kg_butterflies",
+                 "kg_njaccard", "dag_reduce", "skyline_docs"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the

@@ -2511,3 +2511,169 @@ def temporal_reachability(
             f"temporal_reachability: arrivals still relaxing after {rounds} rounds"
         )
     return arrival
+
+
+def butterfly_count(
+    edges: DataFrame, left_col: str = "l", right_col: str = "r"
+) -> DataFrame:
+    """Exact butterfly (2x2 biclique) count of a bipartite graph -> one
+    row ``(n_edges, butterflies)``. Butterflies are the bipartite
+    analogue of triangles — the density signal for doc-token / host-lang
+    incidence graphs (a butterfly = two docs sharing two tokens).
+
+    Wedge formula: butterflies = sum over pairs (a,b) on ONE side of
+    C(shared_neighbors, 2). The pair-generating self-join explodes
+    quadratically on hot pivot vertices, so the pivot side is CHOSEN:
+    both sides' total wedge counts (sum C(deg,2)) are computed in one
+    tiny aggregate and the join pivots on the side generating FEWER
+    wedges — the side-selection trick of exact butterfly counting
+    (Sanei-Mehri et al., KDD'18), worth orders of magnitude when one
+    side holds the hubs (every doc touches the hot token, but no doc
+    holds 10^8 tokens). The count is pivot-invariant, so the choice is
+    a pure physical decision; wedge pairs then flow through one
+    map-side-combined groupBy.
+    """
+    e = (
+        edges.select(
+            F.col(left_col).cast("string").alias("l"),
+            F.col(right_col).cast("string").alias("r"),
+        )
+        .where(F.col("l").isNotNull() & F.col("r").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    wl, wr = (
+        e.groupBy("l").agg(F.count("*").alias("d"))
+        .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w")),
+        e.groupBy("r").agg(F.count("*").alias("d"))
+        .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w")),
+    )
+    row = wl.crossJoin(wr.select(F.col("w").alias("w2"))).first()
+    pivot, other = ("r", "l") if (row["w"] or 0) > (row["w2"] or 0) else ("l", "r")
+    a = e.select(F.col(pivot).alias("p"), F.col(other).alias("a"))
+    b = e.select(F.col(pivot).alias("p"), F.col(other).alias("b"))
+    wedges = a.join(b, "p").where(F.col("a") < F.col("b"))
+    return (
+        wedges.groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.lit(None).alias("_"),  # keep agg non-empty under 0 wedges
+            F.coalesce(
+                F.sum((F.col("c") * (F.col("c") - 1) / 2).cast("long")), F.lit(0)
+            ).alias("butterflies"),
+        )
+        .crossJoin(e.agg(F.count("*").alias("n_edges")))
+        .select("n_edges", "butterflies")
+    )
+
+
+def neighbor_jaccard(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    min_common: int = 2,
+    max_degree: int | None = None,
+    min_jaccard_ppm: int = 0,
+) -> DataFrame:
+    """Node-pair similarity by UNDIRECTED neighborhood Jaccard ->
+    ``(node_a, node_b, common, degree_a, degree_b, jaccard_ppm)`` for
+    pairs sharing >= ``min_common`` neighbors (node_a < node_b). The
+    structural-equivalence signal behind "these two entities are
+    probably the same": near-identical neighborhoods.
+
+    ``jaccard_ppm`` is integer parts-per-million (``common * 1_000_000
+    DIV union``) — exact and engine-identical, where a float division
+    could differ in the last bit across engines and break hash checks.
+
+    Scale shape: the pair generator is a self-join on the shared
+    neighbor, which explodes as C(deg,2) on hub nodes — ``max_degree``
+    drops hub MIDPOINTS from the wedge step (a node adjacent to
+    everything certifies no similarity; the standard exact-similarity
+    mitigation, same role as the stop-shingle df cap in dedup.py). With
+    it set, degrees and the Jaccard denominator are computed on the
+    SAME capped neighbor frame, so the output is exactly "Jaccard of
+    the capped neighborhoods" — a well-defined, oracle-checkable
+    semantic rather than a silent approximation.
+    """
+    und = (
+        edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y"))
+        .unionAll(edges.select(F.col(dst_col), F.col(src_col)))
+        .where(F.col("x") != F.col("y"))
+        .distinct()
+    )
+    if max_degree is not None:
+        nbr_deg = und.groupBy("y").agg(F.count("*").alias("nd"))
+        und = (
+            und.join(nbr_deg.where(F.col("nd") <= max_degree), "y")
+            .select("x", "y")
+        )
+    und = und.localCheckpoint(eager=False)
+    deg = und.groupBy("x").agg(F.count("*").alias("deg"))
+    pairs = (
+        und.select(F.col("y"), F.col("x").alias("a"))
+        .join(und.select(F.col("y"), F.col("x").alias("b")), "y")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    out = (
+        pairs.join(deg.select(F.col("x").alias("a"), F.col("deg").alias("degree_a")), "a")
+        .join(deg.select(F.col("x").alias("b"), F.col("deg").alias("degree_b")), "b")
+        # BIGINT DIV: exact, engine-identical (float-divide-then-floor can
+        # land one off when the quotient sits on an integer boundary)
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("common * CAST(1000000 AS BIGINT) DIV (degree_a + degree_b - common)"),
+        )
+        .where(F.col("jaccard_ppm") >= min_jaccard_ppm)
+    )
+    return out.select(
+        F.col("a").alias("node_a"), F.col("b").alias("node_b"),
+        "common", "degree_a", "degree_b", "jaccard_ppm",
+    )
+
+
+def transitive_reduction(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Minimum equivalent DAG -> the input edges minus every edge
+    implied by a longer path: (u,v) is dropped iff some u -> x -> ... -> v
+    path of length >= 2 exists. The lineage / ontology cleanup op: a
+    crawl-derived subsumption graph is full of shortcut edges that
+    bloat every downstream closure and traversal.
+
+    Built from the closure, not per-edge search: one doubling-closure
+    (log-depth rounds, ontology.subclass_closure), one self-join
+    composing closure o closure = "reachable in >= 2 edges", one
+    left-anti join back to the edge list. All set-algebra on (src, dst)
+    pairs — no per-edge path probing, no driver loop over edges.
+    Input must be a DAG (same contract as hierarchy_levels; cycles make
+    transitive reduction non-unique and are the caller's error).
+    """
+    from .ontology import subclass_closure
+
+    e = (
+        edges.select(
+            F.col(src_col).cast("string").alias("src"),
+            F.col(dst_col).cast("string").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    closure = subclass_closure(
+        e, child_col="src", parent_col="dst", max_rounds=max_rounds
+    )
+    via2 = (
+        closure.select(F.col("descendant").alias("src"), F.col("ancestor").alias("m"))
+        .join(
+            closure.select(F.col("descendant").alias("m"), F.col("ancestor").alias("dst")),
+            "m",
+        )
+        .select("src", "dst")
+        .distinct()
+    )
+    return e.join(via2, ["src", "dst"], "left_anti")

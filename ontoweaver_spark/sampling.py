@@ -375,3 +375,72 @@ def greedy_cover(
     return spark.createDataFrame(
         picks, "pick_round int, set_id string, gain long"
     )
+
+
+def skyline(
+    df: DataFrame,
+    dim_cols: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pareto frontier (maximize every ``dim_cols``) -> the rows no other
+    row dominates. p dominates q iff p >= q on ALL dims and p > q on at
+    least one; rows equal on every dim are mutually undominated and all
+    kept. The corpus-curation selection "longest AND highest-quality AND
+    freshest — without picking arbitrary weights".
+
+    Two-phase distributed skyline (the classic partition/merge shape):
+    (1) per-partition local skyline via one Arrow-batched
+    ``mapInPandas`` over only (id + dims) — a global skyline point is
+    undominated everywhere, so it survives its own partition, making
+    skyline(data) == skyline(union of local skylines); (2) the
+    candidate union (log-factor sized for independent dims, NEVER the
+    full corpus) merges through the same kernel on one partition. The
+    wide row is never shuffled — survivors semi-join back by id.
+
+    The kernel sorts descending-lexicographically and scans with a
+    running frontier: a row is compared (vectorized) only against
+    current frontier points, O(n * |skyline|) instead of the naive
+    O(n^2) all-pairs that a pure-SQL NOT EXISTS would be.
+    """
+    import numpy as np
+    import pandas as pd
+
+    dims = list(dim_cols)
+    proj = df.select(
+        F.col(id_col).alias("_sk_id"),
+        *[F.col(c).cast("double").alias(c) for c in dims],
+    ).na.drop(subset=dims)
+    schema = proj.schema
+
+    def local_skyline(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values(dims, ascending=False, kind="mergesort").reset_index(
+            drop=True
+        )
+        vals = pdf[dims].to_numpy()
+        frontier: list[int] = []
+        fvals = np.empty((0, len(dims)))
+        keep = np.zeros(len(pdf), dtype=bool)
+        for i in range(len(pdf)):
+            v = vals[i]
+            if len(frontier):
+                # dominated iff some frontier point >= on all dims and > on one
+                ge = (fvals >= v).all(axis=1)
+                gt = (fvals > v).any(axis=1)
+                if bool((ge & gt).any()):
+                    continue
+            keep[i] = True
+            frontier.append(i)
+            fvals = np.vstack([fvals, v])
+        yield pdf.loc[keep]
+
+    local = proj.mapInPandas(local_skyline, schema=schema)
+    merged = local.repartition(1).mapInPandas(local_skyline, schema=schema)
+    return df.join(
+        merged.select(F.col("_sk_id").alias(id_col)).distinct(), id_col, "left_semi"
+    )

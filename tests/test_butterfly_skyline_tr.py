@@ -1,0 +1,142 @@
+"""Round-4 additions: butterfly counting, neighborhood Jaccard,
+transitive reduction, distributed skyline."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontoweaver_spark.graphstats import (
+    butterfly_count,
+    neighbor_jaccard,
+    transitive_reduction,
+)
+from ontoweaver_spark.sampling import skyline
+
+
+def test_butterfly_k22_is_one(spark):
+    # K_{2,2} is the butterfly itself
+    e = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")], "l string, r string"
+    )
+    row = butterfly_count(e).first()
+    assert (row["n_edges"], row["butterflies"]) == (4, 1)
+
+
+def test_butterfly_k23_and_duplicate_edges(spark):
+    # K_{2,3}: C(2,2)*C(3,2) = 3 butterflies; duplicate edges must not
+    # inflate the count (the op dedups first)
+    rows = [(l, r) for l in "ab" for r in "xyz"] + [("a", "x")] * 5
+    e = spark.createDataFrame(rows, "l string, r string")
+    row = butterfly_count(e).first()
+    assert (row["n_edges"], row["butterflies"]) == (6, 3)
+
+
+def test_butterfly_pivot_invariance(spark):
+    # asymmetric graph: 1 hub on the right touching 6 lefts plus a
+    # second shared right between two of them -> exactly C(2,2)=1
+    # butterfly regardless of which side the wedge join pivots on
+    rows = [(f"l{i}", "hub") for i in range(6)] + [("l0", "x"), ("l1", "x")]
+    e = spark.createDataFrame(rows, "l string, r string")
+    assert butterfly_count(e).first()["butterflies"] == 1
+    flipped = e.select(F.col("r").alias("l"), F.col("l").alias("r"))
+    assert butterfly_count(flipped).first()["butterflies"] == 1
+
+
+def test_butterfly_no_wedges_zero(spark):
+    e = spark.createDataFrame([("a", "x"), ("b", "y")], "l string, r string")
+    row = butterfly_count(e).first()
+    assert (row["n_edges"], row["butterflies"]) == (2, 0)
+
+
+def test_neighbor_jaccard_exact_values(spark):
+    # a-{x,y,z}, b-{x,y} (undirected): common(a,b)=2 via x,y;
+    # deg(a)=3, deg(b)=2, union=3 -> jaccard = 2/3 -> 666666 ppm
+    e = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("a", "z"), ("b", "x"), ("b", "y")],
+        "src string, dst string",
+    )
+    out = {
+        (r["node_a"], r["node_b"]): r
+        for r in neighbor_jaccard(e, min_common=2).collect()
+    }
+    r = out[("a", "b")]
+    assert (r["common"], r["degree_a"], r["degree_b"], r["jaccard_ppm"]) == (
+        2, 3, 2, 666666,
+    )
+    # x and y both neighbor {a,b}: jaccard 1.0
+    assert out[("x", "y")]["jaccard_ppm"] == 1_000_000
+
+
+def test_neighbor_jaccard_max_degree_drops_hub_midpoint(spark):
+    # hub h neighbors everything; with max_degree=2 the hub is removed
+    # from neighbor sets, so a,b share nothing
+    e = spark.createDataFrame(
+        [("a", "h"), ("b", "h"), ("c", "h")], "src string, dst string"
+    )
+    assert neighbor_jaccard(e, min_common=1, max_degree=2).count() == 0
+    assert neighbor_jaccard(e, min_common=1).count() == 3  # a,b,c pairwise via h
+
+
+def test_transitive_reduction_diamond(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "d"), ("a", "c"), ("c", "d"), ("a", "d")],
+        "src string, dst string",
+    )
+    kept = {(r["src"], r["dst"]) for r in transitive_reduction(e).collect()}
+    assert kept == {("a", "b"), ("b", "d"), ("a", "c"), ("c", "d")}
+
+
+def test_transitive_reduction_long_chain_shortcuts(spark):
+    # chain 0->1->...->9 plus shortcuts 0->5 and 2->9: only chain stays
+    chain = [(f"n{i}", f"n{i+1}") for i in range(9)]
+    e = spark.createDataFrame(
+        chain + [("n0", "n5"), ("n2", "n9")], "src string, dst string"
+    )
+    kept = {(r["src"], r["dst"]) for r in transitive_reduction(e).collect()}
+    assert kept == set(chain)
+
+
+def test_transitive_reduction_keeps_parallel_paths(spark):
+    # two INDEPENDENT edges into d (no implied path): nothing removed
+    e = spark.createDataFrame([("a", "d"), ("b", "d")], "src string, dst string")
+    assert transitive_reduction(e).count() == 2
+
+
+def _brute_skyline(points):
+    out = []
+    for p in points:
+        dominated = any(
+            all(q[i] >= p[i] for i in (1, 2)) and any(q[i] > p[i] for i in (1, 2))
+            for q in points
+        )
+        if not dominated:
+            out.append(p[0])
+    return sorted(out)
+
+
+def test_skyline_matches_bruteforce_multi_partition(spark):
+    # deterministic scatter; verified against the O(n^2) definition
+    points = [
+        (i, (i * 37) % 101, (i * 73) % 97) for i in range(300)
+    ]
+    df = spark.createDataFrame(points, "doc_id long, a long, b long").repartition(7)
+    got = sorted(
+        r["doc_id"] for r in skyline(df, ["a", "b"]).select("doc_id").collect()
+    )
+    assert got == _brute_skyline(points)
+
+
+def test_skyline_keeps_all_dim_ties(spark):
+    # two rows equal on every dim dominate nothing and are both kept
+    df = spark.createDataFrame(
+        [(1, 10, 10), (2, 10, 10), (3, 1, 1)], "doc_id long, a long, b long"
+    )
+    got = sorted(r["doc_id"] for r in skyline(df, ["a", "b"]).collect())
+    assert got == [1, 2]
+
+
+def test_skyline_single_dim_is_max(spark):
+    df = spark.createDataFrame(
+        [(i, i % 50) for i in range(200)], "doc_id long, v long"
+    )
+    got = sorted(r["doc_id"] for r in skyline(df, ["v"]).collect())
+    assert got == [i for i in range(200) if i % 50 == 49]
