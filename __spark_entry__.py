@@ -3160,6 +3160,24 @@ def q_skyline_docs(spark, sf_dir):
     return skyline(docs, ["n_chars", "score"]).select("doc_id", "n_chars", "score")
 
 
+def q_kg_wl(spark, sf_dir):
+    """1-WL color refinement (2 rounds) over the hub co-citation graph:
+    structural node fingerprints — equal colors = indistinguishable
+    radius-2 neighborhoods. The multiset fold is the commutative
+    sum/count hash (skew-safe on hubs), mirrored exactly by the
+    unrolled-CTE oracle."""
+    from ontoweaver_spark.graphstats import wl_colors
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+
+    def hub(m, p):
+        return F.concat(F.lit("hub"), ((F.col("doc_id") * m) % p).cast("string"))
+
+    cocite = docs.select(hub(7, 61).alias("src"), hub(11, 53).alias("dst"))
+    return wl_colors(cocite, rounds=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -3327,6 +3345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_njaccard": q_kg_njaccard,
         "dag_reduce": q_dag_reduce,
         "skyline_docs": q_skyline_docs,
+        "kg_wl": q_kg_wl,
     }
 
 
@@ -7262,5 +7281,43 @@ def oracle_sql() -> dict[str, str]:
               WHERE o.n_chars >= d.n_chars AND o.score >= d.score
                 AND (o.n_chars > d.n_chars OR o.score > d.score)
             )
+        """,
+        "kg_wl": """
+            WITH e0 AS (
+              SELECT 'hub'||((doc_id*7)%61)::VARCHAR AS u,
+                     'hub'||((doc_id*11)%53)::VARCHAR AS v
+              FROM documents
+            ), und AS (
+              SELECT DISTINCT u, v FROM (
+                SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+              ) WHERE u <> v
+            ), c0 AS (
+              SELECT DISTINCT u AS node,
+                     ('0x'||substr(md5('wl0'),1,15))::BIGINT AS color
+              FROM und
+            ), f1 AS (
+              SELECT und.u AS node,
+                     sum(c.color % 2147483647)::BIGINT AS msum,
+                     count(*) AS mcnt
+              FROM und JOIN c0 c ON c.node = und.v GROUP BY 1
+            ), c1 AS (
+              SELECT c0.node,
+                     ('0x'||substr(md5(c0.color::VARCHAR || '|' ||
+                         coalesce(f1.msum, 0)::VARCHAR || '|' ||
+                         coalesce(f1.mcnt, 0)::VARCHAR), 1, 15))::BIGINT AS color
+              FROM c0 LEFT JOIN f1 ON f1.node = c0.node
+            ), f2 AS (
+              SELECT und.u AS node,
+                     sum(c.color % 2147483647)::BIGINT AS msum,
+                     count(*) AS mcnt
+              FROM und JOIN c1 c ON c.node = und.v GROUP BY 1
+            ), c2 AS (
+              SELECT c1.node,
+                     ('0x'||substr(md5(c1.color::VARCHAR || '|' ||
+                         coalesce(f2.msum, 0)::VARCHAR || '|' ||
+                         coalesce(f2.mcnt, 0)::VARCHAR), 1, 15))::BIGINT AS color
+              FROM c1 LEFT JOIN f2 ON f2.node = c1.node
+            )
+            SELECT node, color FROM c2
         """,
     }

@@ -1082,3 +1082,45 @@ def jaccard_pairs_prefix(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def suggest_bands(
+    threshold: float,
+    num_hashes: int,
+) -> dict:
+    """Pick the (bands, rows) factorization of ``num_hashes`` whose LSH
+    S-curve threshold ``(1/b)^(1/r)`` lands closest to the requested
+    Jaccard ``threshold`` — the knob-setting step before
+    :func:`minhash_candidates` that is otherwise folklore ("b=16, r=8,
+    trust me"). Returns ``{"bands", "rows", "curve_threshold",
+    "p_at_threshold"}`` where ``p_at_threshold = 1-(1-t^r)^b`` is the
+    candidate probability AT the requested threshold (should be near
+    0.5; far off means num_hashes can't express this threshold — raise
+    it).
+
+    Driver-side closed form over the O(d(num_hashes)) divisors —
+    nothing distributed; the output feeds the distributed op's
+    parameters. Mirrors the standard MMDS ch.3 analysis.
+    """
+    if not 0 < threshold < 1:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    if num_hashes < 2:
+        raise ValueError(f"num_hashes must be >= 2, got {num_hashes}")
+    best = None
+    for r in range(1, num_hashes + 1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        if b < 1:
+            continue
+        t = (1.0 / b) ** (1.0 / r) if b > 1 else 1.0
+        if best is None or abs(t - threshold) < abs(best[0] - threshold):
+            best = (t, b, r)
+    t, b, r = best
+    p = 1.0 - (1.0 - threshold ** r) ** b
+    return {
+        "bands": b,
+        "rows": r,
+        "curve_threshold": round(t, 4),
+        "p_at_threshold": round(p, 4),
+    }

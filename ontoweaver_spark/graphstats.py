@@ -2677,3 +2677,64 @@ def transitive_reduction(
         .distinct()
     )
     return e.join(via2, ["src", "dst"], "left_anti")
+
+
+def wl_colors(
+    edges: DataFrame,
+    rounds: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """1-dimensional Weisfeiler-Leman color refinement -> ``(node,
+    color)``: every node's color is a 60-bit hash of its radius-r
+    neighborhood structure. Nodes with equal colors are structurally
+    indistinguishable at depth r — the classic structural fingerprint
+    for "same role in the graph" dedup/blocking and graph-isomorphism
+    screening (round 1 separates by degree, round 2 by degree-of-
+    neighbors multiset, ...).
+
+    The per-round multiset of neighbor colors is folded with a
+    COMMUTATIVE hash — sum of (md5-int mod 2^31-1) plus the count —
+    instead of the textbook sort-and-concatenate: a hub with 10^8
+    neighbors would otherwise collect a gigabyte string in one task,
+    while a sum/count pair aggregates map-side with bounded state and
+    no skew hazard (values < 2^31 keep the BIGINT sum exact up to
+    ~2^32-degree hubs; commutativity makes the result independent of
+    partitioning and aggregation order, so it hash-matches a SQL
+    oracle). The trade is hash strength — a sum can collide where the
+    sorted multiset would not — acceptable for a refinement heuristic
+    and documented here.
+    """
+    und = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .unionAll(edges.select(F.col(dst_col), F.col(src_col)))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = und.select(F.col("u").alias("node")).distinct()
+    colors = nodes.withColumn("color", md5_int(F.lit("wl0")))
+    for _ in range(rounds):
+        nbr = und.join(
+            colors.select(F.col("node").alias("v"), F.col("color").alias("nc")), "v"
+        )
+        folded = nbr.groupBy(F.col("u").alias("node")).agg(
+            F.sum(F.pmod(F.col("nc"), F.lit(2147483647))).alias("msum"),
+            F.count("*").alias("mcnt"),
+        )
+        colors = (
+            colors.join(folded, "node", "left")
+            .select(
+                "node",
+                md5_int(
+                    F.concat_ws(
+                        "|",
+                        F.col("color").cast("string"),
+                        F.coalesce(F.col("msum"), F.lit(0)).cast("string"),
+                        F.coalesce(F.col("mcnt"), F.lit(0)).cast("string"),
+                    )
+                ).alias("color"),
+            )
+            .transform(lambda d: stats_reset_checkpoint(d, eager=False))
+        )
+    return colors

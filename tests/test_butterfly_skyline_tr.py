@@ -140,3 +140,54 @@ def test_skyline_single_dim_is_max(spark):
     )
     got = sorted(r["doc_id"] for r in skyline(df, ["v"]).collect())
     assert got == [i for i in range(200) if i % 50 == 49]
+
+
+from ontoweaver_spark.graphstats import wl_colors
+from ontoweaver_spark.dedup import suggest_bands
+
+
+def test_wl_separates_by_neighbor_structure_at_round2(spark):
+    # star s-(l1,l2,l3) plus l1-t: l2,l3,t are all degree-1 (same color
+    # after round 1) but t hangs off a degree-2 node while l2,l3 hang
+    # off the degree-3 hub -> round 2 separates t from l2,l3
+    e = spark.createDataFrame(
+        [("s", "l1"), ("s", "l2"), ("s", "l3"), ("l1", "t")],
+        "src string, dst string",
+    )
+    c1 = {r["node"]: r["color"] for r in wl_colors(e, rounds=1).collect()}
+    assert c1["l2"] == c1["l3"] == c1["t"]
+    c2 = {r["node"]: r["color"] for r in wl_colors(e, rounds=2).collect()}
+    assert c2["l2"] == c2["l3"]
+    assert c2["t"] != c2["l2"]
+    # symmetric nodes stay equal at every depth
+    assert c2["l2"] == c2["l3"]
+
+
+def test_wl_triangle_stays_uniform(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    colors = {r["color"] for r in wl_colors(e, rounds=3).collect()}
+    assert len(colors) == 1
+
+
+def test_wl_partition_invariant(spark):
+    rows = [(f"n{i}", f"n{(i * 7 + 1) % 23}") for i in range(60)]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    a = {(r["node"], r["color"]) for r in wl_colors(e.repartition(1), rounds=2).collect()}
+    b = {(r["node"], r["color"]) for r in wl_colors(e.repartition(13), rounds=2).collect()}
+    assert a == b
+
+
+def test_suggest_bands_factorizes_and_targets_threshold():
+    out = suggest_bands(0.8, 128)
+    assert out["bands"] * out["rows"] == 128
+    assert abs(out["curve_threshold"] - 0.8) < 0.15
+    assert 0.1 < out["p_at_threshold"] < 0.95
+    # a low threshold wants many bands / few rows; high wants the reverse
+    lo, hi = suggest_bands(0.3, 128), suggest_bands(0.95, 128)
+    assert lo["bands"] > hi["bands"]
+    with pytest.raises(ValueError):
+        suggest_bands(1.5, 128)
+    with pytest.raises(ValueError):
+        suggest_bands(0.5, 1)
