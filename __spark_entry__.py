@@ -3178,6 +3178,29 @@ def q_kg_wl(spark, sf_dir):
     return wl_colors(cocite, rounds=2)
 
 
+def q_media_image(spark, sf_dir):
+    """Image feature extraction over the deterministic synthetic media
+    table (Arrow-batched mapInPandas; payloads are non-image bytes, so
+    EVERY environment takes the marked deterministic stub — Pillow, if
+    present, raises on the junk payload and falls through — making the
+    md5-derived features oracle-checkable)."""
+    from ontoweaver_spark.multimodal import image_features, synthetic_media
+
+    _tune(spark)
+    return image_features(synthetic_media(spark, 2000, seed=42))
+
+
+def q_media_audio(spark, sf_dir):
+    """Audio feature extraction over the synthetic media table: payloads
+    are not RIFF/WAVE, so the deterministic stub path fires everywhere
+    (2 bytes/sample at the metadata sample rate, hash loudness); the
+    mapInPandas batch plumbing is the production shape."""
+    from ontoweaver_spark.multimodal import audio_features, synthetic_media
+
+    _tune(spark)
+    return audio_features(synthetic_media(spark, 2000, seed=42))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -3346,6 +3369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dag_reduce": q_dag_reduce,
         "skyline_docs": q_skyline_docs,
         "kg_wl": q_kg_wl,
+        "media_image": q_media_image,
+        "media_audio": q_media_audio,
     }
 
 
@@ -7319,5 +7344,40 @@ def oracle_sql() -> dict[str, str]:
               FROM c1 LEFT JOIN f2 ON f2.node = c1.node
             )
             SELECT node, color FROM c2
+        """,
+        "media_image": """
+            WITH m AS (
+              SELECT id AS media_id, 'payload-' || md5(id::VARCHAR || '42') AS s
+              FROM range(2000) t(id) WHERE id % 3 = 0
+            ), h AS (
+              SELECT media_id, md5(s) AS hx, length(s) AS n_bytes FROM m
+            ), u AS (
+              SELECT *, ('0x'||substr(hx,9,8))::BIGINT::HUGEINT * 4294967296 +
+                        ('0x'||substr(hx,17,8))::BIGINT AS uv
+              FROM h
+            )
+            SELECT media_id,
+                   16 + ('0x'||substr(hx,1,2))::INT AS width,
+                   16 + ('0x'||substr(hx,3,2))::INT AS height,
+                   n_bytes::INT AS n_bytes,
+                   (CASE WHEN uv >= 9223372036854775808::HUGEINT
+                         THEN uv - 18446744073709551616::HUGEINT
+                         ELSE uv END)::BIGINT AS phash,
+                   round(('0x'||substr(hx,5,2))::INT / 255.0, 4) AS brightness
+            FROM u
+        """,
+        "media_audio": """
+            WITH m AS (
+              SELECT id AS media_id, 'payload-' || md5(id::VARCHAR || '42') AS s
+              FROM range(2000) t(id) WHERE id % 3 = 1
+            ), h AS (
+              SELECT media_id, md5(s) AS hx, length(s) AS n_bytes FROM m
+            )
+            SELECT media_id,
+                   16000 AS sample_rate,
+                   n_bytes::INT AS n_bytes,
+                   round(n_bytes / 32000.0, 4) AS duration_s,
+                   round(('0x'||substr(hx,7,2))::INT / 255.0, 4) AS loudness
+            FROM h
         """,
     }
