@@ -3178,6 +3178,56 @@ def q_kg_wl(spark, sf_dir):
     return wl_colors(cocite, rounds=2)
 
 
+def q_kg_coreness(spark, sf_dir):
+    """Full core decomposition of the hub co-citation graph via 3
+    h-index rounds (fixpoint measured at <= 2 rounds on both test
+    scales; histogram-folded h-index, no per-neighbor windows) —
+    the per-entity density rank of the web KG."""
+    from ontoweaver_spark.graphstats import core_numbers
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+
+    def hub(m, p):
+        return F.concat(F.lit("hub"), ((F.col("doc_id") * m) % p).cast("string"))
+
+    cocite = docs.select(hub(7, 61).alias("src"), hub(11, 53).alias("dst"))
+    return core_numbers(cocite, exact_rounds=3)
+
+
+def _coreness_sql(rounds: int) -> str:
+    """Unrolled h-index core-decomposition rounds over the hub graph."""
+    parts = ["""
+        WITH e0 AS (
+          SELECT 'hub'||((doc_id*7)%61)::VARCHAR AS a,
+                 'hub'||((doc_id*11)%53)::VARCHAR AS b
+          FROM documents
+        ), eu AS (
+          SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v FROM e0 WHERE a <> b
+        ), und AS (
+          SELECT u, v FROM eu UNION ALL SELECT v, u FROM eu
+        ), est0 AS (
+          SELECT u AS node, count(*)::BIGINT AS est FROM und GROUP BY 1
+        )"""]
+    for r in range(rounds):
+        parts.append(f""", hist{r} AS (
+          SELECT und.u AS node, e.est AS e, count(*) AS c
+          FROM und JOIN est{r} e ON e.node = und.v GROUP BY 1, 2
+        ), hidx{r} AS (
+          SELECT node, max(least(e, cum)) AS h FROM (
+            SELECT node, e, sum(c) OVER (
+              PARTITION BY node ORDER BY e DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM hist{r}
+          ) GROUP BY node
+        ), est{r + 1} AS (
+          SELECT e.node, least(e.est, coalesce(h.h, 0))::BIGINT AS est
+          FROM est{r} e LEFT JOIN hidx{r} h USING (node)
+        )""")
+    parts.append(f"\nSELECT node, est AS coreness FROM est{rounds}")
+    return "".join(parts)
+
+
 def q_media_image(spark, sf_dir):
     """Image feature extraction over the deterministic synthetic media
     table (Arrow-batched mapInPandas; payloads are non-image bytes, so
@@ -3371,6 +3421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_wl": q_kg_wl,
         "media_image": q_media_image,
         "media_audio": q_media_audio,
+        "kg_coreness": q_kg_coreness,
     }
 
 
@@ -7380,4 +7431,5 @@ def oracle_sql() -> dict[str, str]:
                    round(('0x'||substr(hx,7,2))::INT / 255.0, 4) AS loudness
             FROM h
         """,
+        "kg_coreness": _coreness_sql(3),
     }

@@ -2738,3 +2738,83 @@ def wl_colors(
             .transform(lambda d: stats_reset_checkpoint(d, eager=False))
         )
     return colors
+
+
+def core_numbers(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    exact_rounds: int | None = None,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """FULL core decomposition -> ``(node, coreness)`` for every node of
+    the undirected simple graph (complements :func:`k_core`, which
+    extracts one fixed-k core): the density profile a web-KG curation
+    pass ranks every entity by, not just thresholds.
+
+    Distributed h-index iteration (Montresor-De Pellegrini-Miorandi):
+    start at est = degree; each round replaces est with the h-index of
+    the neighbors' ests (max h with >= h neighbors at est >= h). The
+    sequence is monotone non-increasing and converges exactly to the
+    core number — no peeling order, no driver-side loop over k.
+
+    Skew shape: the h-index is NOT computed by ranking each node's
+    neighbor list (a hub would drag 10^8 rows through one window
+    partition). Instead neighbor ests aggregate to (node, est, count)
+    histograms first — per-node rows bounded by DISTINCT est values
+    (<= max coreness, tiny), with the heavy fan-in absorbed by map-side
+    partial counts — then one small cumulative window over the
+    histogram yields h = max(min(est, #nbrs_at_est_or_above)).
+
+    ``exact_rounds=r`` runs exactly r rounds (the oracle-unroll mode,
+    same contract as k_core); default runs to fixpoint and raises
+    loudly past ``max_rounds``.
+    """
+    u, v = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    und = (
+        und.select("u", "v")
+        .unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    est = und.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("est")
+    ).transform(stats_reset_checkpoint)
+
+    w = (
+        Window.partitionBy("node")
+        .orderBy(F.desc("e"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rounds = exact_rounds if exact_rounds is not None else max_rounds
+    prev = (-1, -1)
+    for r in range(rounds):
+        hist = (
+            und.join(est.select(F.col("node").alias("v"), F.col("est").alias("e")), "v")
+            .groupBy(F.col("u").alias("node"), "e")
+            .agg(F.count("*").alias("c"))
+        )
+        hidx = (
+            hist.withColumn("cum", F.sum("c").over(w))
+            .groupBy("node")
+            .agg(F.max(F.least(F.col("e"), F.col("cum"))).alias("h"))
+        )
+        est = (
+            est.join(hidx, "node", "left")
+            .select("node", F.least(F.col("est"), F.coalesce(F.col("h"), F.lit(0))).alias("est"))
+            .transform(stats_reset_checkpoint)
+        )
+        if exact_rounds is None:
+            stats = est.agg(F.count("*").alias("n"), F.sum("est").alias("s")).first()
+            if (stats["n"], stats["s"]) == prev:
+                return est.select("node", F.col("est").alias("coreness"))
+            prev = (stats["n"], stats["s"])
+    if exact_rounds is None:
+        raise RuntimeError(
+            f"core_numbers: ests still dropping after {max_rounds} rounds"
+        )
+    return est.select("node", F.col("est").alias("coreness"))

@@ -191,3 +191,63 @@ def test_suggest_bands_factorizes_and_targets_threshold():
         suggest_bands(1.5, 128)
     with pytest.raises(ValueError):
         suggest_bands(0.5, 1)
+
+
+from ontoweaver_spark.graphstats import core_numbers
+
+
+def _peel_coreness(edges):
+    # reference peeling implementation (driver-side, tests only)
+    from collections import defaultdict
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b); adj[b].add(a)
+    core, deg = {}, {n: len(v) for n, v in adj.items()}
+    live = set(adj)
+    k = 0
+    while live:
+        k_min = min(deg[n] for n in live)
+        k = max(k, k_min)
+        peel = [n for n in live if deg[n] <= k]
+        while peel:
+            n = peel.pop()
+            if n not in live:
+                continue
+            core[n] = k
+            live.discard(n)
+            for m in adj[n]:
+                if m in live:
+                    deg[m] -= 1
+                    if deg[m] <= k:
+                        peel.append(m)
+    return core
+
+
+def test_coreness_matches_peeling_on_mixed_graph(spark):
+    # clique K4 (coreness 3) + pendant chain + a C5 (coreness 2)
+    edges = (
+        [(f"k{i}", f"k{j}") for i in range(4) for j in range(i + 1, 4)]
+        + [("k0", "p1"), ("p1", "p2")]
+        + [(f"c{i}", f"c{(i+1) % 5}") for i in range(5)]
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["coreness"] for r in core_numbers(df).collect()}
+    assert got == _peel_coreness(edges)
+
+
+def test_coreness_random_graph_vs_peeling(spark):
+    edges = [(f"n{i % 37}", f"n{(i * 11 + 3) % 37}") for i in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src string, dst string").repartition(9)
+    got = {r["node"]: r["coreness"] for r in core_numbers(df).collect()}
+    assert got == _peel_coreness(edges)
+
+
+def test_coreness_exact_rounds_monotone(spark):
+    edges = [(f"k{i}", f"k{j}") for i in range(5) for j in range(i + 1, 5)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    r1 = {r["node"]: r["coreness"] for r in core_numbers(df, exact_rounds=1).collect()}
+    r3 = {r["node"]: r["coreness"] for r in core_numbers(df, exact_rounds=3).collect()}
+    assert all(r3[n] <= r1[n] for n in r1)
+    assert set(r3.values()) == {4}  # K5 coreness
