@@ -3228,6 +3228,56 @@ def _coreness_sql(rounds: int) -> str:
     return "".join(parts)
 
 
+def q_kg_matching(spark, sf_dir):
+    """Greedy maximal matching over the hub co-citation graph (7
+    local-min rounds; stability measured at 5-6 on both test scales):
+    the one-to-one conflict-free merge set of entity alignment."""
+    from ontoweaver_spark.graphstats import maximal_matching
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+
+    def hub(m, p):
+        return F.concat(F.lit("hub"), ((F.col("doc_id") * m) % p).cast("string"))
+
+    cocite = docs.select(hub(7, 61).alias("src"), hub(11, 53).alias("dst"))
+    return maximal_matching(cocite, exact_rounds=7)
+
+
+def _matching_sql(rounds: int) -> str:
+    """Unrolled Luby local-min matching rounds over the hub graph."""
+    parts = ["""
+        WITH e_raw AS (
+          SELECT 'hub'||((doc_id*7)%61)::VARCHAR AS a,
+                 'hub'||((doc_id*11)%53)::VARCHAR AS b
+          FROM documents
+        ), e0 AS MATERIALIZED (
+          SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v,
+                 ('0x'||substr(md5(least(a,b) || '->' || greatest(a,b)),1,15))::BIGINT AS p
+          FROM e_raw WHERE a <> b
+        )"""]
+    sels = []
+    for r in range(rounds):
+        parts.append(f""", vmin{r} AS MATERIALIZED (
+          SELECT node, min(p) AS pm FROM (
+            SELECT u AS node, p FROM e{r} UNION ALL SELECT v, p FROM e{r}
+          ) GROUP BY node
+        ), sel{r} AS MATERIALIZED (
+          SELECT e.u, e.v FROM e{r} e
+          JOIN vmin{r} x ON x.node = e.u AND x.pm = e.p
+          JOIN vmin{r} y ON y.node = e.v AND y.pm = e.p
+        ), t{r} AS MATERIALIZED (
+          SELECT u AS node FROM sel{r} UNION SELECT v FROM sel{r}
+        ), e{r + 1} AS MATERIALIZED (
+          SELECT e.u, e.v, e.p FROM e{r} e
+          WHERE NOT EXISTS (SELECT 1 FROM t{r} WHERE t{r}.node = e.u)
+            AND NOT EXISTS (SELECT 1 FROM t{r} WHERE t{r}.node = e.v)
+        )""")
+        sels.append(f"SELECT u, v FROM sel{r}")
+    parts.append("\n" + "\nUNION ALL\n".join(sels))
+    return "".join(parts)
+
+
 def q_media_image(spark, sf_dir):
     """Image feature extraction over the deterministic synthetic media
     table (Arrow-batched mapInPandas; payloads are non-image bytes, so
@@ -3422,6 +3472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image": q_media_image,
         "media_audio": q_media_audio,
         "kg_coreness": q_kg_coreness,
+        "kg_matching": q_kg_matching,
     }
 
 
@@ -7432,4 +7483,5 @@ def oracle_sql() -> dict[str, str]:
             FROM h
         """,
         "kg_coreness": _coreness_sql(3),
+        "kg_matching": _matching_sql(7),
     }

@@ -2818,3 +2818,78 @@ def core_numbers(
             f"core_numbers: ests still dropping after {max_rounds} rounds"
         )
     return est.select("node", F.col("est").alias("coreness"))
+
+
+def maximal_matching(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    exact_rounds: int | None = None,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Greedy MAXIMAL matching -> ``(u, v)`` edge subset where no two
+    chosen edges share a vertex and no remaining edge could be added.
+    The one-to-one constraint of entity alignment: after candidate
+    scoring, each entity may merge with at most ONE partner, and a
+    maximal matching picks a deterministic conflict-free set.
+
+    Luby-style local-minimum rounds (same family as
+    :func:`maximal_independent_set`): every surviving edge gets a
+    deterministic md5 priority; an edge joins the matching iff its
+    priority is the minimum among ALL edges at BOTH its endpoints
+    (two tiny per-vertex min-aggregates + one join — no sequential
+    greedy scan), then matched vertices leave the graph. Expected
+    O(log n) rounds; every step is hash-deterministic, so the result
+    is partitioning- and engine-independent (oracle-checkable).
+
+    ``exact_rounds=r`` unrolls exactly r rounds for the SQL oracle;
+    default runs until no edges survive and raises past ``max_rounds``.
+    """
+    u, v = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .withColumn("p", md5_int(F.concat_ws("->", F.col("u"), F.col("v"))))
+        .localCheckpoint(eager=False)
+    )
+    spark = edges.sparkSession
+    matched = spark.createDataFrame([], "u string, v string")
+    rounds = exact_rounds if exact_rounds is not None else max_rounds
+    for r in range(rounds):
+        if exact_rounds is None and e.rdd.isEmpty():
+            return matched
+        # per-VERTEX min over every incident edge: a vertex sits in the u
+        # column for some edges and the v column for others (canonical
+        # least/greatest order), so the min must be taken over the union
+        # of both endpoint projections, not per column
+        vmin = (
+            e.select(F.col("u").alias("node"), "p")
+            .unionAll(e.select(F.col("v").alias("node"), "p"))
+            .groupBy("node")
+            .agg(F.min("p").alias("pm"))
+        )
+        sel = (
+            e.join(vmin.select(F.col("node").alias("u"), F.col("pm").alias("pu")), "u")
+            .join(vmin.select(F.col("node").alias("v"), F.col("pm").alias("pv")), "v")
+            .where((F.col("p") == F.col("pu")) & (F.col("p") == F.col("pv")))
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        matched = matched.unionByName(sel).transform(
+            lambda d: stats_reset_checkpoint(d, eager=False)
+        )
+        touched = sel.select(F.col("u").alias("node")).unionAll(
+            sel.select(F.col("v"))
+        ).distinct()
+        e = (
+            e.join(touched.select(F.col("node").alias("u")), "u", "left_anti")
+            .join(touched.select(F.col("node").alias("v")), "v", "left_anti")
+            .select("u", "v", "p")
+            .transform(stats_reset_checkpoint)
+        )
+    if exact_rounds is None:
+        raise RuntimeError(
+            f"maximal_matching: edges remain after {max_rounds} rounds"
+        )
+    return matched

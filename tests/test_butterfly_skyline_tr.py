@@ -251,3 +251,36 @@ def test_coreness_exact_rounds_monotone(spark):
     r3 = {r["node"]: r["coreness"] for r in core_numbers(df, exact_rounds=3).collect()}
     assert all(r3[n] <= r1[n] for n in r1)
     assert set(r3.values()) == {4}  # K5 coreness
+
+
+from ontoweaver_spark.graphstats import maximal_matching
+
+
+def test_matching_is_valid_and_maximal(spark):
+    edges = [(f"n{i % 19}", f"n{(i * 7 + 2) % 19}") for i in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src string, dst string").repartition(5)
+    m = [(r["u"], r["v"]) for r in maximal_matching(df).collect()]
+    used = [x for e in m for x in e]
+    assert len(used) == len(set(used))  # no vertex twice
+    und = {frozenset((a, b)) for a, b in edges}
+    assert all(frozenset(e) in und for e in m)  # edges of the graph
+    # maximal: every unmatched edge touches a matched vertex
+    us = set(used)
+    assert all(a in us or b in us for a, b in edges if a != b)
+
+
+def test_matching_deterministic_across_partitionings(spark):
+    edges = [(f"a{i}", f"b{(i * 3) % 11}") for i in range(40)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    m1 = sorted((r["u"], r["v"]) for r in maximal_matching(df.repartition(1)).collect())
+    m2 = sorted((r["u"], r["v"]) for r in maximal_matching(df.repartition(8)).collect())
+    assert m1 == m2
+
+
+def test_matching_path_takes_local_min(spark):
+    # triangle: exactly one edge can be matched
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    assert maximal_matching(df).count() == 1
