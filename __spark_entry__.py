@@ -3357,6 +3357,63 @@ def _er_align_sql(rounds: int) -> str:
     return "".join(parts)
 
 
+def q_kg_diameter(spark, sf_dir):
+    """Double-sweep diameter lower bound of the hub co-citation graph
+    (seed hub0, 6 BFS rounds per sweep — covers the measured
+    eccentricities at both scales): the 'how wide is this web graph'
+    number that an exact all-pairs sweep cannot afford."""
+    from ontoweaver_spark.graphstats import diameter_double_sweep
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+
+    def hub(m, p):
+        return F.concat(F.lit("hub"), ((F.col("doc_id") * m) % p).cast("string"))
+
+    cocite = docs.select(hub(7, 61).alias("src"), hub(11, 53).alias("dst"))
+    return diameter_double_sweep(cocite, seed="hub0", rounds=6)
+
+
+def _diameter_sql(rounds: int) -> str:
+    """Two unrolled BFS sweeps + argmax handoff over the hub graph."""
+    def bfs(tag: str, seed_cte: str) -> str:
+        out = [f""", {tag}0 AS MATERIALIZED (
+          SELECT node, 0::BIGINT AS dist FROM {seed_cte}
+        )"""]
+        for r in range(rounds):
+            out.append(f""", {tag}{r + 1} AS MATERIALIZED (
+          SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM {tag}{r}
+            UNION ALL
+            SELECT und.v AS node, d.dist + 1
+            FROM {tag}{r} d JOIN und ON und.u = d.node
+          ) GROUP BY node
+        )""")
+        return "".join(out)
+
+    return ("""
+        WITH e0 AS MATERIALIZED (
+          SELECT 'hub'||((doc_id*7)%61)::VARCHAR AS a,
+                 'hub'||((doc_id*11)%53)::VARCHAR AS b
+          FROM documents
+        ), und AS MATERIALIZED (
+          SELECT DISTINCT u, v FROM (
+            SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0
+          ) WHERE u <> v
+        ), s1 AS (SELECT 'hub0' AS node)"""
+        + bfs("d", "s1")
+        + f""", far1 AS MATERIALIZED (
+          SELECT node AS far_node, dist AS far_dist FROM d{rounds}
+          ORDER BY dist DESC, node LIMIT 1
+        ), s2 AS (SELECT far_node AS node FROM far1)"""
+        + bfs("g", "s2")
+        + f"""
+        SELECT 'hub0' AS seed, f.far_node, f.far_dist,
+               (SELECT max(dist) FROM g{rounds}) AS diameter_lb
+        FROM far1 f
+        """)
+
+
 def q_media_image(spark, sf_dir):
     """Image feature extraction over the deterministic synthetic media
     table (Arrow-batched mapInPandas; payloads are non-image bytes, so
@@ -3553,6 +3610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_coreness": q_kg_coreness,
         "kg_matching": q_kg_matching,
         "er_align": q_er_align,
+        "kg_diameter": q_kg_diameter,
     }
 
 
@@ -7565,4 +7623,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_coreness": _coreness_sql(3),
         "kg_matching": _matching_sql(7),
         "er_align": _er_align_sql(7),
+        "kg_diameter": _diameter_sql(6),
     }

@@ -2893,3 +2893,48 @@ def maximal_matching(
             f"maximal_matching: edges remain after {max_rounds} rounds"
         )
     return matched
+
+
+def diameter_double_sweep(
+    edges: DataFrame,
+    seed: str,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Double-sweep diameter LOWER bound -> one row ``(seed, far_node,
+    far_dist, diameter_lb)``: BFS from ``seed`` to its farthest
+    reachable node (ties broken by node id — deterministic), then BFS
+    from THAT node; its eccentricity is the classic double-sweep bound,
+    exact on trees and near-tight on web-shaped graphs where one exact
+    diameter would cost an all-pairs sweep.
+
+    Two :func:`landmark_distances` runs (undirected, ``rounds`` hops
+    each — rounds must cover the true eccentricity or the bound is
+    silently short, so callers size it like k_hop) plus two single-row
+    argmax aggregates. Nothing all-pairs, nothing collected beyond the
+    two one-row frames.
+    """
+    seeds = edges.sparkSession.createDataFrame([(seed,)], "node string")
+    d1 = landmark_distances(
+        edges, seeds, rounds=rounds, src_col=src_col, dst_col=dst_col,
+        directed=False,
+    )
+    far1 = d1.agg(
+        F.min_by(
+            F.struct(F.col("node"), F.col("dist")),
+            F.struct((-F.col("dist")).alias("nd"), F.col("node")),
+        ).alias("b")
+    ).select(F.col("b.node").alias("far_node"), F.col("b.dist").alias("far_dist"))
+    seeds2 = far1.select(F.col("far_node").alias("node"))
+    d2 = landmark_distances(
+        edges, seeds2, rounds=rounds, src_col=src_col, dst_col=dst_col,
+        directed=False,
+    )
+    lb = d2.agg(F.max("dist").alias("diameter_lb"))
+    return (
+        far1.crossJoin(lb)
+        .select(
+            F.lit(seed).alias("seed"), "far_node", "far_dist", "diameter_lb"
+        )
+    )

@@ -284,3 +284,28 @@ def test_matching_path_takes_local_min(spark):
         [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
     )
     assert maximal_matching(df).count() == 1
+
+
+from ontoweaver_spark.graphstats import diameter_double_sweep
+
+
+def test_diameter_exact_on_path(spark):
+    e = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(6)], "src string, dst string"
+    )
+    row = diameter_double_sweep(e, seed="n3", rounds=8).first()
+    # from the middle the farthest end is 3 hops; sweep 2 finds the full 6
+    assert (row["far_dist"], row["diameter_lb"]) == (3, 6)
+    assert row["far_node"] in ("n0", "n6")
+
+
+def test_diameter_star_and_cycle(spark):
+    star = spark.createDataFrame(
+        [("c", f"l{i}") for i in range(5)], "src string, dst string"
+    )
+    assert diameter_double_sweep(star, seed="c", rounds=4).first()["diameter_lb"] == 2
+    cyc = spark.createDataFrame(
+        [(f"n{i}", f"n{(i+1) % 8}") for i in range(8)], "src string, dst string"
+    )
+    # C8 diameter 4; double-sweep reaches it from any seed
+    assert diameter_double_sweep(cyc, seed="n0", rounds=8).first()["diameter_lb"] == 4
