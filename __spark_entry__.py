@@ -3414,6 +3414,44 @@ def _diameter_sql(rounds: int) -> str:
         """)
 
 
+def q_kg_entail_owl(spark, sf_dir):
+    """owl:TransitiveProperty + owl:SymmetricProperty + subPropertyOf
+    entailment over chain-structured instance edges: partOf chains close
+    transitively (and every derived chain re-enters the relatedTo
+    super-property), follows edges mirror. Oracle = recursive-CTE chain
+    closure, an independent derivation."""
+    from ontoweaver_spark.ontology import (
+        OWL_SYMMETRIC, OWL_TRANSITIVE, RDF_TYPE, RDFS_SUBPROPERTYOF,
+        rdfs_entailment,
+    )
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    cap = docs.agg((F.floor(F.count("*") / 8) * 8).alias("cap"))
+    d = docs.crossJoin(F.broadcast(cap)).where(F.col("doc_id") < F.col("cap"))
+    i = F.col("doc_id")
+    node = F.concat(F.lit("n"), i.cast("string"))
+    chain = d.where(i % 8 < 7).select(
+        node.alias("subject"), F.lit("partOf").alias("predicate"),
+        F.concat(F.lit("n"), (i + 1).cast("string")).alias("object"),
+    )
+    follows = d.where(i % 8 == 0).select(
+        node.alias("subject"), F.lit("follows").alias("predicate"),
+        F.concat(F.lit("n"), (i + 3).cast("string")).alias("object"),
+    )
+    schema = spark.createDataFrame(
+        [
+            ("partOf", RDF_TYPE, OWL_TRANSITIVE),
+            ("partOf", RDFS_SUBPROPERTYOF, "relatedTo"),
+            ("follows", RDF_TYPE, OWL_SYMMETRIC),
+        ],
+        "subject string, predicate string, object string",
+    )
+    types = spark.createDataFrame([], "node string, cls string")
+    ec, _ = rdfs_entailment(schema, chain.unionByName(follows), types)
+    return ec
+
+
 def q_media_image(spark, sf_dir):
     """Image feature extraction over the deterministic synthetic media
     table (Arrow-batched mapInPandas; payloads are non-image bytes, so
@@ -3611,6 +3649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_matching": q_kg_matching,
         "er_align": q_er_align,
         "kg_diameter": q_kg_diameter,
+        "kg_entail_owl": q_kg_entail_owl,
     }
 
 
@@ -7624,4 +7663,29 @@ def oracle_sql() -> dict[str, str]:
         "kg_matching": _matching_sql(7),
         "er_align": _er_align_sql(7),
         "kg_diameter": _diameter_sql(6),
+        "kg_entail_owl": """
+            WITH RECURSIVE
+            cap AS (SELECT (count(*)//8)*8 AS c FROM documents),
+            d AS (SELECT doc_id FROM documents, cap WHERE doc_id < c),
+            chain AS (
+              SELECT 'n'||doc_id::VARCHAR AS s, 'n'||(doc_id+1)::VARCHAR AS o
+              FROM d WHERE doc_id % 8 < 7
+            ),
+            fol AS (
+              SELECT 'n'||doc_id::VARCHAR AS s, 'n'||(doc_id+3)::VARCHAR AS o
+              FROM d WHERE doc_id % 8 = 0
+            ),
+            r AS (
+              SELECT s, o FROM chain
+              UNION
+              SELECT r.s, c.o FROM r JOIN chain c ON c.s = r.o
+            )
+            SELECT s AS subject, 'partOf' AS predicate, o AS object FROM r
+            UNION
+            SELECT s, 'relatedTo', o FROM r
+            UNION
+            SELECT s, 'follows', o FROM fol
+            UNION
+            SELECT o, 'follows', s FROM fol
+        """,
     }

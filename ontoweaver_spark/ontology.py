@@ -319,6 +319,8 @@ RDFS_SUBPROPERTYOF = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
 RDFS_DOMAIN = "http://www.w3.org/2000/01/rdf-schema#domain"
 RDFS_RANGE = "http://www.w3.org/2000/01/rdf-schema#range"
 OWL_INVERSEOF = "http://www.w3.org/2002/07/owl#inverseOf"
+OWL_SYMMETRIC = "http://www.w3.org/2002/07/owl#SymmetricProperty"
+OWL_TRANSITIVE = "http://www.w3.org/2002/07/owl#TransitiveProperty"
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 
@@ -371,6 +373,15 @@ def rdfs_entailment(
     sp, inv = _sel(RDFS_SUBPROPERTYOF), _sel(OWL_INVERSEOF)
     dom, rng = _sel(RDFS_DOMAIN), _sel(RDFS_RANGE)
     sc = _sel(RDFS_SUBCLASSOF)
+    # owl:SymmetricProperty is exactly self-inverse: fold (p, rdf:type,
+    # Symmetric) into the inverse set as inv(p, p) and the signed
+    # reachability below derives both orientations for free
+    sym = (
+        schema.where((p == RDF_TYPE) & (o == OWL_SYMMETRIC))
+        .select(s.alias("x"), s.alias("y"))
+        .distinct()
+    )
+    inv = inv.unionByName(sym)
 
     plus, minus = F.col("x"), F.concat(F.lit("~"), F.col("x"))
     plus_y, minus_y = F.col("y"), F.concat(F.lit("~"), F.col("y"))
@@ -419,6 +430,55 @@ def rdfs_entailment(
         # instance-scale closure so the expansion runs once, not thrice
         .localCheckpoint(eager=False)
     )
+
+    # owl:TransitiveProperty: per-property transitive closure over the
+    # INSTANCE edges — the one rule that genuinely iterates on data scale
+    # (log-depth doubling via subclass_closure, all marked properties
+    # closed in ONE run by prefixing node ids with their property; \\x1f
+    # cannot occur in an IRI). Derived chains can entail super-/inverse
+    # properties again, so the rewrite re-applies after each closure and
+    # the pair loops to a (schema-bounded) fixpoint — on real ontologies
+    # one pass, guarded loudly at max_rounds.
+    trans = (
+        schema.where((p == RDF_TYPE) & (o == OWL_TRANSITIVE))
+        .select(s.alias("tp"))
+        .distinct()
+    )
+    if not trans.isEmpty():
+        _SEP = "\x1f"
+        b_trans = F.broadcast(trans.select(F.col("tp").alias("predicate")))
+        prev_n = edges_closed.count()
+        for _ in range(max_rounds):
+            enc = edges_closed.join(b_trans, "predicate").select(
+                F.concat_ws(_SEP, "predicate", "subject").alias("child"),
+                F.concat_ws(_SEP, "predicate", "object").alias("parent"),
+            )
+            dec = subclass_closure(enc, max_rounds=max_rounds).select(
+                F.substring_index("descendant", _SEP, 1).alias("predicate"),
+                F.substring_index("descendant", _SEP, -1).alias("subject"),
+                F.substring_index("ancestor", _SEP, -1).alias("object"),
+            )
+            expanded = dec.join(b_rew, "predicate").select(
+                F.when(F.col("flip") == 0, F.col("subject"))
+                .otherwise(F.col("object")).alias("subject"),
+                F.col("q").alias("predicate"),
+                F.when(F.col("flip") == 0, F.col("object"))
+                .otherwise(F.col("subject")).alias("object"),
+            )
+            edges_closed = (
+                edges_closed.unionByName(expanded)
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
+            n = edges_closed.count()
+            if n == prev_n:
+                break
+            prev_n = n
+        else:
+            raise RuntimeError(
+                f"rdfs_entailment: transitive/rewrite closure still growing "
+                f"after {max_rounds} passes"
+            )
 
     b_dom = F.broadcast(dom.select(F.col("x").alias("predicate"), F.col("y").alias("cls")))
     b_rng = F.broadcast(rng.select(F.col("x").alias("predicate"), F.col("y").alias("cls")))

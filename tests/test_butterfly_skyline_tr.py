@@ -309,3 +309,51 @@ def test_diameter_star_and_cycle(spark):
     )
     # C8 diameter 4; double-sweep reaches it from any seed
     assert diameter_double_sweep(cyc, seed="n0", rounds=8).first()["diameter_lb"] == 4
+
+
+def test_entailment_symmetric_and_transitive(spark):
+    from ontoweaver_spark.ontology import (
+        OWL_SYMMETRIC, OWL_TRANSITIVE, RDF_TYPE, RDFS_SUBPROPERTYOF,
+        rdfs_entailment,
+    )
+
+    schema = spark.createDataFrame(
+        [
+            ("knows", RDF_TYPE, OWL_SYMMETRIC),
+            ("partOf", RDF_TYPE, OWL_TRANSITIVE),
+            ("partOf", RDFS_SUBPROPERTYOF, "relatedTo"),
+        ],
+        "subject string, predicate string, object string",
+    )
+    edges = spark.createDataFrame(
+        [("a", "knows", "b"), ("x", "partOf", "y"), ("y", "partOf", "z")],
+        "subject string, predicate string, object string",
+    )
+    types = spark.createDataFrame([], "node string, cls string")
+    ec, _ = rdfs_entailment(schema, edges, types)
+    got = {(r["subject"], r["predicate"], r["object"]) for r in ec.collect()}
+    assert ("b", "knows", "a") in got              # symmetric
+    assert ("x", "partOf", "z") in got             # transitive chain
+    assert ("x", "relatedTo", "z") in got          # derived chain re-enters sp
+    assert ("x", "relatedTo", "y") in got
+    assert ("z", "partOf", "x") not in got         # no spurious flips
+
+
+def test_entailment_symmetric_transitive_equivalence_closure(spark):
+    from ontoweaver_spark.ontology import (
+        OWL_SYMMETRIC, OWL_TRANSITIVE, RDF_TYPE, rdfs_entailment,
+    )
+
+    schema = spark.createDataFrame(
+        [("same", RDF_TYPE, OWL_SYMMETRIC), ("same", RDF_TYPE, OWL_TRANSITIVE)],
+        "subject string, predicate string, object string",
+    )
+    edges = spark.createDataFrame(
+        [("a", "same", "b"), ("b", "same", "c")],
+        "subject string, predicate string, object string",
+    )
+    types = spark.createDataFrame([], "node string, cls string")
+    ec, _ = rdfs_entailment(schema, edges, types)
+    got = {(r["subject"], r["object"]) for r in ec.collect()}
+    # sym+trans on a chain = full equivalence relation incl. self edges
+    assert got == {(x, y) for x in "abc" for y in "abc"}
