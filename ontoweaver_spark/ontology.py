@@ -329,6 +329,7 @@ def rdfs_entailment(
     edges: DataFrame,
     types: DataFrame,
     max_rounds: int = 12,
+    chains: DataFrame | None = None,
 ):
     """Materialize the ρdf entailment closure (subPropertyOf, domain,
     range, subClassOf + ``owl:inverseOf``) over an instance graph ->
@@ -401,6 +402,25 @@ def rdfs_entailment(
         .unionByName(inv.select(F.col("y").alias("prop")))
         .distinct()
     )
+    ch = None
+    if chains is not None:
+        # property-chain axioms (first o second ⊑ implies), the OWL-RL
+        # prp-spo2 rule restricted to length-2 chains; config-sized like
+        # the rest of the schema, so it broadcasts
+        ch = chains.select(
+            F.col("first").cast("string").alias("_cp"),
+            F.col("second").cast("string").alias("_cq"),
+            F.col("implies").cast("string").alias("_cr"),
+        ).distinct()
+        if ch.isEmpty():
+            ch = None
+        else:
+            props = (
+                props.unionByName(ch.select(F.col("_cp").alias("prop")))
+                .unionByName(ch.select(F.col("_cq").alias("prop")))
+                .unionByName(ch.select(F.col("_cr").alias("prop")))
+                .distinct()
+            )
     ident = props.select(
         F.col("prop").alias("p"), F.col("prop").alias("q"), F.lit(0).alias("flip")
     )
@@ -444,21 +464,49 @@ def rdfs_entailment(
         .select(s.alias("tp"))
         .distinct()
     )
-    if not trans.isEmpty():
+    has_trans = not trans.isEmpty()
+    if has_trans or ch is not None:
         _SEP = "\x1f"
         b_trans = F.broadcast(trans.select(F.col("tp").alias("predicate")))
         prev_n = edges_closed.count()
         for _ in range(max_rounds):
-            enc = edges_closed.join(b_trans, "predicate").select(
-                F.concat_ws(_SEP, "predicate", "subject").alias("child"),
-                F.concat_ws(_SEP, "predicate", "object").alias("parent"),
-            )
-            dec = subclass_closure(enc, max_rounds=max_rounds).select(
-                F.substring_index("descendant", _SEP, 1).alias("predicate"),
-                F.substring_index("descendant", _SEP, -1).alias("subject"),
-                F.substring_index("ancestor", _SEP, -1).alias("object"),
-            )
-            expanded = dec.join(b_rew, "predicate").select(
+            derived = []
+            if has_trans:
+                enc = edges_closed.join(b_trans, "predicate").select(
+                    F.concat_ws(_SEP, "predicate", "subject").alias("child"),
+                    F.concat_ws(_SEP, "predicate", "object").alias("parent"),
+                )
+                derived.append(
+                    subclass_closure(enc, max_rounds=max_rounds).select(
+                        F.substring_index("descendant", _SEP, 1).alias("predicate"),
+                        F.substring_index("descendant", _SEP, -1).alias("subject"),
+                        F.substring_index("ancestor", _SEP, -1).alias("object"),
+                    )
+                )
+            if ch is not None:
+                # one instance join per loop pass: tag first-property edges
+                # with their axiom (broadcast), meet second-property edges
+                # on the shared middle node
+                left = edges_closed.join(
+                    F.broadcast(ch.select(F.col("_cp").alias("predicate"), "_cq", "_cr")),
+                    "predicate",
+                ).select(
+                    F.col("subject"), F.col("object").alias("_mid"), "_cq", "_cr"
+                )
+                right = edges_closed.select(
+                    F.col("predicate").alias("_cq"),
+                    F.col("subject").alias("_mid"),
+                    F.col("object"),
+                )
+                derived.append(
+                    left.join(right, ["_cq", "_mid"]).select(
+                        "subject", F.col("_cr").alias("predicate"), "object"
+                    )
+                )
+            new = derived[0]
+            for d_ in derived[1:]:
+                new = new.unionByName(d_)
+            expanded = new.join(b_rew, "predicate").select(
                 F.when(F.col("flip") == 0, F.col("subject"))
                 .otherwise(F.col("object")).alias("subject"),
                 F.col("q").alias("predicate"),
@@ -476,8 +524,8 @@ def rdfs_entailment(
             prev_n = n
         else:
             raise RuntimeError(
-                f"rdfs_entailment: transitive/rewrite closure still growing "
-                f"after {max_rounds} passes"
+                f"rdfs_entailment: transitive/chain/rewrite closure still "
+                f"growing after {max_rounds} passes"
             )
 
     b_dom = F.broadcast(dom.select(F.col("x").alias("predicate"), F.col("y").alias("cls")))

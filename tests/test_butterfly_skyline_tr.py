@@ -357,3 +357,58 @@ def test_entailment_symmetric_transitive_equivalence_closure(spark):
     got = {(r["subject"], r["object"]) for r in ec.collect()}
     # sym+trans on a chain = full equivalence relation incl. self edges
     assert got == {(x, y) for x in "abc" for y in "abc"}
+
+
+def test_entailment_property_chain(spark):
+    from ontoweaver_spark.ontology import rdfs_entailment
+
+    schema = spark.createDataFrame(
+        [("hasParent", "http://www.w3.org/2000/01/rdf-schema#subPropertyOf",
+          "hasAncestor")],
+        "subject string, predicate string, object string",
+    )
+    chains = spark.createDataFrame(
+        [("hasParent", "hasParent", "hasGrandparent")],
+        "first string, second string, implies string",
+    )
+    edges = spark.createDataFrame(
+        [("a", "hasParent", "b"), ("b", "hasParent", "c"), ("c", "hasParent", "d")],
+        "subject string, predicate string, object string",
+    )
+    types = spark.createDataFrame([], "node string, cls string")
+    ec, _ = rdfs_entailment(schema, edges, types, chains=chains)
+    got = {(r["subject"], r["predicate"], r["object"]) for r in ec.collect()}
+    assert ("a", "hasGrandparent", "c") in got
+    assert ("b", "hasGrandparent", "d") in got
+    assert ("a", "hasGrandparent", "d") not in got   # chain is length-2, not closure
+    assert ("a", "hasAncestor", "b") in got          # sp rewrite still applies
+    # grandparent edges do NOT re-enter the chain (hasGrandparent is not
+    # a chain member), so no a-(gp o p)->d artifacts
+    assert ("a", "hasParent", "c") not in got
+
+
+def test_entailment_chain_feeds_transitive(spark):
+    from ontoweaver_spark.ontology import (
+        OWL_TRANSITIVE, RDF_TYPE, rdfs_entailment,
+    )
+
+    # step o step => reach, and reach is transitive: the chain-derived
+    # reach edges must themselves close transitively (loop interplay)
+    schema = spark.createDataFrame(
+        [("reach", RDF_TYPE, OWL_TRANSITIVE)],
+        "subject string, predicate string, object string",
+    )
+    chains = spark.createDataFrame(
+        [("step", "step", "reach")], "first string, second string, implies string"
+    )
+    edges = spark.createDataFrame(
+        [(f"n{i}", "step", f"n{i+1}") for i in range(6)],
+        "subject string, predicate string, object string",
+    )
+    types = spark.createDataFrame([], "node string, cls string")
+    ec, _ = rdfs_entailment(schema, edges, types, chains=chains)
+    got = {(r["subject"], r["object"]) for r in ec.collect()
+           if r["predicate"] == "reach"}
+    # chain gives (i, i+2); transitive closes all even gaps >= 2
+    expect = {(f"n{i}", f"n{j}") for i in range(7) for j in range(i + 2, 7, 2)}
+    assert got == expect
