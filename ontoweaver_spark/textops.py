@@ -1534,3 +1534,27 @@ def kmv_estimate_from_sketch(
         )
         .alias("estimate"),
     )
+
+
+def suggest_cms(epsilon: float, delta: float) -> dict:
+    """Size a count-min sketch for the standard guarantee "overestimate
+    <= epsilon * N with probability >= 1 - delta": width w = ceil(e /
+    epsilon), depth d = ceil(ln(1 / delta)) (Cormode & Muthukrishnan).
+    Returns ``{"width", "depth", "cells", "bytes_per_counter_8"}`` —
+    the knob-setting companion to :func:`cms_sketch`, driver-side
+    closed form like ``dedup.suggest_bands``.
+    """
+    import math
+
+    if not 0 < epsilon < 1:
+        raise ValueError(f"epsilon must be in (0,1), got {epsilon}")
+    if not 0 < delta < 1:
+        raise ValueError(f"delta must be in (0,1), got {delta}")
+    w = math.ceil(math.e / epsilon)
+    d = math.ceil(math.log(1.0 / delta))
+    return {
+        "width": w,
+        "depth": d,
+        "cells": w * d,
+        "bytes_per_counter_8": 8 * w * d,
+    }

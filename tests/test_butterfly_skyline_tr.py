@@ -412,3 +412,15 @@ def test_entailment_chain_feeds_transitive(spark):
     # chain gives (i, i+2); transitive closes all even gaps >= 2
     expect = {(f"n{i}", f"n{j}") for i in range(7) for j in range(i + 2, 7, 2)}
     assert got == expect
+
+
+def test_suggest_cms_standard_guarantee():
+    from ontoweaver_spark.textops import suggest_cms
+
+    out = suggest_cms(0.001, 0.01)
+    assert out["width"] == 2719 and out["depth"] == 5
+    assert out["cells"] == 2719 * 5
+    with pytest.raises(ValueError):
+        suggest_cms(0.0, 0.01)
+    with pytest.raises(ValueError):
+        suggest_cms(0.001, 1.0)
