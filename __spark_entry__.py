@@ -3452,6 +3452,20 @@ def q_kg_entail_owl(spark, sf_dir):
     return ec
 
 
+def q_kg_reciprocity(spark, sf_dir):
+    """Edge reciprocity of the directed hub co-citation graph: the
+    mutual-link fraction (exact integer ppm) — link-farm signal."""
+    from ontoweaver_spark.graphstats import reciprocity
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+
+    def hub(m, p):
+        return F.concat(F.lit("hub"), ((F.col("doc_id") * m) % p).cast("string"))
+
+    return reciprocity(docs.select(hub(7, 61).alias("src"), hub(11, 53).alias("dst")))
+
+
 def q_media_image(spark, sf_dir):
     """Image feature extraction over the deterministic synthetic media
     table (Arrow-batched mapInPandas; payloads are non-image bytes, so
@@ -3650,6 +3664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_align": q_er_align,
         "kg_diameter": q_kg_diameter,
         "kg_entail_owl": q_kg_entail_owl,
+        "kg_reciprocity": q_kg_reciprocity,
     }
 
 
@@ -7687,5 +7702,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT s, 'follows', o FROM fol
             UNION
             SELECT o, 'follows', s FROM fol
+        """,
+        "kg_reciprocity": """
+            WITH e AS (
+              SELECT DISTINCT 'hub'||((doc_id*7)%61)::VARCHAR AS u,
+                              'hub'||((doc_id*11)%53)::VARCHAR AS v
+              FROM documents
+              WHERE 'hub'||((doc_id*7)%61)::VARCHAR <> 'hub'||((doc_id*11)%53)::VARCHAR
+            ), rec AS (
+              SELECT e.u, e.v FROM e
+              WHERE EXISTS (SELECT 1 FROM e r WHERE r.u = e.v AND r.v = e.u)
+            )
+            SELECT (SELECT count(*) FROM e) AS n_edges,
+                   (SELECT count(*) FROM rec) AS n_reciprocal,
+                   CASE WHEN (SELECT count(*) FROM e) = 0 THEN 0
+                        ELSE (SELECT count(*) FROM rec) * 1000000
+                             // (SELECT count(*) FROM e) END AS reciprocity_ppm
         """,
     }

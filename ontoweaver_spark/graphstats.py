@@ -2938,3 +2938,39 @@ def diameter_double_sweep(
             F.lit(seed).alias("seed"), "far_node", "far_dist", "diameter_lb"
         )
     )
+
+
+def reciprocity(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Edge reciprocity of a directed graph -> one row ``(n_edges,
+    n_reciprocal, reciprocity_ppm)``: the fraction of directed edges
+    whose reverse also exists (self-loops excluded, duplicates
+    collapsed). The link-spam / social-vs-hierarchical signal of a web
+    host graph — near 0 for citation-like link structure, near 10^6 for
+    mutual-link farms.
+
+    One distinct + one self-semi-join on the flipped pair + two counts;
+    the ppm is exact BIGINT division so the one-row result hash-matches
+    any engine.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    rev = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    rec = e.join(rev, ["u", "v"], "left_semi")
+    return (
+        e.agg(F.count("*").alias("n_edges"))
+        .crossJoin(rec.agg(F.count("*").alias("n_reciprocal")))
+        .select(
+            "n_edges",
+            "n_reciprocal",
+            F.expr(
+                "CASE WHEN n_edges = 0 THEN 0 "
+                "ELSE n_reciprocal * CAST(1000000 AS BIGINT) DIV n_edges END"
+            ).alias("reciprocity_ppm"),
+        )
+    )

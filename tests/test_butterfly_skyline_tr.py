@@ -424,3 +424,17 @@ def test_suggest_cms_standard_guarantee():
         suggest_cms(0.0, 0.01)
     with pytest.raises(ValueError):
         suggest_cms(0.001, 1.0)
+
+
+def test_reciprocity_values(spark):
+    from ontoweaver_spark.graphstats import reciprocity
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("c", "c"), ("a", "b")],
+        "src string, dst string",
+    )
+    row = reciprocity(e).first()
+    # distinct non-loop edges: ab, ba, ac -> 2 of 3 reciprocal
+    assert (row["n_edges"], row["n_reciprocal"], row["reciprocity_ppm"]) == (
+        3, 2, 666666,
+    )
