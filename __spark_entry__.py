@@ -3466,6 +3466,25 @@ def q_kg_reciprocity(spark, sf_dir):
     return reciprocity(docs.select(hub(7, 61).alias("src"), hub(11, 53).alias("dst")))
 
 
+def q_burst_hosts(spark, sf_dir):
+    """Per-type crawl-rate bursts over the events table: day buckets
+    whose count exceeds 3x that type's own average active-day rate
+    (exact integer test — no float mean); the uniform synthetic stream
+    is deterministically thinned outside every 24th hour so real bursts
+    exist to detect."""
+    from ontoweaver_spark.sessions import burst_windows
+
+    _tune(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the synthetic stream is time-uniform, so thin every day except
+    # each 7th to ~1/6 rate — deterministic planted bursts (keyed by
+    # event_type: user-day counts are too sparse to carry a rate signal)
+    b = (F.unix_micros(F.col("ts").cast("timestamp")) / (86400 * 1_000_000)).cast("long")
+    skewed = ev.where((b % 7 == 0) | (F.col("event_id") % 6 == 0))
+    return burst_windows(skewed, key_col="event_type", ts_col="ts",
+                         bucket_seconds=86400, factor=3)
+
+
 def q_media_image(spark, sf_dir):
     """Image feature extraction over the deterministic synthetic media
     table (Arrow-batched mapInPandas; payloads are non-image bytes, so
@@ -3665,6 +3684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_diameter": q_kg_diameter,
         "kg_entail_owl": q_kg_entail_owl,
         "kg_reciprocity": q_kg_reciprocity,
+        "burst_hosts": q_burst_hosts,
     }
 
 
@@ -7718,5 +7738,23 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN (SELECT count(*) FROM e) = 0 THEN 0
                         ELSE (SELECT count(*) FROM rec) * 1000000
                              // (SELECT count(*) FROM e) END AS reciprocity_ppm
+        """,
+        "burst_hosts": """
+            WITH sk AS (
+              SELECT event_type, epoch_us(ts) // (86400 * 1000000::BIGINT) AS bucket
+              FROM events
+              WHERE (epoch_us(ts) // (86400 * 1000000::BIGINT)) % 7 = 0
+                 OR event_id % 6 = 0
+            ), pb AS (
+              SELECT event_type AS key, bucket, count(*) AS n_events
+              FROM sk GROUP BY 1, 2
+            ), pk AS (
+              SELECT key, count(*) AS n_buckets, sum(n_events) AS total_events
+              FROM pb GROUP BY key
+            )
+            SELECT pb.key, pb.bucket * 86400 * 1000000::BIGINT AS bucket_start_us,
+                   pb.n_events, pk.n_buckets, pk.total_events
+            FROM pb JOIN pk USING (key)
+            WHERE pb.n_events * pk.n_buckets > 3 * pk.total_events
         """,
     }

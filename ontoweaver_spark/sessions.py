@@ -329,3 +329,49 @@ def funnel(
     return cur.select(
         "user", reached.alias("stages_completed"), *t_cols
     )
+
+
+def burst_windows(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+    factor: int = 3,
+) -> DataFrame:
+    """Rate-burst detection -> ``(key, bucket_start_us, n_events,
+    n_buckets, total_events)`` for every (key, time-bucket) whose event
+    count exceeds ``factor`` x the key's own average ACTIVE-bucket rate.
+    The crawl-ops anomaly query: which host/user suddenly spiked
+    against its own baseline (a global threshold would just re-rank
+    keys by volume).
+
+    Exact integer test — ``n_events * n_buckets > factor * total``
+    avoids the float mean, so the result hash-matches any engine. One
+    bucket-count aggregation plus one per-key rollup joined back
+    (broadcast-sized: one row per active key); never a per-event
+    window.
+    """
+    b = (F.unix_micros(F.col(ts_col).cast("timestamp")) / (bucket_seconds * 1_000_000)).cast("long")
+    per_bucket = (
+        events.select(F.col(key_col).alias("key"), b.alias("bucket"))
+        .groupBy("key", "bucket")
+        .agg(F.count("*").alias("n_events"))
+        .localCheckpoint(eager=False)
+    )
+    per_key = per_bucket.groupBy("key").agg(
+        F.count("*").alias("n_buckets"), F.sum("n_events").alias("total_events")
+    )
+    return (
+        per_bucket.join(per_key, "key")
+        .where(
+            F.col("n_events") * F.col("n_buckets")
+            > F.lit(factor) * F.col("total_events")
+        )
+        .select(
+            "key",
+            (F.col("bucket") * bucket_seconds * 1_000_000).alias("bucket_start_us"),
+            "n_events",
+            "n_buckets",
+            "total_events",
+        )
+    )

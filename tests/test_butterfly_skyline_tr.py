@@ -438,3 +438,25 @@ def test_reciprocity_values(spark):
     assert (row["n_edges"], row["n_reciprocal"], row["reciprocity_ppm"]) == (
         3, 2, 666666,
     )
+
+
+def test_burst_windows_exact_threshold(spark):
+    from datetime import datetime
+
+    from ontoweaver_spark.sessions import burst_windows
+
+    # key A: 3 quiet hours of 1 event + 1 hour of 10 -> 10*4 > 3*13: burst
+    # key B: uniform 5/hour -> 5*4 == 3*20/..: 20 total, 5*4=20 < 60: none
+    rows = []
+    for h in range(3):
+        rows.append(("A", datetime(2026, 1, 1, h, 30)))
+    rows += [("A", datetime(2026, 1, 1, 3, m)) for m in range(10)]
+    for h in range(4):
+        rows += [("B", datetime(2026, 1, 1, h, m)) for m in range(5)]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = burst_windows(df, bucket_seconds=3600, factor=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["key"], r["n_events"], r["n_buckets"], r["total_events"]) == (
+        "A", 10, 4, 13,
+    )
