@@ -3485,6 +3485,23 @@ def q_burst_hosts(spark, sf_dir):
                          bucket_seconds=86400, factor=3)
 
 
+def q_kg_katz(spark, sf_dir):
+    """Truncated Katz centrality (4 rounds, alpha=1/16, BIGINT-exact)
+    over the directed hub co-citation graph — indirect-influence rank."""
+    from ontoweaver_spark.graphstats import katz_fixed_point
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+
+    def hub(m, p):
+        return F.concat(F.lit("hub"), ((F.col("doc_id") * m) % p).cast("string"))
+
+    return katz_fixed_point(
+        docs.select(hub(7, 61).alias("src"), hub(11, 53).alias("dst")),
+        iterations=4, alpha_inv=16,
+    )
+
+
 def q_media_image(spark, sf_dir):
     """Image feature extraction over the deterministic synthetic media
     table (Arrow-batched mapInPandas; payloads are non-image bytes, so
@@ -3685,6 +3702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entail_owl": q_kg_entail_owl,
         "kg_reciprocity": q_kg_reciprocity,
         "burst_hosts": q_burst_hosts,
+        "kg_katz": q_kg_katz,
     }
 
 
@@ -7756,5 +7774,46 @@ def oracle_sql() -> dict[str, str]:
                    pb.n_events, pk.n_buckets, pk.total_events
             FROM pb JOIN pk USING (key)
             WHERE pb.n_events * pk.n_buckets > 3 * pk.total_events
+        """,
+        "kg_katz": """
+            WITH e AS MATERIALIZED (
+              SELECT DISTINCT 'hub'||((doc_id*7)%61)::VARCHAR AS u,
+                              'hub'||((doc_id*11)%53)::VARCHAR AS v
+              FROM documents
+              WHERE 'hub'||((doc_id*7)%61)::VARCHAR <> 'hub'||((doc_id*11)%53)::VARCHAR
+            ), nodes AS MATERIALIZED (
+              SELECT DISTINCT u AS node FROM e UNION SELECT DISTINCT v FROM e
+            ), k0 AS MATERIALIZED (
+              SELECT node, 1000000::BIGINT AS katz FROM nodes
+            ), k1 AS MATERIALIZED (
+              SELECT n.node,
+                     1000000::BIGINT + coalesce((
+                       SELECT sum(k.katz // 16) FROM e
+                       JOIN k0 k ON k.node = e.u
+                       WHERE e.v = n.node), 0)::BIGINT AS katz
+              FROM nodes n
+            ), k2 AS MATERIALIZED (
+              SELECT n.node,
+                     1000000::BIGINT + coalesce((
+                       SELECT sum(k.katz // 16) FROM e
+                       JOIN k1 k ON k.node = e.u
+                       WHERE e.v = n.node), 0)::BIGINT AS katz
+              FROM nodes n
+            ), k3 AS MATERIALIZED (
+              SELECT n.node,
+                     1000000::BIGINT + coalesce((
+                       SELECT sum(k.katz // 16) FROM e
+                       JOIN k2 k ON k.node = e.u
+                       WHERE e.v = n.node), 0)::BIGINT AS katz
+              FROM nodes n
+            ), k4 AS MATERIALIZED (
+              SELECT n.node,
+                     1000000::BIGINT + coalesce((
+                       SELECT sum(k.katz // 16) FROM e
+                       JOIN k3 k ON k.node = e.u
+                       WHERE e.v = n.node), 0)::BIGINT AS katz
+              FROM nodes n
+            )
+            SELECT node, katz FROM k4
         """,
     }

@@ -2974,3 +2974,55 @@ def reciprocity(
             ).alias("reciprocity_ppm"),
         )
     )
+
+
+def katz_fixed_point(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 4,
+    alpha_inv: int = 16,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Truncated Katz centrality -> ``(node, katz)``: katz(v) = sum over
+    path lengths L <= ``iterations`` of (1/alpha_inv)^L * paths_L(v),
+    fixed-point-scaled by ``scale``. The 'influence including indirect
+    links' rank that degree misses and PageRank normalizes away —
+    truncation makes it a pure path-count expression, well-defined on
+    any graph (no spectral-radius convergence condition to certify).
+
+    ALL arithmetic is BIGINT (contribution = katz_t DIV alpha_inv summed
+    over in-edges), same exactness argument as pagerank_fixed_point:
+    integer addition commutes, so the result is independent of partition
+    and aggregation order and hash-matches a SQL oracle. Each round is
+    one edge join + one map-side-combined sum keyed on the destination.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    katz = nodes.withColumn("katz", F.lit(scale).cast("long"))
+    base = katz
+    for _ in range(iterations):
+        inbound = (
+            e.join(katz.select(F.col("node").alias("u"), "katz"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum(F.expr(f"katz DIV {int(alpha_inv)}")).alias("inb"))
+        )
+        katz = (
+            base.join(inbound, "node", "left")
+            .select(
+                "node",
+                (F.col("katz") + F.coalesce(F.col("inb"), F.lit(0))).alias("katz"),
+            )
+            .transform(lambda d: stats_reset_checkpoint(d, eager=False))
+        )
+    return katz

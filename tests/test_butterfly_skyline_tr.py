@@ -460,3 +460,28 @@ def test_burst_windows_exact_threshold(spark):
     assert (r["key"], r["n_events"], r["n_buckets"], r["total_events"]) == (
         "A", 10, 4, 13,
     )
+
+
+def test_katz_truncated_path_counts(spark):
+    from ontoweaver_spark.graphstats import katz_fixed_point
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["katz"]
+        for r in katz_fixed_point(e, iterations=2, alpha_inv=10, scale=1000).collect()
+    }
+    # c: 1 path of len 1 (1000//10=100) + 1 of len 2 ((1000+100)//10 - ...):
+    # exact recurrence: k1 = {a:1000,b:1100,c:1100}; k2 adds b's k1//10=110
+    assert got == {"a": 1000, "b": 1100, "c": 1110}
+
+
+def test_katz_partition_invariant(spark):
+    from ontoweaver_spark.graphstats import katz_fixed_point
+
+    edges = [(f"n{i % 23}", f"n{(i * 5 + 1) % 23}") for i in range(80)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = sorted(map(tuple, katz_fixed_point(df.repartition(1), iterations=3).collect()))
+    b = sorted(map(tuple, katz_fixed_point(df.repartition(11), iterations=3).collect()))
+    assert a == b
