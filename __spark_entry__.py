@@ -3502,6 +3502,21 @@ def q_kg_katz(spark, sf_dir):
     )
 
 
+def q_kg_squares(spark, sf_dir):
+    """Exact 4-cycle census of the hub co-citation graph (one row:
+    edges, wedges, squares) — the template/link-farm motif that is
+    square-rich even when triangle-poor."""
+    from ontoweaver_spark.graphstats import square_count
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+
+    def hub(m, p):
+        return F.concat(F.lit("hub"), ((F.col("doc_id") * m) % p).cast("string"))
+
+    return square_count(docs.select(hub(7, 61).alias("src"), hub(11, 53).alias("dst")))
+
+
 def q_media_image(spark, sf_dir):
     """Image feature extraction over the deterministic synthetic media
     table (Arrow-batched mapInPandas; payloads are non-image bytes, so
@@ -3703,6 +3718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_reciprocity": q_kg_reciprocity,
         "burst_hosts": q_burst_hosts,
         "kg_katz": q_kg_katz,
+        "kg_squares": q_kg_squares,
     }
 
 
@@ -7815,5 +7831,24 @@ def oracle_sql() -> dict[str, str]:
               FROM nodes n
             )
             SELECT node, katz FROM k4
+        """,
+        "kg_squares": """
+            WITH e0 AS (
+              SELECT 'hub'||((doc_id*7)%61)::VARCHAR AS a,
+                     'hub'||((doc_id*11)%53)::VARCHAR AS b
+              FROM documents
+            ), und AS MATERIALIZED (
+              SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v
+              FROM e0 WHERE a <> b
+            ), both_dir AS MATERIALIZED (
+              SELECT u, v FROM und UNION ALL SELECT v, u FROM und
+            ), wp AS MATERIALIZED (
+              SELECT x.u AS a, y.u AS c, count(*) AS w
+              FROM both_dir x JOIN both_dir y ON x.v = y.v AND x.u < y.u
+              GROUP BY 1, 2
+            )
+            SELECT (SELECT count(*) FROM und) AS n_edges,
+                   coalesce((SELECT sum(w) FROM wp), 0)::BIGINT AS wedges,
+                   (coalesce((SELECT sum(w * (w-1) // 2) FROM wp), 0) // 2)::BIGINT AS squares
         """,
     }

@@ -3026,3 +3026,51 @@ def katz_fixed_point(
             .transform(lambda d: stats_reset_checkpoint(d, eager=False))
         )
     return katz
+
+
+def square_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Exact 4-cycle (square) count of the undirected simple graph ->
+    one row ``(n_edges, wedges, squares)``. Squares = sum over node
+    pairs (a,c) of C(#common_neighbors, 2), halved — every 4-cycle is
+    counted once from each of its two diagonals. The densification /
+    spam-template motif after triangles: link farms are square-rich
+    even when triangle-poor (bipartite-ish templates have NO triangles
+    at all).
+
+    Same wedge shape as :func:`neighbor_jaccard`: one self-join on the
+    shared midpoint + one pair-keyed count with map-side partials; the
+    hot-midpoint hazard and its mitigation are that function's
+    ``max_degree`` — here the count must be exact, so it is documented
+    rather than capped.
+    """
+    u, v = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    both = (
+        und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    wedge_pairs = (
+        both.select(F.col("v").alias("m"), F.col("u").alias("a"))
+        .join(both.select(F.col("v").alias("m"), F.col("u").alias("c")), "m")
+        .where(F.col("a") < F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count("*").alias("w"))
+    )
+    return (
+        wedge_pairs.agg(
+            F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("wedges"),
+            F.coalesce(
+                F.sum(F.expr("w * (w - 1) DIV 2")), F.lit(0)
+            ).cast("long").alias("sq2"),
+        )
+        .crossJoin(und.agg(F.count("*").alias("n_edges")))
+        .select(
+            "n_edges", "wedges", F.expr("sq2 DIV 2").alias("squares")
+        )
+    )

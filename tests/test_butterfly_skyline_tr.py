@@ -485,3 +485,24 @@ def test_katz_partition_invariant(spark):
     a = sorted(map(tuple, katz_fixed_point(df.repartition(1), iterations=3).collect()))
     b = sorted(map(tuple, katz_fixed_point(df.repartition(11), iterations=3).collect()))
     assert a == b
+
+
+def test_square_count_known_graphs(spark):
+    from ontoweaver_spark.graphstats import square_count
+
+    c4 = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], "src string, dst string"
+    )
+    assert square_count(c4).first()["squares"] == 1
+    # K4 contains 3 distinct 4-cycles
+    k4 = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")],
+        "src string, dst string",
+    )
+    assert square_count(k4).first()["squares"] == 3
+    # triangle has none
+    tri = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    row = square_count(tri).first()
+    assert (row["squares"], row["n_edges"]) == (0, 3)
