@@ -33,13 +33,28 @@ from .fusion import (
     suggest_salt,
 )
 from .decontam import contamination_report, decontaminate
-from .graphstats import degree_histogram, degree_stats, pagerank_fixed_point, top_hubs
+from .graphstats import (
+    butterfly_count,
+    core_numbers,
+    degree_histogram,
+    degree_stats,
+    diameter_double_sweep,
+    katz_fixed_point,
+    maximal_matching,
+    neighbor_jaccard,
+    pagerank_fixed_point,
+    reciprocity,
+    square_count,
+    top_hubs,
+    transitive_reduction,
+    wl_colors,
+)
 from .neo4j_export import write_neo4j_import
 from .ids import affix_id
 from .linking import canonical_entity, canonical_url, comention_edges, link_entities
 from .nulls import is_not_null
 from .ontology import automap_to_targets, subclass_closure, subclass_edges_from_triples
-from .sampling import hash_split, stratified_sample
+from .sampling import hash_split, skyline, stratified_sample
 from .textops import corpus_stats
 from .sessions import session_stats, sessionize
 # urls.canonical_url is intentionally NOT re-exported at package level:
@@ -68,6 +83,9 @@ __all__ = [
     "write_neo4j_import", "sessionize", "session_stats",
     "contamination_report", "decontaminate", "latest_per_url",
     "corpus_stats",
+    "butterfly_count", "neighbor_jaccard", "transitive_reduction",
+    "wl_colors", "core_numbers", "maximal_matching", "diameter_double_sweep",
+    "katz_fixed_point", "reciprocity", "square_count", "skyline",
 ]
 
 
