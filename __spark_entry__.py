@@ -3280,10 +3280,11 @@ def _matching_sql(rounds: int) -> str:
 
 def q_er_align(spark, sf_dir):
     """End-to-end one-to-one entity alignment: sorted-neighborhood ER
-    candidates (the er_pairs stage) fed through greedy maximal matching
-    — each entity merges with AT MOST one partner, conflicts resolved
-    by deterministic hash priority (7 rounds; stability measured at
-    4-5 on both test scales). The composite the alignment story needs:
+    candidates (the er_pairs stage) fed through WEIGHTED greedy maximal
+    matching — each entity merges with AT MOST one partner, contested
+    entities resolved by edit distance FIRST (an exact-name duplicate
+    beats a typo pair), hash only breaking ties (7 rounds; stability
+    measured at 4-5 on both test scales). The composite the alignment story needs:
     blocking proposes, matching disposes."""
     from ontoweaver_spark.graphstats import maximal_matching
     from ontoweaver_spark.linking import er_candidates
@@ -3301,9 +3302,11 @@ def q_er_align(spark, sf_dir):
     )
     pairs = er_candidates(m1.unionByName(m2), window=3, max_distance=2)
     edges = pairs.select(
-        F.col("a").cast("string").alias("src"), F.col("b").cast("string").alias("dst")
+        F.col("a").cast("string").alias("src"),
+        F.col("b").cast("string").alias("dst"),
+        F.col("distance"),
     )
-    return maximal_matching(edges, exact_rounds=7)
+    return maximal_matching(edges, exact_rounds=7, cost_col="distance")
 
 
 def _er_align_sql(rounds: int) -> str:
@@ -3326,14 +3329,16 @@ def _er_align_sql(rounds: int) -> str:
                  row_number() OVER (ORDER BY cn, entity_id) - 1 AS rk
           FROM ents
         ), cand AS MATERIALIZED (
-          SELECT l.entity_id::VARCHAR AS a, r.entity_id::VARCHAR AS b
+          SELECT l.entity_id::VARCHAR AS a, r.entity_id::VARCHAR AS b,
+                 levenshtein(l.cn, r.cn) AS dist
           FROM ranked l JOIN ranked r
             ON r.rk > l.rk AND r.rk - l.rk <= 3
           WHERE levenshtein(l.cn, r.cn) <= 2
         ), e0 AS MATERIALIZED (
-          SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v,
+          SELECT least(a,b) AS u, greatest(a,b) AS v,
+                 min(dist)::BIGINT * 1152921504606846976::BIGINT +
                  ('0x'||substr(md5(least(a,b) || '->' || greatest(a,b)),1,15))::BIGINT AS p
-          FROM cand WHERE a <> b
+          FROM cand WHERE a <> b GROUP BY 1, 2
         )"""]
     sels = []
     for r in range(rounds):

@@ -2826,6 +2826,7 @@ def maximal_matching(
     dst_col: str = "dst",
     exact_rounds: int | None = None,
     max_rounds: int = 30,
+    cost_col: str | None = None,
 ) -> DataFrame:
     """Greedy MAXIMAL matching -> ``(u, v)`` edge subset where no two
     chosen edges share a vertex and no remaining edge could be added.
@@ -2844,13 +2845,32 @@ def maximal_matching(
 
     ``exact_rounds=r`` unrolls exactly r rounds for the SQL oracle;
     default runs until no edges survive and raises past ``max_rounds``.
+
+    ``cost_col`` makes the matching WEIGHTED-greedy (the classic
+    1/2-approximation of minimum-cost maximal matching): priorities
+    order by the edge's integer cost FIRST (0 <= cost < 2^3 — an ER
+    edit distance, not a float score), hash only breaking ties, so a
+    distance-0 duplicate pair always beats a distance-2 one competing
+    for the same entity. Encoded as ``cost * 2^60 + md5`` — one BIGINT,
+    same oracle shape as the unweighted form.
     """
     u, v = F.col(src_col), F.col(dst_col)
+    keep = [F.least(u, v).alias("u"), F.greatest(u, v).alias("v")]
+    if cost_col is not None:
+        keep.append(F.col(cost_col))
     e = (
-        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        edges.select(*keep)
         .where(F.col("u") != F.col("v"))
-        .distinct()
-        .withColumn("p", md5_int(F.concat_ws("->", F.col("u"), F.col("v"))))
+        .groupBy("u", "v")
+        .agg(*([F.min(cost_col).alias(cost_col)] if cost_col else [F.count("*").alias("_c")]))
+        .drop("_c")
+        .withColumn("_h", md5_int(F.concat_ws("->", F.col("u"), F.col("v"))))
+        .withColumn(
+            "p",
+            F.col("_h") if cost_col is None
+            else F.col(cost_col).cast("long") * F.lit(1 << 60) + F.col("_h"),
+        )
+        .drop("_h")
         .localCheckpoint(eager=False)
     )
     spark = edges.sparkSession

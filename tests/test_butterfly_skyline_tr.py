@@ -506,3 +506,27 @@ def test_square_count_known_graphs(spark):
     )
     row = square_count(tri).first()
     assert (row["squares"], row["n_edges"]) == (0, 3)
+
+
+def test_weighted_matching_prefers_low_cost(spark):
+    from ontoweaver_spark.graphstats import maximal_matching
+
+    # b is contested: (a,b) cost 2 vs (b,c) cost 0 -> (b,c) must win
+    # regardless of hash order; then (a,d) cost 2 completes the matching
+    e = spark.createDataFrame(
+        [("a", "b", 2), ("b", "c", 0), ("a", "d", 2)],
+        "src string, dst string, dist int",
+    )
+    m = sorted(
+        (r["u"], r["v"]) for r in maximal_matching(e, cost_col="dist").collect()
+    )
+    assert m == [("a", "d"), ("b", "c")]
+    # duplicate pair rows keep the MIN cost
+    e2 = spark.createDataFrame(
+        [("a", "b", 2), ("b", "a", 0), ("b", "c", 1)],
+        "src string, dst string, dist int",
+    )
+    m2 = sorted(
+        (r["u"], r["v"]) for r in maximal_matching(e2, cost_col="dist").collect()
+    )
+    assert m2 == [("a", "b")]
