@@ -3522,6 +3522,31 @@ def q_kg_squares(spark, sf_dir):
     return square_count(docs.select(hub(7, 61).alias("src"), hub(11, 53).alias("dst")))
 
 
+def q_ld_extract(spark, sf_dir):
+    """Embedded schema.org JSON-LD harvest: synthesize pages whose HTML
+    carries an ld+json block derived from each document, extract
+    (subject, predicate, object) triples with one JVM regexp + from_json
+    map parse — the in-HTML twin of the .jsonld file loader."""
+    from ontoweaver_spark.webdoc import extract_embedded_jsonld
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    ld = F.concat(
+        F.lit('{"@id":"doc'), i.cast("string"),
+        F.lit('","@type":"Article","name":"entity '), (i % 500).cast("string"),
+        F.lit('","inLanguage":"'), F.col("lang"), F.lit('"}'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://x.test/"), i.cast("string")).alias("url"),
+        F.concat(
+            F.lit('<html><head><script type="application/ld+json">'), ld,
+            F.lit("</script></head><body>"), F.col("text"), F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    return extract_embedded_jsonld(pages)
+
+
 def q_media_image(spark, sf_dir):
     """Image feature extraction over the deterministic synthetic media
     table (Arrow-batched mapInPandas; payloads are non-image bytes, so
@@ -3724,6 +3749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burst_hosts": q_burst_hosts,
         "kg_katz": q_kg_katz,
         "kg_squares": q_kg_squares,
+        "ld_extract": q_ld_extract,
     }
 
 
@@ -7855,5 +7881,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT count(*) FROM und) AS n_edges,
                    coalesce((SELECT sum(w) FROM wp), 0)::BIGINT AS wedges,
                    (coalesce((SELECT sum(w * (w-1) // 2) FROM wp), 0) // 2)::BIGINT AS squares
+        """,
+        "ld_extract": """
+            SELECT 'doc' || doc_id::VARCHAR AS subject, 'a' AS predicate,
+                   'Article' AS object
+            FROM documents
+            UNION ALL
+            SELECT 'doc' || doc_id::VARCHAR, 'name',
+                   'entity ' || (doc_id % 500)::VARCHAR
+            FROM documents
+            UNION ALL
+            SELECT 'doc' || doc_id::VARCHAR, 'inLanguage', lang
+            FROM documents
         """,
     }

@@ -530,3 +530,40 @@ def test_weighted_matching_prefers_low_cost(spark):
         (r["u"], r["v"]) for r in maximal_matching(e2, cost_col="dist").collect()
     )
     assert m2 == [("a", "b")]
+
+
+def test_extract_embedded_jsonld(spark):
+    from ontoweaver_spark.webdoc import extract_embedded_jsonld
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", '<html><script type="application/ld+json">'
+                   '{"@id":"e1","@type":"Article","name":"Foo","lang":"en"}'
+                   '</script><body>x</body></html>'),
+            ("u2", '<html><script type="application/ld+json">'
+                   '{"@type":"Person","name":"Bar"}</script></html>'),  # no @id -> url
+            ("u3", "<html>no block here</html>"),
+        ],
+        "url string, html string",
+    )
+    got = {(r["subject"], r["predicate"], r["object"])
+           for r in extract_embedded_jsonld(pages).collect()}
+    assert ("e1", "a", "Article") in got
+    assert ("e1", "name", "Foo") in got and ("e1", "lang", "en") in got
+    assert ("u2", "a", "Person") in got and ("u2", "name", "Bar") in got
+    assert not any(s == "u3" for s, _, _ in got)
+    assert not any(p.startswith("@") for _, p, _ in got)
+
+
+def test_extract_embedded_jsonld_binary_html(spark):
+    from pyspark.sql import functions as F
+
+    from ontoweaver_spark.webdoc import extract_embedded_jsonld
+
+    pages = spark.createDataFrame(
+        [("u1", '<script type="application/ld+json">{"@type":"T","k":"v"}</script>')],
+        "url string, h string",
+    ).select("url", F.encode(F.col("h"), "utf-8").alias("html"))
+    got = {(r["subject"], r["predicate"], r["object"])
+           for r in extract_embedded_jsonld(pages).collect()}
+    assert got == {("u1", "a", "T"), ("u1", "k", "v")}
