@@ -3547,6 +3547,25 @@ def q_ld_extract(spark, sf_dir):
     return extract_embedded_jsonld(pages)
 
 
+def q_kg_lcc(spark, sf_dir):
+    """Giant-component extraction: star-topology membership graph where
+    half the docs share one anchor (the giant component) and the rest
+    split across 5 small anchors; largest_component must return exactly
+    the giant one with a deterministic tie-break."""
+    from ontoweaver_spark.graphstats import largest_component
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    anchor = F.when(i % 10 < 5, F.lit("gA")).otherwise(
+        F.concat(F.lit("g"), (i % 10).cast("string"))
+    )
+    e = docs.select(
+        F.concat(F.lit("d"), i.cast("string")).alias("src"), anchor.alias("dst")
+    )
+    return largest_component(e)
+
+
 def q_media_image(spark, sf_dir):
     """Image feature extraction over the deterministic synthetic media
     table (Arrow-batched mapInPandas; payloads are non-image bytes, so
@@ -3750,6 +3769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_katz": q_kg_katz,
         "kg_squares": q_kg_squares,
         "ld_extract": q_ld_extract,
+        "kg_lcc": q_kg_lcc,
     }
 
 
@@ -7893,5 +7913,15 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'doc' || doc_id::VARCHAR, 'inLanguage', lang
             FROM documents
+        """,
+        "kg_lcc": """
+            WITH mem AS (
+              SELECT 'd' || doc_id::VARCHAR AS vertex FROM documents
+              WHERE doc_id % 10 < 5
+              UNION ALL SELECT 'gA'
+            ), lbl AS (
+              SELECT min(vertex) AS component, count(*) AS size FROM mem
+            )
+            SELECT m.vertex, l.component, l.size FROM mem m, lbl l
         """,
     }

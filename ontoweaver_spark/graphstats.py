@@ -3094,3 +3094,36 @@ def square_count(
             "n_edges", "wedges", F.expr("sq2 DIV 2").alias("squares")
         )
     )
+
+
+def largest_component(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Members of the LARGEST connected component -> ``(vertex,
+    component, size)`` sorted nowhere (a set). The crawl-graph
+    normalization step: web link graphs are one giant component plus
+    debris, and most downstream analytics (PageRank, diameters,
+    embeddings) want the giant component only.
+
+    Star-round CC (dedup.connected_components, O(log n) rounds) + a
+    one-row argmax over the component-size aggregate (ties broken by
+    component label — deterministic) + one semi-join. The full vertex
+    set never collects; the only driver-sized object is the 1-row
+    winner.
+    """
+    from .dedup import connected_components
+
+    cc = connected_components(
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .where(F.col("a") != F.col("b"))
+    ).localCheckpoint(eager=False)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("size"))
+    best = F.broadcast(
+        sizes.agg(
+            F.min_by(
+                F.struct("component", "size"),
+                F.struct((-F.col("size")).alias("ns"), F.col("component")),
+            ).alias("b")
+        ).select(F.col("b.component").alias("component"), F.col("b.size").alias("size"))
+    )
+    return cc.join(best, "component").select("vertex", "component", "size")

@@ -567,3 +567,22 @@ def test_extract_embedded_jsonld_binary_html(spark):
     got = {(r["subject"], r["predicate"], r["object"])
            for r in extract_embedded_jsonld(pages).collect()}
     assert got == {("u1", "a", "T"), ("u1", "k", "v")}
+
+
+def test_largest_component_extraction(spark):
+    from ontoweaver_spark.graphstats import largest_component
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("p", "q"), ("q", "p")],
+        "src string, dst string",
+    )
+    rows = largest_component(e).collect()
+    assert {r["vertex"] for r in rows} == {"a", "b", "c", "d"}
+    assert all(r["size"] == 4 for r in rows)
+    # deterministic tie-break: two size-2 components -> after removing the
+    # big one, 'p' component (label min) wins over 'x' lexicographically
+    e2 = spark.createDataFrame(
+        [("x", "y"), ("p", "q")], "src string, dst string"
+    )
+    rows2 = largest_component(e2).collect()
+    assert {r["vertex"] for r in rows2} == {"p", "q"}
