@@ -3566,6 +3566,29 @@ def q_kg_lcc(spark, sf_dir):
     return largest_component(e)
 
 
+def q_ld_export(spark, sf_dir):
+    """Newline-delimited JSON-LD export of the documents KG triples:
+    byte-deterministic node objects (sorted predicates and objects,
+    hand-built JSON — never engine-ordered to_json), the write mirror
+    of the .jsonld loader."""
+    from ontoweaver_spark.rdf_export import serialize_jsonld_lines
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir).where(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
+    i = F.col("doc_id")
+    subj = F.concat(F.lit("doc"), i.cast("string"))
+    triples = docs.select(
+        subj.alias("subject"), F.lit("in_language").alias("predicate"),
+        F.col("lang").alias("object"),
+    ).unionByName(docs.select(
+        subj.alias("subject"), F.lit("from_source").alias("predicate"),
+        F.col("source").alias("object"),
+    ))
+    return serialize_jsonld_lines(triples)
+
+
 def q_media_image(spark, sf_dir):
     """Image feature extraction over the deterministic synthetic media
     table (Arrow-batched mapInPandas; payloads are non-image bytes, so
@@ -3770,6 +3793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_squares": q_kg_squares,
         "ld_extract": q_ld_extract,
         "kg_lcc": q_kg_lcc,
+        "ld_export": q_ld_export,
     }
 
 
@@ -7923,5 +7947,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT min(vertex) AS component, count(*) AS size FROM mem
             )
             SELECT m.vertex, l.component, l.size FROM mem m, lbl l
+        """,
+        "ld_export": """
+            SELECT 'doc' || doc_id::VARCHAR AS subject,
+                   '{"@id":"doc' || doc_id::VARCHAR ||
+                   '","from_source":["' || source ||
+                   '"],"in_language":["' || lang || '"]}' AS line
+            FROM documents
+            WHERE lang IS NOT NULL AND source IS NOT NULL
         """,
     }

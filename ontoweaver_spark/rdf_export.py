@@ -151,3 +151,58 @@ def write_ntriples(triples: DataFrame, path: str, mode: str = "error") -> None:
     no header), so downstream consumers can read the directory as-is —
     including this repo's own ``read_rdf_triples``."""
     serialize_ntriples(triples).write.mode(mode).text(path)
+
+
+def serialize_jsonld_lines(
+    triples: DataFrame,
+    subject_col: str = "subject",
+    predicate_col: str = "predicate",
+    object_col: str = "object",
+) -> DataFrame:
+    """Flat JSON-LD serialization -> one ``(subject, line)`` row per
+    subject, where ``line`` is a self-contained JSON-LD node object:
+    ``{"@id": s, p1: [o1, o2], p2: [o3], ...}`` with predicates AND
+    objects sorted — the export mirror of ``loaders.read_jsonld`` (one
+    object per line is the newline-delimited JSON-LD that streaming
+    consumers and ``spark.read.json`` both eat directly; parts
+    concatenate like the .nt writer's).
+
+    Determinism is the point: the JSON string is BUILT from sorted
+    parts (never ``to_json`` on a map, whose key order is
+    engine-internal), so the same graph always serializes to the same
+    bytes and a SQL oracle can hash-match it. One predicate-level
+    aggregation + one subject-level aggregation — two map-side-combined
+    shuffles on the natural keys, no driver collection.
+    """
+    esc = lambda c: F.regexp_replace(
+        F.regexp_replace(c, r"\\", r"\\\\"), '"', '\\\\"'
+    )
+    per_pred = (
+        triples.select(
+            esc(F.col(subject_col).cast("string")).alias("s"),
+            esc(F.col(predicate_col).cast("string")).alias("p"),
+            esc(F.col(object_col).cast("string")).alias("o"),
+        )
+        .groupBy("s", "p")
+        .agg(F.array_sort(F.collect_set("o")).alias("os"))
+        .select(
+            "s",
+            F.concat(
+                F.lit('"'), F.col("p"), F.lit('":["'),
+                F.array_join("os", '","'), F.lit('"]'),
+            ).alias("entry"),
+        )
+    )
+    return (
+        per_pred.groupBy("s")
+        .agg(F.array_sort(F.collect_list("entry")).alias("entries"))
+        .select(
+            F.col("s").alias("subject"),
+            F.concat(
+                # entries carry their own opening quote: close the @id
+                # string, comma, then splice
+                F.lit('{"@id":"'), F.col("s"), F.lit('",'),
+                F.array_join("entries", ","), F.lit("}"),
+            ).alias("line"),
+        )
+    )

@@ -586,3 +586,28 @@ def test_largest_component_extraction(spark):
     )
     rows2 = largest_component(e2).collect()
     assert {r["vertex"] for r in rows2} == {"p", "q"}
+
+
+def test_jsonld_lines_roundtrip_and_escaping(spark):
+    import json
+
+    from ontoweaver_spark.rdf_export import serialize_jsonld_lines
+
+    t = spark.createDataFrame(
+        [
+            ("s1", "name", 'say "hi"'),
+            ("s1", "name", "b"),
+            ("s1", "kind", "Doc"),
+            ("s2", "path", "a\\b"),
+        ],
+        "subject string, predicate string, object string",
+    )
+    rows = {r["subject"]: r["line"] for r in serialize_jsonld_lines(t).collect()}
+    d1 = json.loads(rows["s1"])
+    assert d1 == {"@id": "s1", "kind": ["Doc"], "name": ["b", 'say "hi"']}
+    d2 = json.loads(rows["s2"])
+    assert d2 == {"@id": "s2", "path": ["a\\b"]}
+    # byte determinism across partitionings
+    a = sorted(r["line"] for r in serialize_jsonld_lines(t.repartition(1)).collect())
+    b = sorted(r["line"] for r in serialize_jsonld_lines(t.repartition(7)).collect())
+    assert a == b
