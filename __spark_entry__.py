@@ -3589,6 +3589,22 @@ def q_ld_export(spark, sf_dir):
     return serialize_jsonld_lines(triples)
 
 
+def q_kg_graph_hash(spark, sf_dir):
+    """Whole-graph WL fingerprint of the hub co-citation graph (2
+    rounds): the build-drift check — one row (n_nodes, graph_hash)."""
+    from ontoweaver_spark.graphstats import wl_graph_hash
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+
+    def hub(m, p):
+        return F.concat(F.lit("hub"), ((F.col("doc_id") * m) % p).cast("string"))
+
+    return wl_graph_hash(
+        docs.select(hub(7, 61).alias("src"), hub(11, 53).alias("dst")), rounds=2
+    )
+
+
 def q_media_image(spark, sf_dir):
     """Image feature extraction over the deterministic synthetic media
     table (Arrow-batched mapInPandas; payloads are non-image bytes, so
@@ -3794,6 +3810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ld_extract": q_ld_extract,
         "kg_lcc": q_kg_lcc,
         "ld_export": q_ld_export,
+        "kg_graph_hash": q_kg_graph_hash,
     }
 
 
@@ -7955,5 +7972,53 @@ def oracle_sql() -> dict[str, str]:
                    '"],"in_language":["' || lang || '"]}' AS line
             FROM documents
             WHERE lang IS NOT NULL AND source IS NOT NULL
+        """,
+        "kg_graph_hash": """
+            WITH wl AS (
+                WITH e0 AS (
+                  SELECT 'hub'||((doc_id*7)%61)::VARCHAR AS u,
+                         'hub'||((doc_id*11)%53)::VARCHAR AS v
+                  FROM documents
+                ), und AS (
+                  SELECT DISTINCT u, v FROM (
+                    SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+                  ) WHERE u <> v
+                ), c0 AS (
+                  SELECT DISTINCT u AS node,
+                         ('0x'||substr(md5('wl0'),1,15))::BIGINT AS color
+                  FROM und
+                ), f1 AS (
+                  SELECT und.u AS node,
+                         sum(c.color % 2147483647)::BIGINT AS msum,
+                         count(*) AS mcnt
+                  FROM und JOIN c0 c ON c.node = und.v GROUP BY 1
+                ), c1 AS (
+                  SELECT c0.node,
+                         ('0x'||substr(md5(c0.color::VARCHAR || '|' ||
+                             coalesce(f1.msum, 0)::VARCHAR || '|' ||
+                             coalesce(f1.mcnt, 0)::VARCHAR), 1, 15))::BIGINT AS color
+                  FROM c0 LEFT JOIN f1 ON f1.node = c0.node
+                ), f2 AS (
+                  SELECT und.u AS node,
+                         sum(c.color % 2147483647)::BIGINT AS msum,
+                         count(*) AS mcnt
+                  FROM und JOIN c1 c ON c.node = und.v GROUP BY 1
+                ), c2 AS (
+                  SELECT c1.node,
+                         ('0x'||substr(md5(c1.color::VARCHAR || '|' ||
+                             coalesce(f2.msum, 0)::VARCHAR || '|' ||
+                             coalesce(f2.mcnt, 0)::VARCHAR), 1, 15))::BIGINT AS color
+                  FROM c1 LEFT JOIN f2 ON f2.node = c1.node
+                )
+                SELECT node, color FROM c2
+            ),
+            hist AS (
+              SELECT color, count(*) AS c FROM wl GROUP BY color
+            )
+            SELECT coalesce(sum(c), 0)::BIGINT AS n_nodes,
+                   ('0x' || substr(md5(string_agg(color::VARCHAR || ':' || c::VARCHAR,
+                                                  ',' ORDER BY color::VARCHAR || ':' || c::VARCHAR)),
+                                   1, 15))::BIGINT AS graph_hash
+            FROM hist
         """,
     }

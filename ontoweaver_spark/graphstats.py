@@ -3127,3 +3127,39 @@ def largest_component(
         ).select(F.col("b.component").alias("component"), F.col("b.size").alias("size"))
     )
     return cc.join(best, "component").select("vertex", "component", "size")
+
+
+def wl_graph_hash(
+    edges: DataFrame,
+    rounds: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Whole-graph WL fingerprint -> one row ``(n_nodes, graph_hash)``:
+    the md5-int of the SORTED multiset of :func:`wl_colors` colors
+    (rendered as a comma-joined string of ``color:count`` pairs). Two
+    graphs with different fingerprints are guaranteed non-isomorphic
+    (the 1-WL test); equal fingerprints mean 1-WL-equivalent — the
+    snapshot-drift / dedup check for graph BUILDS, the way a text
+    fingerprint checks documents.
+
+    The color histogram (distinct colors, typically << |V|) is the only
+    thing sorted — an aggregate of the per-color counts, never the node
+    table.
+    """
+    hist = (
+        wl_colors(edges, rounds=rounds, src_col=src_col, dst_col=dst_col)
+        .groupBy("color")
+        .agg(F.count("*").alias("c"))
+    )
+    return hist.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_nodes"),
+        md5_int(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.concat_ws(":", F.col("color"), F.col("c")))
+                ),
+                ",",
+            )
+        ).alias("graph_hash"),
+    )

@@ -611,3 +611,23 @@ def test_jsonld_lines_roundtrip_and_escaping(spark):
     a = sorted(r["line"] for r in serialize_jsonld_lines(t.repartition(1)).collect())
     b = sorted(r["line"] for r in serialize_jsonld_lines(t.repartition(7)).collect())
     assert a == b
+
+
+def test_wl_graph_hash_invariance_and_discrimination(spark):
+    from ontoweaver_spark.graphstats import wl_graph_hash
+
+    tri = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    # isomorphic relabeling -> identical fingerprint
+    tri2 = spark.createDataFrame(
+        [("x", "y"), ("y", "z"), ("z", "x")], "src string, dst string"
+    )
+    h1, h2 = wl_graph_hash(tri).first(), wl_graph_hash(tri2).first()
+    assert (h1["n_nodes"], h1["graph_hash"]) == (h2["n_nodes"], h2["graph_hash"])
+    # path P3 has same node count but different structure
+    p3 = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    h3 = wl_graph_hash(p3).first()
+    assert h3["graph_hash"] != h1["graph_hash"]
