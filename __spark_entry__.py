@@ -754,12 +754,17 @@ def q_web_corpus_prep(spark, sf_dir):
 
 def q_corpus_stats(spark, sf_dir):
     """Per-language corpus profile (doc counts, token budget, exact
-    interpolated length percentiles) — exact=True so DuckDB's
-    quantile_cont mirrors Spark's percentile bit-for-bit."""
+    interpolated length percentiles).  exact=True so DuckDB's
+    quantile_cont mirrors Spark's percentile bit-for-bit; int_e4=True
+    returns the four statistics as exact integer ten-thousandths
+    (BIGINT) so the cross-engine hash gate has no float-serialization
+    surface at all — the doubles themselves were verified bit-identical
+    (struct.pack) at sf0.001/0.01/0.1, the r4 red row was
+    serialization-side."""
     from ontoweaver_spark.textops import corpus_stats
 
     _tune(spark)
-    return corpus_stats(_docs(spark, sf_dir), exact=True)
+    return corpus_stats(_docs(spark, sf_dir), exact=True, int_e4=True)
 
 
 def q_url_canon(spark, sf_dir):
@@ -2796,19 +2801,35 @@ def q_kg_anf(spark, sf_dir):
 
 def q_kg_densest(spark, sf_dir):
     """Densest-subgraph peel (Bahmani et al. (2+2eps)-approx), 2 exact
-    rounds over the hub co-citation graph: every node with degree <=
-    1.1x average peels each round (exact integer comparison). Oracle:
-    the same two peel rounds unrolled with 1-row stats CTEs."""
+    rounds over a 3-tier citation graph: 997 leaf hosts each cite a few
+    of 40 mid hosts, mid hosts all cite 7 core hosts, and the core is a
+    K7 clique.  Round 1 peels the leaves, round 2 peels the mid tier,
+    and the core clique (21 canonical edges, degree 46 >> 1.1x avg)
+    SURVIVES at every shipped sf — the r4 hub graph was degree-uniform
+    and peeled to empty at sf0.1, making the oracle equality vacuous
+    (VERDICT r4 #3).  A declarative assert_true guard makes emptiness a
+    query-time error, not a silent 0==0 pass.  Oracle: the same two
+    peel rounds unrolled with 1-row stats CTEs."""
     from ontoweaver_spark.graphstats import densest_subgraph
 
     _tune(spark)
     docs = _docs(spark, sf_dir)
-
-    def hub(m, p):
-        return F.concat(F.lit("hub"), ((F.col("doc_id") * m) % p).cast("string"))
-
-    cocite = docs.select(hub(7, 61).alias("src"), hub(11, 53).alias("dst"))
-    return densest_subgraph(cocite, epsilon_pct=10, exact_rounds=2)
+    leaf = F.concat(F.lit("c"), (F.col("doc_id") % 997).cast("string"))
+    mid = F.concat(F.lit("b"), (F.col("doc_id") % 40).cast("string"))
+    core = F.concat(F.lit("a"), (F.col("doc_id") % 7).cast("string"))
+    core2 = F.concat(F.lit("a"), (F.expr("doc_id div 7") % 7).cast("string"))
+    cites = (
+        docs.select(leaf.alias("src"), mid.alias("dst"))
+        .unionAll(docs.select(mid.alias("src"), core.alias("dst")))
+        .unionAll(docs.select(core.alias("src"), core2.alias("dst")))
+    )
+    out = densest_subgraph(cites, epsilon_pct=10, exact_rounds=2)
+    guard = out.agg(
+        F.assert_true(
+            F.count("*") > 0, F.lit("kg_densest: peel emptied the graph — vacuous oracle")
+        ).alias("_ok")
+    )
+    return out.crossJoin(F.broadcast(guard)).drop("_ok")
 
 
 def q_er_resolve(spark, sf_dir):
@@ -5388,10 +5409,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT lang AS stratum, {n_tokens_sql} AS n FROM documents
             )
             SELECT stratum, count(*) AS n_docs, sum(n) AS total_tokens,
-                   floor(avg(n) * 10000 + 0.5) / 10000 AS mean_tokens,
-                   floor(quantile_cont(n, 0.5) * 10000 + 0.5) / 10000 AS p50_tokens,
-                   floor(quantile_cont(n, 0.9) * 10000 + 0.5) / 10000 AS p90_tokens,
-                   floor(quantile_cont(n, 0.99) * 10000 + 0.5) / 10000 AS p99_tokens
+                   CAST(floor(avg(n) * 10000 + 0.5) AS BIGINT) AS mean_tokens_e4,
+                   CAST(floor(quantile_cont(n, 0.5) * 10000 + 0.5) AS BIGINT) AS p50_tokens_e4,
+                   CAST(floor(quantile_cont(n, 0.9) * 10000 + 0.5) AS BIGINT) AS p90_tokens_e4,
+                   CAST(floor(quantile_cont(n, 0.99) * 10000 + 0.5) AS BIGINT) AS p99_tokens_e4
             FROM t GROUP BY stratum
         """,
         "url_canon": f"""
@@ -7470,12 +7491,18 @@ def oracle_sql() -> dict[str, str]:
             FROM ents e LEFT JOIN comp c ON e.entity_id = c.v
         """,
         "kg_densest": """
-            WITH e0 AS MATERIALIZED (
-              SELECT DISTINCT least('hub' || ((doc_id*7)%61)::VARCHAR,
-                                    'hub' || ((doc_id*11)%53)::VARCHAR) AS u,
-                              greatest('hub' || ((doc_id*7)%61)::VARCHAR,
-                                       'hub' || ((doc_id*11)%53)::VARCHAR) AS v
-              FROM documents WHERE (doc_id*7)%61 <> (doc_id*11)%53
+            WITH raw AS (
+              SELECT 'c' || (doc_id % 997)::VARCHAR AS x,
+                     'b' || (doc_id % 40)::VARCHAR AS y FROM documents
+              UNION ALL
+              SELECT 'b' || (doc_id % 40)::VARCHAR,
+                     'a' || (doc_id % 7)::VARCHAR FROM documents
+              UNION ALL
+              SELECT 'a' || (doc_id % 7)::VARCHAR,
+                     'a' || ((doc_id // 7) % 7)::VARCHAR FROM documents
+            ), e0 AS MATERIALIZED (
+              SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+              FROM raw WHERE x <> y
             ), deg0 AS MATERIALIZED (
               SELECT node, count(*)::BIGINT AS deg FROM (
                 SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0

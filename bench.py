@@ -169,7 +169,36 @@ def main() -> None:
         "protocol": "best-of-3 all queries; extract_shots records the headline's spread",
         "counts": counters,
     }
+    # Output contract (r4 post-mortem): the driver captures only a ~2000-char
+    # TAIL of stdout and parses the LAST line as JSON. r4's single line with
+    # 163 per-query timings overflowed that window -> BENCH_r04 parsed:null,
+    # the round's graded headline vanished. So: full detail goes to a
+    # PRECEDING line and a BENCH/ file; the FINAL line is a compact (<1 KB)
+    # headline the tail capture can always parse.
     print(json.dumps(result))
+    try:
+        os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"),
+                    exist_ok=True)
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "bench_detail_last.json"), "w") as fh:
+            json.dump(result, fh, indent=1)
+    except OSError:
+        pass
+    headline = {
+        "metric": "kg_suite_total",
+        "value": total,
+        "value_r3_query_set": result["value_r3_query_set"],
+        "unit": "sec",
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "pages_n": PAGES_N,
+        "triples": pages_triples,
+        "triples_per_sec": result["triples_per_sec"],
+        "extract_shots": extract_shots,
+        "n_queries": len(timings),
+        "protocol": "best-of-3; detail on preceding line + BENCH/bench_detail_last.json",
+    }
+    print(json.dumps(headline))
     spark.stop()
 
 

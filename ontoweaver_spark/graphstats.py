@@ -2868,7 +2868,23 @@ def maximal_matching(
         .withColumn(
             "p",
             F.col("_h") if cost_col is None
-            else F.col(cost_col).cast("long") * F.lit(1 << 60) + F.col("_h"),
+            # the range guard is load-bearing, not just documentation:
+            # cost >= 8 overflows signed 64-bit (8 * 2^60 == 2^63) and a
+            # negative cost wraps — either silently yields a
+            # wrong-but-plausible matching. assert_true evaluates in-plan
+            # (null when passing, runtime error when not) and coalesces
+            # to an additive zero, so no extra job is spent on the check.
+            else F.col(cost_col).cast("long") * F.lit(1 << 60) + F.col("_h")
+            + F.coalesce(
+                F.assert_true(
+                    (F.col(cost_col) >= 0) & (F.col(cost_col) < 8),
+                    F.concat(
+                        F.lit("maximal_matching: cost_col out of range [0, 8): "),
+                        F.col(cost_col).cast("string"),
+                    ),
+                ).cast("long"),
+                F.lit(0),
+            ),
         )
         .drop("_h")
         .localCheckpoint(eager=False)

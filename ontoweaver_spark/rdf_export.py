@@ -17,6 +17,8 @@ tested against this repo's own distributed ``.nt`` reader.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, MapType
@@ -173,13 +175,32 @@ def serialize_jsonld_lines(
     bytes and a SQL oracle can hash-match it. One predicate-level
     aggregation + one subject-level aggregation — two map-side-combined
     shuffles on the natural keys, no driver collection.
+
+    Escaping is full JSON string escaping: backslash, double-quote, and
+    EVERY control character U+0000–U+001F (named escapes for
+    ``\\n \\r \\t \\b \\f``, generic ``\\u00XX`` for the rest) — a bare
+    newline in a value would otherwise both break the JSON and split
+    the newline-delimited output line.  The returned ``subject`` column
+    is the RAW subject (joins back to the source frame); the escaped
+    form appears only inside ``line``.
     """
-    esc = lambda c: F.regexp_replace(
-        F.regexp_replace(c, r"\\", r"\\\\"), '"', '\\\\"'
-    )
+    def esc(c):
+        c = F.regexp_replace(c, r"\\", r"\\\\")
+        c = F.regexp_replace(c, '"', '\\\\"')
+        named = {0x08: "b", 0x09: "t", 0x0A: "n", 0x0C: "f", 0x0D: "r"}
+        for cp, letter in named.items():
+            c = F.regexp_replace(c, chr(cp), "\\\\" + letter)
+        for cp in range(0x20):
+            if cp in named:
+                continue
+            # java.util.regex: \x00 etc. are literal chars in the pattern;
+            # the replacement needs \\ to emit one literal backslash
+            c = F.regexp_replace(c, re.escape(chr(cp)), "\\\\u%04x" % cp)
+        return c
+
     per_pred = (
         triples.select(
-            esc(F.col(subject_col).cast("string")).alias("s"),
+            F.col(subject_col).cast("string").alias("s"),
             esc(F.col(predicate_col).cast("string")).alias("p"),
             esc(F.col(object_col).cast("string")).alias("o"),
         )
@@ -201,7 +222,7 @@ def serialize_jsonld_lines(
             F.concat(
                 # entries carry their own opening quote: close the @id
                 # string, comma, then splice
-                F.lit('{"@id":"'), F.col("s"), F.lit('",'),
+                F.lit('{"@id":"'), esc(F.col("s")), F.lit('",'),
                 F.array_join("entries", ","), F.lit("}"),
             ).alias("line"),
         )

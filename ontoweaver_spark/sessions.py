@@ -351,7 +351,12 @@ def burst_windows(
     (broadcast-sized: one row per active key); never a per-event
     window.
     """
-    b = (F.unix_micros(F.col(ts_col).cast("timestamp")) / (bucket_seconds * 1_000_000)).cast("long")
+    # exact BIGINT truncating division (Spark `div` == DuckDB `//` on
+    # integers, both toward zero) — float division + cast('long') rounds
+    # through a double, a latent boundary hazard for pre-1970 timestamps
+    b = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div {bucket_seconds * 1_000_000}"
+    )
     per_bucket = (
         events.select(F.col(key_col).alias("key"), b.alias("bucket"))
         .groupBy("key", "bucket")

@@ -171,6 +171,7 @@ def corpus_stats(
     text_col: str = "text",
     strata_col: str = "lang",
     exact: bool = True,
+    int_e4: bool = False,
 ) -> DataFrame:
     """Per-stratum corpus profile -> ``(stratum, n_docs, total_tokens,
     mean_tokens, p50_tokens, p90_tokens, p99_tokens)`` — the first table
@@ -186,11 +187,33 @@ def corpus_stats(
     which is why the checked query pins ``exact=True``.
 
     Counts and totals are exact integers either way; means divide an
-    exact integer sum (identical IEEE division in both engines)."""
+    exact integer sum (identical IEEE division in both engines).
+
+    ``int_e4=True`` emits the four distribution statistics as exact
+    integer ten-thousandths (BIGINT ``*_e4`` columns,
+    ``floor(x*10000 + 0.5)``) instead of doubles — integers cannot
+    diverge across engines' float *serialization*, so this is the
+    variant the cross-engine correctness gate pins."""
     if exact:
         pct = [F.expr(f"percentile(n_toks, {q})") for q in (0.5, 0.9, 0.99)]
     else:
         pct = [F.percentile_approx("n_toks", q).cast("double") for q in (0.5, 0.9, 0.99)]
+    if int_e4:
+        def stat(c: Column, name: str) -> Column:
+            return F.floor(c * 10000.0 + F.lit(0.5)).cast("long").alias(name + "_e4")
+        stats = [
+            stat(F.avg("n_toks"), "mean_tokens"),
+            stat(pct[0], "p50_tokens"),
+            stat(pct[1], "p90_tokens"),
+            stat(pct[2], "p99_tokens"),
+        ]
+    else:
+        stats = [
+            round_ieee(F.avg("n_toks"), 4).alias("mean_tokens"),
+            round_ieee(pct[0], 4).alias("p50_tokens"),
+            round_ieee(pct[1], 4).alias("p90_tokens"),
+            round_ieee(pct[2], 4).alias("p99_tokens"),
+        ]
     return (
         df.select(
             F.col(strata_col).alias("stratum"),
@@ -200,10 +223,7 @@ def corpus_stats(
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_toks").alias("total_tokens"),
-            round_ieee(F.avg("n_toks"), 4).alias("mean_tokens"),
-            round_ieee(pct[0], 4).alias("p50_tokens"),
-            round_ieee(pct[1], 4).alias("p90_tokens"),
-            round_ieee(pct[2], 4).alias("p99_tokens"),
+            *stats,
         )
     )
 

@@ -171,8 +171,13 @@ def extract_embedded_jsonld(
     """
     html_s = F.decode(F.col(html_col), "utf-8") if dict(df.dtypes)[html_col] == "binary" \
         else F.col(html_col)
+    # tolerate extra attributes (async, id=...), attribute order, single or
+    # double quotes, and whitespace around '=' — real crawl HTML rarely
+    # carries the exact canonical tag (first matching block only)
     block = F.regexp_extract(
-        html_s, r'(?s)<script type="application/ld\+json">(.*?)</script>', 1
+        html_s,
+        r'(?is)<script[^>]*type\s*=\s*["\']application/ld\+json["\'][^>]*>(.*?)</script>',
+        1,
     )
     parsed = df.select(
         F.col(url_col).alias("_url"),

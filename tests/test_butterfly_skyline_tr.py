@@ -631,3 +631,96 @@ def test_wl_graph_hash_invariance_and_discrimination(spark):
     )
     h3 = wl_graph_hash(p3).first()
     assert h3["graph_hash"] != h1["graph_hash"]
+
+
+def test_jsonld_lines_control_chars_and_raw_subject(spark):
+    """Control characters JSON-escape (named + generic \\u00XX) and the
+    subject column stays RAW so joins back to the source frame work."""
+    import json
+
+    from ontoweaver_spark.rdf_export import serialize_jsonld_lines
+
+    t = spark.createDataFrame(
+        [
+            ('s "q"\n', "pred\ttab", "line1\nline2"),
+            ('s "q"\n', "bell", "ding\x07dong\x01"),
+        ],
+        "subject string, predicate string, object string",
+    )
+    out = serialize_jsonld_lines(t).collect()
+    assert len(out) == 1
+    row = out[0]
+    # raw subject for joinability
+    assert row["subject"] == 's "q"\n'
+    # the line is ONE line (no raw newline survives) and valid JSON
+    assert "\n" not in row["line"] and "\t" not in row["line"]
+    d = json.loads(row["line"])
+    assert d["@id"] == 's "q"\n'
+    assert d["pred\ttab"] == ["line1\nline2"]
+    assert d["bell"] == ["ding\x07dong\x01"]
+    assert "\\u0007" in row["line"] and "\\u0001" in row["line"]
+
+
+def test_weighted_matching_rejects_out_of_range_cost(spark):
+    """cost*2^60 overflows signed 64-bit at cost>=8; the in-plan guard
+    must raise instead of silently producing a wrapped priority."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from ontoweaver_spark.graphstats import maximal_matching
+
+    for bad in (8, -1):
+        e = spark.createDataFrame(
+            [("a", "b", bad)], "src string, dst string, dist int"
+        )
+        with pytest.raises(Exception) as ei:
+            maximal_matching(e, cost_col="dist").collect()
+        assert "out of range" in str(ei.value)
+    # boundary cost 7 is fine
+    e7 = spark.createDataFrame([("a", "b", 7)], "src string, dst string, dist int")
+    assert maximal_matching(e7, cost_col="dist").count() == 1
+
+
+def test_burst_windows_pre_1970_bucketing(spark):
+    """Pre-epoch timestamps: bucket id comes from exact BIGINT truncating
+    division (Spark `div` == DuckDB `//`), not float division + cast."""
+    import datetime as dt
+
+    from ontoweaver_spark.sessions import burst_windows
+
+    tz = dt.timezone.utc
+    # 4 events in one pre-1970 hour bucket, 1 in another -> burst fires
+    rows = [("u", dt.datetime(1969, 12, 31, 10, m, tzinfo=tz)) for m in (0, 10, 20, 30)]
+    rows.append(("u", dt.datetime(1969, 12, 31, 12, 0, tzinfo=tz)))
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = burst_windows(df, bucket_seconds=3600, factor=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    # trunc-toward-zero (Spark `div` == DuckDB `//`): 10:00 (-14h exact)
+    # stays in bucket -14, but 10:10..10:30 (-13.83h..-13.5h) truncate UP
+    # to bucket -13 — so bucket -13 holds 3 events and is the burst
+    assert r["bucket_start_us"] == -13 * 3600 * 1_000_000
+    assert r["n_events"] == 3
+
+
+def test_extract_embedded_jsonld_messy_script_tags(spark):
+    """Real crawl HTML: extra attributes, reordering, single quotes,
+    whitespace around '=' — all must still yield the block."""
+    from ontoweaver_spark.webdoc import extract_embedded_jsonld
+
+    variants = [
+        '<script async type="application/ld+json" id="x">{"@id":"v1","@type":"T","k":"a"}</script>',
+        "<script type='application/ld+json'>{\"@id\":\"v2\",\"@type\":\"T\",\"k\":\"b\"}</script>",
+        '<script type = "application/ld+json" >{"@id":"v3","@type":"T","k":"c"}</script>',
+        '<SCRIPT TYPE="APPLICATION/LD+JSON">{"@id":"v4","@type":"T","k":"d"}</SCRIPT>',
+    ]
+    pages = spark.createDataFrame(
+        [(f"http://h/{i}", f"<html><head>{v}</head></html>")
+         for i, v in enumerate(variants)],
+        "url string, html string",
+    )
+    got = {(r["subject"], r["predicate"], r["object"])
+           for r in extract_embedded_jsonld(pages).collect()}
+    for i, val in enumerate("abcd"):
+        assert (f"v{i+1}", "a", "T") in got
+        assert (f"v{i+1}", "k", val) in got
