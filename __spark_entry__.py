@@ -2882,6 +2882,20 @@ def q_dedup_jaccard_prefix(spark, sf_dir):
     return jaccard_pairs_prefix(_docs_spread(spark, sf_dir), threshold=0.8)
 
 
+def q_dedup_containment_asym(spark, sf_dir):
+    """LOSSLESS asymmetric containment at t=0.9: prefix filter on the
+    SHORTER set only (the containment form of the PPJoin theorem), full
+    inverted index on the container side — the quote/subset pairs the
+    banded dedup_containment screen can miss (band collision follows
+    jaccard, not containment). The ORACLE computes plain all-pairs
+    containment with NO prefix machinery, so the filter's losslessness
+    is itself the checked property."""
+    from ontoweaver_spark.dedup import containment_pairs_prefix
+
+    _tune(spark)
+    return containment_pairs_prefix(_docs_spread(spark, sf_dir), threshold=0.9)
+
+
 def q_kg_metapath(spark, sf_dir):
     """Typed 2-hop metapath census over the labeled residue graph (4
     node labels x 3 edge labels): instance counts + distinct endpoints
@@ -3804,6 +3818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_densest": q_kg_densest,
         "er_resolve": q_er_resolve,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "dedup_containment_asym": q_dedup_containment_asym,
         "kg_metapath": q_kg_metapath,
         "dup_spans": q_dup_spans,
         "kg_mis": q_kg_mis,
@@ -5288,6 +5303,27 @@ def oracle_sql() -> dict[str, str]:
             HAVING floor(count(*)::DOUBLE /
                          (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*))
                          * 10000 + 0.5) / 10000 >= 0.8
+        """,
+        # plain all-pairs containment, no prefix machinery: the prefix
+        # filter's LOSSLESSNESS is the checked property
+        "dedup_containment_asym": _shingle_sql() + """
+            SELECT l.doc_id AS a, r.doc_id AS b,
+                   floor(count(*)::DOUBLE / any_value(ca.n_sh)
+                         * 10000 + 0.5) / 10000 AS containment_a,
+                   floor(count(*)::DOUBLE / any_value(cb.n_sh)
+                         * 10000 + 0.5) / 10000 AS containment_b,
+                   floor(count(*)::DOUBLE /
+                         (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*))
+                         * 10000 + 0.5) / 10000 AS jaccard
+            FROM sh l
+            JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+            JOIN counts ca ON ca.doc_id = l.doc_id
+            JOIN counts cb ON cb.doc_id = r.doc_id
+            GROUP BY l.doc_id, r.doc_id
+            HAVING floor(count(*)::DOUBLE / any_value(ca.n_sh)
+                         * 10000 + 0.5) / 10000 >= 0.9
+                OR floor(count(*)::DOUBLE / any_value(cb.n_sh)
+                         * 10000 + 0.5) / 10000 >= 0.9
         """,
         "dedup_simhash": _simhash_sql(bits=60),
         "dedup_simhash_near": f"""

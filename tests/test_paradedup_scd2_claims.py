@@ -288,3 +288,108 @@ def test_negative_triples_duplicate_edges(spark):
     out1 = sorted(tuple(r) for r in negative_triples(e1, m=4, seed=3).collect())
     out2 = sorted(tuple(r) for r in negative_triples(e2, m=4, seed=3).collect())
     assert out1 == out2
+
+
+def test_containment_prefix_lossless_quote_in_long_doc(spark):
+    """The load-bearing recall case (VERDICT r4 #4): a ~20-shingle quote
+    inside a ~2000-shingle page has containment 1.0 but jaccard ~0.01 —
+    MinHash banding (which follows jaccard) essentially never fires, the
+    prefix variant is GUARANTEED to."""
+    from ontoweaver_spark.dedup import (
+        containment_duplicates,
+        containment_pairs_prefix,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(22))          # 20 3-shingles
+    page = (
+        " ".join(f"w{i}" for i in range(1000))
+        + " " + quote + " "
+        + " ".join(f"x{i}" for i in range(1000))
+    )                                                      # ~2000 shingles
+    df = spark.createDataFrame(
+        [(1, page), (2, quote), (3, " ".join(f"z{i}" for i in range(50)))],
+        "doc_id bigint, text string",
+    )
+    rows = containment_pairs_prefix(df, threshold=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a"], r["b"]) == (1, 2)
+    assert r["containment_b"] >= 0.9          # the quote is fully contained
+    assert r["jaccard"] < 0.05                # symmetric signal is hopeless
+    # the banded screen misses it at default knobs — the documented gap
+    banded = containment_duplicates(df, threshold=0.9).collect()
+    assert all((p["a"], p["b"]) != (1, 2) for p in banded)
+
+
+def test_containment_prefix_matches_bruteforce(spark):
+    """Losslessness on a mixed corpus: the prefix result equals brute-force
+    all-pairs containment filtering, pair for pair."""
+    import itertools
+
+    from ontoweaver_spark.dedup import containment_pairs_prefix
+
+    def sh(text, k=3):
+        t = text.split()
+        return {" ".join(t[i:i + k]) for i in range(max(len(t) - k + 1, 1))}
+
+    base = [f"w{i}" for i in range(40)]
+    texts = {
+        1: " ".join(base),
+        2: " ".join(base[:12]),                     # contained prefix chunk
+        3: " ".join(base[5:17]),                    # contained middle chunk
+        4: " ".join(base[:30] + ["extra", "tail", "bits"]),
+        5: " ".join(f"u{i}" for i in range(25)),    # unrelated
+        6: " ".join(base),                          # exact duplicate of 1
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id bigint, text string")
+    got = {
+        (r["a"], r["b"]): (r["containment_a"], r["containment_b"])
+        for r in containment_pairs_prefix(df, threshold=0.9).collect()
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        sa, sb = sh(texts[a]), sh(texts[b])
+        i = len(sa & sb)
+        ca = round(i / len(sa), 4)
+        cb = round(i / len(sb), 4)
+        if ca >= 0.9 or cb >= 0.9:
+            want[(a, b)] = (ca, cb)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k]
+
+
+def test_containment_prefix_max_index_df_caps_fanout(spark):
+    """max_index_df drops boilerplate shingles from the index side only —
+    pairs held together solely by a hot shingle disappear, true
+    containment pairs on rare shingles survive."""
+    from ontoweaver_spark.dedup import containment_pairs_prefix
+
+    hot = "the same boiler plate line"
+    rows = [(i, hot + f" unique{i} filler{i} pad{i}") for i in range(1, 7)]
+    rows.append((10, " ".join(f"r{j}" for j in range(12))))
+    rows.append((11, " ".join(f"r{j}" for j in range(12))))  # exact dup pair
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    capped = containment_pairs_prefix(df, threshold=0.9, max_index_df=3).collect()
+    assert {(r["a"], r["b"]) for r in capped} == {(10, 11)}
+
+
+def test_candidate_sets_shingles_computed_once(spark):
+    """Plan shape (VERDICT r4 #5): the shared shingle-array frame is a
+    lazy local checkpoint, so the a-side and b-side verify joins scan
+    the SAME materialized RDD instead of re-deriving tokenize+shingle
+    per branch."""
+    from ontoweaver_spark.dedup import _candidate_sets, containment_duplicates
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} common text body shared tail {i%3}") for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    _, sets_, _ = _candidate_sets(df, "text", "doc_id", 16, 4, 3, True)
+    assert "LogicalRDD" in sets_._jdf.queryExecution().logical().toString()
+    plan = (
+        containment_duplicates(df, threshold=0.8)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # both verify branches reference checkpointed RDD scans
+    assert plan.count("LogicalRDD") >= 2
