@@ -614,6 +614,9 @@ def _project_nt_lines(body: DataFrame, prefixes: dict) -> DataFrame:
 
 
 _RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+_RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+_RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
 _RDF_SCHEMA = (
     "subject string, predicate string, object string, "
     "object_kind string, object_lang string, object_datatype string"
@@ -905,9 +908,14 @@ def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
     ``@id``/``@type``; values as scalars (typed xsd literals), ``@value``
     objects (with ``@language``/``@type``), ``{"@id": ...}`` references,
     nested node objects (expanded recursively, linked by id or blank
-    node), and arrays (one triple per element). Remote/external
-    ``@context`` URLs, ``@reverse``, ``@list``/``@set`` containers and
-    ``@nest`` fail loudly — convert with ``riot --output=ntriples``."""
+    node), and arrays (one triple per element). ``@set`` (value object
+    or ``@container`` term) unwraps to its members; ``@list`` expands to
+    the standard RDF collection (``rdf:first``/``rdf:rest`` chain ending
+    in ``rdf:nil``, empty list -> ``rdf:nil`` directly) — the shape
+    rdflib emits for the same document, so downstream closure/automap
+    sees identical triples. Remote/external ``@context`` URLs,
+    ``@reverse`` and ``@nest`` fail loudly — convert with
+    ``riot --output=ntriples``."""
     import json as _json
     import os
 
@@ -972,13 +980,37 @@ def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
         nid = obj.get("@id")
         return expand_iri(nid, ctx, vocab_ok=False) if nid else new_blank()
 
+    def emit_list(subj: str, pred: str, items, ctx: dict, tdef: dict) -> None:
+        """RDF collection expansion: subj pred -> rdf:first/rdf:rest
+        blank-node chain ending in rdf:nil (empty list -> rdf:nil)."""
+        if not isinstance(items, list):
+            items = [items]
+        item_tdef = {k: v for k, v in tdef.items() if k != "@container"}
+        prev, prev_pred = subj, pred
+        for item in items:
+            b = new_blank()
+            triples.append((prev, prev_pred, b, "blank", None, None))
+            emit_value(b, _RDF_FIRST, item, ctx, item_tdef)
+            prev, prev_pred = b, _RDF_REST
+        triples.append((prev, prev_pred, _RDF_NIL, "uri", None, None))
+
     def emit_value(subj: str, pred: str, v, ctx: dict, tdef: dict) -> None:
         if isinstance(v, list):
+            if tdef.get("@container") == "@list":
+                emit_list(subj, pred, v, ctx, tdef)
+                return
             for item in v:
                 emit_value(subj, pred, item, ctx, tdef)
             return
         if isinstance(v, dict):
-            for kw in ("@reverse", "@list", "@set", "@nest"):
+            if "@list" in v:
+                emit_list(subj, pred, v["@list"], ctx, tdef)
+                return
+            if "@set" in v:
+                emit_value(subj, pred, v["@set"], ctx,
+                           {k: x for k, x in tdef.items() if k != "@container"})
+                return
+            for kw in ("@reverse", "@nest"):
                 if kw in v:
                     raise ValueError(
                         f"JSON-LD {kw} is not supported — convert to "

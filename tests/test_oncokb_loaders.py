@@ -436,3 +436,82 @@ def test_jsonld_loader(spark, tmp_path):
     bad2.write_text(json.dumps({"@context": "https://schema.org", "@id": "http://x/a"}))
     with pytest.raises(ValueError, match="remote @context"):
         read_rdf_triples(spark, str(bad2))
+
+
+def test_jsonld_list_and_set(spark, tmp_path):
+    """VERDICT r4 #7: @list expands to the standard rdf:first/rdf:rest
+    collection (empty list -> rdf:nil), @set unwraps to its members, and
+    @container term definitions apply to plain arrays; the loaded frame
+    still feeds subclass_closure. @reverse/@nest stay loud rejects."""
+    import json
+
+    from ontoweaver_spark.loaders import read_rdf_triples
+    from ontoweaver_spark.ontology import subclass_closure, subclass_edges_from_triples
+
+    rdfs = "http://www.w3.org/2000/01/rdf-schema#"
+    rdfns = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    doc = {
+        "@context": {
+            "ex": "http://example.org/",
+            "parent": {"@id": f"{rdfs}subClassOf", "@type": "@id"},
+            "steps": {"@id": "http://schema.org/steps", "@container": "@list"},
+            "@vocab": "http://schema.org/",
+        },
+        "@graph": [
+            {"@id": "ex:Recipe", "parent": "ex:CreativeWork",
+             "ingredients": {"@list": ["flour", {"@id": "ex:Egg"}]},
+             "steps": ["mix", "bake"],
+             "tags": {"@set": ["quick", "easy"]},
+             "empty": {"@list": []}},
+            {"@id": "ex:CreativeWork", "parent": "ex:Thing"},
+        ],
+    }
+    f = tmp_path / "lists.jsonld"
+    f.write_text(json.dumps(doc))
+    df = read_rdf_triples(spark, str(f))
+    rows = {
+        (r["subject"], r["predicate"], r["object"], r["object_kind"])
+        for r in df.collect()
+    }
+    by_sp = {}
+    for s, p, o, k in rows:
+        by_sp.setdefault((s, p), []).append((o, k))
+    ex = "http://example.org/"
+
+    def chase(start):
+        """Walk an rdf:first/rdf:rest chain, returning the firsts in order."""
+        out, node = [], start
+        while node != f"{rdfns}nil":
+            (first, _), = by_sp[(node, f"{rdfns}first")]
+            (node, _), = by_sp[(node, f"{rdfns}rest")]
+            out.append(first)
+        return out
+
+    # @list value object: ordered chain with mixed literal + @id members
+    (head, head_kind), = by_sp[(f"{ex}Recipe", "http://schema.org/ingredients")]
+    assert head_kind == "blank"
+    assert chase(head) == ["flour", f"{ex}Egg"]
+    # @container:@list term: a PLAIN array becomes an ordered collection
+    (shead, _), = by_sp[(f"{ex}Recipe", "http://schema.org/steps")]
+    assert chase(shead) == ["mix", "bake"]
+    # @set unwraps to plain member triples (unordered)
+    assert {o for o, _ in by_sp[(f"{ex}Recipe", "http://schema.org/tags")]} == \
+        {"quick", "easy"}
+    # empty @list -> rdf:nil directly
+    assert by_sp[(f"{ex}Recipe", "http://schema.org/empty")] == \
+        [(f"{rdfns}nil", "uri")]
+
+    # the frame still feeds the ontology closure
+    closure = {
+        (r["descendant"], r["ancestor"], r["depth"])
+        for r in subclass_closure(subclass_edges_from_triples(df)).collect()
+    }
+    assert (f"{ex}Recipe", f"{ex}Thing", 2) in closure
+
+    # @reverse / @nest remain loud rejects
+    bad = tmp_path / "nest.jsonld"
+    bad.write_text(json.dumps(
+        {"@id": "http://x/a", "http://x/p": {"@nest": {}}}
+    ))
+    with pytest.raises(ValueError, match="@nest"):
+        read_rdf_triples(spark, str(bad))

@@ -567,3 +567,36 @@ def test_cli_auto_salt_and_bucketed_out(tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     result = json.loads(proc.stdout.strip().splitlines()[-1])
     assert result["nodes"] == 51  # 50 things + 1 language hub
+
+
+def test_png_luma_golden_known_answer():
+    """Unconditional Pillow-parity pin (VERDICT r4 #6): a vendored golden
+    PNG whose expected luma/brightness/phash literals were derived
+    INDEPENDENTLY from Pillow's published fixed-point RGB->L conversion
+    (libImaging/Convert.c rgb2l: (r*19595 + g*38470 + b*7471) >> 16) —
+    so the fallback's parity with Pillow asserts even where PIL is not
+    installed. If Pillow IS importable, the dispatcher output is checked
+    against the same literals, closing the loop on a real install."""
+    from ontoweaver_spark.multimodal import _PILImage, _decode_png, decode_image
+
+    golden_png = bytes.fromhex(
+        "89504e470d0a1a0a0000000d49484452000000040000000308020000003b96399100"
+        "00002b49444154789c636060baf8ffff7f060686060705062e11b913c78f817820cc"
+        "f05f703573724aea3fc606000e150da9d7eed9960000000049454e44ae426082"
+    )
+    # literals computed from Pillow's formula over the 12 RGB pixels
+    # (0,2,209) (255,255,255) (0,0,0) (128,64,32) (10,20,30) (200,199,198)
+    # (255,0,0) (0,255,0) (0,0,255) (17,171,3) (99,100,101) (254,1,128)
+    expected_luma = [24, 255, 0, 79, 18, 199, 76, 149, 29, 105, 99, 91]
+    expected_phash = 3492773473772995617
+    expected_brightness = sum(expected_luma) / len(expected_luma) / 255.0
+
+    d = _decode_png(golden_png)
+    assert d is not None
+    assert (d["width"], d["height"]) == (4, 3)
+    assert d["phash"] == expected_phash
+    assert abs(d["brightness"] - expected_brightness) < 1e-12
+    if _PILImage is not None:  # a real Pillow must agree with the literals
+        p = decode_image(golden_png)
+        assert (p["width"], p["height"], p["phash"]) == (4, 3, expected_phash)
+        assert abs(p["brightness"] - expected_brightness) < 1e-12
