@@ -866,6 +866,18 @@ def q_emb_near_dup_amp(spark, sf_dir):
     return embedding_near_duplicates(emb, threshold=0.3, dims=8, tables=2)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): deterministic-centroid clustering,
+    within-cluster cosine pairs, drop any vector with a lower-id
+    neighbor at cos >= 0.4 — the paraphrase-level dedup MinHash cannot
+    see. Oracle: the identical assignment + per-cluster pair filter in
+    plain SQL."""
+    from ontoweaver_spark.similarity import semantic_dedup
+
+    _tune(spark)
+    return semantic_dedup(_emb(spark, sf_dir), threshold=0.4, n_clusters=8)
+
+
 def q_sessionize(spark, sf_dir):
     """Per-user gap sessions over the events table via Spark's NATIVE
     session_window; the oracle derives the same sessions independently with
@@ -3710,6 +3722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_amp": q_emb_near_dup_amp,
+        "semantic_dedup": q_semantic_dedup,
         "onto_closure": q_onto_closure,
         "onto_automap": q_onto_automap,
         "sample_stratified": q_sample_stratified,
@@ -5740,6 +5753,32 @@ def oracle_sql() -> dict[str, str]:
                    min(event_id) AS first_event,
                    max(event_id) AS last_event
             FROM sess GROUP BY user_id, session_no
+        """,
+        # SemDeDup: identical deterministic-centroid assignment as the IVF
+        # oracle, within-cluster pairs, drop = lower-id neighbor at
+        # rounded cos >= 0.4
+        "semantic_dedup": f"""
+            WITH cents AS (
+              SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+              ORDER BY vec_id LIMIT 8
+            ), assign AS (
+              SELECT vec_id, v, cid AS cluster_id FROM (
+                SELECT a.vec_id, a.embedding AS v, c.cid,
+                       row_number() OVER (PARTITION BY a.vec_id
+                         ORDER BY {_cos_raw_sql("a.embedding", "c.cvec")} DESC,
+                                  c.cid ASC) AS rn
+                FROM embeddings a CROSS JOIN cents c
+              ) WHERE rn = 1
+            ), dropped AS (
+              SELECT DISTINCT b.vec_id
+              FROM assign a JOIN assign b
+                ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+              WHERE floor({_cos_raw_sql("a.v", "b.v")} * 10000 + 0.5) / 10000
+                    >= 0.4
+            )
+            SELECT s.vec_id, s.cluster_id,
+                   (d.vec_id IS NULL) AS keep
+            FROM assign s LEFT JOIN dropped d ON d.vec_id = s.vec_id
         """,
         "emb_near_dup_amp": f"""
             SELECT a.vec_id AS a, b.vec_id AS b, {_COS_SQL} AS cos

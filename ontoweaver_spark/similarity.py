@@ -399,6 +399,73 @@ def topk_bucketed(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    deduplication in EMBEDDING space: cluster the corpus, compare pairs
+    only WITHIN each cluster, and drop every vector that has a
+    lower-id neighbor at cosine >= threshold in its cluster. Returns one
+    row per vector: ``(vec_id, cluster_id, keep)`` — the same
+    actionable ``WHERE keep`` shape as :func:`dedup.dedup_decisions`,
+    but firing on paraphrases and re-renderings that share no shingles
+    (the dedup mode MinHash fundamentally cannot see).
+
+    Clustering is the deterministic :func:`seed_centroids` assignment by
+    default (oracle-reproducible in any engine); pass ``centroids`` from
+    :func:`train_centroids` for real k-means lists at scale —
+    the plan is identical either way.
+
+    Scale shape: assignment is the broadcast one-row-cents cross join
+    (corpus never shuffles to be assigned); the pair stage shuffles the
+    corpus ONCE hash-partitioned by cluster_id and self-joins within
+    partitions. The per-cluster quadratic is the documented SemDeDup
+    trade — n_clusters is the knob that bounds it (the paper uses
+    k=50000 for 100M+ docs, i.e. ~constant expected cluster size; size
+    k so |cluster| ~ corpus/k stays O(10^3-10^4)). The keep decision is
+    an anti-join of the corpus against the distinct dropped ids.
+    """
+    cents1 = (
+        centroids
+        if centroids is not None
+        else seed_centroids(corpus, n_clusters, vec_col, id_col)
+    )
+    assigned = stats_reset_checkpoint(
+        corpus.crossJoin(F.broadcast(cents1)).select(
+            F.col(id_col),
+            F.col(vec_col).alias("_v"),
+            assign_centroid_df(F.col(vec_col)).alias("cluster_id"),
+        ),
+        eager=False,
+    )
+    left = assigned.select(
+        F.col("cluster_id"), F.col(id_col).alias("_a"), F.col("_v").alias("_va")
+    )
+    right = assigned.select(
+        F.col("cluster_id"), F.col(id_col).alias("_b"), F.col("_v").alias("_vb")
+    )
+    dropped = (
+        left.join(right, "cluster_id")
+        .where(F.col("_a") < F.col("_b"))
+        .where(round_ieee(cosine(F.col("_va"), F.col("_vb")), 4) >= threshold)
+        .select(F.col("_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.select(id_col, "cluster_id")
+        .join(dropped.withColumn("_dropped", F.lit(True)), id_col, "left")
+        .select(
+            id_col, "cluster_id",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def pq_codes(
     df: DataFrame,
     m: int = 4,
