@@ -1036,6 +1036,12 @@ def jaccard_pairs_prefix(
     """
     if not 0 < threshold <= 1:
         raise ValueError("prefix filtering needs a threshold in (0, 1]")
+    # rounding-closed bound: the emitted filter compares the 4-digit
+    # ROUNDED jaccard >= t, so a raw value in the 0.5e-4 window below t
+    # passes it — the prefix length must be computed at t-1e-4 or such a
+    # boundary pair could evade the prefix (same closure as
+    # containment_pairs_prefix)
+    t_eff = threshold - 1e-4
     sh = df.select(
         F.col(id_col),
         F.explode(shingles(F.col(text_col), shingle_k)).alias("shingle"),
@@ -1060,7 +1066,7 @@ def jaccard_pairs_prefix(
         .join(n_sh, id_col)
         .withColumn(
             "_prefix_len",
-            F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1,
+            F.col("n_sh") - F.ceil(F.lit(t_eff) * F.col("n_sh")) + 1,
         )
     )
     prefix = stats_reset_checkpoint(
