@@ -913,8 +913,10 @@ def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
     the standard RDF collection (``rdf:first``/``rdf:rest`` chain ending
     in ``rdf:nil``, empty list -> ``rdf:nil`` directly) — the shape
     rdflib emits for the same document, so downstream closure/automap
-    sees identical triples. Remote/external ``@context`` URLs,
-    ``@reverse`` and ``@nest`` fail loudly — convert with
+    sees identical triples. ``@reverse`` (node-object keyword and
+    context term-definition forms) emits the reversed triples per the
+    JSON-LD 1.1 expansion algorithm. Remote/external ``@context`` URLs
+    and ``@nest`` fail loudly — convert with
     ``riot --output=ntriples``."""
     import json as _json
     import os
@@ -1010,12 +1012,11 @@ def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
                 emit_value(subj, pred, v["@set"], ctx,
                            {k: x for k, x in tdef.items() if k != "@container"})
                 return
-            for kw in ("@reverse", "@nest"):
-                if kw in v:
-                    raise ValueError(
-                        f"JSON-LD {kw} is not supported — convert to "
-                        "N-Triples (e.g. riot --output=ntriples)"
-                    )
+            if "@nest" in v:
+                raise ValueError(
+                    "JSON-LD @nest is not supported — convert to "
+                    "N-Triples (e.g. riot --output=ntriples)"
+                )
             if "@value" in v:
                 dt = v.get("@type")
                 dt = expand_iri(dt, ctx, vocab_ok=True) if dt else None
@@ -1046,6 +1047,23 @@ def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
         lang = tdef.get("@language") if dt is None else None
         triples.append((subj, pred, _scalar_str(v), "literal", lang, dt))
 
+    def emit_reverse(subj: str, pred: str, item, ctx: dict) -> None:
+        """One reversed triple: the VALUE becomes the subject and ``subj``
+        the object — JSON-LD 1.1 expansion 13.8 (reverse property values
+        must be node objects or IRI references; literals are the spec's
+        'invalid reverse property value' error)."""
+        if isinstance(item, str):
+            src = expand_iri(item, ctx, vocab_ok=False)
+        elif isinstance(item, dict) and not ({"@value", "@list", "@set"} & set(item)):
+            src = walk(item, ctx)
+        else:
+            raise ValueError(
+                f"invalid reverse property value {item!r} — @reverse values "
+                "must be node objects or IRI references"
+            )
+        kind = "blank" if subj.startswith("_:") else "uri"
+        triples.append((src, pred, subj, kind, None, None))
+
     def walk(obj: dict, ctx: dict) -> str:
         if "@context" in obj:
             ctx = {**ctx, **build_context(obj["@context"])}
@@ -1057,6 +1075,15 @@ def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
                  "uri", None, None)
             )
         for k, v in obj.items():
+            if k == "@reverse":
+                # node-object keyword form: {"@reverse": {p: nodes...}}
+                if not isinstance(v, dict):
+                    raise ValueError(f"@reverse must map to an object, got {v!r}")
+                for rk, rv in v.items():
+                    rpred = expand_iri(rk, ctx, vocab_ok=True)
+                    for item in rv if isinstance(rv, list) else [rv]:
+                        emit_reverse(subj, rpred, item, ctx)
+                continue
             if k.startswith("@"):
                 if k not in ("@context", "@id", "@type"):
                     raise ValueError(
@@ -1064,8 +1091,15 @@ def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
                         "to N-Triples (e.g. riot --output=ntriples)"
                     )
                 continue
+            tdef = term_def(k, ctx)
+            if "@reverse" in tdef:
+                # context term-definition form: {"children": {"@reverse": p}}
+                rpred = expand_iri(tdef["@reverse"], ctx, vocab_ok=True)
+                for item in v if isinstance(v, list) else [v]:
+                    emit_reverse(subj, rpred, item, ctx)
+                continue
             pred = expand_iri(k, ctx, vocab_ok=True)
-            emit_value(subj, pred, v, ctx, term_def(k, ctx))
+            emit_value(subj, pred, v, ctx, tdef)
         return subj
 
     top_ctx = build_context(doc.get("@context")) if isinstance(doc, dict) else {}

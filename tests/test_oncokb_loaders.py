@@ -423,14 +423,6 @@ def test_jsonld_loader(spark, tmp_path):
     assert (f"{ex}Dog", f"{ex}Animal", 2) in closure
     assert (f"{ex}Cat", f"{ex}Animal", 2) in closure
 
-    # unsupported JSON-LD keywords fail loudly too
-    bad = tmp_path / "rev.jsonld"
-    bad.write_text(json.dumps(
-        {"@id": "http://x/a", "http://x/p": {"@reverse": {"http://x/q": []}}}
-    ))
-    with pytest.raises(ValueError, match="@reverse"):
-        read_rdf_triples(spark, str(bad))
-
     # remote contexts cannot be fetched -> loud
     bad2 = tmp_path / "remote.jsonld"
     bad2.write_text(json.dumps({"@context": "https://schema.org", "@id": "http://x/a"}))
@@ -508,10 +500,83 @@ def test_jsonld_list_and_set(spark, tmp_path):
     }
     assert (f"{ex}Recipe", f"{ex}Thing", 2) in closure
 
-    # @reverse / @nest remain loud rejects
+    # @nest remains a loud reject
     bad = tmp_path / "nest.jsonld"
     bad.write_text(json.dumps(
         {"@id": "http://x/a", "http://x/p": {"@nest": {}}}
     ))
     with pytest.raises(ValueError, match="@nest"):
+        read_rdf_triples(spark, str(bad))
+
+
+def test_jsonld_reverse(spark, tmp_path):
+    """@reverse (r5 — the last common JSON-LD keyword residue): both the
+    node-object keyword and the context term-definition forms emit the
+    reversed triple (value as subject, node as object), node-object
+    values are expanded in place, and literal reverse values raise the
+    spec's invalid-reverse-property-value error."""
+    import json
+
+    from ontoweaver_spark.loaders import read_rdf_triples
+    from ontoweaver_spark.ontology import subclass_closure, subclass_edges_from_triples
+
+    rdfs = "http://www.w3.org/2000/01/rdf-schema#"
+    ex = "http://example.org/"
+    doc = {
+        "@context": {
+            "ex": ex,
+            "parent": {"@id": f"{rdfs}subClassOf", "@type": "@id"},
+            # term-definition form: using `subtypes: X` means X subClassOf subj
+            "subtypes": {"@reverse": f"{rdfs}subClassOf"},
+        },
+        "@graph": [
+            # keyword form: Mammal has reverse subClassOf from Dog (IRI
+            # reference) and an expanded-in-place node object for Cat
+            {"@id": "ex:Mammal", "parent": "ex:Animal",
+             "@reverse": {
+                 "parent": [
+                     "ex:Dog",
+                     {"@id": "ex:Cat", "http://schema.org/name": "cat"},
+                 ],
+             }},
+            # term-definition form, singleton value
+            {"@id": "ex:Animal", "subtypes": "ex:Bird"},
+        ],
+    }
+    f = tmp_path / "reverse.jsonld"
+    f.write_text(json.dumps(doc))
+    df = read_rdf_triples(spark, str(f))
+    rows = {
+        (r["subject"], r["predicate"], r["object"], r["object_kind"])
+        for r in df.collect()
+    }
+    sub = f"{rdfs}subClassOf"
+    # keyword form: value -> subject, node -> object
+    assert (f"{ex}Dog", sub, f"{ex}Mammal", "uri") in rows
+    assert (f"{ex}Cat", sub, f"{ex}Mammal", "uri") in rows
+    # the node-object value was expanded in place
+    assert (f"{ex}Cat", "http://schema.org/name", "cat", "literal") in rows
+    # term-definition form
+    assert (f"{ex}Bird", sub, f"{ex}Animal", "uri") in rows
+    # forward triple untouched
+    assert (f"{ex}Mammal", sub, f"{ex}Animal", "uri") in rows
+    # reversed triples feed the closure like any others
+    closure = {
+        (r["descendant"], r["ancestor"], r["depth"])
+        for r in subclass_closure(subclass_edges_from_triples(df)).collect()
+    }
+    assert (f"{ex}Dog", f"{ex}Animal", 2) in closure
+    assert (f"{ex}Cat", f"{ex}Animal", 2) in closure
+    assert (f"{ex}Bird", f"{ex}Animal", 1) in closure
+
+    # literal reverse value -> the spec's error, loud
+    bad = tmp_path / "badrev.jsonld"
+    bad.write_text(json.dumps(
+        {"@id": "http://x/a", "@reverse": {"http://x/p": "not a node"}}
+    ))
+    # a bare string IS an IRI reference; a @value object is the error
+    bad.write_text(json.dumps(
+        {"@id": "http://x/a", "@reverse": {"http://x/p": {"@value": 3}}}
+    ))
+    with pytest.raises(ValueError, match="invalid reverse property value"):
         read_rdf_triples(spark, str(bad))
