@@ -915,9 +915,9 @@ def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
     rdflib emits for the same document, so downstream closure/automap
     sees identical triples. ``@reverse`` (node-object keyword and
     context term-definition forms) emits the reversed triples per the
-    JSON-LD 1.1 expansion algorithm. Remote/external ``@context`` URLs
-    and ``@nest`` fail loudly — convert with
-    ``riot --output=ntriples``."""
+    JSON-LD 1.1 expansion algorithm; ``@nest`` objects flatten onto the
+    enclosing node (expansion 13.4.8). Remote/external ``@context``
+    URLs fail loudly — convert with ``riot --output=ntriples``."""
     import json as _json
     import os
 
@@ -1012,11 +1012,6 @@ def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
                 emit_value(subj, pred, v["@set"], ctx,
                            {k: x for k, x in tdef.items() if k != "@container"})
                 return
-            if "@nest" in v:
-                raise ValueError(
-                    "JSON-LD @nest is not supported — convert to "
-                    "N-Triples (e.g. riot --output=ntriples)"
-                )
             if "@value" in v:
                 dt = v.get("@type")
                 dt = expand_iri(dt, ctx, vocab_ok=True) if dt else None
@@ -1074,6 +1069,13 @@ def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
                 (subj, _RDF_TYPE, expand_iri(t, ctx, vocab_ok=True),
                  "uri", None, None)
             )
+        emit_properties(subj, obj, ctx)
+        return subj
+
+    def emit_properties(subj: str, obj: dict, ctx: dict) -> None:
+        """The property loop of a node object — shared by ``walk`` and
+        ``@nest`` unwrapping (nested properties belong to the ENCLOSING
+        node, JSON-LD 1.1 expansion 13.4.8)."""
         for k, v in obj.items():
             if k == "@reverse":
                 # node-object keyword form: {"@reverse": {p: nodes...}}
@@ -1084,6 +1086,18 @@ def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
                     for item in rv if isinstance(rv, list) else [rv]:
                         emit_reverse(subj, rpred, item, ctx)
                 continue
+            tdef = term_def(k, ctx)
+            if k == "@nest" or ctx.get(k) == "@nest" or tdef.get("@id") == "@nest":
+                # structural sugar: the nest object's properties attach
+                # to subj itself (no intermediate node)
+                for nest in v if isinstance(v, list) else [v]:
+                    if not isinstance(nest, dict) or "@value" in nest:
+                        raise ValueError(
+                            f"invalid @nest value {nest!r} — must be a "
+                            "node object without @value"
+                        )
+                    emit_properties(subj, nest, ctx)
+                continue
             if k.startswith("@"):
                 if k not in ("@context", "@id", "@type"):
                     raise ValueError(
@@ -1091,7 +1105,6 @@ def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
                         "to N-Triples (e.g. riot --output=ntriples)"
                     )
                 continue
-            tdef = term_def(k, ctx)
             if "@reverse" in tdef:
                 # context term-definition form: {"children": {"@reverse": p}}
                 rpred = expand_iri(tdef["@reverse"], ctx, vocab_ok=True)
@@ -1100,7 +1113,6 @@ def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
                 continue
             pred = expand_iri(k, ctx, vocab_ok=True)
             emit_value(subj, pred, v, ctx, tdef)
-        return subj
 
     top_ctx = build_context(doc.get("@context")) if isinstance(doc, dict) else {}
     if isinstance(doc, dict) and "@graph" in doc:

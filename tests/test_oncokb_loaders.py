@@ -500,12 +500,52 @@ def test_jsonld_list_and_set(spark, tmp_path):
     }
     assert (f"{ex}Recipe", f"{ex}Thing", 2) in closure
 
-    # @nest remains a loud reject
-    bad = tmp_path / "nest.jsonld"
+    # unknown keywords remain loud rejects
+    bad = tmp_path / "unknown.jsonld"
+    bad.write_text(json.dumps({"@id": "http://x/a", "@included": []}))
+    with pytest.raises(ValueError, match="@included"):
+        read_rdf_triples(spark, str(bad))
+
+
+def test_jsonld_nest(spark, tmp_path):
+    """@nest (r5): nested properties flatten onto the ENCLOSING node —
+    both the literal @nest key and a context term aliased to @nest
+    (JSON-LD 1.1 expansion 13.4.8); a @value under @nest is the spec's
+    invalid-@nest-value error."""
+    import json
+
+    from ontoweaver_spark.loaders import read_rdf_triples
+
+    ex = "http://example.org/"
+    doc = {
+        "@context": {
+            "ex": ex,
+            "@vocab": "http://schema.org/",
+            "labels": "@nest",  # term aliased to @nest
+        },
+        "@graph": [
+            {"@id": "ex:a",
+             "@nest": {"name": "direct", "rating": 5},
+             "labels": {"alt": "aliased"}},
+        ],
+    }
+    f = tmp_path / "nest.jsonld"
+    f.write_text(json.dumps(doc))
+    rows = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in read_rdf_triples(spark, str(f)).collect()
+    }
+    # all nested properties attach to ex:a itself, no intermediate node
+    assert (f"{ex}a", "http://schema.org/name", "direct") in rows
+    assert (f"{ex}a", "http://schema.org/rating", "5") in rows
+    assert (f"{ex}a", "http://schema.org/alt", "aliased") in rows
+    assert len(rows) == 3
+
+    bad = tmp_path / "badnest.jsonld"
     bad.write_text(json.dumps(
-        {"@id": "http://x/a", "http://x/p": {"@nest": {}}}
+        {"@id": "http://x/a", "@nest": {"@value": 3}}
     ))
-    with pytest.raises(ValueError, match="@nest"):
+    with pytest.raises(ValueError, match="invalid @nest value"):
         read_rdf_triples(spark, str(bad))
 
 
