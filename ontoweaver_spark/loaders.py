@@ -176,7 +176,9 @@ _PNAME = r'[\w.-]*:[^\s<>"]+'
 _NT_RE = rf"^\s*(<[^>]*>|_:\S+|{_PNAME})\s+(<[^>]*>|a|{_PNAME})\s+(.*?)\s*\.\s*$"
 
 
-def read_rdf_triples(spark: SparkSession, path: str) -> DataFrame:
+def read_rdf_triples(
+    spark: SparkSession, path: str, jsonld_contexts: dict | None = None
+) -> DataFrame:
     """N-Triples (``.nt``) or Turtle (``.ttl``) -> DataFrame ``(subject,
     predicate, object, object_kind, object_lang, object_datatype)``.
 
@@ -197,9 +199,10 @@ def read_rdf_triples(spark: SparkSession, path: str) -> DataFrame:
     out of scope and fail loudly.
 
     ``.rdf`` / ``.owl`` / ``.xml`` paths dispatch to :func:`read_rdf_xml`,
-    ``.jsonld`` / ``.json-ld`` to :func:`read_jsonld`, ``.trig`` to
-    :func:`read_trig`, ``.trix`` to :func:`read_trix` (all driver-side,
-    config-sized). ``.n3`` is accepted for its Turtle-compatible subset —
+    ``.jsonld`` / ``.json-ld`` to :func:`read_jsonld` (``jsonld_contexts``
+    passes through — vendored substitutes for remote ``@context`` URLs),
+    ``.trig`` to :func:`read_trig`, ``.trix`` to :func:`read_trix` (all
+    driver-side, config-sized). ``.n3`` is accepted for its Turtle-compatible subset —
     what virtually every published ``.n3`` file is; genuine N3 logic
     (formulas, rules, quantifiers) fails loudly with a convert hint.
     With this the loader covers every serialization in the reference's
@@ -208,7 +211,7 @@ def read_rdf_triples(spark: SparkSession, path: str) -> DataFrame:
     if lower.endswith((".rdf", ".owl", ".xml", ".rdfxml")):
         return read_rdf_xml(spark, path)
     if lower.endswith((".jsonld", ".json-ld")):
-        return read_jsonld(spark, path)
+        return read_jsonld(spark, path, contexts=jsonld_contexts)
     if lower.endswith(".trig"):
         return read_trig(spark, path)
     if lower.endswith(".trix"):
@@ -895,7 +898,9 @@ def read_rdf_xml(spark: SparkSession, path: str) -> DataFrame:
 _XSD = "http://www.w3.org/2001/XMLSchema#"
 
 
-def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
+def read_jsonld(
+    spark: SparkSession, path: str, contexts: dict | None = None
+) -> DataFrame:
     """JSON-LD (``.jsonld`` — the schema.org-embed serialization the
     reference accepts via rdflib, loader.py:345-360) -> the same flat
     triple frame as :func:`read_rdf_triples`.
@@ -916,8 +921,16 @@ def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
     sees identical triples. ``@reverse`` (node-object keyword and
     context term-definition forms) emits the reversed triples per the
     JSON-LD 1.1 expansion algorithm; ``@nest`` objects flatten onto the
-    enclosing node (expansion 13.4.8). Remote/external ``@context``
-    URLs fail loudly — convert with ``riot --output=ntriples``."""
+    enclosing node (expansion 13.4.8).
+
+    Remote/external ``@context`` URLs: there is no network in a locked-
+    down executor, so they resolve ONLY through ``contexts`` — a
+    ``{url: context}`` map where each value is an inline context dict, a
+    full JSON-LD document dict (its ``@context`` member is taken), or a
+    local ``.jsonld``/``.json`` file path holding either — the documented
+    air-gapped deployment pattern (vendor the context documents next to
+    the job). An unmapped remote URL fails loudly — convert with
+    ``riot --output=ntriples``."""
     import json as _json
     import os
 
@@ -939,14 +952,26 @@ def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
         blank_n += 1
         return f"_:j{blank_n}"
 
+    def resolve_remote(url: str):
+        """Remote @context -> its mapped local substitute (see docstring)."""
+        sub = (contexts or {}).get(url)
+        if sub is None:
+            raise ValueError(
+                f"remote @context {url!r} is not supported (no network) — "
+                "map it in `contexts=`, inline it, or convert to N-Triples"
+            )
+        if isinstance(sub, str):
+            with open(sub) as cf:
+                sub = _json.load(cf)
+        if isinstance(sub, dict) and "@context" in sub:
+            sub = sub["@context"]  # a full context DOCUMENT was vendored
+        return sub
+
     def build_context(raw) -> dict:
         if raw is None:
             return {}
         if isinstance(raw, str):
-            raise ValueError(
-                f"remote @context {raw!r} is not supported (no network) — "
-                "inline the context or convert to N-Triples"
-            )
+            return build_context(resolve_remote(raw))
         if isinstance(raw, list):
             ctx: dict = {}
             for part in raw:

@@ -507,6 +507,53 @@ def test_jsonld_list_and_set(spark, tmp_path):
         read_rdf_triples(spark, str(bad))
 
 
+def test_jsonld_vendored_remote_context(spark, tmp_path):
+    """Remote @context URLs resolve through the `contexts=` map (r5 — the
+    air-gapped deployment pattern: vendor the context document next to
+    the job): inline dict, full vendored document ({\"@context\": ...}),
+    and local-file substitutes all work; an unmapped URL stays loud."""
+    import json
+
+    from ontoweaver_spark.loaders import read_jsonld, read_rdf_triples
+
+    ex = "http://example.org/"
+    doc = {
+        "@context": ["https://schema.org", {"ex": ex}],
+        "@id": "ex:a",
+        "name": "vendored",
+    }
+    f = tmp_path / "remote_ctx.jsonld"
+    f.write_text(json.dumps(doc))
+
+    schema_ctx = {"@vocab": "http://schema.org/"}
+    expected = (f"{ex}a", "http://schema.org/name", "vendored")
+
+    # inline dict substitute
+    rows = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in read_jsonld(
+            spark, str(f), contexts={"https://schema.org": schema_ctx}
+        ).collect()
+    }
+    assert expected in rows
+
+    # full vendored context DOCUMENT (the shape a saved schema.org
+    # context file actually has)
+    vendored = tmp_path / "schemaorg.jsonld"
+    vendored.write_text(json.dumps({"@context": schema_ctx}))
+    rows = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in read_rdf_triples(
+            spark, str(f), jsonld_contexts={"https://schema.org": str(vendored)}
+        ).collect()
+    }
+    assert expected in rows
+
+    # unmapped URL -> still loud
+    with pytest.raises(ValueError, match="remote @context"):
+        read_jsonld(spark, str(f), contexts={"https://other.org": {}})
+
+
 def test_jsonld_nest(spark, tmp_path):
     """@nest (r5): nested properties flatten onto the ENCLOSING node —
     both the literal @nest key and a context term aliased to @nest
