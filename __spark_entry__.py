@@ -2996,6 +2996,21 @@ def q_kg_mis(spark, sf_dir):
     return maximal_independent_set(_doc_graph(spark, sf_dir), rounds=14, seed=0)
 
 
+def q_kg_coloring(spark, sf_dir):
+    """Jones–Plassmann greedy coloring over the sparse doc graph — color
+    classes are conflict-free entity-merge batches (no two merges in a
+    class touch the same node); the color count is the schedule length.
+    The readiness rule is Luby's winner rule with the same deterministic
+    md5 priorities as kg_mis, so the oracle replays the identical rounds
+    as materialized CTEs with a list_reduce mex fold for the color
+    choice (converges in 13 rounds at sf0.01 / 18 at sf0.1; 24 gives
+    margin — surplus rounds are empty on both sides)."""
+    from ontoweaver_spark.graphstats import greedy_coloring
+
+    _tune(spark)
+    return greedy_coloring(_doc_graph(spark, sf_dir), rounds=24, seed=0)
+
+
 # block-local graph for the MSF query: 16-node blocks with two affine
 # intra-block edges per node, so Borůvka provably converges in <= 4
 # rounds (components at most halve from 16) and the selection
@@ -3835,6 +3850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_metapath": q_kg_metapath,
         "dup_spans": q_dup_spans,
         "kg_mis": q_kg_mis,
+        "kg_coloring": q_kg_coloring,
         "kg_msf": q_kg_msf,
         "funnel_users": q_funnel,
         "kg_entail": q_kg_entail,
@@ -4745,6 +4761,64 @@ def _mis_sql(rounds: int = 14, seed: int = 0) -> str:
     )""")
     selects = [
         f"SELECT node, {i} AS sel_round FROM m{i}" for i in range(1, rounds + 1)
+    ]
+    parts.append("\n    " + "\n    UNION ALL ".join(selects))
+    return "".join(parts)
+
+
+def _coloring_sql(rounds: int = 24, seed: int = 0) -> str:
+    """Unrolled Jones–Plassmann coloring mirroring
+    graphstats.greedy_coloring over the sparse doc graph: per round a
+    min-over-uncolored-neighbors CTE (readiness = Luby winners), a mex
+    color choice via a list_reduce fold over the sorted colors of
+    already-colored neighbors, and a NOT EXISTS survivor CTE —
+    independent formulation, same deterministic rule."""
+    key = _SQL_MD5INT.format(x=f"'{seed}:' || node")
+    mex = (
+        "coalesce(list_reduce(list_prepend(1, list_sort(u.used)), "
+        "(acc, x) -> CASE WHEN x = acc THEN acc + 1 ELSE acc END), 1)::INT"
+    )
+    parts = [f"""
+    WITH raw AS (
+      {_doc_graph_sql()}
+    ), e AS MATERIALIZED (
+      SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM raw
+        UNION ALL SELECT dst AS a, src AS b FROM raw
+      ) WHERE a <> b
+    ), n0 AS MATERIALIZED (
+      SELECT node, lpad(({key})::VARCHAR, 20, '0') || node AS k
+      FROM (SELECT DISTINCT a AS node FROM e)
+    ), c0 AS (
+      SELECT node, 0::INT AS color FROM n0 WHERE false
+    )"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""", nm{i} AS MATERIALIZED (
+      SELECT e.a AS node, min(b.k) AS mk
+      FROM e JOIN n{i - 1} b ON b.node = e.b
+      GROUP BY e.a
+    ), r{i} AS MATERIALIZED (
+      SELECT a.node FROM n{i - 1} a
+      LEFT JOIN nm{i} nm ON nm.node = a.node
+      WHERE nm.mk IS NULL OR a.k < nm.mk
+    ), m{i} AS MATERIALIZED (
+      SELECT r.node, {mex} AS color
+      FROM r{i} r LEFT JOIN (
+        SELECT e.a AS node, list(DISTINCT c.color) AS used
+        FROM e JOIN c{i - 1} c ON c.node = e.b
+        JOIN r{i} rr ON rr.node = e.a
+        GROUP BY e.a
+      ) u ON u.node = r.node
+    ), c{i} AS MATERIALIZED (
+      SELECT node, color FROM c{i - 1}
+      UNION ALL SELECT node, color FROM m{i}
+    ), n{i} AS MATERIALIZED (
+      SELECT a.node, a.k FROM n{i - 1} a
+      WHERE NOT EXISTS (SELECT 1 FROM m{i} w WHERE w.node = a.node)
+    )""")
+    selects = [
+        f"SELECT node, color, {i} AS col_round FROM m{i}"
+        for i in range(1, rounds + 1)
     ]
     parts.append("\n    " + "\n    UNION ALL ".join(selects))
     return "".join(parts)
@@ -7764,6 +7838,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "kg_mis": _mis_sql(14, 0),
+        "kg_coloring": _coloring_sql(24, 0),
         "kg_msf": _msf_sql(4, 4),
         "funnel_users": _funnel_sql(1440),
         "kg_entail": _entail_sql(),

@@ -2300,6 +2300,117 @@ def maximal_independent_set(
     return selected
 
 
+def greedy_coloring(
+    edges: DataFrame,
+    rounds: int = 24,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed: int = 0,
+    require_convergence: bool = True,
+) -> DataFrame:
+    """Jones–Plassmann greedy graph coloring over the undirected simple
+    graph -> ``(node, color, col_round)``: a PROPER coloring (no edge is
+    monochromatic) using at most ``max_degree + 1`` colors. Each round,
+    an uncolored node whose priority key is strictly smaller than every
+    uncolored neighbor's colors itself with the mex (smallest positive
+    integer absent) of its already-colored neighbors' colors. The
+    priority is the same deterministic 60-bit ``md5_int(seed ':' node)``
+    total order as :func:`maximal_independent_set`, so the classic
+    randomized algorithm is a pure function of (graph, seed) that a
+    DuckDB oracle replays round by round.
+
+    The readiness rule is exactly Luby's winner rule, so each round's
+    newly-colored set is an independent set — simultaneous coloring is
+    conflict-free by construction. Round count equals the longest
+    priority-decreasing path: O(log n / log log n) expected for random
+    priorities (Jones & Plassmann, SIAM J. Sci. Comput. 1993).
+
+    The KG-construction use: coloring IS conflict-free batch scheduling —
+    color classes of the entity-merge conflict graph are batches of
+    merges that touch disjoint nodes and may apply concurrently; the
+    color count is the schedule length.
+
+    Scale shape (10^12-edge KG): the symmetrized edge list materializes
+    once; each round is one neighbor-keyed join + min agg (map-side
+    partials absorb hub fan-in) for readiness, one join + collect_set
+    against the colored frame for the mex, and one anti-join — all keyed
+    on node id, nothing collects. Per-round frames are
+    stats-reset-checkpointed so Catalyst re-estimates the shrinking
+    active set instead of compounding snapshots.
+    """
+    u, v = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.select(u.alias("a"), v.alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .unionAll(edges.select(v.alias("a"), u.alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    key = F.concat(
+        F.lpad(
+            md5_int(F.concat_ws(":", F.lit(str(seed)), F.col("node"))).cast("string"),
+            20,
+            "0",
+        ),
+        F.col("node"),
+    )
+    act = (
+        e.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("k", key)
+        .transform(stats_reset_checkpoint)
+    )
+    spark = edges.sparkSession
+    colored = spark.createDataFrame([], "node string, color int, col_round int")
+    mex = F.aggregate(
+        F.col("_used"),
+        F.lit(1),
+        lambda acc, x: F.when(x == acc, acc + 1).otherwise(acc),
+    )
+    for i in range(1, rounds + 1):
+        if act.isEmpty():
+            return colored
+        nbr_min = (
+            e.join(act.select(F.col("node").alias("b"), F.col("k").alias("bk")), "b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("bk").alias("mk"))
+        )
+        ready = (
+            act.join(nbr_min, "node", "left")
+            .where(F.col("mk").isNull() | (F.col("k") < F.col("mk")))
+            .select("node")
+            .transform(stats_reset_checkpoint)  # eager: feeds the mex join AND newly
+        )
+        used = (
+            e.join(ready.select(F.col("node").alias("a")), "a")
+            .join(colored.select(F.col("node").alias("b"), "color"), "b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.array_sort(F.collect_set("color")).alias("_used"))
+        )
+        newly = (
+            ready.join(used, "node", "left")
+            .select(
+                "node",
+                F.coalesce(mex, F.lit(1)).cast("int").alias("color"),
+                F.lit(i).alias("col_round"),
+            )
+            .transform(stats_reset_checkpoint)  # eager: reused by colored AND the removal
+        )
+        colored = colored.unionByName(newly).transform(
+            lambda _d: stats_reset_checkpoint(_d, eager=False)
+        )
+        act = act.join(newly.select("node"), "node", "left_anti").transform(
+            stats_reset_checkpoint
+        )
+    if require_convergence and not act.isEmpty():
+        raise RuntimeError(
+            f"greedy_coloring: uncolored nodes remain after {rounds} rounds; "
+            "raise `rounds` (the longest priority-decreasing path exceeds it)"
+        )
+    return colored
+
+
 def min_spanning_forest(
     edges: DataFrame,
     rounds: int = 10,
