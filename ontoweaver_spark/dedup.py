@@ -1055,7 +1055,10 @@ def jaccard_pairs_prefix(
         "_rank",
     ).select("shingle", "_rank").localCheckpoint(eager=False)
 
-    counted = sh.join(ranked_sh, "shingle")
+    # counted is consumed three times (the n_sh agg, the positioned window,
+    # the index side) — checkpoint it once or the explode+distinct shuffle
+    # re-runs per consumer
+    counted = stats_reset_checkpoint(sh.join(ranked_sh, "shingle"), eager=False)
     n_sh = counted.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     # position of each shingle within its doc's rarest-first order
     from pyspark.sql import Window
@@ -1082,8 +1085,11 @@ def jaccard_pairs_prefix(
         .select("a", "b")
         .distinct()
     )
-    sets_ = df.select(
-        F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")
+    # joined twice (a-side and b-side) — same single-computation rule as
+    # _candidate_sets' shingle frame
+    sets_ = stats_reset_checkpoint(
+        df.select(F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")),
+        eager=False,
     )
     inter = F.size(F.array_intersect("sa", "sb"))
     return (
@@ -1155,7 +1161,10 @@ def containment_pairs_prefix(
         "_rank",
     ).select("shingle", "_rank", "_df").localCheckpoint(eager=False)
 
-    counted = sh.join(ranked_sh, "shingle")
+    # counted is consumed three times (the n_sh agg, the positioned window,
+    # the index side) — checkpoint it once or the explode+distinct shuffle
+    # re-runs per consumer
+    counted = stats_reset_checkpoint(sh.join(ranked_sh, "shingle"), eager=False)
     n_sh = counted.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     from pyspark.sql import Window
 
@@ -1194,8 +1203,11 @@ def containment_pairs_prefix(
         )
         .distinct()
     )
-    sets_ = df.select(
-        F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")
+    # joined twice (a-side and b-side) — same single-computation rule as
+    # _candidate_sets' shingle frame
+    sets_ = stats_reset_checkpoint(
+        df.select(F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")),
+        eager=False,
     )
     inter = F.size(F.array_intersect("sa", "sb"))
     return (
