@@ -3054,6 +3054,23 @@ def q_kg_msf(spark, sf_dir):
     return min_spanning_forest(_block_graph(spark, sf_dir), rounds=6, jump_rounds=8)
 
 
+def q_kg_coloring_blocked(spark, sf_dir):
+    """Jones–Plassmann coloring of the 16-node ER-block conflict graph via
+    the bounded-component fast path: ONE applyInPandas pass grouped by
+    block instead of one distributed join round per priority level (the
+    blocks are independent, so global JP == per-block JP). Same pure
+    function of (graph, seed) as greedy_coloring; the oracle replays the
+    global unrolled rounds (depth 9 measured at every sf; 12 gives
+    margin)."""
+    from ontoweaver_spark.graphstats import greedy_coloring_local
+
+    _tune(spark)
+    g = _block_graph(spark, sf_dir).withColumn(
+        "blk", F.expr("cast(substring(src, 2, 100) as bigint) div 16")
+    )
+    return greedy_coloring_local(g, "blk")
+
+
 def q_funnel(spark, sf_dir):
     """Ordered view->click->purchase funnel per user with a 24h horizon
     from the first view; earliest-completion semantics (greedy-earliest
@@ -3851,6 +3868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "kg_mis": q_kg_mis,
         "kg_coloring": q_kg_coloring,
+        "kg_coloring_blocked": q_kg_coloring_blocked,
         "kg_msf": q_kg_msf,
         "funnel_users": q_funnel,
         "kg_entail": q_kg_entail,
@@ -4766,21 +4784,26 @@ def _mis_sql(rounds: int = 14, seed: int = 0) -> str:
     return "".join(parts)
 
 
-def _coloring_sql(rounds: int = 24, seed: int = 0) -> str:
+def _coloring_sql(
+    rounds: int = 24, seed: int = 0, raw_body: str | None = None, pre: str = ""
+) -> str:
     """Unrolled Jones–Plassmann coloring mirroring
-    graphstats.greedy_coloring over the sparse doc graph: per round a
+    graphstats.greedy_coloring (and the bounded-component
+    greedy_coloring_local — same pure function): per round a
     min-over-uncolored-neighbors CTE (readiness = Luby winners), a mex
     color choice via a list_reduce fold over the sorted colors of
     already-colored neighbors, and a NOT EXISTS survivor CTE —
-    independent formulation, same deterministic rule."""
+    independent formulation, same deterministic rule. ``raw_body``
+    selects the graph (default: the sparse doc graph); ``pre`` prepends
+    helper CTEs."""
     key = _SQL_MD5INT.format(x=f"'{seed}:' || node")
     mex = (
         "coalesce(list_reduce(list_prepend(1, list_sort(u.used)), "
         "(acc, x) -> CASE WHEN x = acc THEN acc + 1 ELSE acc END), 1)::INT"
     )
     parts = [f"""
-    WITH raw AS (
-      {_doc_graph_sql()}
+    WITH {pre}raw AS (
+      {raw_body or _doc_graph_sql()}
     ), e AS MATERIALIZED (
       SELECT DISTINCT a, b FROM (
         SELECT src AS a, dst AS b FROM raw
@@ -7839,6 +7862,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_mis": _mis_sql(14, 0),
         "kg_coloring": _coloring_sql(24, 0),
+        "kg_coloring_blocked": _coloring_sql(
+            12,
+            0,
+            raw_body="""SELECT 'n' || doc_id::VARCHAR AS src,
+             'n' || ((doc_id - doc_id % 16) + ((doc_id % 16) * 3 + 1) % 16)::VARCHAR AS dst
+      FROM documents, nn WHERE doc_id < nn.nb
+      UNION ALL
+      SELECT 'n' || doc_id::VARCHAR,
+             'n' || ((doc_id - doc_id % 16) + ((doc_id % 16) * 7 + 2) % 16)::VARCHAR
+      FROM documents, nn WHERE doc_id < nn.nb""",
+            pre="nn AS (SELECT (count(*) // 16) * 16 AS nb FROM documents),\n    ",
+        ),
         "kg_msf": _msf_sql(4, 4),
         "funnel_users": _funnel_sql(1440),
         "kg_entail": _entail_sql(),

@@ -90,6 +90,31 @@ def test_coloring_matches_serial_replay(spark):
     assert got == want
 
 
+def test_coloring_local_equals_distributed(spark):
+    """The bounded-component applyInPandas fast path computes the SAME
+    pure function of (graph, seed) as the distributed round loop —
+    row-for-row equality on a multi-block conflict graph."""
+    from ontoweaver_spark.graphstats import greedy_coloring, greedy_coloring_local
+
+    # 4 independent 8-node blocks, two affine chord families per node
+    edges = []
+    for blk in range(4):
+        for j in range(8):
+            edges.append((blk, f"b{blk}n{j}", f"b{blk}n{(3 * j + 1) % 8}"))
+            edges.append((blk, f"b{blk}n{j}", f"b{blk}n{(5 * j + 2) % 8}"))
+    e = spark.createDataFrame(edges, "blk int, src string, dst string")
+    dist = {
+        (r["node"], r["color"], r["col_round"])
+        for r in greedy_coloring(e.select("src", "dst"), rounds=16, seed=3).collect()
+    }
+    local = {
+        (r["node"], r["color"], r["col_round"])
+        for r in greedy_coloring_local(e, "blk", seed=3).collect()
+    }
+    assert dist == local
+    assert len(local) == 32
+
+
 def test_coloring_raises_when_rounds_exhausted(spark):
     from ontoweaver_spark.graphstats import greedy_coloring
 
