@@ -3054,6 +3054,38 @@ def q_kg_msf(spark, sf_dir):
     return min_spanning_forest(_block_graph(spark, sf_dir), rounds=6, jump_rounds=8)
 
 
+def q_kg_bridges(spark, sf_dir):
+    """Bridge (cut-edge) detection over a cycle+pendant block graph:
+    within each 16-node block, nodes 0-7 form an 8-cycle (no bridges)
+    and nodes 8-15 hang off them as pendants (every pendant edge IS a
+    bridge — a merge decision with no corroborating second path). The
+    bounded-component Tarjan kernel runs one applyInPandas pass per
+    block; the oracle is a genuinely INDEPENDENT formulation — recursive
+    reachability over the per-edge-deleted graph ((u,v) is a bridge iff
+    v is unreachable from u without that edge), not a rule replay."""
+    from ontoweaver_spark.graphstats import bridges_local
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    nb = (n // 16) * 16
+    i = F.col("doc_id").cast("long")
+    blk, j = i - (i % 16), i % 16
+
+    def node(c):
+        return F.concat(F.lit("n"), c.cast("string"))
+
+    base = docs.where(i < nb)
+    cyc = base.where(j < 8).select(
+        blk.alias("blk"), node(blk + (j + 1) % 8).alias("dst"), node(i).alias("src")
+    )
+    pend = base.where(j >= 8).select(
+        blk.alias("blk"), node(i - 8).alias("dst"), node(i).alias("src")
+    )
+    g = cyc.unionByName(pend)
+    return bridges_local(g, "blk")
+
+
 def q_kg_coloring_blocked(spark, sf_dir):
     """Jones–Plassmann coloring of the 16-node ER-block conflict graph via
     the bounded-component fast path: ONE applyInPandas pass grouped by
@@ -3869,6 +3901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mis": q_kg_mis,
         "kg_coloring": q_kg_coloring,
         "kg_coloring_blocked": q_kg_coloring_blocked,
+        "kg_bridges": q_kg_bridges,
         "kg_msf": q_kg_msf,
         "funnel_users": q_funnel,
         "kg_entail": q_kg_entail,
@@ -7875,6 +7908,34 @@ def oracle_sql() -> dict[str, str]:
             pre="nn AS (SELECT (count(*) // 16) * 16 AS nb FROM documents),\n    ",
         ),
         "kg_msf": _msf_sql(4, 4),
+        # independent formulation: (u,v) is a bridge iff v is unreachable
+        # from u in the graph minus that one edge — recursive reachability
+        # over (excluded_edge, node) states, block-bounded so the state
+        # space stays |E_blk| x |V_blk| per block
+        "kg_bridges": """
+    WITH RECURSIVE nn AS (SELECT (count(*) // 16) * 16 AS nb FROM documents),
+    raw AS (
+      SELECT 'n' || doc_id::VARCHAR AS src,
+             'n' || ((doc_id - doc_id % 16) + ((doc_id % 16) + 1) % 8)::VARCHAR AS dst
+      FROM documents, nn WHERE doc_id < nn.nb AND doc_id % 16 < 8
+      UNION ALL
+      SELECT 'n' || doc_id::VARCHAR, 'n' || (doc_id - 8)::VARCHAR
+      FROM documents, nn WHERE doc_id < nn.nb AND doc_id % 16 >= 8
+    ), ed AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM raw WHERE src <> dst
+    ), sym AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM ed UNION ALL SELECT v AS a, u AS b FROM ed
+    ), reach AS (
+      SELECT u AS ex_u, v AS ex_v, u AS node FROM ed
+      UNION
+      SELECT r.ex_u, r.ex_v, s.b
+      FROM reach r JOIN sym s ON s.a = r.node
+      WHERE NOT (least(s.a, s.b) = r.ex_u AND greatest(s.a, s.b) = r.ex_v)
+    )
+    SELECT e.u AS src, e.v AS dst FROM ed e
+    WHERE NOT EXISTS (SELECT 1 FROM reach r
+                      WHERE r.ex_u = e.u AND r.ex_v = e.v AND r.node = e.v)""",
         "funnel_users": _funnel_sql(1440),
         "kg_entail": _entail_sql(),
         "temporal_reach": _temporal_sql(6),

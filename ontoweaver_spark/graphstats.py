@@ -2504,6 +2504,94 @@ def greedy_coloring_local(
     )
 
 
+def bridges_local(
+    edges: DataFrame,
+    component_col: str,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bridge (cut-edge) detection for graphs whose components are
+    BOUNDED and keyed -> canonical ``(src, dst)`` with ``src < dst``, one
+    row per edge whose removal disconnects its component. The KG use:
+    a bridge inside an entity cluster is a merge decision with NO
+    corroborating second path — the fragile merges to re-verify first
+    (removing any non-bridge still leaves the entities connected through
+    independent evidence).
+
+    Per group the classic Tarjan low-link rule runs partition-locally
+    (an edge (parent, child) of the DFS tree is a bridge iff
+    ``low[child] > disc[parent]``). SIMPLE-graph semantics, matching
+    :func:`greedy_coloring`'s symmetrize+distinct: duplicate rows and
+    reverse orientations collapse to one undirected edge.
+    Deterministic: bridges are a pure graph property — no
+    seed, no ordering sensitivity — so the DuckDB oracle can adjudicate
+    with an INDEPENDENT formulation (recursive-CTE reachability over the
+    per-edge-deleted graph: (u,v) is a bridge iff v is unreachable from
+    u without it), not a rule replay.
+
+    Same contract and scale shape as :func:`greedy_coloring_local`: one
+    shuffle keyed on ``component_col`` (which must partition the nodes),
+    then O(component) work per group — the bounded-component escape from
+    global iteration. Unbounded components need the O(log n)-round
+    spanning-tree + cycle-cover construction, deliberately out of scope.
+    """
+    import pandas as pd  # noqa: F401
+
+    def _bridges(pdf):
+        import pandas as pd
+
+        adj: dict = {}
+        for a, b in zip(pdf["a"], pdf["b"]):
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        disc: dict = {}
+        low: dict = {}
+        out = []
+        t = [0]
+        for root in sorted(adj):
+            if root in disc:
+                continue
+            # iterative DFS (explicit stack: bounded components, but no
+            # recursion-limit surprises either)
+            stack = [(root, None, iter(sorted(adj[root])))]
+            disc[root] = low[root] = t[0]
+            t[0] += 1
+            while stack:
+                node, parent, it = stack[-1]
+                advanced = False
+                for nbr in it:
+                    if nbr not in disc:
+                        disc[nbr] = low[nbr] = t[0]
+                        t[0] += 1
+                        stack.append((nbr, node, iter(sorted(adj[nbr]))))
+                        advanced = True
+                        break
+                    elif nbr != parent:
+                        low[node] = min(low[node], disc[nbr])
+                if not advanced:
+                    stack.pop()
+                    if parent is not None:
+                        low[parent] = min(low[parent], low[node])
+                        if low[node] > disc[parent]:
+                            u, v = (
+                                (parent, node) if parent < node else (node, parent)
+                            )
+                            out.append((u, v))
+        return pd.DataFrame(out, columns=["src", "dst"])
+
+    u, v = F.col(src_col), F.col(dst_col)
+    pairs = edges.select(
+        F.col(component_col).alias("_comp"),
+        u.cast("string").alias("a"),
+        v.cast("string").alias("b"),
+    ).where(F.col("a") != F.col("b"))
+    return pairs.groupBy("_comp").applyInPandas(
+        _bridges, "src string, dst string"
+    )
+
+
 def min_spanning_forest(
     edges: DataFrame,
     rounds: int = 10,

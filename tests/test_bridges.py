@@ -1,0 +1,78 @@
+"""Bridge detection (bounded-component Tarjan kernel): checked against an
+independent brute-force reference (delete each edge, BFS-test whether its
+endpoints stay connected) on random graphs, plus known shapes and the
+simple-graph semantics contract."""
+
+import random
+
+
+def _brute_bridges(edges):
+    def connected(es, u, v):
+        adj = {}
+        for x, y in es:
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        seen, stack = {u}, [u]
+        while stack:
+            n = stack.pop()
+            for m in adj.get(n, ()):
+                if m not in seen:
+                    seen.add(m)
+                    stack.append(m)
+        return v in seen
+
+    return {
+        tuple(sorted(e))
+        for e in edges
+        if not connected([x for x in edges if x != e], e[0], e[1])
+    }
+
+
+def test_bridges_known_shapes(spark):
+    from ontoweaver_spark.graphstats import bridges_local
+
+    # cycle (no bridges) + a tree hanging off it (every tree edge a bridge)
+    edges = [(0, f"c{i}", f"c{(i + 1) % 5}") for i in range(5)] + [
+        (0, "c0", "t1"), (0, "t1", "t2"), (0, "t1", "t3"),
+    ]
+    e = spark.createDataFrame(edges, "blk int, src string, dst string")
+    got = {(r["src"], r["dst"]) for r in bridges_local(e, "blk").collect()}
+    assert got == {("c0", "t1"), ("t1", "t2"), ("t1", "t3")}
+
+
+def test_bridges_match_bruteforce_random(spark):
+    from ontoweaver_spark.graphstats import bridges_local
+
+    random.seed(11)
+    rows, want = [], set()
+    for blk in range(6):
+        n = random.randint(4, 14)
+        nodes = [f"b{blk}x{i}" for i in range(n)]
+        edges = set()
+        for i in range(1, n):
+            edges.add(tuple(sorted((nodes[i], nodes[random.randrange(i)]))))
+        target = random.randint(n - 1, n + 6)
+        while len(edges) < target:
+            a, b = random.sample(nodes, 2)
+            edges.add(tuple(sorted((a, b))))
+        rows += [(blk, a, b) for a, b in edges]
+        want |= _brute_bridges(sorted(edges))
+    e = spark.createDataFrame(rows, "blk int, src string, dst string")
+    got = {(r["src"], r["dst"]) for r in bridges_local(e, "blk").collect()}
+    assert got == want
+
+
+def test_bridges_simple_graph_semantics(spark):
+    """Duplicate rows and reverse orientations collapse to ONE undirected
+    edge (the documented contract) — a path given twice in both
+    directions still reports its edges as bridges."""
+    from ontoweaver_spark.graphstats import bridges_local
+
+    rows = [
+        (0, "a", "b"), (0, "b", "a"), (0, "a", "b"),
+        (0, "b", "c"), (0, "c", "b"),
+        (0, "d", "d"),  # self loop: ignored
+    ]
+    e = spark.createDataFrame(rows, "blk int, src string, dst string")
+    got = {(r["src"], r["dst"]) for r in bridges_local(e, "blk").collect()}
+    assert got == {("a", "b"), ("b", "c")}
