@@ -3086,6 +3086,36 @@ def q_kg_bridges(spark, sf_dir):
     return bridges_local(g, "blk")
 
 
+def q_kg_cutpoints(spark, sf_dir):
+    """Articulation-point (cut-vertex) detection over the same
+    cycle+pendant block graph as kg_bridges: every cycle node holds a
+    pendant, so all 8 cycle nodes per block are cut vertices — the hub
+    entities whose removal disconnects their cluster. Independent
+    oracle: n is a cut vertex iff some neighbor is unreachable from the
+    canonical (min) neighbor in the graph minus n — recursive
+    reachability over (excluded_node, node) states, not a rule replay."""
+    from ontoweaver_spark.graphstats import articulation_points_local
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    nb = (n // 16) * 16
+    i = F.col("doc_id").cast("long")
+    blk, j = i - (i % 16), i % 16
+
+    def node(c):
+        return F.concat(F.lit("n"), c.cast("string"))
+
+    base = docs.where(i < nb)
+    cyc = base.where(j < 8).select(
+        blk.alias("blk"), node(blk + (j + 1) % 8).alias("dst"), node(i).alias("src")
+    )
+    pend = base.where(j >= 8).select(
+        blk.alias("blk"), node(i - 8).alias("dst"), node(i).alias("src")
+    )
+    return articulation_points_local(cyc.unionByName(pend), "blk")
+
+
 def q_kg_coloring_blocked(spark, sf_dir):
     """Jones–Plassmann coloring of the 16-node ER-block conflict graph via
     the bounded-component fast path: ONE applyInPandas pass grouped by
@@ -3902,6 +3932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_coloring": q_kg_coloring,
         "kg_coloring_blocked": q_kg_coloring_blocked,
         "kg_bridges": q_kg_bridges,
+        "kg_cutpoints": q_kg_cutpoints,
         "kg_msf": q_kg_msf,
         "funnel_users": q_funnel,
         "kg_entail": q_kg_entail,
@@ -7936,6 +7967,33 @@ def oracle_sql() -> dict[str, str]:
     SELECT e.u AS src, e.v AS dst FROM ed e
     WHERE NOT EXISTS (SELECT 1 FROM reach r
                       WHERE r.ex_u = e.u AND r.ex_v = e.v AND r.node = e.v)""",
+        # n is a cut vertex iff some neighbor is unreachable from the
+        # canonical (min) neighbor in the graph minus n
+        "kg_cutpoints": """
+    WITH RECURSIVE nn AS (SELECT (count(*) // 16) * 16 AS nb FROM documents),
+    raw AS (
+      SELECT 'n' || doc_id::VARCHAR AS src,
+             'n' || ((doc_id - doc_id % 16) + ((doc_id % 16) + 1) % 8)::VARCHAR AS dst
+      FROM documents, nn WHERE doc_id < nn.nb AND doc_id % 16 < 8
+      UNION ALL
+      SELECT 'n' || doc_id::VARCHAR, 'n' || (doc_id - 8)::VARCHAR
+      FROM documents, nn WHERE doc_id < nn.nb AND doc_id % 16 >= 8
+    ), ed AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM raw WHERE src <> dst
+    ), sym AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM ed UNION ALL SELECT v AS a, u AS b FROM ed
+    ), nbr0 AS MATERIALIZED (
+      SELECT a AS ex, min(b) AS start FROM sym GROUP BY a
+    ), reach AS (
+      SELECT ex, start AS node FROM nbr0
+      UNION
+      SELECT r.ex, s.b FROM reach r JOIN sym s ON s.a = r.node
+      WHERE s.b <> r.ex
+    )
+    SELECT DISTINCT s.a AS node FROM sym s
+    WHERE NOT EXISTS (SELECT 1 FROM reach r
+                      WHERE r.ex = s.a AND r.node = s.b)""",
         "funnel_users": _funnel_sql(1440),
         "kg_entail": _entail_sql(),
         "temporal_reach": _temporal_sql(6),

@@ -2592,6 +2592,80 @@ def bridges_local(
     )
 
 
+def articulation_points_local(
+    edges: DataFrame,
+    component_col: str,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Articulation-point (cut-vertex) detection for bounded keyed
+    components -> ``(node)``, one row per node whose removal disconnects
+    its component — the biconnectivity twin of :func:`bridges_local`
+    and the KG hub-fragility question: which single entity holds its
+    cluster together (remove it and the merge evidence falls apart)?
+
+    Same Tarjan pass as the bridge kernel: a non-root node is an
+    articulation point iff some DFS child has ``low[child] >=
+    disc[node]``; the root iff it has >= 2 DFS children. Same
+    simple-graph semantics and ``component_col`` contract; same
+    independent-oracle adjudication (node n is a cut vertex iff some
+    neighbor pair becomes mutually unreachable without n).
+    """
+    import pandas as pd  # noqa: F401
+
+    def _cuts(pdf):
+        import pandas as pd
+
+        adj: dict = {}
+        for a, b in zip(pdf["a"], pdf["b"]):
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        disc: dict = {}
+        low: dict = {}
+        cuts = set()
+        t = [0]
+        for root in sorted(adj):
+            if root in disc:
+                continue
+            root_children = 0
+            stack = [(root, None, iter(sorted(adj[root])))]
+            disc[root] = low[root] = t[0]
+            t[0] += 1
+            while stack:
+                node, parent, it = stack[-1]
+                advanced = False
+                for nbr in it:
+                    if nbr not in disc:
+                        disc[nbr] = low[nbr] = t[0]
+                        t[0] += 1
+                        stack.append((nbr, node, iter(sorted(adj[nbr]))))
+                        advanced = True
+                        if node == root:
+                            root_children += 1
+                        break
+                    elif nbr != parent:
+                        low[node] = min(low[node], disc[nbr])
+                if not advanced:
+                    stack.pop()
+                    if parent is not None:
+                        low[parent] = min(low[parent], low[node])
+                        if parent != root and low[node] >= disc[parent]:
+                            cuts.add(parent)
+            if root_children >= 2:
+                cuts.add(root)
+        return pd.DataFrame(sorted(cuts), columns=["node"])
+
+    u, v = F.col(src_col), F.col(dst_col)
+    pairs = edges.select(
+        F.col(component_col).alias("_comp"),
+        u.cast("string").alias("a"),
+        v.cast("string").alias("b"),
+    ).where(F.col("a") != F.col("b"))
+    return pairs.groupBy("_comp").applyInPandas(_cuts, "node string")
+
+
 def min_spanning_forest(
     edges: DataFrame,
     rounds: int = 10,

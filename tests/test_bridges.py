@@ -62,6 +62,74 @@ def test_bridges_match_bruteforce_random(spark):
     assert got == want
 
 
+def _brute_cuts(edges):
+    nodes = set()
+    for a, b in edges:
+        nodes |= {a, b}
+
+    def ncomp(es, nds):
+        adj = {n: set() for n in nds}
+        for x, y in es:
+            if x in adj and y in adj:
+                adj[x].add(y)
+                adj[y].add(x)
+        seen, c = set(), 0
+        for n in nds:
+            if n not in seen:
+                c += 1
+                stack = [n]
+                seen.add(n)
+                while stack:
+                    k = stack.pop()
+                    for m in adj[k]:
+                        if m not in seen:
+                            seen.add(m)
+                            stack.append(m)
+        return c
+
+    base = ncomp(edges, nodes)
+    return {
+        n
+        for n in nodes
+        if len(nodes) > 1
+        and ncomp([e for e in edges if n not in e], nodes - {n}) >= base + 1
+    }
+
+
+def test_cutpoints_known_shapes(spark):
+    from ontoweaver_spark.graphstats import articulation_points_local
+
+    # cycle (no cuts) + tree off c0: c0 and t1 are cut vertices
+    edges = [(0, f"c{i}", f"c{(i + 1) % 5}") for i in range(5)] + [
+        (0, "c0", "t1"), (0, "t1", "t2"), (0, "t1", "t3"),
+    ]
+    e = spark.createDataFrame(edges, "blk int, src string, dst string")
+    got = {r["node"] for r in articulation_points_local(e, "blk").collect()}
+    assert got == {"c0", "t1"}
+
+
+def test_cutpoints_match_bruteforce_random(spark):
+    from ontoweaver_spark.graphstats import articulation_points_local
+
+    random.seed(7)
+    rows, want = [], set()
+    for blk in range(6):
+        n = random.randint(4, 14)
+        nodes = [f"b{blk}x{i}" for i in range(n)]
+        edges = set()
+        for i in range(1, n):
+            edges.add(tuple(sorted((nodes[i], nodes[random.randrange(i)]))))
+        target = random.randint(n - 1, n + 6)
+        while len(edges) < target:
+            a, b = random.sample(nodes, 2)
+            edges.add(tuple(sorted((a, b))))
+        rows += [(blk, a, b) for a, b in edges]
+        want |= _brute_cuts(sorted(edges))
+    e = spark.createDataFrame(rows, "blk int, src string, dst string")
+    got = {r["node"] for r in articulation_points_local(e, "blk").collect()}
+    assert got == want
+
+
 def test_bridges_simple_graph_semantics(spark):
     """Duplicate rows and reverse orientations collapse to ONE undirected
     edge (the documented contract) — a path given twice in both
