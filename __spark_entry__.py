@@ -644,7 +644,7 @@ def q_dedup_simhash(spark, sf_dir):
     from ontoweaver_spark.dedup import simhash
 
     _tune(spark)
-    return _docs(spark, sf_dir).select(
+    return _docs_spread(spark, sf_dir).select(
         "doc_id", simhash(F.col("text")).alias("simhash")
     )
 
@@ -1211,7 +1211,7 @@ def q_vocab_kmv(spark, sf_dir):
     from ontoweaver_spark.textops import kmv_distinct, tokens
 
     _tune(spark)
-    tok = _docs(spark, sf_dir).select(
+    tok = _docs_spread(spark, sf_dir).select(
         "lang", F.explode(tokens(F.lower(F.col("text")))).alias("token")
     )
     return kmv_distinct(tok, "lang", "token", k=16)
@@ -2154,7 +2154,7 @@ def q_kmv_merge(spark, sf_dir):
     )
 
     _tune(spark)
-    tok = _docs(spark, sf_dir).select(
+    tok = _docs_spread(spark, sf_dir).select(
         F.concat_ws("|", F.col("lang"), F.col("source")).alias("ls"),
         F.col("lang"),
         F.explode(tokens(F.lower(F.col("text")))).alias("token"),
@@ -2975,7 +2975,7 @@ def q_cover_sources(spark, sf_dir):
     from ontoweaver_spark.sampling import greedy_cover
 
     _tune(spark)
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir)
     pairs = docs.select(
         F.col("source").alias("set_id"),
         F.explode(shingles(F.lower(F.col("text")), k=2)).alias("item"),

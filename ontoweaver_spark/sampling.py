@@ -324,6 +324,7 @@ def greedy_cover(
     k: int = 5,
     set_col: str = "set_id",
     item_col: str = "item",
+    max_mask_sets: int = 48,
 ) -> DataFrame:
     """Greedy weighted set cover -> ``(pick_round, set_id, gain)``: pick
     up to ``k`` sets, each round the set covering the most NOT-yet-covered
@@ -335,12 +336,21 @@ def greedy_cover(
     oracle can replay the same k rounds. A set is never re-picked: after a
     pick its items are covered, so its residual gain is 0.
 
-    Scale shape (10^12-item corpus): ``covered`` stays a DISTRIBUTED
-    frame — each round is one anti-join (pairs vs covered, keyed on the
-    item) + one count agg keyed on the set + a single-row global argmax.
-    Driver traffic is exactly one row per round (the argmax), k <= dozens
-    — NOT a per-item collect. The covered frame is localCheckpoint-ed per
-    round so the growing union doesn't recompute.
+    Two shapes, chosen by |sets|:
+
+    * ``|sets| <= max_mask_sets`` (the common crawl-seed case — dozens of
+      hosts/sources): each item's set membership is ONE BIGINT bitmask,
+      and greedy needs only the (bitmask -> item-count) histogram, whose
+      cardinality is the number of distinct co-occurrence PATTERNS
+      (<= distinct items, in practice tiny). One distributed agg builds
+      the histogram; all k rounds replay driver-side as pure integer
+      arithmetic — 2 jobs total instead of k+1, and the 10^12 items are
+      touched exactly once.
+    * ``|sets| > max_mask_sets``: the fully distributed loop — round r
+      anti-joins the checkpointed pairs frame against the items of the
+      r-1 picked sets (a cached-block filter, never a growing union of
+      frames), one job per round, driver traffic one argmax row per
+      round — NOT a per-item collect.
     """
     p = (
         pairs.select(
@@ -350,14 +360,20 @@ def greedy_cover(
         .localCheckpoint(eager=False)
     )
     spark = pairs.sparkSession
-    covered = spark.createDataFrame([], p.select("i").schema)
+
+    set_ids = [r[0] for r in p.select("s").distinct().limit(max_mask_sets + 1).collect()]
+    if len(set_ids) <= max_mask_sets:
+        return _greedy_cover_mask(spark, p, k, sorted(set_ids))
+
     picks = []
+    picked_ids: list[str] = []
     for r in range(1, k + 1):
-        gains = (
-            p.join(covered, "i", "left_anti")
-            .groupBy("s")
-            .agg(F.count("*").alias("g"))
-        )
+        if picked_ids:
+            covered = p.where(F.col("s").isin(picked_ids)).select("i")
+            resid = p.join(covered, "i", "left_anti")
+        else:
+            resid = p
+        gains = resid.groupBy("s").agg(F.count("*").alias("g"))
         # single-row argmax with (g DESC, s ASC) tie-break
         best = gains.agg(
             F.min_by(F.struct("s", "g"), F.struct((-F.col("g")).alias("ng"), F.col("s"))).alias("b")
@@ -365,13 +381,48 @@ def greedy_cover(
         if best is None or best["s"] is None or best["g"] == 0:
             break
         picks.append((r, best["s"], best["g"]))
-        covered = (
-            covered.unionByName(
-                p.where(F.col("s") == best["s"]).select("i")
-            )
-            .distinct()
-            .localCheckpoint(eager=False)
+        picked_ids.append(best["s"])
+    return spark.createDataFrame(
+        picks, "pick_round int, set_id string, gain long"
+    )
+
+
+def _greedy_cover_mask(spark, p, k, set_ids):
+    """Bitmask fast path for :func:`greedy_cover` (|sets| <= 48): one
+    distributed agg -> (membership-bitmask, item-count) histogram, then
+    the greedy rounds are exact driver-side integer arithmetic over the
+    histogram. Bit j of the mask = membership in ``set_ids[j]`` (sorted,
+    so the (gain DESC, set_id ASC) tie-break is a first-max scan)."""
+    bitval = F.create_map(
+        *[x for j, s in enumerate(set_ids) for x in (F.lit(s), F.lit(1 << j).cast("long"))]
+    )
+    hist = (
+        p.groupBy("i")
+        .agg(F.collect_set("s").alias("ss"))
+        .select(
+            F.aggregate(
+                "ss",
+                F.lit(0).cast("long"),
+                lambda acc, x: acc.bitwiseOR(bitval[x]),
+            ).alias("mask")
         )
+        .groupBy("mask")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    masks = [(r["mask"], r["cnt"]) for r in hist]
+    picks = []
+    covered_bits = 0
+    for rnd in range(1, k + 1):
+        best_j, best_gain = None, 0
+        for j in range(len(set_ids)):  # sorted order => ties pick smallest id
+            g = sum(c for m, c in masks if (m >> j) & 1 and not (m & covered_bits))
+            if g > best_gain:
+                best_j, best_gain = j, g
+        if best_j is None:
+            break
+        picks.append((rnd, set_ids[best_j], best_gain))
+        covered_bits |= 1 << best_j
     return spark.createDataFrame(
         picks, "pick_round int, set_id string, gain long"
     )

@@ -113,3 +113,25 @@ def test_greedy_cover_stops_when_exhausted(spark):
         for r in greedy_cover(df, k=5).orderBy("pick_round").collect()
     ]
     assert got == [(1, "a", 2), (2, "b", 1)]
+
+
+def test_greedy_cover_mask_and_loop_paths_agree(spark):
+    """The bitmask fast path (|sets| <= max_mask_sets) and the distributed
+    anti-join loop are the same function: force each on the same instance."""
+    from ontoweaver_spark.sampling import greedy_cover
+
+    pairs = [
+        (f"s{j:02d}", f"i{(j * p + c) % 53}")
+        for j in range(12)
+        for p, c in [(3, 1), (5, 2), (7, 3), (11, 4), (13, 5), (17, 6)]
+    ]
+    df = spark.createDataFrame(pairs, "set_id string, item string")
+    fast = [
+        (r["pick_round"], r["set_id"], r["gain"])
+        for r in greedy_cover(df, k=5, max_mask_sets=48).orderBy("pick_round").collect()
+    ]
+    loop = [
+        (r["pick_round"], r["set_id"], r["gain"])
+        for r in greedy_cover(df, k=5, max_mask_sets=3).orderBy("pick_round").collect()
+    ]
+    assert fast == loop == _cover_brute(pairs, 5)
