@@ -2409,6 +2409,20 @@ def q_kg_scc(spark, sf_dir):
     return strongly_connected_components(fwd.unionByName(back))
 
 
+def q_dedup_winnow(spark, sf_dir):
+    """Winnowing fingerprint clone pairs (Schleimer SIGMOD'03 / MOSS):
+    k=5 word-gram md5 hashes, w=4 selection windows (rightmost-min),
+    document-frequency cap 64, pairs sharing >= 2 selected fingerprints.
+    The oracle replays the identical window min-of-struct selection in
+    DuckDB."""
+    from ontoweaver_spark.dedup import winnow_pairs
+
+    _tune(spark)
+    return winnow_pairs(
+        _docs_spread(spark, sf_dir), k=5, w=4, min_shared=2, max_df=64
+    )
+
+
 def q_dup_spans(spark, sf_dir):
     """Cross-doc verbatim 5-gram spans over the documents corpus (the
     substring-dedup masking signal). Oracle replays the identical window
@@ -3927,6 +3941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "dedup_containment_asym": q_dedup_containment_asym,
         "kg_metapath": q_kg_metapath,
+        "dedup_winnow": q_dedup_winnow,
         "dup_spans": q_dup_spans,
         "kg_mis": q_kg_mis,
         "kg_coloring": q_kg_coloring,
@@ -7350,6 +7365,39 @@ def oracle_sql() -> dict[str, str]:
         # identical window hashing (md5-prefix 60-bit over the joined
         # 5-token slice, clamped prefix for short docs), >=2 distinct
         # docs per gram, lag-based island merge with gap > n
+        # winnowing (MOSS): identical gram hash, min-of-struct window
+        # selection with rightmost-tie (np = -pos), short-doc fallback
+        # (pos = n), df cap, >= 2 shared fingerprints
+        "dedup_winnow": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, i::INT AS pos,
+                     ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')),
+                                     1, 15))::BIGINT AS g
+              FROM toks,
+                   UNNEST(range(1, greatest(len(t) - 4, 1) + 1)) AS u(i)
+            ), win AS (
+              SELECT doc_id, pos,
+                     min({'g': g, 'np': -pos}) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel,
+                     count(*) OVER (PARTITION BY doc_id) AS n
+              FROM grams
+            ), fps AS (
+              SELECT DISTINCT doc_id, sel.g AS fp
+              FROM win WHERE pos >= 4 OR pos = n
+            ), cold AS (
+              SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 64
+            ), keep AS (
+              SELECT f.doc_id, f.fp FROM fps f JOIN cold USING (fp)
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_shared
+            FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
         "dup_spans": """
             WITH toks AS (
               SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t

@@ -967,6 +967,113 @@ def duplicated_ngram_spans(
     ).drop("_isl")
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every word ``k``-gram, slide a
+    window of ``w`` consecutive hashes over each document, and keep the
+    minimum hash of every window (RIGHTMOST minimum on ties, the paper's
+    rule). The selection guarantee: any verbatim run of ``w + k - 1``
+    tokens shared by two documents shares at least one selected
+    fingerprint, at an expected density of only ``2/(w+1)`` of the grams
+    — position-localizable plagiarism/clone detection far sparser than
+    full shingling.
+
+    Returns ``(id_col, fp, fp_pos)`` — distinct selected fingerprints
+    with the 1-based token position of the gram they hash. A document
+    with fewer than ``w`` grams keeps the minimum of what it has (its
+    last partial window), so no document fingerprints to nothing.
+
+    100-TB shape: one flat-map gram explode, one per-doc window (state
+    bounded by document length, never corpus-sized), one distinct — no
+    joins. The hash is the oracle-reproducible 60-bit md5 prefix
+    (:func:`ontoweaver_spark.textops.md5_int`).
+    """
+    toks = tokens(F.col(text_col))
+    sz = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(sz - (k - 1), F.lit(1)))
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"),
+                    md5_int(F.array_join(F.slice(toks, i, k), " ")).alias("_g"),
+                ),
+            )
+        ).alias("_w"),
+    ).select(id_col, F.col("_w.pos").alias("pos"), F.col("_w._g").alias("_g"))
+
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    full = Window.partitionBy(id_col)
+    sel = grams.select(
+        F.col(id_col),
+        F.min(F.struct(F.col("_g").alias("g"), (-F.col("pos")).alias("np"))).over(win).alias("_sel"),
+        F.col("pos"),
+        F.count("*").over(full).alias("_n"),
+    ).where((F.col("pos") >= w) | (F.col("pos") == F.col("_n")))
+    return (
+        sel.select(
+            id_col,
+            F.col("_sel.g").alias("fp"),
+            (-F.col("_sel.np")).alias("fp_pos"),
+        )
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 64,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints ->
+    ``(doc_a, doc_b, n_shared)`` with ``doc_a < doc_b`` — the MOSS
+    clone-report shape over :func:`winnow_fingerprints`.
+
+    Fingerprints selected in more than ``max_df`` documents (boilerplate
+    phrases) are excluded before the self-join — the same document-
+    frequency cap as the n-gram Jaccard path, which is what bounds the
+    join fan-out at corpus scale (a fingerprint's pair contribution is
+    quadratic in its document frequency)."""
+    fps = (
+        winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+        .select(id_col, "fp")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") > max_df)
+        .select("fp")
+    )
+    cold = fps.join(hot, "fp", "left_anti")
+    a = cold.select(F.col("fp"), F.col(id_col).alias("doc_a"))
+    b = cold.select(F.col("fp"), F.col(id_col).alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def merge_components(
     labels: DataFrame,
     new_pairs: DataFrame,
