@@ -3130,6 +3130,35 @@ def q_kg_cutpoints(spark, sf_dir):
     return articulation_points_local(cyc.unionByName(pend), "blk")
 
 
+def q_kg_2ecc(spark, sf_dir):
+    """2-edge-connected components over the same cycle+pendant block
+    graph as kg_bridges: each block's 8-cycle is one corroborated core
+    (every merge link has a second path) and each pendant is its own
+    singleton class. The oracle composes the independent per-edge-
+    deleted-reachability bridge characterization with a recursive
+    min-label closure over the surviving edges."""
+    from ontoweaver_spark.graphstats import two_edge_components_local
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    nb = (n // 16) * 16
+    i = F.col("doc_id").cast("long")
+    blk, j = i - (i % 16), i % 16
+
+    def node(c):
+        return F.concat(F.lit("n"), c.cast("string"))
+
+    base = docs.where(i < nb)
+    cyc = base.where(j < 8).select(
+        blk.alias("blk"), node(blk + (j + 1) % 8).alias("dst"), node(i).alias("src")
+    )
+    pend = base.where(j >= 8).select(
+        blk.alias("blk"), node(i - 8).alias("dst"), node(i).alias("src")
+    )
+    return two_edge_components_local(cyc.unionByName(pend), "blk")
+
+
 def q_kg_coloring_blocked(spark, sf_dir):
     """Jones–Plassmann coloring of the 16-node ER-block conflict graph via
     the bounded-component fast path: ONE applyInPandas pass grouped by
@@ -3947,6 +3976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_coloring": q_kg_coloring,
         "kg_coloring_blocked": q_kg_coloring_blocked,
         "kg_bridges": q_kg_bridges,
+        "kg_2ecc": q_kg_2ecc,
         "kg_cutpoints": q_kg_cutpoints,
         "kg_msf": q_kg_msf,
         "funnel_users": q_funnel,
@@ -7991,6 +8021,42 @@ def oracle_sql() -> dict[str, str]:
         # from u in the graph minus that one edge — recursive reachability
         # over (excluded_edge, node) states, block-bounded so the state
         # space stays |E_blk| x |V_blk| per block
+        # non-bridge edges (EXISTS the bridge-test reachability) + a
+        # recursive min-label closure = 2-edge-connected components
+        "kg_2ecc": """
+    WITH RECURSIVE nn AS (SELECT (count(*) // 16) * 16 AS nb FROM documents),
+    raw AS (
+      SELECT 'n' || doc_id::VARCHAR AS src,
+             'n' || ((doc_id - doc_id % 16) + ((doc_id % 16) + 1) % 8)::VARCHAR AS dst
+      FROM documents, nn WHERE doc_id < nn.nb AND doc_id % 16 < 8
+      UNION ALL
+      SELECT 'n' || doc_id::VARCHAR, 'n' || (doc_id - 8)::VARCHAR
+      FROM documents, nn WHERE doc_id < nn.nb AND doc_id % 16 >= 8
+    ), ed AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM raw WHERE src <> dst
+    ), sym AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM ed UNION ALL SELECT v AS a, u AS b FROM ed
+    ), reach AS (
+      SELECT u AS ex_u, v AS ex_v, u AS node FROM ed
+      UNION
+      SELECT r.ex_u, r.ex_v, s.b
+      FROM reach r JOIN sym s ON s.a = r.node
+      WHERE NOT (least(s.a, s.b) = r.ex_u AND greatest(s.a, s.b) = r.ex_v)
+    ), nonb AS MATERIALIZED (
+      SELECT e.u, e.v FROM ed e
+      WHERE EXISTS (SELECT 1 FROM reach r
+                    WHERE r.ex_u = e.u AND r.ex_v = e.v AND r.node = e.v)
+    ), nodes AS MATERIALIZED (
+      SELECT u AS node FROM ed UNION SELECT v FROM ed
+    ), symnb AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM nonb UNION ALL SELECT v AS a, u AS b FROM nonb
+    ), cl AS (
+      SELECT node, node AS r FROM nodes
+      UNION
+      SELECT c.node, s.b FROM cl c JOIN symnb s ON s.a = c.r
+    )
+    SELECT node, min(r) AS tecc FROM cl GROUP BY node""",
         "kg_bridges": """
     WITH RECURSIVE nn AS (SELECT (count(*) // 16) * 16 AS nb FROM documents),
     raw AS (

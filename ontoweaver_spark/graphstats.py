@@ -2666,6 +2666,99 @@ def articulation_points_local(
     return pairs.groupBy("_comp").applyInPandas(_cuts, "node string")
 
 
+def two_edge_components_local(
+    edges: DataFrame,
+    component_col: str,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """2-edge-connected components for bounded keyed components ->
+    ``(node, tecc)`` where ``tecc`` is the minimum node id of the
+    node's 2-edge-connected class: remove every bridge (Tarjan low-link,
+    the :func:`bridges_local` rule) and label the connected components
+    of what remains. The KG reading: a 2ecc is a cluster of entity
+    merges where EVERY link has a corroborating second path — the
+    corroborated core — while each bridge endpoint outside the core is
+    its own singleton class.
+
+    Same contract and scale shape as :func:`bridges_local` /
+    :func:`articulation_points_local`: one shuffle keyed on
+    ``component_col`` (which must partition the nodes), O(component)
+    work per group, simple-graph semantics. Deterministic pure graph
+    property — the DuckDB oracle composes its independent per-edge-
+    deleted-reachability bridge characterization with a recursive
+    min-label closure over the surviving edges.
+    """
+    import pandas as pd  # noqa: F401
+
+    def _tecc(pdf):
+        import pandas as pd
+
+        adj: dict = {}
+        for a, b in zip(pdf["a"], pdf["b"]):
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        disc: dict = {}
+        low: dict = {}
+        bridges: set = set()
+        t = [0]
+        for root in sorted(adj):
+            if root in disc:
+                continue
+            stack = [(root, None, iter(sorted(adj[root])))]
+            disc[root] = low[root] = t[0]
+            t[0] += 1
+            while stack:
+                node, parent, it = stack[-1]
+                advanced = False
+                for nbr in it:
+                    if nbr not in disc:
+                        disc[nbr] = low[nbr] = t[0]
+                        t[0] += 1
+                        stack.append((nbr, node, iter(sorted(adj[nbr]))))
+                        advanced = True
+                        break
+                    elif nbr != parent:
+                        low[node] = min(low[node], disc[nbr])
+                if not advanced:
+                    stack.pop()
+                    if parent is not None:
+                        low[parent] = min(low[parent], low[node])
+                        if low[node] > disc[parent]:
+                            bridges.add(frozenset((parent, node)))
+        # BFS over the bridge-removed graph; label = min node per class
+        seen: set = set()
+        out = []
+        for start in sorted(adj):
+            if start in seen:
+                continue
+            comp = [start]
+            seen.add(start)
+            q = [start]
+            while q:
+                n0 = q.pop()
+                for nbr in adj[n0]:
+                    if nbr not in seen and frozenset((n0, nbr)) not in bridges:
+                        seen.add(nbr)
+                        comp.append(nbr)
+                        q.append(nbr)
+            lab = min(comp)
+            out.extend((n0, lab) for n0 in comp)
+        return pd.DataFrame(sorted(out), columns=["node", "tecc"])
+
+    u, v = F.col(src_col), F.col(dst_col)
+    pairs = edges.select(
+        F.col(component_col).alias("_comp"),
+        u.cast("string").alias("a"),
+        v.cast("string").alias("b"),
+    ).where(F.col("a") != F.col("b"))
+    return pairs.groupBy("_comp").applyInPandas(
+        _tecc, "node string, tecc string"
+    )
+
+
 def min_spanning_forest(
     edges: DataFrame,
     rounds: int = 10,

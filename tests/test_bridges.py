@@ -144,3 +144,72 @@ def test_bridges_simple_graph_semantics(spark):
     e = spark.createDataFrame(rows, "blk int, src string, dst string")
     got = {(r["src"], r["dst"]) for r in bridges_local(e, "blk").collect()}
     assert got == {("a", "b"), ("b", "c")}
+
+
+def _brute_tecc(edges):
+    """Independent reference: remove brute-force bridges, BFS-label."""
+    bridges = _brute_bridges(sorted(edges))
+    nodes = sorted({n for e in edges for n in e})
+    adj = {}
+    for x, y in edges:
+        if tuple(sorted((x, y))) in bridges:
+            continue
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    lab = {}
+    for start in nodes:
+        if start in lab:
+            continue
+        comp, stack = {start}, [start]
+        while stack:
+            n = stack.pop()
+            for m in adj.get(n, ()):
+                if m not in comp:
+                    comp.add(m)
+                    stack.append(m)
+        m = min(comp)
+        for n in comp:
+            lab[n] = m
+    return set(lab.items())
+
+
+def test_two_edge_components_known_shapes(spark):
+    from ontoweaver_spark.graphstats import two_edge_components_local
+
+    # two triangles joined by a bridge: each triangle is one 2ecc
+    edges = [
+        (0, "a1", "a2"), (0, "a2", "a3"), (0, "a3", "a1"),
+        (0, "b1", "b2"), (0, "b2", "b3"), (0, "b3", "b1"),
+        (0, "a1", "b1"),
+    ]
+    e = spark.createDataFrame(edges, "blk int, src string, dst string")
+    got = {(r["node"], r["tecc"]) for r in two_edge_components_local(e, "blk").collect()}
+    assert got == {
+        ("a1", "a1"), ("a2", "a1"), ("a3", "a1"),
+        ("b1", "b1"), ("b2", "b1"), ("b3", "b1"),
+    }
+
+
+def test_two_edge_components_match_bruteforce_random(spark):
+    from ontoweaver_spark.graphstats import two_edge_components_local
+
+    random.seed(23)
+    rows, want = [], set()
+    for blk in range(6):
+        n = random.randint(4, 14)
+        nodes = [f"b{blk}x{i}" for i in range(n)]
+        edges = set()
+        for i in range(1, n):
+            edges.add(tuple(sorted((nodes[i], nodes[random.randrange(i)]))))
+        target = random.randint(n - 1, n + 6)
+        while len(edges) < target:
+            a, b = random.sample(nodes, 2)
+            edges.add(tuple(sorted((a, b))))
+        rows += [(blk, a, b) for a, b in edges]
+        want |= _brute_tecc(sorted(edges))
+    e = spark.createDataFrame(rows, "blk int, src string, dst string")
+    got = {
+        (r["node"], r["tecc"])
+        for r in two_edge_components_local(e, "blk").collect()
+    }
+    assert got == want
