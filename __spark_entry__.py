@@ -2922,6 +2922,21 @@ def q_dedup_containment_asym(spark, sf_dir):
     return containment_pairs_prefix(_docs_spread(spark, sf_dir), threshold=0.9)
 
 
+def q_dedup_cosine_l2ap(spark, sf_dir):
+    """Exact-threshold cosine pairs over sparse integer tf vectors at
+    t=0.9 via the L2AP l2-norm prefix filter (Anastasiu & Karypis
+    ICDE'14): rarest-first global term order, only positions whose
+    squared suffix mass still clears (t-1e-4)^2 * |v|^2 are indexed
+    (exact BIGINT compare), full-vector integer dot-product verify.
+    The ORACLE computes plain all-shared-term-pairs cosine with NO
+    prefix machinery — the filter's losslessness is the checked
+    property."""
+    from ontoweaver_spark.dedup import cosine_pairs_l2ap
+
+    _tune(spark)
+    return cosine_pairs_l2ap(_docs_spread(spark, sf_dir), threshold=0.9)
+
+
 def q_kg_metapath(spark, sf_dir):
     """Typed 2-hop metapath census over the labeled residue graph (4
     node labels x 3 edge labels): instance counts + distinct endpoints
@@ -3969,6 +3984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_resolve": q_er_resolve,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "dedup_containment_asym": q_dedup_containment_asym,
+        "dedup_cosine_l2ap": q_dedup_cosine_l2ap,
         "kg_metapath": q_kg_metapath,
         "dedup_winnow": q_dedup_winnow,
         "dup_spans": q_dup_spans,
@@ -5543,6 +5559,28 @@ def oracle_sql() -> dict[str, str]:
                          * 10000 + 0.5) / 10000 >= 0.9
                 OR floor(count(*)::DOUBLE / any_value(cb.n_sh)
                          * 10000 + 0.5) / 10000 >= 0.9
+        """,
+        "dedup_cosine_l2ap": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, tok
+            ), norms AS (
+              SELECT doc_id, sum(tf*tf)::BIGINT AS nsq FROM tf GROUP BY doc_id
+            ), dots AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, sum(x.tf*y.tf)::BIGINT AS dot
+              FROM tf x JOIN tf y ON x.tok = y.tok AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT d.a, d.b,
+                   floor(d.dot / sqrt((na.nsq * nb.nsq)::DOUBLE) * 10000.0 + 0.5)
+                     / 10000.0 AS cosine
+            FROM dots d
+            JOIN norms na ON na.doc_id = d.a
+            JOIN norms nb ON nb.doc_id = d.b
+            WHERE floor(d.dot / sqrt((na.nsq * nb.nsq)::DOUBLE) * 10000.0 + 0.5)
+                    / 10000.0 >= 0.9
         """,
         "dedup_simhash": _simhash_sql(bits=60),
         "dedup_simhash_near": f"""

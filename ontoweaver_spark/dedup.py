@@ -1376,3 +1376,117 @@ def suggest_bands(
         "curve_threshold": round(t, 4),
         "p_at_threshold": round(p, 4),
     }
+
+
+def cosine_pairs_l2ap(
+    df: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-threshold COSINE similarity pairs over sparse integer
+    term-frequency vectors -> ``(a, b, cosine)`` via the l2-norm prefix
+    filter of L2AP (Anastasiu & Karypis, ICDE'14) — the weighted-vector
+    counterpart of :func:`jaccard_pairs_prefix`.
+
+    Theorem (Cauchy-Schwarz form of the prefix filter): order the term
+    universe globally rarest-first (document frequency asc, term asc);
+    for any pair let ``k`` be the smallest global rank both share.  Then
+    ``cos(a,b) = sum_{i>=k} a_i b_i / (|a||b|) <= |a_{>=k}| / |a|`` (and
+    symmetrically for ``b``), so ``cos >= t`` forces the rank-``k`` term
+    to lie where the ratio-of-suffix-norms is still ``>= t`` in BOTH
+    docs.  Indexing only those positions — the kept set is a PREFIX of
+    each doc's rank order because suffix norms are monotone — every
+    qualifying pair still collides: the filter is LOSSLESS.  Rarest
+    terms carry the indexed prefix, so stopword-heavy terms land in the
+    never-indexed suffix and the hot-term O(df^2) self-join blowup
+    largely disappears, exactly as in the Jaccard variant.
+
+    All filter arithmetic is exact BIGINT: with integer tf the squared
+    suffix mass ``sfx = sum_{rank>=r} tf^2`` and squared norm ``nsq``
+    compare as ``sfx * 10^8 >= (t*10^4 - 1)^2 * nsq`` — the ``-1``
+    (i.e. ``t - 1e-4``) makes the bound ROUNDING-CLOSED: the emitted
+    filter compares the 4-digit-rounded cosine ``>= t``, so raw values
+    in the half-ulp window below ``t`` that round up must still be
+    caught by the prefix.  Verification is exact: candidates join the
+    full tf vectors, one integer dot product, ONE fp divide by ONE
+    correctly-rounded sqrt, then :func:`round_ieee` — bit-identical
+    cross-engine.  The oracle computes plain all-shared-term-pairs
+    cosine with NO prefix machinery, so losslessness is itself the
+    checked property.
+
+    100-TB shape: two shuffles sized by the tf table (rank join, suffix
+    window partitioned per doc), a self-join restricted to the indexed
+    prefixes, and a pair-keyed partial-aggregated dot product; nothing
+    is all-pairs, nothing collects.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError("prefix filtering needs a threshold in (0, 1]")
+    t_sc = int(round(threshold * 10_000)) - 1  # rounding-closed t - 1e-4
+    t2_sc = t_sc * t_sc                        # (t-1e-4)^2 scaled by 1e8
+    from .compiler import with_row_index
+
+    # tf feeds the rank build, the suffix window AND both verify sides —
+    # checkpoint once (same single-computation rule as _candidate_sets)
+    tf = stats_reset_checkpoint(
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").cast("bigint").alias("tf")),
+        eager=False,
+    )
+    ranked = (
+        with_row_index(
+            tf.groupBy("tok").agg(F.count("*").alias("_df")).orderBy("_df", "tok"),
+            "_rank",
+        )
+        .select("tok", "_rank")
+        .localCheckpoint(eager=False)
+    )
+    counted = tf.join(ranked, "tok")
+    norms = stats_reset_checkpoint(
+        tf.groupBy(id_col).agg(F.sum(F.col("tf") * F.col("tf")).alias("nsq")),
+        eager=False,
+    )
+    # suffix squared mass: cumulative tf^2 from the rarest-first TAIL —
+    # window ordered rank DESC so the running sum at a row covers every
+    # rank >= that row's (inclusive)
+    w = Window.partitionBy(id_col).orderBy(F.col("_rank").desc())
+    positioned = counted.withColumn(
+        "_sfx", F.sum(F.col("tf") * F.col("tf")).over(w)
+    ).join(norms, id_col)
+    prefix = stats_reset_checkpoint(
+        positioned.where(
+            F.col("_sfx") * F.lit(100_000_000) >= F.lit(t2_sc) * F.col("nsq")
+        ).select(id_col, "tok"),
+        eager=False,
+    )
+    cand = (
+        prefix.select(F.col(id_col).alias("a"), "tok")
+        .join(prefix.select(F.col(id_col).alias("b"), "tok"), "tok")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    dots = (
+        cand.join(
+            tf.select(F.col(id_col).alias("a"), "tok", F.col("tf").alias("tfa")), "a"
+        )
+        .join(
+            tf.select(F.col(id_col).alias("b"), "tok", F.col("tf").alias("tfb")),
+            ["b", "tok"],
+        )
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("tfa") * F.col("tfb")).alias("_dot"))
+    )
+    return (
+        dots.join(norms.select(F.col(id_col).alias("a"), F.col("nsq").alias("_na")), "a")
+        .join(norms.select(F.col(id_col).alias("b"), F.col("nsq").alias("_nb")), "b")
+        .select(
+            "a",
+            "b",
+            round_ieee(
+                F.col("_dot") / F.sqrt((F.col("_na") * F.col("_nb")).cast("double")), 4
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
