@@ -26,6 +26,12 @@ _SQL_VALID = "({c} IS NOT NULL AND {c} <> '' AND lower({c}) <> 'nan' AND {c} <> 
 # md5-prefix-int in both engines
 _SQL_MD5INT = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
 
+# HLL constants shared by q_hll_count and its oracle: p=10 -> m=1024
+# registers, K = 60-10+1 = 51; the full estimator numerator
+# alpha_m * m^2 * 2^K folded into ONE double whose shortest repr
+# round-trips identically in Spark and DuckDB.
+_HLL_NUM = repr(0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024 * float(1 << 51))
+
 # validation rule SQL (mirrors ontoweaver_spark.validate.compile_rule for the
 # validate_docs query's rules)
 _VALID_LANG = (
@@ -2937,6 +2943,29 @@ def q_dedup_cosine_l2ap(spark, sf_dir):
     return cosine_pairs_l2ap(_docs_spread(spark, sf_dir), threshold=0.9)
 
 
+def q_hll_count(spark, sf_dir):
+    """Per-language distinct-token cardinality via MERGED HyperLogLog
+    register sketches (p=10): two shard sketches (doc_id % 2) built
+    independently, hll_merge'd, then finalized with the raw harmonic
+    estimator. Registers are exact integer bit arithmetic; the single
+    fp step is one divide of two exactly-representable doubles + floor,
+    so the BIGINT estimate is engine-identical. The ORACLE builds the
+    registers in one pass — merge losslessness (max of shard maxima ==
+    max over the union) is part of what the equality checks."""
+    from ontoweaver_spark.textops import hll_estimate, hll_merge, hll_registers, tokens
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "lang", (F.col("doc_id") % 2).alias("_shard"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    shard_a = hll_registers(toks.where(F.col("_shard") == 0), "lang", "tok", p=10)
+    shard_b = hll_registers(toks.where(F.col("_shard") == 1), "lang", "tok", p=10)
+    merged = hll_merge(shard_a.unionByName(shard_b), "lang")
+    return hll_estimate(merged, "lang", p=10)
+
+
 def q_kg_metapath(spark, sf_dir):
     """Typed 2-hop metapath census over the labeled residue graph (4
     node labels x 3 edge labels): instance counts + distinct endpoints
@@ -3985,6 +4014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "dedup_containment_asym": q_dedup_containment_asym,
         "dedup_cosine_l2ap": q_dedup_cosine_l2ap,
+        "hll_count": q_hll_count,
         "kg_metapath": q_kg_metapath,
         "dedup_winnow": q_dedup_winnow,
         "dup_spans": q_dup_spans,
@@ -5581,6 +5611,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms nb ON nb.doc_id = d.b
             WHERE floor(d.dot / sqrt((na.nsq * nb.nsq)::DOUBLE) * 10000.0 + 0.5)
                     / 10000.0 >= 0.9
+        """,
+        "hll_count": rf"""
+            WITH toks AS (
+              SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+              FROM documents
+            ), h AS (
+              SELECT lang, (('0x' || substr(md5(tok), 1, 15))::BIGINT) AS h FROM toks
+            ), reg AS (
+              SELECT lang, h & 1023 AS j,
+                     max(CASE WHEN (h >> 10) = 0 THEN 51
+                         ELSE 51 - length(bin(h >> 10)) END)::INT AS r
+              FROM h GROUP BY lang, h & 1023
+            ), agg AS (
+              SELECT lang, count(*)::BIGINT AS n_set,
+                     sum(1::BIGINT << (51 - r))::BIGINT AS sp
+              FROM reg GROUP BY lang
+            )
+            SELECT lang, n_set,
+                   floor({_HLL_NUM} /
+                         (sp + (1024::BIGINT - n_set) * (1::BIGINT << 51))::DOUBLE
+                   )::BIGINT AS estimate
+            FROM agg
         """,
         "dedup_simhash": _simhash_sql(bits=60),
         "dedup_simhash_near": f"""

@@ -1578,3 +1578,109 @@ def suggest_cms(epsilon: float, delta: float) -> dict:
         "cells": w * d,
         "bytes_per_counter_8": 8 * w * d,
     }
+
+
+def hll_registers(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    p: int = 10,
+) -> DataFrame:
+    """MERGEABLE HyperLogLog register sketch per group -> ``(group, j,
+    r)`` (Flajolet/Fusy/Gandouet/Meunier, AofA'07) — the fixed-size
+    counterpart of :func:`kmv_sketch`: m = 2^p registers regardless of
+    cardinality, where KMV keeps k hashes.  Register ``j`` is the low
+    ``p`` bits of the 60-bit md5 hash; ``r`` is the 1-based position of
+    the first set bit in the remaining ``60-p`` bits (``K = 60-p+1`` when
+    they are all zero).  Only NON-ZERO registers are materialized —
+    sparse rows, dense semantics: the estimator re-adds the ``m - n_set``
+    empty registers arithmetically.
+
+    Everything is exact integer bit arithmetic (``&``/``>>`` plus a
+    binary-string bit-length, the same ``conv``/``bin`` pair on both
+    engines), so the registers themselves are oracle-exact —
+    cross-engine determinism does not depend on any float.
+
+    100-TB shape: one partial-aggregated groupBy on (group, j) — at most
+    ``m`` rows per group survive the map-side combine, so a trillion-row
+    scan reduces to ``m * n_groups`` rows of state, and per-shard
+    sketches :func:`hll_merge` upward without rescanning raw keys.
+    """
+    if not 2 <= p <= 16:
+        raise ValueError(f"p must be in [2, 16], got {p}")
+    m = 1 << p
+    k_max = 60 - p + 1
+    h = md5_int(F.col(key_col).cast("string"))
+    rest = F.shiftright(h, p)
+    rho = F.when(rest == 0, F.lit(k_max)).otherwise(
+        F.lit(k_max) - F.length(F.conv(rest, 10, 2))
+    )
+    return (
+        df.select(
+            F.col(group_col).alias("g"),
+            h.bitwiseAND(F.lit(m - 1)).alias("j"),
+            rho.cast("int").alias("_rho"),
+        )
+        .groupBy("g", "j")
+        .agg(F.max("_rho").alias("r"))
+        .select(F.col("g").alias(group_col), "j", "r")
+    )
+
+
+def hll_merge(
+    sketches: DataFrame,
+    group_col: str,
+) -> DataFrame:
+    """Union HLL register frames up to a coarser group -> same ``(group,
+    j, r)`` shape — LOSSLESS: max of per-shard maxima is the max over the
+    union, so the merged sketch is bit-identical to one built from the
+    raw keys (asserted in tests). State is bounded by m rows per group."""
+    return (
+        sketches.groupBy(F.col(group_col).alias("g"), F.col("j"))
+        .agg(F.max("r").alias("r"))
+        .select(F.col("g").alias(group_col), "j", "r")
+    )
+
+
+def hll_estimate(
+    sketches: DataFrame,
+    group_col: str,
+    p: int = 10,
+) -> DataFrame:
+    """Finalize HLL registers to ``(group, n_set, estimate)`` using the
+    raw harmonic-mean estimator ``alpha_m * m^2 / sum_j 2^(-M_j)``.
+
+    The indicator sum is computed SCALED by ``2^K`` (K = 60-p+1) so it is
+    an exact BIGINT: each set register contributes ``1 << (K - r)`` and
+    each of the ``m - n_set`` empty registers contributes ``1 << K`` —
+    no float enters until ONE division of two exactly-representable
+    values plus a floor, so Spark and DuckDB produce the identical
+    BIGINT.  The numerator ``alpha_m * m^2 * 2^K`` is folded into a
+    single Python-precomputed double literal shared with the oracle via
+    shortest round-trip repr.  (The library intentionally emits the raw
+    estimator only — the small-range linear-counting branch needs ``ln``,
+    which is not correctly-rounded-guaranteed cross-engine; callers
+    wanting it can post-process ``n_set``.)
+    """
+    if not 2 <= p <= 16:
+        raise ValueError(f"p must be in [2, 16], got {p}")
+    m = 1 << p
+    k_max = 60 - p + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    numerator = alpha * m * m * float(1 << k_max)
+    s_present = F.sum(F.expr(f"shiftleft(1L, cast({k_max} - r as int))"))
+    n_set = F.count("*")
+    agg = sketches.groupBy(F.col(group_col).alias("g")).agg(
+        n_set.cast("long").alias("n_set"),
+        s_present.alias("_sp"),
+    )
+    s_total = F.col("_sp") + (F.lit(m).cast("long") - F.col("n_set")) * F.lit(
+        1 << k_max
+    ).cast("long")
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_set",
+        F.floor(F.lit(numerator) / s_total.cast("double")).cast("long").alias(
+            "estimate"
+        ),
+    )
