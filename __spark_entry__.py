@@ -2784,6 +2784,25 @@ def q_kg_ktruss(spark, sf_dir):
     return k_truss(cocite, k=4, exact_rounds=2)
 
 
+def q_kg_trussness(spark, sf_dir):
+    """FULL truss decomposition (2 exact h-index rounds, zero driver
+    syncs) over a hub co-citation graph: per-EDGE trussness via the
+    Sariyuce WWW'17 local iteration — est starts at triangle support,
+    each round re-h-indexes over triangle strengths (min est of the
+    other two sides). Oracle: the same two rounds unrolled with
+    id-ordered triangle enumeration + window-cumulative h-index."""
+    from ontoweaver_spark.graphstats import truss_numbers
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+
+    def hub(m, p):
+        return F.concat(F.lit("hub"), ((F.col("doc_id") * m) % p).cast("string"))
+
+    cocite = docs.select(hub(5, 59).alias("src"), hub(13, 47).alias("dst"))
+    return truss_numbers(cocite, exact_rounds=2)
+
+
 def q_kg_n2v_walks(spark, sf_dir):
     """node2vec-BIASED deterministic walks (w_return=4, w_near=2,
     w_far=1 — BFS-ish) over the sparse doc graph: second-order bias via
@@ -4006,6 +4025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_assortativity": q_kg_assortativity,
         "kg_pagerank_w": q_kg_pagerank_w,
         "kg_ktruss": q_kg_ktruss,
+        "kg_trussness": q_kg_trussness,
         "kg_n2v_walks": q_kg_n2v_walks,
         "kg_betweenness": q_kg_betweenness,
         "kg_anf": q_kg_anf,
@@ -8031,6 +8051,66 @@ def oracle_sql() -> dict[str, str]:
               ) GROUP BY u, v
             )
             SELECT u, v, support FROM sup2 WHERE support >= 2
+        """,
+        # full truss decomposition: est0 = support, two h-index rounds
+        # (strength = least est of the other two triangle sides, h via a
+        # per-edge desc-cumulative window) — mirrors truss_numbers
+        # exact_rounds=2 on the (5,59)x(13,47) hub graph
+        "kg_trussness": """
+            WITH e0 AS MATERIALIZED (
+              SELECT DISTINCT least('hub' || ((doc_id*5)%59)::VARCHAR,
+                                    'hub' || ((doc_id*13)%47)::VARCHAR) AS u,
+                              greatest('hub' || ((doc_id*5)%59)::VARCHAR,
+                                       'hub' || ((doc_id*13)%47)::VARCHAR) AS v
+              FROM documents WHERE (doc_id*5)%59 <> (doc_id*13)%47
+            ), tri AS MATERIALIZED (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM e0 e1
+              JOIN e0 e2 ON e2.u = e1.v
+              JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
+            ), inc AS MATERIALIZED (
+              SELECT a AS eu, b AS ev, a AS f1u, c AS f1v, b AS f2u, c AS f2v FROM tri
+              UNION ALL
+              SELECT a, c, a, b, b, c FROM tri
+              UNION ALL
+              SELECT b, c, a, b, a, c FROM tri
+            ), est0 AS MATERIALIZED (
+              SELECT e0.u, e0.v, coalesce(s.c, 0)::BIGINT AS est
+              FROM e0 LEFT JOIN (
+                SELECT eu AS u, ev AS v, count(*) AS c FROM inc GROUP BY eu, ev
+              ) s USING (u, v)
+            ), str1 AS (
+              SELECT i.eu, i.ev, least(x.est, y.est) AS m
+              FROM inc i
+              JOIN est0 x ON x.u = i.f1u AND x.v = i.f1v
+              JOIN est0 y ON y.u = i.f2u AND y.v = i.f2v
+            ), h1 AS (
+              SELECT eu, ev, max(least(m, cum)) AS h FROM (
+                SELECT eu, ev, m,
+                       sum(c) OVER (PARTITION BY eu, ev ORDER BY m DESC
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+                FROM (SELECT eu, ev, m, count(*) AS c FROM str1 GROUP BY eu, ev, m)
+              ) GROUP BY eu, ev
+            ), est1 AS MATERIALIZED (
+              SELECT e.u, e.v, least(e.est, coalesce(h.h, 0)) AS est
+              FROM est0 e LEFT JOIN h1 h ON h.eu = e.u AND h.ev = e.v
+            ), str2 AS (
+              SELECT i.eu, i.ev, least(x.est, y.est) AS m
+              FROM inc i
+              JOIN est1 x ON x.u = i.f1u AND x.v = i.f1v
+              JOIN est1 y ON y.u = i.f2u AND y.v = i.f2v
+            ), h2 AS (
+              SELECT eu, ev, max(least(m, cum)) AS h FROM (
+                SELECT eu, ev, m,
+                       sum(c) OVER (PARTITION BY eu, ev ORDER BY m DESC
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+                FROM (SELECT eu, ev, m, count(*) AS c FROM str2 GROUP BY eu, ev, m)
+              ) GROUP BY eu, ev
+            ), est2 AS (
+              SELECT e.u, e.v, least(e.est, coalesce(h.h, 0)) AS est
+              FROM est1 e LEFT JOIN h2 h ON h.eu = e.u AND h.ev = e.v
+            )
+            SELECT u, v, (est + 2)::BIGINT AS trussness FROM est2
         """,
         # same hub graph + triangle CTE as kg_triangles; clustering =
         # scaled-integer 2T*1e6 // d(d-1), degree-1 nodes -> 0
