@@ -2784,6 +2784,24 @@ def q_kg_ktruss(spark, sf_dir):
     return k_truss(cocite, k=4, exact_rounds=2)
 
 
+def q_kg_rich_club(spark, sf_dir):
+    """Rich-club profile over the hub co-citation graph: for every
+    distinct degree k, the edge density among nodes of degree > k as
+    exact scaled-integer ppm (2*E_k*1e6 DIV N_k*(N_k-1)) — the
+    hubs-interlinking structural audit, no float anywhere. Survivor
+    counts fold through degree histograms + tiny suffix-cumulative
+    windows (never a window over nodes)."""
+    from ontoweaver_spark.graphstats import rich_club
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    cocite = docs.select(
+        ((F.col("doc_id") * 7) % 61).alias("src"),
+        ((F.col("doc_id") * 11) % 53).alias("dst"),
+    )
+    return rich_club(cocite)
+
+
 def q_kg_trussness(spark, sf_dir):
     """FULL truss decomposition (2 exact h-index rounds, zero driver
     syncs) over a hub co-citation graph: per-EDGE trussness via the
@@ -4026,6 +4044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank_w": q_kg_pagerank_w,
         "kg_ktruss": q_kg_ktruss,
         "kg_trussness": q_kg_trussness,
+        "kg_rich_club": q_kg_rich_club,
         "kg_n2v_walks": q_kg_n2v_walks,
         "kg_betweenness": q_kg_betweenness,
         "kg_anf": q_kg_anf,
@@ -8051,6 +8070,41 @@ def oracle_sql() -> dict[str, str]:
               ) GROUP BY u, v
             )
             SELECT u, v, support FROM sup2 WHERE support >= 2
+        """,
+        # rich-club profile: degree histogram grid, suffix-cumulative
+        # node/edge survivor counts, exact ppm DIV — mirrors
+        # graphstats.rich_club on the (7,61)x(11,53) hub graph
+        "kg_rich_club": """
+            WITH e AS MATERIALIZED (
+              SELECT DISTINCT least((doc_id*7)%61, (doc_id*11)%53) AS u,
+                              greatest((doc_id*7)%61, (doc_id*11)%53) AS v
+              FROM documents WHERE (doc_id*7)%61 <> (doc_id*11)%53
+            ), deg AS MATERIALIZED (
+              SELECT node, count(*)::BIGINT AS d FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v FROM e
+              ) GROUP BY node
+            ), grid AS (
+              SELECT d AS k, count(*)::BIGINT AS n_at FROM deg GROUP BY d
+            ), nk AS (
+              SELECT k, coalesce(sum(n_at) OVER (
+                ORDER BY k DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ), 0)::BIGINT AS n_nodes FROM grid
+            ), emin AS (
+              SELECT least(du.d, dv.d) AS md, count(*)::BIGINT AS e_at
+              FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+              GROUP BY 1
+            ), eg AS (
+              SELECT g.k, coalesce(m.e_at, 0)::BIGINT AS e_at
+              FROM grid g LEFT JOIN emin m ON m.md = g.k
+            ), ec AS (
+              SELECT k, coalesce(sum(e_at) OVER (
+                ORDER BY k DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ), 0)::BIGINT AS n_edges FROM eg
+            )
+            SELECT n.k, n.n_nodes, c.n_edges,
+                   (2 * c.n_edges * 1000000 // (n.n_nodes * (n.n_nodes - 1)))::BIGINT AS phi
+            FROM nk n JOIN ec c USING (k)
+            WHERE n.n_nodes >= 2
         """,
         # full truss decomposition: est0 = support, two h-index rounds
         # (strength = least est of the other two triangle sides, h via a

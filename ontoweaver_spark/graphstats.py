@@ -3778,3 +3778,88 @@ def truss_numbers(
             f"truss_numbers: ests still dropping after {max_rounds} rounds"
         )
     return est.select("u", "v", (F.col("est") + 2).alias("trussness"))
+
+
+def rich_club(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Rich-club coefficient profile -> ``(k, n_nodes, n_edges, phi)``
+    for every distinct degree value ``k`` (Zhou & Mondragon '04): among
+    the nodes of degree > k, ``phi(k) = 2*E_k / (N_k*(N_k-1))`` — the
+    realized fraction of possible edges. A rising phi over k is the
+    web-graph signature of hubs preferentially interlinking (link
+    exchanges, boilerplate nav cliques); a KG built from a crawl
+    inherits it, so the profile is a one-scan structural audit.
+
+    Exact integer arithmetic end-to-end: ``phi`` is emitted as
+    ``2*E_k*scale DIV (N_k*(N_k-1))`` (scaled ppm by default) — no
+    float anywhere, engine-bit-identical.
+
+    Shape: degrees from one groupBy; the per-k node survivor counts
+    come from a degree HISTOGRAM + one cumulative window over <=
+    |distinct degrees| rows (never a window over nodes), and the per-k
+    edge survivor counts from classifying each edge by
+    ``min(deg_u, deg_v)`` (an edge survives at k iff BOTH endpoint
+    degrees exceed k) + the same tiny cumulative window. One edge-degree
+    join is the only wide operation; rows with ``N_k < 2`` are dropped
+    (phi undefined).
+    """
+    u, v = F.col(src_col), F.col(dst_col)
+    e = stats_reset_checkpoint(
+        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = stats_reset_checkpoint(
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select("v"))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    # distinct k values to profile = distinct degrees (phi changes only there)
+    deg_hist = deg.groupBy("d").agg(F.count("*").alias("n_at"))
+    # N_k = nodes with degree > k: suffix-cumulative count over the histogram
+    w_nodes = Window.orderBy(F.desc("d")).rowsBetween(Window.unboundedPreceding, -1)
+    n_k = deg_hist.select(
+        F.col("d").alias("k"),
+        F.coalesce(F.sum("n_at").over(w_nodes), F.lit(0)).alias("n_nodes"),
+    )
+    # E_k = edges with min endpoint degree > k: histogram of min-degree,
+    # same suffix-cumulative trick over <= |distinct degrees| rows
+    e_min = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+        .select(F.least("du", "dv").alias("md"))
+        .groupBy("md")
+        .agg(F.count("*").alias("e_at"))
+    )
+    # every min-degree IS some node's degree, so e_min's keys are a subset
+    # of the degree grid — but not vice versa: align the histogram onto the
+    # FULL grid first (0-filled), then suffix-cumulate, or a k with no edge
+    # at exactly min-degree k would lose every larger-md edge
+    w_edges = Window.orderBy(F.desc("k")).rowsBetween(Window.unboundedPreceding, -1)
+    e_cum = (
+        n_k.select("k")
+        .join(e_min.withColumnRenamed("md", "k"), "k", "left")
+        .select("k", F.coalesce(F.col("e_at"), F.lit(0)).alias("e_at"))
+        .select(
+            "k",
+            F.coalesce(F.sum("e_at").over(w_edges), F.lit(0)).alias("_ecum"),
+        )
+    )
+    return (
+        n_k.join(e_cum, "k", "left")
+        .select(
+            "k",
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.coalesce(F.col("_ecum"), F.lit(0)).cast("long").alias("n_edges"),
+            F.expr(
+                f"CAST(2 * coalesce(_ecum, 0) * {scale} div"
+                " (n_nodes * (n_nodes - 1)) AS BIGINT)"
+            ).alias("phi"),
+        )
+        .where(F.col("n_nodes") >= 2)
+    )
