@@ -2784,6 +2784,34 @@ def q_kg_ktruss(spark, sf_dir):
     return k_truss(cocite, k=4, exact_rounds=2)
 
 
+def q_allen_audit(spark, sf_dir):
+    """Allen interval-algebra audit over per-user event validity
+    intervals (start = event time, duration = 1-7 min from event_id):
+    every same-entity interval pair classified into the 7 canonical
+    Allen relations (before/meets/overlaps/starts/finished_by/contains/
+    equals) by exact epoch-micros integer comparisons — the temporal-KG
+    conflict detector (overlapping validity of a functional assertion).
+    Pair order is (start, end, id)-lexicographic so the 13 relations
+    collapse losslessly to 7."""
+    from ontoweaver_spark.sessions import allen_relations
+
+    _tune(spark)
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("event_id") % 20 == 0)
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                + (F.col("event_id") % 7 + 1) * F.lit(60_000_000)
+            ).alias("e"),
+            "event_id",
+        )
+    )
+    return allen_relations(ev, "user_id", "s", "e", "event_id")
+
+
 def q_kg_rich_club(spark, sf_dir):
     """Rich-club profile over the hub co-citation graph: for every
     distinct degree k, the edge density among nodes of degree > k as
@@ -4045,6 +4073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ktruss": q_kg_ktruss,
         "kg_trussness": q_kg_trussness,
         "kg_rich_club": q_kg_rich_club,
+        "allen_audit": q_allen_audit,
         "kg_n2v_walks": q_kg_n2v_walks,
         "kg_betweenness": q_kg_betweenness,
         "kg_anf": q_kg_anf,
@@ -8070,6 +8099,30 @@ def oracle_sql() -> dict[str, str]:
               ) GROUP BY u, v
             )
             SELECT u, v, support FROM sup2 WHERE support >= 2
+        """,
+        # Allen classification: same (s,e,id)-lexicographic pair canon +
+        # exact epoch-micros CASE ladder as sessions.allen_relations
+        "allen_audit": """
+            WITH iv AS MATERIALIZED (
+              SELECT user_id AS entity, epoch_us(ts) AS s,
+                     epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS e,
+                     event_id AS rid
+              FROM events WHERE event_id % 20 = 0
+            )
+            SELECT a.entity, a.rid AS a, b.rid AS b,
+                   CASE
+                     WHEN a.s = b.s AND a.e = b.e THEN 'equals'
+                     WHEN a.s = b.s THEN 'starts'
+                     WHEN a.e < b.s THEN 'before'
+                     WHEN a.e = b.s THEN 'meets'
+                     WHEN a.e < b.e THEN 'overlaps'
+                     WHEN a.e = b.e THEN 'finished_by'
+                     ELSE 'contains'
+                   END AS relation
+            FROM iv a JOIN iv b
+              ON a.entity = b.entity
+             AND (a.s < b.s OR (a.s = b.s AND a.e < b.e)
+                  OR (a.s = b.s AND a.e = b.e AND a.rid < b.rid))
         """,
         # rich-club profile: degree histogram grid, suffix-cumulative
         # node/edge survivor counts, exact ppm DIV — mirrors

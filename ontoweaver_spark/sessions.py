@@ -380,3 +380,77 @@ def burst_windows(
             "total_events",
         )
     )
+
+
+def allen_relations(
+    df: DataFrame,
+    entity_col: str,
+    start_col: str,
+    end_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Allen interval-algebra classification of every interval pair per
+    entity -> ``(entity, a, b, relation)`` (Allen, CACM'83) — the
+    temporal-KG integrity primitive: two validity intervals for the same
+    functional assertion (one CEO at a time, one canonical redirect at a
+    time) that come out ``overlaps``/``contains``/``equals`` are a
+    CONFLICT to reconcile, ``meets`` is a clean succession, ``before``
+    an ordinary gap.
+
+    Pairs are canonicalized by ``(start, end, id)`` lexicographic order
+    (a = the earlier interval), which collapses Allen's 13 relations to
+    the 7 canonical forms — before / meets / overlaps / finished_by /
+    contains / starts / equals — with the 6 inverses implied by reading
+    the pair backwards. Every comparison is exact integer (epoch-micros
+    longs); no float, engine-bit-identical.
+
+    Shape: one per-entity self-join bounded by versions-per-entity (the
+    functional-property audit case is a handful of rows per key); the
+    half-pair predicate keeps it n(n-1)/2 per entity. Intervals are
+    half-open ``[start, end)``; zero-length and inverted intervals are
+    rejected in-plan with a loud raise.
+    """
+    ent, s, e, rid = (
+        F.col(entity_col), F.col(start_col), F.col(end_col), F.col(id_col)
+    )
+    base = df.select(
+        ent.alias("_ent"),
+        F.when(
+            s.cast("long") >= e.cast("long"),
+            F.raise_error(
+                F.concat(
+                    F.lit("allen_relations: empty or inverted interval for id "),
+                    rid.cast("string"),
+                )
+            ),
+        ).otherwise(s.cast("long")).alias("_s"),
+        e.cast("long").alias("_e"),
+        rid.alias("_rid"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    first_is_a = (
+        (F.col("a._s") < F.col("b._s"))
+        | ((F.col("a._s") == F.col("b._s")) & (F.col("a._e") < F.col("b._e")))
+        | (
+            (F.col("a._s") == F.col("b._s"))
+            & (F.col("a._e") == F.col("b._e"))
+            & (F.col("a._rid") < F.col("b._rid"))
+        )
+    )
+    p = a.join(b, (F.col("a._ent") == F.col("b._ent")) & first_is_a).select(
+        F.col("a._ent").alias("entity"),
+        F.col("a._rid").alias("a"),
+        F.col("b._rid").alias("b"),
+        F.col("a._s").alias("s1"), F.col("a._e").alias("e1"),
+        F.col("b._s").alias("s2"), F.col("b._e").alias("e2"),
+    )
+    rel = (
+        F.when((F.col("s1") == F.col("s2")) & (F.col("e1") == F.col("e2")), "equals")
+        .when(F.col("s1") == F.col("s2"), "starts")
+        .when(F.col("e1") < F.col("s2"), "before")
+        .when(F.col("e1") == F.col("s2"), "meets")
+        .when(F.col("e1") < F.col("e2"), "overlaps")
+        .when(F.col("e1") == F.col("e2"), "finished_by")
+        .otherwise("contains")
+    )
+    return p.select("entity", "a", "b", rel.alias("relation"))
