@@ -2784,6 +2784,19 @@ def q_kg_ktruss(spark, sf_dir):
     return k_truss(cocite, k=4, exact_rounds=2)
 
 
+def q_keyness(spark, sf_dir):
+    """Top-10 chi-square keyness terms per language: 2x2 contingency
+    per (lang, term) with exact BIGINT cells, one fixed left-to-right
+    correctly-rounded double chain + round_ieee (the bm25 discipline),
+    overused terms only (ad > bc), rank = (chi2 desc, term asc). The
+    corpus-slice contrast of Dunning keyness with chi2 standing in for
+    G2 (no ln cross-engine)."""
+    from ontoweaver_spark.textops import keyness_terms
+
+    _tune(spark)
+    return keyness_terms(_docs_spread(spark, sf_dir), "lang", k=10, min_count=5)
+
+
 def q_allen_audit(spark, sf_dir):
     """Allen interval-algebra audit over per-user event validity
     intervals (start = event time, duration = 1-7 min from event_id):
@@ -4074,6 +4087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_trussness": q_kg_trussness,
         "kg_rich_club": q_kg_rich_club,
         "allen_audit": q_allen_audit,
+        "keyness": q_keyness,
         "kg_n2v_walks": q_kg_n2v_walks,
         "kg_betweenness": q_kg_betweenness,
         "kg_anf": q_kg_anf,
@@ -8099,6 +8113,44 @@ def oracle_sql() -> dict[str, str]:
               ) GROUP BY u, v
             )
             SELECT u, v, support FROM sup2 WHERE support >= 2
+        """,
+        # chi2 keyness: identical contingency + fixed-order double chain
+        "keyness": r"""
+            WITH toks AS (
+              SELECT g, t AS term FROM (
+                SELECT lang AS g,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+                FROM documents
+              ) WHERE length(t) >= 3
+            ), gt AS MATERIALIZED (
+              SELECT g, term, count(*)::BIGINT AS a FROM toks GROUP BY g, term
+            ), tt AS (
+              SELECT term, sum(a)::BIGINT AS t_tot FROM gt GROUP BY term
+            ), gtot AS (
+              SELECT g, sum(a)::BIGINT AS g_tot FROM gt GROUP BY g
+            ), ntot AS (
+              SELECT sum(a)::BIGINT AS n FROM gt
+            ), cells AS (
+              SELECT gt.g, gt.term, gt.a,
+                     tt.t_tot - gt.a AS b,
+                     gtot.g_tot - gt.a AS c,
+                     ntot.n - tt.t_tot - gtot.g_tot + gt.a AS d,
+                     ntot.n AS n
+              FROM gt JOIN tt USING (term) JOIN gtot USING (g) CROSS JOIN ntot
+              WHERE gt.a >= 5
+            ), sc AS (
+              SELECT g, term, a AS cnt_in, b AS cnt_out,
+                     floor(n::DOUBLE * (a*d - b*c)::DOUBLE * (a*d - b*c)::DOUBLE
+                           / (a+b)::DOUBLE / (c+d)::DOUBLE
+                           / (a+c)::DOUBLE / (b+d)::DOUBLE
+                           * 10000.0 + 0.5) / 10000.0 AS chi2
+              FROM cells WHERE a*d - b*c > 0
+            )
+            SELECT g AS lang, term, cnt_in, cnt_out, chi2,
+                   (row_number() OVER (
+                      PARTITION BY g ORDER BY chi2 DESC, term ASC
+                   ))::BIGINT AS rank
+            FROM sc QUALIFY rank <= 10
         """,
         # Allen classification: same (s,e,id)-lexicographic pair canon +
         # exact epoch-micros CASE ladder as sessions.allen_relations

@@ -1684,3 +1684,96 @@ def hll_estimate(
             "estimate"
         ),
     )
+
+
+def keyness_terms(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    k: int = 10,
+    min_len: int = 3,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-k DISTINCTIVE terms per group by chi-square keyness ->
+    ``(group, term, cnt_in, cnt_out, chi2, rank)`` — the corpus-slice
+    contrast a curation pass runs per language / domain / time-bucket
+    ("what vocabulary makes this slice different"), the chi-square
+    variant of Dunning's log-likelihood keyness (G2 needs ``ln``, which
+    is not correctly-rounded-guaranteed cross-engine; the 2x2 chi2
+    ranks near-identically and divides exactly).
+
+    Per (group, term): the 2x2 contingency ``a`` = term-in-group count,
+    ``b`` = term-elsewhere, ``c``/``d`` = the complements against group
+    and corpus token totals; ``chi2 = N*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d))``.
+    All contingency cells are exact BIGINT; ``(ad-bc)`` (|.| < 2^53)
+    casts exactly to double, then one fixed left-to-right chain of
+    correctly-rounded multiplies/divides + :func:`round_ieee` — engine
+    bit-identical, same discipline as bm25. Only OVERUSED terms
+    (``ad > bc``) rank; rank order is (rounded chi2 desc, term asc).
+
+    Shape: one explode + map-side-combined (group, term) count; term
+    and group totals are rollups of that same small frame; N joins in
+    as a broadcast 1-row aggregate. The final top-k window partitions
+    by GROUP — groups are enumerable slices (languages, domains) and
+    the ``min_count`` floor cuts the vocabulary tail first, the same
+    documented key-table-sized-window bound as apportion_budget.
+    """
+    from pyspark.sql import Window
+
+    gt = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.explode(
+                F.filter(
+                    tokens(F.lower(F.col(text_col))),
+                    lambda x: F.length(x) >= min_len,
+                )
+            ).alias("term"),
+        )
+        .groupBy("g", "term")
+        .agg(F.count("*").alias("a"))
+    )
+    gt = stats_reset_checkpoint(gt, eager=False)
+    term_tot = gt.groupBy("term").agg(F.sum("a").alias("t_tot"))
+    grp_tot = gt.groupBy("g").agg(F.sum("a").alias("g_tot"))
+    n_tot = gt.agg(F.sum("a").alias("n"))
+    cells = (
+        gt.where(F.col("a") >= min_count)
+        .join(term_tot, "term")
+        .join(grp_tot, "g")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "g", "term", "a", "t_tot", "g_tot", "n",
+            (F.col("t_tot") - F.col("a")).alias("b"),
+            (F.col("g_tot") - F.col("a")).alias("c"),
+            (F.col("n") - F.col("t_tot") - F.col("g_tot") + F.col("a")).alias("d"),
+        )
+        .withColumn("_diff", F.col("a") * F.col("d") - F.col("b") * F.col("c"))
+        .where(F.col("_diff") > 0)
+    )
+    chi2 = round_ieee(
+        F.col("n").cast("double")
+        * F.col("_diff").cast("double")
+        * F.col("_diff").cast("double")
+        / (F.col("a") + F.col("b")).cast("double")
+        / (F.col("c") + F.col("d")).cast("double")
+        / (F.col("a") + F.col("c")).cast("double")
+        / (F.col("b") + F.col("d")).cast("double"),
+        4,
+    )
+    scored = cells.select(
+        F.col("g"),
+        "term",
+        F.col("a").cast("long").alias("cnt_in"),
+        F.col("b").cast("long").alias("cnt_out"),
+        chi2.alias("chi2"),
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("chi2"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("g").alias(group_col), "term", "cnt_in", "cnt_out", "chi2",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
