@@ -2784,6 +2784,18 @@ def q_kg_ktruss(spark, sf_dir):
     return k_truss(cocite, k=4, exact_rounds=2)
 
 
+def q_kg_eigen(spark, sf_dir):
+    """Eigenvector centrality (3 integer power iterations, overflow-safe
+    renormalization iv DIV greatest(mx DIV scale, 1)) over the fused KG
+    edges — the undamped influence rank next to kg_pagerank. All BIGINT;
+    the per-round max is a 1-row broadcast. Oracle: the same 3 rounds
+    unrolled with scalar-subquery maxima."""
+    from ontoweaver_spark.graphstats import eigenvector_centrality
+
+    _, fedges = _kg(spark, sf_dir)
+    return eigenvector_centrality(fedges, iterations=3)
+
+
 def q_keyness(spark, sf_dir):
     """Top-10 chi-square keyness terms per language: 2x2 contingency
     per (lang, term) with exact BIGINT cells, one fixed left-to-right
@@ -4088,6 +4100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rich_club": q_kg_rich_club,
         "allen_audit": q_allen_audit,
         "keyness": q_keyness,
+        "kg_eigen": q_kg_eigen,
         "kg_n2v_walks": q_kg_n2v_walks,
         "kg_betweenness": q_kg_betweenness,
         "kg_anf": q_kg_anf,
@@ -8113,6 +8126,53 @@ def oracle_sql() -> dict[str, str]:
               ) GROUP BY u, v
             )
             SELECT u, v, support FROM sup2 WHERE support >= 2
+        """,
+        # eigenvector centrality: 3 unrolled integer power rounds with
+        # overflow-safe renormalization (iv // greatest(mx // scale, 1))
+        "kg_eigen": """
+            WITH edges AS (
+              SELECT doc_id::VARCHAR || ':document' AS src,
+                     lang || ':language' AS dst
+              FROM documents
+              UNION ALL
+              SELECT doc_id::VARCHAR || ':document', source || ':source'
+              FROM documents
+            ), e AS MATERIALIZED (
+              SELECT DISTINCT src AS s, dst AS d FROM edges
+            ), nodes AS MATERIALIZED (
+              SELECT s AS node FROM e UNION SELECT d FROM e
+            ), v0 AS (
+              SELECT node, 1000000::BIGINT AS v FROM nodes
+            ), iv1 AS (
+              SELECT e.d AS node, sum(v.v)::BIGINT AS iv
+              FROM e JOIN v0 v ON v.node = e.s GROUP BY e.d
+            ), nv1 AS MATERIALIZED (
+              SELECT n.node, coalesce(i.iv, 0)::BIGINT AS iv
+              FROM nodes n LEFT JOIN iv1 i USING (node)
+            ), v1 AS MATERIALIZED (
+              SELECT node, (iv // greatest((SELECT max(iv) FROM nv1) // 1000000,
+                                           1))::BIGINT AS v
+              FROM nv1
+            ), iv2 AS (
+              SELECT e.d AS node, sum(v.v)::BIGINT AS iv
+              FROM e JOIN v1 v ON v.node = e.s GROUP BY e.d
+            ), nv2 AS MATERIALIZED (
+              SELECT n.node, coalesce(i.iv, 0)::BIGINT AS iv
+              FROM nodes n LEFT JOIN iv2 i USING (node)
+            ), v2 AS MATERIALIZED (
+              SELECT node, (iv // greatest((SELECT max(iv) FROM nv2) // 1000000,
+                                           1))::BIGINT AS v
+              FROM nv2
+            ), iv3 AS (
+              SELECT e.d AS node, sum(v.v)::BIGINT AS iv
+              FROM e JOIN v2 v ON v.node = e.s GROUP BY e.d
+            ), nv3 AS MATERIALIZED (
+              SELECT n.node, coalesce(i.iv, 0)::BIGINT AS iv
+              FROM nodes n LEFT JOIN iv3 i USING (node)
+            )
+            SELECT node, (iv // greatest((SELECT max(iv) FROM nv3) // 1000000,
+                                         1))::BIGINT AS score
+            FROM nv3
         """,
         # chi2 keyness: identical contingency + fixed-order double chain
         "keyness": r"""
