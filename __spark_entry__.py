@@ -26,6 +26,46 @@ _SQL_VALID = "({c} IS NOT NULL AND {c} <> '' AND lower({c}) <> 'nan' AND {c} <> 
 # md5-prefix-int in both engines
 _SQL_MD5INT = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
 
+def _ppr_push_sql(rounds: int = 4, scale: int = 1_000_000, alpha: int = 15) -> str:
+    """Unrolled round-synchronous forward push mirroring
+    graphstats.ppr_forward_push on the (7,61)x(11,53) hub graph with
+    hub%13==0 seeds: absorb alpha*res//100, split the rest //out-degree,
+    FULL OUTER merge est/res — '//' floor division equals Spark's div on
+    the non-negative masses."""
+    parts = [f"""
+    WITH raw AS (
+      SELECT 'hub' || ((doc_id*7)%61)::VARCHAR AS s,
+             'hub' || ((doc_id*11)%53)::VARCHAR AS d
+      FROM documents
+    ), e AS MATERIALIZED (
+      SELECT DISTINCT s, d FROM raw
+    ), outd AS MATERIALIZED (
+      SELECT s, count(*)::BIGINT AS od FROM e GROUP BY s
+    ), s0 AS (
+      SELECT DISTINCT 'hub' || ((doc_id*7)%61)::VARCHAR AS node,
+             0::BIGINT AS est, {scale}::BIGINT AS res
+      FROM documents WHERE ((doc_id*7)%61) % 13 = 0
+    )"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""", a{i} AS MATERIALIZED (
+      SELECT node, (est + res * {alpha} // 100)::BIGINT AS est,
+             (res - res * {alpha} // 100)::BIGINT AS outp
+      FROM s{i - 1}
+    ), i{i} AS (
+      SELECT e.d AS node, sum(a.outp // o.od)::BIGINT AS res
+      FROM a{i} a JOIN outd o ON o.s = a.node JOIN e ON e.s = a.node
+      WHERE a.outp > 0 GROUP BY e.d
+    ), s{i} AS MATERIALIZED (
+      SELECT coalesce(a.node, i.node) AS node,
+             coalesce(a.est, 0)::BIGINT AS est,
+             coalesce(i.res, 0)::BIGINT AS res
+      FROM a{i} a FULL JOIN i{i} i ON a.node = i.node
+    )""")
+    parts.append(f"""
+    SELECT node, est, res FROM s{rounds} WHERE est > 0 OR res > 0""")
+    return "".join(parts)
+
+
 # HLL constants shared by q_hll_count and its oracle: p=10 -> m=1024
 # registers, K = 60-10+1 = 51; the full estimator numerator
 # alpha_m * m^2 * 2^K folded into ONE double whose shortest repr
@@ -2784,6 +2824,32 @@ def q_kg_ktruss(spark, sf_dir):
     return k_truss(cocite, k=4, exact_rounds=2)
 
 
+def q_kg_ppr_push(spark, sf_dir):
+    """Forward-push personalized PageRank (Andersen-Chung-Lang), 4
+    round-synchronous integer pushes from 5 seed hubs over the directed
+    hub co-citation graph: state only where seed mass has reached —
+    the LOCAL ppr formulation whose per-round work is frontier-sized,
+    not graph-sized. est += alpha*res DIV 100, outflow splits DIV
+    out-degree, inflows become next residuals; all BIGINT. Oracle:
+    the same 4 rounds unrolled with FULL OUTER merges."""
+    from ontoweaver_spark.graphstats import ppr_forward_push
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+
+    def hub(m, p):
+        return F.concat(F.lit("hub"), ((F.col("doc_id") * m) % p).cast("string"))
+
+    edges = docs.select(hub(7, 61).alias("src"), hub(11, 53).alias("dst"))
+    seeds = (
+        docs.select(((F.col("doc_id") * 7) % 61).alias("h"))
+        .where(F.col("h") % 13 == 0)
+        .select(F.concat(F.lit("hub"), F.col("h").cast("string")).alias("node"))
+        .distinct()
+    )
+    return ppr_forward_push(edges, seeds, rounds=4)
+
+
 def q_kg_eigen(spark, sf_dir):
     """Eigenvector centrality (3 integer power iterations, overflow-safe
     renormalization iv DIV greatest(mx DIV scale, 1)) over the fused KG
@@ -4101,6 +4167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allen_audit": q_allen_audit,
         "keyness": q_keyness,
         "kg_eigen": q_kg_eigen,
+        "kg_ppr_push": q_kg_ppr_push,
         "kg_n2v_walks": q_kg_n2v_walks,
         "kg_betweenness": q_kg_betweenness,
         "kg_anf": q_kg_anf,
@@ -8127,6 +8194,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT u, v, support FROM sup2 WHERE support >= 2
         """,
+        # forward-push PPR: 4 unrolled synchronous push rounds, exact
+        # integer absorb/split, FULL OUTER est/res merges
+        "kg_ppr_push": _ppr_push_sql(rounds=4),
         # eigenvector centrality: 3 unrolled integer power rounds with
         # overflow-safe renormalization (iv // greatest(mx // scale, 1))
         "kg_eigen": """

@@ -3924,3 +3924,83 @@ def eigenvector_centrality(
             )
         )
     return v.select("node", F.col("v").alias("score"))
+
+
+def ppr_forward_push(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    rounds: int = 4,
+    scale: int = 1_000_000,
+    alpha_pct: int = 15,
+) -> DataFrame:
+    """Personalized PageRank by round-synchronous FORWARD PUSH
+    (Andersen-Chung-Lang, FOCS'06) -> ``(node, est, res)`` — the LOCAL
+    formulation: state exists only for nodes the seed mass has actually
+    reached, where :func:`personalized_pagerank`'s power iteration
+    carries every node of the graph through every round. At 10^12 nodes
+    with a handful of seeds, this is the difference between state
+    proportional to the seeds' r-hop neighborhood and state proportional
+    to the web.
+
+    Per round, synchronously for EVERY node holding residual: ``est +=
+    alpha*res DIV 100``; the remaining ``res - alpha*res DIV 100``
+    splits equally over out-edges (``DIV out_degree``, truncation
+    remainders dropped — the same deterministic mass leak as
+    pagerank_fixed_point, identical in any engine); pushed inflows
+    become the next round's residuals. Synchronous full-push keeps the
+    result a pure function of (graph, seeds, rounds) — no queue order,
+    no threshold race, hash-oracle-checkable. Dangling nodes absorb
+    their alpha share and drop the rest (stated; matches the pagerank
+    family's simplified dangling semantics). ``est + res`` conserves
+    mass up to the documented truncations, asserted in tests.
+
+    Shape: out-degrees and edges materialize once; each round is one
+    src-keyed join SIZED BY THE FRONTIER (not the graph) + one
+    map-side-combinable dst sum + one full-outer merge of two
+    frontier-sized frames, through stats_reset_checkpoint.
+    """
+    if not 0 < alpha_pct < 100:
+        raise ValueError(f"alpha_pct must be in (0,100), got {alpha_pct}")
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    outd = e.groupBy("s").agg(F.count("*").alias("od")).localCheckpoint(eager=False)
+    state = stats_reset_checkpoint(
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("est"),
+                F.lit(scale).cast("long").alias("res"))
+    )
+    for _ in range(rounds):
+        absorbed = state.select(
+            "node",
+            (
+                F.col("est")
+                + F.expr(f"CAST(res * {alpha_pct} div 100 AS BIGINT)")
+            ).alias("est"),
+            F.expr(f"CAST(res - res * {alpha_pct} div 100 AS BIGINT)").alias("_out"),
+        )
+        inflow = (
+            absorbed.where(F.col("_out") > 0)
+            .join(outd, absorbed["node"] == outd["s"], "inner")
+            .join(e, "s")
+            .select(F.col("d").alias("node"),
+                    F.expr("CAST(_out div od AS BIGINT)").alias("_in"))
+            .groupBy("node")
+            .agg(F.sum("_in").alias("res"))
+        )
+        state = stats_reset_checkpoint(
+            absorbed.select("node", "est")
+            .join(inflow, "node", "full_outer")
+            .select(
+                "node",
+                F.coalesce(F.col("est"), F.lit(0)).alias("est"),
+                F.coalesce(F.col("res"), F.lit(0)).alias("res"),
+            )
+        )
+    return state.where((F.col("est") > 0) | (F.col("res") > 0))
