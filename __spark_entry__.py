@@ -2824,6 +2824,25 @@ def q_kg_ktruss(spark, sf_dir):
     return k_truss(cocite, k=4, exact_rounds=2)
 
 
+def q_kg_salsa(spark, sf_dir):
+    """SALSA authority/hub (2 integer alternating walk rounds) over the
+    directed hub co-citation graph — the TKC-robust third link-analysis
+    family next to kg_pagerank and kg_hits: every step divides mass by
+    an exact integer degree (h DIV outdeg, a DIV indeg), so no
+    renormalization and bit-identical hashes. Oracle: the same 2 rounds
+    unrolled."""
+    from ontoweaver_spark.graphstats import salsa_scores
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+
+    def hub(m, p):
+        return F.concat(F.lit("hub"), ((F.col("doc_id") * m) % p).cast("string"))
+
+    edges = docs.select(hub(7, 61).alias("src"), hub(11, 53).alias("dst"))
+    return salsa_scores(edges, iterations=2)
+
+
 def q_kg_ppr_push(spark, sf_dir):
     """Forward-push personalized PageRank (Andersen-Chung-Lang), 4
     round-synchronous integer pushes from 5 seed hubs over the directed
@@ -4168,6 +4187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyness": q_keyness,
         "kg_eigen": q_kg_eigen,
         "kg_ppr_push": q_kg_ppr_push,
+        "kg_salsa": q_kg_salsa,
         "kg_n2v_walks": q_kg_n2v_walks,
         "kg_betweenness": q_kg_betweenness,
         "kg_anf": q_kg_anf,
@@ -8193,6 +8213,55 @@ def oracle_sql() -> dict[str, str]:
               ) GROUP BY u, v
             )
             SELECT u, v, support FROM sup2 WHERE support >= 2
+        """,
+        # SALSA: 2 unrolled alternating degree-normalized walk rounds,
+        # exact integer DIVs, zero-degree nodes pinned to 0
+        "kg_salsa": """
+            WITH raw AS (
+              SELECT 'hub' || ((doc_id*7)%61)::VARCHAR AS s,
+                     'hub' || ((doc_id*11)%53)::VARCHAR AS d
+              FROM documents
+            ), e AS MATERIALIZED (
+              SELECT DISTINCT s, d FROM raw
+            ), outd AS MATERIALIZED (
+              SELECT s, count(*)::BIGINT AS od FROM e GROUP BY s
+            ), ind AS MATERIALIZED (
+              SELECT d, count(*)::BIGINT AS indeg FROM e GROUP BY d
+            ), nodes AS MATERIALIZED (
+              SELECT s AS node FROM e UNION SELECT d FROM e
+            ), h0 AS (
+              SELECT node, 1000000::BIGINT AS h FROM nodes
+            ), a1 AS MATERIALIZED (
+              SELECT n.node, coalesce(t.a, 0)::BIGINT AS a
+              FROM nodes n LEFT JOIN (
+                SELECT e.d AS node, sum(h.h // o.od)::BIGINT AS a
+                FROM e JOIN outd o ON o.s = e.s JOIN h0 h ON h.node = e.s
+                GROUP BY e.d
+              ) t USING (node)
+            ), h1 AS MATERIALIZED (
+              SELECT n.node, coalesce(t.h, 0)::BIGINT AS h
+              FROM nodes n LEFT JOIN (
+                SELECT e.s AS node, sum(a.a // i.indeg)::BIGINT AS h
+                FROM e JOIN ind i ON i.d = e.d JOIN a1 a ON a.node = e.d
+                GROUP BY e.s
+              ) t USING (node)
+            ), a2 AS MATERIALIZED (
+              SELECT n.node, coalesce(t.a, 0)::BIGINT AS a
+              FROM nodes n LEFT JOIN (
+                SELECT e.d AS node, sum(h.h // o.od)::BIGINT AS a
+                FROM e JOIN outd o ON o.s = e.s JOIN h1 h ON h.node = e.s
+                GROUP BY e.d
+              ) t USING (node)
+            ), h2 AS (
+              SELECT n.node, coalesce(t.h, 0)::BIGINT AS h
+              FROM nodes n LEFT JOIN (
+                SELECT e.s AS node, sum(a.a // i.indeg)::BIGINT AS h
+                FROM e JOIN ind i ON i.d = e.d JOIN a2 a ON a.node = e.d
+                GROUP BY e.s
+              ) t USING (node)
+            )
+            SELECT a2.node, a2.a AS authority, h2.h AS hub
+            FROM a2 JOIN h2 USING (node)
         """,
         # forward-push PPR: 4 unrolled synchronous push rounds, exact
         # integer absorb/split, FULL OUTER est/res merges

@@ -134,7 +134,10 @@ def main() -> None:
                  "kg_njaccard", "dag_reduce", "skyline_docs", "kg_wl",
                  "media_image", "media_audio", "kg_coreness", "kg_matching", "er_align", "kg_diameter", "kg_entail_owl", "kg_reciprocity", "burst_hosts", "kg_katz", "kg_squares", "ld_extract", "kg_lcc", "ld_export", "kg_graph_hash",
                  "dedup_containment_asym", "semantic_dedup",
-                 "kg_coloring_blocked", "kg_bridges", "kg_cutpoints"]:
+                 "kg_coloring_blocked", "kg_bridges", "kg_cutpoints",
+                 "dedup_winnow", "kg_2ecc", "dedup_cosine_l2ap",
+                 "hll_count", "kg_trussness", "kg_rich_club",
+                 "allen_audit", "keyness", "kg_eigen", "kg_ppr_push"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the

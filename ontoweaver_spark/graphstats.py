@@ -4004,3 +4004,80 @@ def ppr_forward_push(
             )
         )
     return state.where((F.col("est") > 0) | (F.col("res") > 0))
+
+
+def salsa_scores(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """SALSA authority/hub scores by integer alternating walks ->
+    ``(node, authority, hub)`` (Lempel & Moran, WWW'00): HITS with the
+    mutual-reinforcement sums replaced by DEGREE-NORMALIZED random-walk
+    steps — ``a(i) = sum_{j->i} h(j) DIV outdeg(j)``, ``h(j) =
+    sum_{j->i} a(i) DIV indeg(i)`` — which makes it robust to the tightly
+    knit community (TKC) effect that lets a small dense cluster capture
+    HITS: a clique's mass is divided by its own degrees instead of
+    multiplying itself up. The third link-analysis family next to
+    kg_pagerank (popularity) and kg_hits (mutual reinforcement).
+
+    Same exact-BIGINT discipline as the rest of the family: start at
+    ``scale``, every step divides mass by an exact integer degree and
+    sums exactly; no per-round normalization is needed because the walk
+    is stochastic (mass is conserved up to DIV truncation), so the
+    result is bit-identical cross-engine/cross-partitioning. Scores
+    decay by at most the truncation leak per round — ranking, not
+    magnitude, is the output contract.
+
+    Shape: deduped edge list + both degree frames materialize once;
+    each iteration is two src/dst-keyed joins with map-side-combinable
+    sums. Nodes with no in-edges hold authority 0, no out-edges hub 0
+    (the bipartite-walk semantics, stated).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    outd = e.groupBy("s").agg(F.count("*").alias("od")).localCheckpoint(eager=False)
+    ind = e.groupBy("d").agg(F.count("*").alias("id_")).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionAll(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hub = stats_reset_checkpoint(
+        nodes.select("node", F.lit(scale).cast("long").alias("h"))
+    )
+    auth = None
+    for _ in range(iterations):
+        a_in = (
+            e.join(outd, "s")
+            .join(hub.select(F.col("node").alias("s"), "h"), "s")
+            .select(F.col("d").alias("node"), F.expr("CAST(h div od AS BIGINT)").alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("a"))
+        )
+        auth = stats_reset_checkpoint(
+            nodes.join(a_in, "node", "left").select(
+                "node", F.coalesce(F.col("a"), F.lit(0)).alias("a")
+            )
+        )
+        h_in = (
+            e.join(ind, "d")
+            .join(auth.select(F.col("node").alias("d"), "a"), "d")
+            .select(F.col("s").alias("node"), F.expr("CAST(a div id_ AS BIGINT)").alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("h"))
+        )
+        hub = stats_reset_checkpoint(
+            nodes.join(h_in, "node", "left").select(
+                "node", F.coalesce(F.col("h"), F.lit(0)).alias("h")
+            )
+        )
+    return auth.join(hub, "node").select(
+        "node", F.col("a").alias("authority"), F.col("h").alias("hub")
+    )
