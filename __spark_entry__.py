@@ -2824,6 +2824,31 @@ def q_kg_ktruss(spark, sf_dir):
     return k_truss(cocite, k=4, exact_rounds=2)
 
 
+def q_kg_percolation(spark, sf_dir):
+    """Bootstrap percolation (threshold 2, 3 exact synchronous rounds)
+    from the hub%13 seed set over the undirected hub graph: each round
+    activates every node with >= 2 active neighbors — the
+    corroboration-cascade robustness audit (how far would a corrupted
+    merge spread if k-neighbor corroboration propagated it). Monotone,
+    order-free, exact integer counts. Oracle: 3 rounds unrolled."""
+    from ontoweaver_spark.graphstats import bootstrap_percolation
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+
+    def hub(m, p):
+        return F.concat(F.lit("hub"), ((F.col("doc_id") * m) % p).cast("string"))
+
+    edges = docs.select(hub(7, 61).alias("src"), hub(11, 53).alias("dst"))
+    seeds = (
+        docs.select(((F.col("doc_id") * 7) % 61).alias("h"))
+        .where(F.col("h") % 13 == 0)
+        .select(F.concat(F.lit("hub"), F.col("h").cast("string")).alias("node"))
+        .distinct()
+    )
+    return bootstrap_percolation(edges, seeds, threshold=2, rounds=3)
+
+
 def q_kg_salsa(spark, sf_dir):
     """SALSA authority/hub (2 integer alternating walk rounds) over the
     directed hub co-citation graph — the TKC-robust third link-analysis
@@ -4188,6 +4213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_eigen": q_kg_eigen,
         "kg_ppr_push": q_kg_ppr_push,
         "kg_salsa": q_kg_salsa,
+        "kg_percolation": q_kg_percolation,
         "kg_n2v_walks": q_kg_n2v_walks,
         "kg_betweenness": q_kg_betweenness,
         "kg_anf": q_kg_anf,
@@ -8213,6 +8239,44 @@ def oracle_sql() -> dict[str, str]:
               ) GROUP BY u, v
             )
             SELECT u, v, support FROM sup2 WHERE support >= 2
+        """,
+        # bootstrap percolation: 3 unrolled synchronous threshold-2
+        # rounds over the symmetric hub graph, hub%13 seeds at round 0
+        "kg_percolation": """
+            WITH raw AS (
+              SELECT 'hub' || ((doc_id*7)%61)::VARCHAR AS a,
+                     'hub' || ((doc_id*11)%53)::VARCHAR AS b
+              FROM documents
+            ), und AS (
+              SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+              FROM raw WHERE a <> b
+            ), e AS MATERIALIZED (
+              SELECT u, v FROM und UNION ALL SELECT v, u FROM und
+            ), a0 AS MATERIALIZED (
+              SELECT DISTINCT 'hub' || ((doc_id*7)%61)::VARCHAR AS node,
+                     0::BIGINT AS round
+              FROM documents WHERE ((doc_id*7)%61) % 13 = 0
+            ), n1 AS MATERIALIZED (
+              SELECT v AS node, 1::BIGINT AS round FROM (
+                SELECT e.v, count(*) AS c
+                FROM e JOIN a0 a ON a.node = e.u GROUP BY e.v
+              ) WHERE c >= 2 AND v NOT IN (SELECT node FROM a0)
+            ), a1 AS MATERIALIZED (
+              SELECT * FROM a0 UNION ALL SELECT * FROM n1
+            ), n2 AS MATERIALIZED (
+              SELECT v AS node, 2::BIGINT AS round FROM (
+                SELECT e.v, count(*) AS c
+                FROM e JOIN a1 a ON a.node = e.u GROUP BY e.v
+              ) WHERE c >= 2 AND v NOT IN (SELECT node FROM a1)
+            ), a2 AS MATERIALIZED (
+              SELECT * FROM a1 UNION ALL SELECT * FROM n2
+            ), n3 AS MATERIALIZED (
+              SELECT v AS node, 3::BIGINT AS round FROM (
+                SELECT e.v, count(*) AS c
+                FROM e JOIN a2 a ON a.node = e.u GROUP BY e.v
+              ) WHERE c >= 2 AND v NOT IN (SELECT node FROM a2)
+            )
+            SELECT * FROM a2 UNION ALL SELECT * FROM n3
         """,
         # SALSA: 2 unrolled alternating degree-normalized walk rounds,
         # exact integer DIVs, zero-degree nodes pinned to 0

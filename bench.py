@@ -137,7 +137,8 @@ def main() -> None:
                  "kg_coloring_blocked", "kg_bridges", "kg_cutpoints",
                  "dedup_winnow", "kg_2ecc", "dedup_cosine_l2ap",
                  "hll_count", "kg_trussness", "kg_rich_club",
-                 "allen_audit", "keyness", "kg_eigen", "kg_ppr_push"]:
+                 "allen_audit", "keyness", "kg_eigen", "kg_ppr_push",
+                 "kg_salsa", "kg_percolation"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the

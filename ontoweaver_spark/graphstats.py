@@ -4081,3 +4081,76 @@ def salsa_scores(
     return auth.join(hub, "node").select(
         "node", F.col("a").alias("authority"), F.col("h").alias("hub")
     )
+
+
+def bootstrap_percolation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    threshold: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    rounds: int | None = None,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Bootstrap percolation / deterministic threshold cascade ->
+    ``(node, round)`` = the round each node ACTIVATED (seeds = 0)
+    (Chalupa-Leath-Reich '79; the linear-threshold cascade with unit
+    weights): an inactive node activates when at least ``threshold`` of
+    its neighbors are active, synchronously per round, monotone until
+    fixpoint. The KG-robustness audit this powers: seed the entities a
+    bad merge corrupted and watch how far corroboration-by-k-neighbors
+    would spread the corruption — or seed trusted entities and measure
+    k-corroborated trust coverage.
+
+    Undirected simple graph; synchronous rounds make the result a pure
+    function of (graph, seeds, threshold) — no activation order, fully
+    hash-oracle-checkable (exact integer counts only). Monotonicity
+    bounds rounds by |V|; ``rounds=r`` runs exactly r rounds for the
+    SQL-unroll oracle, default runs to fixpoint (a 1-row count probe
+    per round) and raises loudly past ``max_rounds``.
+
+    Shape: per round ONE join of the frontier-complement's edges onto
+    the active set + a map-side-combinable count — active-neighbor
+    counting touches only edges incident to active nodes, and the
+    active frame rides through stats_reset_checkpoint like every
+    fixpoint loop here.
+    """
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1, got {threshold}")
+    u, v = F.col(src_col), F.col(dst_col)
+    und = edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v")).where(
+        F.col("u") != F.col("v")
+    ).distinct()
+    e = (
+        und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    active = stats_reset_checkpoint(
+        seeds.select(F.col(node_col).alias("node")).distinct().select(
+            "node", F.lit(0).cast("long").alias("round")
+        )
+    )
+    n_rounds = rounds if rounds is not None else max_rounds
+    prev_n = None
+    for r in range(1, n_rounds + 1):
+        newly = (
+            e.join(active.select(F.col("node").alias("u")), "u")
+            .select(F.col("v").alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").alias("_na"))
+            .where(F.col("_na") >= threshold)
+            .join(active.select("node"), "node", "left_anti")
+            .select("node", F.lit(r).cast("long").alias("round"))
+        )
+        active = stats_reset_checkpoint(active.unionAll(newly))
+        if rounds is None:
+            n = active.count()
+            if n == prev_n:
+                return active
+            prev_n = n
+    if rounds is None:
+        raise RuntimeError(
+            f"bootstrap_percolation: still spreading after {max_rounds} rounds"
+        )
+    return active
