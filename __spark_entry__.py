@@ -26,6 +26,52 @@ _SQL_VALID = "({c} IS NOT NULL AND {c} <> '' AND lower({c}) <> 'nan' AND {c} <> 
 # md5-prefix-int in both engines
 _SQL_MD5INT = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
 
+def _psl_sql() -> str:
+    """Registrable-domain oracle: replays urls.with_registrable_domain's
+    PSL longest-match against the SAME vendored suffix list (imported,
+    not copied) over the deterministic synthetic hosts."""
+    from ontoweaver_spark.urls import DEFAULT_PUBLIC_SUFFIXES
+
+    lits = ", ".join("'" + s + "'" for s in DEFAULT_PUBLIC_SUFFIXES)
+    return f"""
+    WITH sfx AS (SELECT unnest([{lits}]) AS s),
+    hosts AS (
+      SELECT doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN 's' || (doc_id % 50)::VARCHAR || '.' || tail
+               WHEN 1 THEN 'w' || (doc_id % 7)::VARCHAR || '.s'
+                           || (doc_id % 50)::VARCHAR || '.' || tail
+               ELSE tail
+             END AS host
+      FROM (
+        SELECT doc_id,
+               CASE doc_id % 6 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+                 WHEN 2 THEN 'github.io' WHEN 3 THEN 'com.au'
+                 WHEN 4 THEN 'org' ELSE 'unknowntld' END AS tail
+        FROM documents
+      )
+    ), cand AS (
+      SELECT h.doc_id, h.host, s.s
+      FROM hosts h LEFT JOIN sfx s
+        ON h.host = s.s OR h.host LIKE '%.' || s.s
+    ), best AS (
+      SELECT doc_id, host, arg_max(s, length(s)) AS b
+      FROM cand GROUP BY doc_id, host
+    )
+    SELECT doc_id, host,
+           CASE
+             WHEN b IS NULL THEN
+               CASE WHEN len(string_split(host, '.')) <= 1 THEN host
+                    ELSE string_split(host, '.')[-2] || '.'
+                         || string_split(host, '.')[-1] END
+             WHEN host = b THEN NULL
+             ELSE string_split(substr(host, 1, length(host) - length(b) - 1),
+                               '.')[-1] || '.' || b
+           END AS domain,
+           coalesce(b, string_split(host, '.')[-1]) AS public_suffix
+    FROM best"""
+
+
 def _ppr_push_sql(rounds: int = 4, scale: int = 1_000_000, alpha: int = 15) -> str:
     """Unrolled round-synchronous forward push mirroring
     graphstats.ppr_forward_push on the (7,61)x(11,53) hub graph with
@@ -2824,6 +2870,43 @@ def q_kg_ktruss(spark, sf_dir):
     return k_truss(cocite, k=4, exact_rounds=2)
 
 
+def q_domain_extract(spark, sf_dir):
+    """Registrable-domain (eTLD+1) extraction over deterministic
+    synthetic hosts exercising the PSL longest-match algorithm:
+    multi-label ccTLD suffixes (co.uk), platform suffixes (github.io),
+    host-IS-a-suffix NULLs, and the implicit * fallback. The suffix
+    dimension is a config-sized broadcast; matching runs once per
+    distinct host. Oracle replays the identical longest-match against
+    the same vendored list."""
+    from ontoweaver_spark.urls import with_registrable_domain
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    sfx = (
+        F.when(i % 6 == 0, "com")
+        .when(i % 6 == 1, "co.uk")
+        .when(i % 6 == 2, "github.io")
+        .when(i % 6 == 3, "com.au")
+        .when(i % 6 == 4, "org")
+        .otherwise("unknowntld")
+    )
+    host = (
+        F.when(i % 3 == 0, F.concat(F.lit("s"), (i % 50).cast("string"), F.lit("."), sfx))
+        .when(
+            i % 3 == 1,
+            F.concat(
+                F.lit("w"), (i % 7).cast("string"), F.lit(".s"),
+                (i % 50).cast("string"), F.lit("."), sfx,
+            ),
+        )
+        .otherwise(sfx)
+    )
+    return with_registrable_domain(
+        docs.select("doc_id", host.alias("host")), "host"
+    ).select("doc_id", "host", "domain", "public_suffix")
+
+
 def q_kg_percolation(spark, sf_dir):
     """Bootstrap percolation (threshold 2, 3 exact synchronous rounds)
     from the hub%13 seed set over the undirected hub graph: each round
@@ -4214,6 +4297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ppr_push": q_kg_ppr_push,
         "kg_salsa": q_kg_salsa,
         "kg_percolation": q_kg_percolation,
+        "domain_extract": q_domain_extract,
         "kg_n2v_walks": q_kg_n2v_walks,
         "kg_betweenness": q_kg_betweenness,
         "kg_anf": q_kg_anf,
@@ -8240,6 +8324,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT u, v, support FROM sup2 WHERE support >= 2
         """,
+        # registrable domain: PSL longest-match vs the same vendored list
+        "domain_extract": _psl_sql(),
         # bootstrap percolation: 3 unrolled synchronous threshold-2
         # rounds over the symmetric hub graph, hub%13 seeds at round 0
         "kg_percolation": """

@@ -469,3 +469,103 @@ def bloom_probe(
         joined.groupBy("url")
         .agg((F.sum(hit) == F.lit(k)).alias("bloom_hit"))
     )
+
+
+# Deterministic, documented SUBSET of the Mozilla Public Suffix List:
+# the high-traffic TLDs + the multi-label suffixes that actually change
+# grouping decisions (ccTLD second-levels, the big platform suffixes).
+# Swap in the full PSL (publicsuffix.org, ~9k rules) via the
+# ``suffixes=`` parameter for production crawls; the ALGORITHM
+# (longest-match + one label) is the PSL algorithm either way.
+DEFAULT_PUBLIC_SUFFIXES = [
+    "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz",
+    "io", "co", "ai", "dev", "app", "me", "tv", "xyz", "site", "online",
+    "de", "fr", "it", "es", "nl", "pl", "ru", "cn", "jp", "kr", "in",
+    "br", "mx", "ca", "au", "uk", "us", "ch", "se", "no", "fi", "dk",
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "gen.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "co.kr", "or.kr", "com.mx", "org.mx",
+    "github.io", "gitlab.io", "netlify.app", "vercel.app",
+    "herokuapp.com", "appspot.com", "blogspot.com", "wordpress.com",
+    "s3.amazonaws.com", "cloudfront.net",
+]
+
+
+def with_registrable_domain(
+    df: DataFrame,
+    host_col: str = "host",
+    out_col: str = "domain",
+    suffixes: list[str] | None = None,
+) -> DataFrame:
+    """Append the REGISTRABLE DOMAIN (eTLD+1) of ``host_col`` ->
+    the input frame plus ``(out_col, matched public suffix)`` — the
+    grouping key crawl analytics actually need: ``a.b.co.uk`` and
+    ``c.co.uk`` are different SITES (b.co.uk vs c.co.uk) even though a
+    naive last-two-labels split would merge them into ``co.uk``, and
+    ``x.github.io`` sites are distinct registrants. Host-level dedup,
+    politeness budgeting, and domain ranking all key on this.
+
+    PSL algorithm (publicsuffix.org), longest-match form: the matched
+    public suffix is the LONGEST list entry that equals the host or is
+    its dot-boundary tail; the registrable domain is that suffix plus
+    ONE preceding label. A host that IS a public suffix gets NULL (no
+    registrant). Hosts matching no rule fall back to the PSL's implicit
+    ``*`` rule: the last label is the suffix, last two labels the
+    domain (single-label hosts: the host itself).
+
+    Shape: the suffix list is a config-sized broadcast dimension; the
+    match is computed once per DISTINCT host (the host table is orders
+    of magnitude smaller than the row table at crawl scale) and
+    broadcast-equi-joined back; the longest-match pick is a max_by over
+    the few candidate rows each host produces. Equal-length distinct
+    suffixes cannot both match one host (the tail of a given length is
+    unique), so max_by needs no tiebreak.
+    """
+    sfx_list = DEFAULT_PUBLIC_SUFFIXES if suffixes is None else list(suffixes)
+    spark = df.sparkSession
+    sfx = spark.createDataFrame([(s,) for s in sfx_list], "_sfx string")
+    hosts = df.select(F.col(host_col).alias("_h")).where(
+        F.col("_h").isNotNull()
+    ).distinct()
+    cand = hosts.join(
+        F.broadcast(sfx),
+        (F.col("_h") == F.col("_sfx"))
+        | F.col("_h").endswith(F.concat(F.lit("."), F.col("_sfx"))),
+        "left",
+    )
+    best = cand.groupBy("_h").agg(
+        F.max_by("_sfx", F.length("_sfx")).alias("_best")
+    )
+    labels = F.split(F.col("_h"), r"\.")
+    prefix = F.expr(
+        "substring(_h, 1, length(_h) - length(_best) - 1)"
+    )
+    domain = (
+        F.when(F.col("_best").isNull(),
+               # implicit * rule: last two labels (or the bare host)
+               F.when(F.size(labels) <= 1, F.col("_h")).otherwise(
+                   F.concat(
+                       F.element_at(labels, -2), F.lit("."), F.element_at(labels, -1)
+                   )
+               ))
+        .when(F.col("_h") == F.col("_best"), F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                F.element_at(F.split(prefix, r"\."), -1),
+                F.lit("."),
+                F.col("_best"),
+            )
+        )
+    )
+    mapping = best.select(
+        "_h",
+        domain.alias(out_col),
+        F.coalesce(F.col("_best"), F.element_at(labels, -1)).alias("public_suffix"),
+    )
+    return df.join(
+        mapping, df[host_col] == mapping["_h"], "left"
+    ).drop("_h")
