@@ -119,3 +119,62 @@ def test_identical_docs_hit_exactly_one(spark):
     rows = cosine_pairs_l2ap(df, threshold=0.99).collect()
     assert len(rows) == 1 and rows[0]["a"] == 1 and rows[0]["b"] == 2
     assert rows[0]["cosine"] == 1.0
+
+
+def test_shingle_k2_matches_brute_force(spark):
+    import math
+
+    def py_pairs_k2(texts, threshold):
+        tf = {}
+        for d, t in texts:
+            toks = t.split()
+            grams = [
+                " ".join(toks[i : i + 2]) for i in range(max(len(toks) - 1, 1))
+            ]
+            v = {}
+            for g in grams:
+                v[g] = v.get(g, 0) + 1
+            tf[d] = v
+        out = {}
+        ids = sorted(tf)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                shared = set(tf[a]) & set(tf[b])
+                if not shared:
+                    continue
+                dot = sum(tf[a][k] * tf[b][k] for k in shared)
+                na = sum(x * x for x in tf[a].values())
+                nb = sum(x * x for x in tf[b].values())
+                c = dot / math.sqrt(float(na * nb))
+                c4 = math.floor(c * 10000.0 + 0.5) / 10000.0
+                if c4 >= threshold:
+                    out[(a, b)] = c4
+        return out
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(12)]  # small vocab -> shared bigrams
+    texts = []
+    for d in range(40):
+        texts.append((d, " ".join(rng.choice(vocab) for _ in range(15))))
+    texts.append((100, texts[0][1]))
+    texts.append((101, texts[1][1] + " tail"))
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    for t in (0.6, 0.9):
+        got = {
+            (r["a"], r["b"]): r["cosine"]
+            for r in cosine_pairs_l2ap(df, threshold=t, shingle_k=2).collect()
+        }
+        assert got == py_pairs_k2(texts, t)
+
+
+def test_product_bound_is_lossless_on_boundary(spark):
+    # the 0.89995...-rounds-to-0.9 pair again, now THROUGH the product
+    # bound: sfx_a*sfx_b >= t^2*na*nb must not drop it
+    a = " ".join(["x"] * 5 + ["y"] * 12)
+    b = " ".join(["x"] * 35 + ["y"] * 31)
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    rows = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in cosine_pairs_l2ap(df, threshold=0.9).collect()
+    }
+    assert rows[(1, 2)] == 0.9
