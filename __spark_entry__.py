@@ -2932,6 +2932,23 @@ def q_kg_percolation(spark, sf_dir):
     return bootstrap_percolation(edges, seeds, threshold=2, rounds=3)
 
 
+def q_kg_4cliques(spark, sf_dir):
+    """Per-node 4-clique participation over the hub co-citation graph:
+    canonical a<b<c<d listing (id-ordered triangle CTE extended by the
+    c-anchored edge + two semi-join certificates) — the densest small
+    motif, closing the census next to triangles/squares/butterflies.
+    Oracle enumerates the identical canonical quads."""
+    from ontoweaver_spark.graphstats import four_clique_counts
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    cocite = docs.select(
+        ((F.col("doc_id") * 7) % 61).alias("src"),
+        ((F.col("doc_id") * 11) % 53).alias("dst"),
+    )
+    return four_clique_counts(cocite)
+
+
 def q_kg_salsa(spark, sf_dir):
     """SALSA authority/hub (2 integer alternating walk rounds) over the
     directed hub co-citation graph — the TKC-robust third link-analysis
@@ -4302,6 +4319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_salsa": q_kg_salsa,
         "kg_percolation": q_kg_percolation,
         "domain_extract": q_domain_extract,
+        "kg_4cliques": q_kg_4cliques,
         "kg_n2v_walks": q_kg_n2v_walks,
         "kg_betweenness": q_kg_betweenness,
         "kg_anf": q_kg_anf,
@@ -8333,6 +8351,32 @@ def oracle_sql() -> dict[str, str]:
               ) GROUP BY u, v
             )
             SELECT u, v, support FROM sup2 WHERE support >= 2
+        """,
+        # 4-clique census: canonical a<b<c<d quads on the int hub graph
+        "kg_4cliques": """
+            WITH e AS MATERIALIZED (
+              SELECT DISTINCT least((doc_id*7)%61, (doc_id*11)%53) AS u,
+                              greatest((doc_id*7)%61, (doc_id*11)%53) AS v
+              FROM documents WHERE (doc_id*7)%61 <> (doc_id*11)%53
+            ), tri AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM e e1
+              JOIN e e2 ON e2.u = e1.v
+              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+            ), k4 AS MATERIALIZED (
+              SELECT t.a, t.b, t.c, x.v AS d
+              FROM tri t
+              JOIN e x ON x.u = t.c
+              WHERE EXISTS (SELECT 1 FROM e ad WHERE ad.u = t.a AND ad.v = x.v)
+                AND EXISTS (SELECT 1 FROM e bd WHERE bd.u = t.b AND bd.v = x.v)
+            )
+            SELECT node, count(*)::BIGINT AS cliques4
+            FROM (
+              SELECT a AS node FROM k4
+              UNION ALL SELECT b FROM k4
+              UNION ALL SELECT c FROM k4
+              UNION ALL SELECT d FROM k4
+            ) GROUP BY node
         """,
         # registrable domain: PSL longest-match vs the same vendored list
         "domain_extract": _psl_sql(),

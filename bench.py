@@ -138,7 +138,7 @@ def main() -> None:
                  "dedup_winnow", "kg_2ecc", "dedup_cosine_l2ap",
                  "hll_count", "kg_trussness", "kg_rich_club",
                  "allen_audit", "keyness", "kg_eigen", "kg_ppr_push",
-                 "kg_salsa", "kg_percolation", "domain_extract"]:
+                 "kg_salsa", "kg_percolation", "domain_extract", "kg_4cliques"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the

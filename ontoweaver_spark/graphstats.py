@@ -4154,3 +4154,59 @@ def bootstrap_percolation(
             f"bootstrap_percolation: still spreading after {max_rounds} rounds"
         )
     return active
+
+
+def four_clique_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node 4-clique participation counts -> ``(node, cliques4)``
+    for every node in at least one K4 — the densest small motif, and
+    the one that separates a genuine mutual-corroboration cluster from
+    the sparser signals: a triangle can be one shared boilerplate link,
+    a 4-cycle a reciprocal pair, but a K4 needs all six edges. Closes
+    the motif census next to triangle_count / square_count /
+    butterfly_count.
+
+    Enumeration is canonical-ordered (a < b < c < d), each clique
+    counted exactly once: the id-ordered triangle list (same CTE shape
+    as the k-truss oracle) extends by the c-anchored edge (c, d) —
+    canonical form guarantees d > c — then two semi-joins certify
+    (a, d) and (b, d). Work is bounded by sum over triangles of
+    deg(max-corner), the standard listing bound; all joins are
+    equi-joins on the checkpointed canonical edge list, exact integer
+    counts only.
+    """
+    u, v = F.col(src_col), F.col(dst_col)
+    e = stats_reset_checkpoint(
+        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    ext = tri.join(
+        e.select(F.col("u").alias("c"), F.col("v").alias("d")), "c"
+    )
+    k4 = (
+        ext.join(
+            e.select(F.col("u").alias("a"), F.col("v").alias("d")),
+            ["a", "d"],
+            "left_semi",
+        )
+        .join(
+            e.select(F.col("u").alias("b"), F.col("v").alias("d")),
+            ["b", "d"],
+            "left_semi",
+        )
+    )
+    corners = (
+        k4.select(F.col("a").alias("node"))
+        .unionAll(k4.select(F.col("b").alias("node")))
+        .unionAll(k4.select(F.col("c").alias("node")))
+        .unionAll(k4.select(F.col("d").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("cliques4"))
