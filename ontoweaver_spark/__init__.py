@@ -34,19 +34,26 @@ from .fusion import (
 )
 from .decontam import contamination_report, decontaminate
 from .graphstats import (
+    bootstrap_percolation,
     butterfly_count,
     core_numbers,
     degree_histogram,
     degree_stats,
     diameter_double_sweep,
+    eigenvector_centrality,
+    four_clique_counts,
     katz_fixed_point,
     maximal_matching,
     neighbor_jaccard,
     pagerank_fixed_point,
+    ppr_forward_push,
     reciprocity,
+    rich_club,
+    salsa_scores,
     square_count,
     top_hubs,
     transitive_reduction,
+    truss_numbers,
     wl_colors,
 )
 from .neo4j_export import write_neo4j_import
