@@ -2170,6 +2170,69 @@ def q_kg_transe(spark, sf_dir):
     return hash_transe_rank(triples, cands, dim=4, mod=1000)
 
 
+def q_kg_transe_filtered(spark, sf_dir):
+    """FILTERED-protocol TransE eval (Bordes NIPS'13 / FB15k convention):
+    corruptions that are themselves known true triples never count
+    against the evaluated tail. The tail expr mixes a `div 150` block
+    term so each (head, rel) carries SEVERAL true tails — at sf0.01 the
+    filtered rank is strictly below raw for 350/500 triples, so the
+    protocol difference is non-vacuous."""
+    from ontoweaver_spark.similarity import hash_transe_rank
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    triples = docs.select(
+        F.concat(F.lit("e"), (i % 50).cast("string")).alias("head"),
+        F.concat(F.lit("r"), (i % 3).cast("string")).alias("rel"),
+        F.concat(
+            F.lit("e"),
+            ((i * 7 + F.expr("doc_id div 150")) % 50).cast("string"),
+        ).alias("tail"),
+    )
+    cands = docs.where(i < 50).select(
+        F.concat(F.lit("e"), i.cast("string")).alias("candidate")
+    )
+    return hash_transe_rank(triples, cands, dim=4, mod=1000, filtered=True)
+
+
+def q_entity_prior(spark, sf_dir):
+    """Commonness prior p(entity | mention) as exact integer ppm over a
+    synthetic anchor corpus (mention m_{i%7} -> entity e_{i%3}): the
+    Milne-Witten EL prior, counts + truncating BIGINT division."""
+    from ontoweaver_spark.linking import entity_prior
+
+    _tune(spark)
+    i = F.col("doc_id")
+    anchors = _docs(spark, sf_dir).select(
+        F.concat(F.lit("m"), (i % 7).cast("string")).alias("mention"),
+        F.concat(F.lit("e"), (i % 3).cast("string")).alias("entity_id"),
+    )
+    return entity_prior(anchors)
+
+
+def q_entity_disambig(spark, sf_dir):
+    """Argmax-prior disambiguation of every mention occurrence: one
+    min_by-over-struct aggregate collapses the prior table to its
+    per-mention winner (ppm desc, n_links desc, entity_id asc — fully
+    deterministic), then a broadcast join resolves the occurrence
+    stream without shuffling it."""
+    from ontoweaver_spark.linking import disambiguate_by_prior, entity_prior
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    anchors = docs.select(
+        F.concat(F.lit("m"), (i % 7).cast("string")).alias("mention"),
+        F.concat(F.lit("e"), (i % 3).cast("string")).alias("entity_id"),
+    )
+    mentions = docs.select(
+        "doc_id",
+        F.concat(F.lit("m"), (i % 7).cast("string")).alias("mention"),
+    )
+    return disambiguate_by_prior(mentions, entity_prior(anchors))
+
+
 def q_kg_retract(spark, sf_dir):
     """Tombstone cascade through the fused KG: retract every 9th document
     and all zh documents — their nodes, their incident edges, and any
@@ -4363,6 +4426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_lcc": q_kg_lcc,
         "ld_export": q_ld_export,
         "kg_graph_hash": q_kg_graph_hash,
+        "kg_transe_filtered": q_kg_transe_filtered,
+        "entity_prior": q_entity_prior,
+        "entity_disambig": q_entity_disambig,
     }
 
 
@@ -5176,26 +5242,44 @@ def _url_canon_sql(col: str) -> str:
     return canonical_url_sql(col)
 
 
-def _transe_sql(dim: int = 4, mod: int = 1000) -> str:
+def _transe_sql(
+    dim: int = 4,
+    mod: int = 1000,
+    tail_expr: str = "(doc_id * 7) % 50",
+    filtered: bool = False,
+) -> str:
     """Mirror of similarity.hash_transe_rank: md5-derived integer
-    embeddings, L1 score, raw rank against all candidates."""
+    embeddings, L1 score, rank against all candidates. ``filtered``
+    mirrors the FB15k protocol via an anti-join condition: a corruption
+    that is a KNOWN true (head, rel, candidate) triple never counts."""
 
     def emb(prefix: str, name: str, d: int) -> str:
         x = f"'{prefix}:' || {name} || ':{d}'"
         return f"(({_SQL_MD5INT.format(x=x)}) % {mod})"
 
-    def l1(tail_name: str) -> str:
+    def l1(tail_name: str, qual: str = "") -> str:
         return " + ".join(
-            f"abs({emb('e', 'head', d)} + {emb('r', 'rel', d)}"
+            f"abs({emb('e', qual + 'head', d)} + {emb('r', qual + 'rel', d)}"
             f" - {emb('e', tail_name, d)})"
             for d in range(dim)
         )
 
+    if filtered:
+        join_known = (
+            "LEFT JOIN t k ON k.head = s.head AND k.rel = s.rel"
+            " AND k.tail = cand.candidate"
+        )
+        better = "cscore < score AND known IS NULL"
+        known_col = ", k.tail AS known"
+    else:
+        join_known = ""
+        better = "cscore < score"
+        known_col = ""
     return f"""
-        WITH t AS (
+        WITH t AS MATERIALIZED (
           SELECT DISTINCT 'e' || (doc_id % 50) AS head,
                  'r' || (doc_id % 3) AS rel,
-                 'e' || ((doc_id * 7) % 50) AS tail
+                 'e' || ({tail_expr}) AS tail
           FROM documents
         ), cand AS (
           SELECT 'e' || doc_id AS candidate FROM documents WHERE doc_id < 50
@@ -5203,11 +5287,11 @@ def _transe_sql(dim: int = 4, mod: int = 1000) -> str:
           SELECT head, rel, tail, ({l1('tail')})::BIGINT AS score FROM t
         ), x AS (
           SELECT s.head, s.rel, s.tail, s.score,
-                 ({l1('candidate')})::BIGINT AS cscore
-          FROM scored s CROSS JOIN cand
+                 ({l1('candidate', 's.')})::BIGINT AS cscore{known_col}
+          FROM scored s CROSS JOIN cand {join_known}
         )
         SELECT head, rel, tail, score,
-               (1 + sum(CASE WHEN cscore < score THEN 1 ELSE 0 END))::INT
+               (1 + sum(CASE WHEN {better} THEN 1 ELSE 0 END))::INT
                  AS rank
         FROM x GROUP BY head, rel, tail, score
     """
@@ -7520,6 +7604,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM j WHERE jaccard >= 0.5
         """,
         "kg_transe": _transe_sql(dim=4, mod=1000),
+        "kg_transe_filtered": _transe_sql(
+            dim=4,
+            mod=1000,
+            tail_expr="(doc_id * 7 + (doc_id // 150)) % 50",
+            filtered=True,
+        ),
+        "entity_prior": """
+            WITH a AS (
+              SELECT 'm' || (doc_id % 7) AS mention,
+                     'e' || (doc_id % 3) AS entity_id
+              FROM documents
+            ), c AS (
+              SELECT mention, entity_id, count(*)::BIGINT AS n_links
+              FROM a GROUP BY mention, entity_id
+            )
+            SELECT mention, entity_id, n_links,
+                   ((n_links * 1000000)
+                    // sum(n_links) OVER (PARTITION BY mention))::BIGINT
+                     AS prior_ppm
+            FROM c
+        """,
+        "entity_disambig": """
+            WITH a AS (
+              SELECT 'm' || (doc_id % 7) AS mention,
+                     'e' || (doc_id % 3) AS entity_id
+              FROM documents
+            ), c AS (
+              SELECT mention, entity_id, count(*)::BIGINT AS n_links
+              FROM a GROUP BY mention, entity_id
+            ), prior AS (
+              SELECT mention, entity_id, n_links,
+                     ((n_links * 1000000)
+                      // sum(n_links) OVER (PARTITION BY mention))::BIGINT
+                       AS prior_ppm
+              FROM c
+            ), top1 AS (
+              SELECT mention, entity_id, prior_ppm,
+                     row_number() OVER (
+                       PARTITION BY mention
+                       ORDER BY prior_ppm DESC, n_links DESC, entity_id ASC
+                     ) AS rk
+              FROM prior
+            )
+            SELECT d.doc_id, 'm' || (d.doc_id % 7) AS mention,
+                   t.entity_id, t.prior_ppm
+            FROM documents d
+            LEFT JOIN top1 t
+              ON t.mention = 'm' || (d.doc_id % 7) AND t.rk = 1
+        """,
         # every node in the pre-retraction graph has >=1 edge, so the
         # orphan rule reduces to: kept nodes that still appear as an
         # endpoint of a kept edge.

@@ -58,7 +58,14 @@ from .graphstats import (
 )
 from .neo4j_export import write_neo4j_import
 from .ids import affix_id
-from .linking import canonical_entity, canonical_url, comention_edges, link_entities
+from .linking import (
+    canonical_entity,
+    canonical_url,
+    comention_edges,
+    disambiguate_by_prior,
+    entity_prior,
+    link_entities,
+)
 from .nulls import is_not_null
 from .ontology import automap_to_targets, subclass_closure, subclass_edges_from_triples
 from .sampling import hash_split, skyline, stratified_sample

@@ -583,6 +583,7 @@ def hash_transe_rank(
     candidates: DataFrame,
     dim: int = 4,
     mod: int = 1000,
+    filtered: bool = False,
 ) -> DataFrame:
     """TransE link-prediction evaluation with integer-quantized hash
     embeddings -> ``(head, rel, tail, score, rank)`` — the KG-embedding
@@ -601,6 +602,18 @@ def hash_transe_rank(
     counting strictly-better corruptions (the true tail ranks 1 + that,
     the standard "raw" protocol; equal scores do not hurt the true
     tail).
+
+    ``filtered=True`` switches to the FILTERED protocol (Bordes et al.
+    NIPS'13, the FB15k convention): a corruption that is itself a KNOWN
+    true triple ``(head, rel, candidate)`` never counts against the
+    evaluated tail — raw ranking unfairly penalizes triples whose
+    (head, rel) has several true tails that all score well.  Shape: the
+    known-tail sets are one ``collect_set`` keyed on (head, rel) joined
+    onto the |t|-row scored frame BEFORE the candidate cross — never a
+    join against the |t|x|cand| crossed frame — so the extra cost is one
+    co-keyed shuffle of |t| rows plus an ``array_contains`` per crossed
+    row; per-key array size is bounded by the (head, rel) out-degree,
+    which is bounded by the entity vocabulary, not the corpus.
     """
     from .textops import md5_int
 
@@ -618,15 +631,24 @@ def hash_transe_rank(
 
     t = triples.select("head", "rel", "tail").distinct()
     scored = t.withColumn("score", l1(F.col("tail")).cast("long"))
-    cand = F.broadcast(candidates.select(F.col("candidate").cast("string")))
-    ranked = (
-        scored.crossJoin(cand)
-        .withColumn("_cscore", l1(F.col("candidate")).cast("long"))
-        .groupBy("head", "rel", "tail", "score")
-        .agg(
-            (1 + F.sum(F.when(F.col("_cscore") < F.col("score"), 1).otherwise(0)))
-            .cast("int")
-            .alias("rank")
+    if filtered:
+        known = t.groupBy("head", "rel").agg(
+            F.collect_set("tail").alias("_known_tails")
         )
+        # same (head, rel) grouping key as the distinct above — AQE
+        # co-partitions; the array rides along through the cross
+        scored = scored.join(known, ["head", "rel"])
+    cand = F.broadcast(candidates.select(F.col("candidate").cast("string")))
+    crossed = scored.crossJoin(cand).withColumn(
+        "_cscore", l1(F.col("candidate")).cast("long")
+    )
+    better = F.col("_cscore") < F.col("score")
+    if filtered:
+        # known-true corruptions never count; the evaluated tail itself
+        # is in the set but ties with score, so raw never counted it
+        # either — filtered is raw minus the OTHER true tails.
+        better = better & ~F.array_contains("_known_tails", F.col("candidate"))
+    ranked = crossed.groupBy("head", "rel", "tail", "score").agg(
+        (1 + F.sum(better.cast("int"))).cast("int").alias("rank")
     )
     return ranked
