@@ -2196,6 +2196,30 @@ def q_kg_transe_filtered(spark, sf_dir):
     return hash_transe_rank(triples, cands, dim=4, mod=1000, filtered=True)
 
 
+def q_truth_find(spark, sf_dir):
+    """Iterative source-reliability truth finding (Sums fact-finder, 2
+    exact integer rounds) over a synthetic conflicting-claims corpus:
+    sources src0-5 corroborate a per-subject value, src6-9 each scatter
+    their own — trust and confidence reinforce until corroborated
+    values dominate regardless of raw vote counts."""
+    from ontoweaver_spark.linking import truth_finder
+
+    _tune(spark)
+    i = F.col("doc_id")
+    claims = _docs(spark, sf_dir).select(
+        F.concat(F.lit("src"), (i % 10).cast("string")).alias("source"),
+        F.concat(F.lit("s"), (i % 25).cast("string")).alias("subj"),
+        F.lit("p").alias("pred"),
+        F.when(
+            (i % 10) < 6,
+            F.concat(F.lit("v"), ((i % 25) % 3).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("v"), ((i * 3) % 5).cast("string")))
+        .alias("obj"),
+    )
+    return truth_finder(claims, rounds=2)
+
+
 def q_entity_prior(spark, sf_dir):
     """Commonness prior p(entity | mention) as exact integer ppm over a
     synthetic anchor corpus (mention m_{i%7} -> entity e_{i%3}): the
@@ -4429,6 +4453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_transe_filtered": q_kg_transe_filtered,
         "entity_prior": q_entity_prior,
         "entity_disambig": q_entity_disambig,
+        "truth_find": q_truth_find,
     }
 
 
@@ -5295,6 +5320,49 @@ def _transe_sql(
                  AS rank
         FROM x GROUP BY head, rel, tail, score
     """
+
+
+def _truth_sql(rounds: int = 2) -> str:
+    """Unrolled mirror of linking.truth_finder over the synthetic
+    conflicting-claims corpus: per round a belief agg, a per-(subj,pred)
+    total, a ppm-normalized confidence, and a per-source mean-trust
+    update — all exact BIGINT with truncating `//`, every per-round CTE
+    MATERIALIZED (DuckDB inlines plain CTEs and re-expands the base
+    scan exponentially otherwise)."""
+    parts = ["""
+    WITH a AS MATERIALIZED (
+      SELECT DISTINCT 'src' || (doc_id % 10) AS source,
+             's' || (doc_id % 25) AS subj, 'p' AS pred,
+             CASE WHEN (doc_id % 10) < 6
+                  THEN 'v' || ((doc_id % 25) % 3)
+                  ELSE 'v' || ((doc_id * 3) % 5) END AS obj
+      FROM documents
+    ), t0 AS MATERIALIZED (
+      SELECT DISTINCT source, 1000000::BIGINT AS trust FROM a
+    )"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""", b{r} AS MATERIALIZED (
+      SELECT subj, pred, obj, sum(t.trust)::BIGINT AS belief,
+             count(*)::BIGINT AS n_sources
+      FROM a JOIN t{r - 1} t USING (source)
+      GROUP BY subj, pred, obj
+    ), tot{r} AS MATERIALIZED (
+      SELECT subj, pred, sum(belief)::BIGINT AS total
+      FROM b{r} GROUP BY subj, pred
+    ), c{r} AS MATERIALIZED (
+      SELECT b.subj, b.pred, b.obj, b.n_sources, b.belief,
+             ((b.belief * 1000000) // t.total)::BIGINT AS conf_ppm
+      FROM b{r} b JOIN tot{r} t ON t.subj = b.subj AND t.pred = b.pred
+    ), t{r} AS MATERIALIZED (
+      SELECT a.source, (sum(c.conf_ppm) // count(*))::BIGINT AS trust
+      FROM a JOIN c{r} c
+        ON c.subj = a.subj AND c.pred = a.pred AND c.obj = a.obj
+      GROUP BY a.source
+    )""")
+    parts.append(
+        f"\n    SELECT subj, pred, obj, n_sources, belief, conf_ppm FROM c{rounds}"
+    )
+    return "".join(parts)
 
 
 def _mis_sql(rounds: int = 14, seed: int = 0) -> str:
@@ -7625,6 +7693,7 @@ def oracle_sql() -> dict[str, str]:
                      AS prior_ppm
             FROM c
         """,
+        "truth_find": _truth_sql(rounds=2),
         "entity_disambig": """
             WITH a AS (
               SELECT 'm' || (doc_id % 7) AS mention,

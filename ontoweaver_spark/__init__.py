@@ -65,6 +65,7 @@ from .linking import (
     disambiguate_by_prior,
     entity_prior,
     link_entities,
+    truth_finder,
 )
 from .nulls import is_not_null
 from .ontology import automap_to_targets, subclass_closure, subclass_edges_from_triples

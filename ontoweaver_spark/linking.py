@@ -528,3 +528,92 @@ def disambiguate_by_prior(
     ).join(
         F.broadcast(top1.withColumnRenamed("mention", "_ow_m")), "_ow_m", "left"
     ).drop("_ow_m")
+
+
+# --------------------------------------------------------------------------
+# iterative source-reliability truth finding (Sums / hubs-authorities family)
+# --------------------------------------------------------------------------
+
+def truth_finder(
+    claims: DataFrame,
+    source_col: str = "source",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    rounds: int = 2,
+) -> DataFrame:
+    """Iterative source-reliability truth finding -> per distinct claim
+    ``(subj, pred, obj, n_sources, belief, conf_ppm)`` — the fusion step
+    BEYOND `resolve_claims`' majority vote: source trust and claim
+    confidence reinforce each other (Sums, the hubs-authorities member
+    of the Pasternack-Roth COLING'10 fact-finder family; the same
+    bipartite recurrence behind TruthFinder/Knowledge-Vault-style
+    weighting).  A value asserted by three consistently-corroborated
+    sources beats one asserted by four sources that disagree with
+    everyone elsewhere — majority vote cannot tell them apart.
+
+    Exact integer arithmetic end to end (the repo's engine-portable
+    discipline): trust starts at 1,000,000 ppm per source; per round,
+    claim ``belief = sum(trust of asserting sources)`` (BIGINT),
+    ``conf_ppm = belief * 1_000_000 div sum(belief over competing
+    values of the same (subj, pred))``, and trust updates to the mean
+    confidence of the source's claims (truncating BIGINT div).  No
+    floats, no damping constants hidden in doubles.
+
+    Shape at 10^12 claims: assertions deduplicate once (map-side
+    combine); each round is (a) a join keyed on source, (b) a hash agg
+    to (s,p,o), (c) a co-keyed rollup to (s,p) joined back, (d) a hash
+    agg back to source — all partial-aggregated, no windows, no
+    driver collection; ``rounds`` is a small constant (2-3 suffices in
+    the published evaluations).  Trust frames pass through
+    ``stats_reset_checkpoint`` so Catalyst stats don't compound across
+    rounds (the repo-documented iterative-loop hazard).
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    a = (
+        claims.select(
+            F.col(source_col).cast("string").alias("source"),
+            F.col(subj_col).cast("string").alias("subj"),
+            F.col(pred_col).cast("string").alias("pred"),
+            F.col(obj_col).cast("string").alias("obj"),
+        )
+        .distinct()
+        .transform(lambda d: stats_reset_checkpoint(d, eager=False))
+    )
+    trust = a.select("source").distinct().withColumn(
+        "trust", F.lit(1_000_000).cast("long")
+    )
+    conf = None
+    for _ in range(rounds):
+        belief = (
+            a.join(trust, "source")
+            .groupBy("subj", "pred", "obj")
+            .agg(
+                F.sum("trust").alias("belief"),
+                F.count(F.lit(1)).alias("n_sources"),
+            )
+        )
+        total = belief.groupBy("subj", "pred").agg(
+            F.sum("belief").alias("_total")
+        )
+        conf = belief.join(total, ["subj", "pred"]).select(
+            "subj",
+            "pred",
+            "obj",
+            "n_sources",
+            "belief",
+            F.expr("belief * 1000000 div _total").cast("long").alias("conf_ppm"),
+        )
+        trust = (
+            a.join(conf.select("subj", "pred", "obj", "conf_ppm"),
+                   ["subj", "pred", "obj"])
+            .groupBy("source")
+            .agg(
+                F.expr("sum(conf_ppm) div count(1)")
+                .cast("long")
+                .alias("trust")
+            )
+            .transform(lambda d: stats_reset_checkpoint(d, eager=False))
+        )
+    return conf

@@ -138,3 +138,59 @@ def test_transe_filtered_equals_raw_when_single_tail(spark):
         hash_transe_rank(triples, cands, dim=3, mod=100, filtered=True).collect()
     )
     assert raw == fil
+
+
+def test_truth_finder_corroboration_beats_majority(spark):
+    from ontoweaver_spark.linking import truth_finder
+
+    rows = []
+    for src in ["g1", "g2", "g3"]:
+        rows += [(src, "s1", "p", "v1")]
+        for k in range(1, 6):  # the good sources corroborate elsewhere
+            rows += [(src, f"s{k + 1}", "p", f"t{k}")]
+    for src in ["b1", "b2", "b3", "b4"]:
+        rows += [(src, "s1", "p", "v2")]
+        for k in range(1, 6):  # each bad source scatters its own junk
+            rows += [(src, f"s{k + 1}", "p", f"junk_{src}_{k}")]
+    claims = spark.createDataFrame(rows, ["source", "subj", "pred", "obj"])
+    out = {
+        r["obj"]: r["conf_ppm"]
+        for r in truth_finder(claims, rounds=3)
+        .where(F.col("subj") == "s1")
+        .collect()
+    }
+    # majority vote says v2 (4 sources vs 3); trust-weighted says v1
+    assert out["v1"] > out["v2"]
+    # round 1 belief is pure vote weight: v2 must win THERE, proving the
+    # reversal comes from the trust iteration, not the setup
+    r1 = {
+        r["obj"]: r["belief"]
+        for r in truth_finder(claims, rounds=1)
+        .where(F.col("subj") == "s1")
+        .collect()
+    }
+    assert r1["v2"] > r1["v1"]
+
+
+def test_truth_finder_duplicate_assertions_count_once(spark):
+    from ontoweaver_spark.linking import truth_finder
+
+    base = [("a", "s", "p", "x"), ("b", "s", "p", "y")]
+    once = truth_finder(
+        spark.createDataFrame(base, ["source", "subj", "pred", "obj"]), rounds=2
+    )
+    dup = truth_finder(
+        spark.createDataFrame(base * 5, ["source", "subj", "pred", "obj"]),
+        rounds=2,
+    )
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, dup.collect()))
+
+
+def test_truth_finder_rejects_bad_rounds(spark):
+    import pytest
+
+    from ontoweaver_spark.linking import truth_finder
+
+    df = spark.createDataFrame([("a", "s", "p", "x")], ["source", "subj", "pred", "obj"])
+    with pytest.raises(ValueError):
+        truth_finder(df, rounds=0)
