@@ -2196,6 +2196,31 @@ def q_kg_transe_filtered(spark, sf_dir):
     return hash_transe_rank(triples, cands, dim=4, mod=1000, filtered=True)
 
 
+def q_kg_sweep(spark, sf_dir):
+    """Conductance sweep cut (the second half of Andersen-Chung-Lang
+    local clustering) over the forward-push PPR vector on the hub
+    co-citation graph: nodes order by score div degree, each prefix gets
+    exact integer vol / cut / phi_ppm via the open-close edge
+    decomposition — argmin(phi_ppm) is the seeds' local community."""
+    from ontoweaver_spark.graphstats import ppr_forward_push, ppr_sweep_cut
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+
+    def hub(m, p):
+        return F.concat(F.lit("hub"), ((F.col("doc_id") * m) % p).cast("string"))
+
+    edges = docs.select(hub(7, 61).alias("src"), hub(11, 53).alias("dst"))
+    seeds = (
+        docs.select(((F.col("doc_id") * 7) % 61).alias("h"))
+        .where(F.col("h") % 13 == 0)
+        .select(F.concat(F.lit("hub"), F.col("h").cast("string")).alias("node"))
+        .distinct()
+    )
+    ppr = ppr_forward_push(edges, seeds, rounds=4)
+    return ppr_sweep_cut(edges, ppr)
+
+
 def q_truth_find(spark, sf_dir):
     """Iterative source-reliability truth finding (Sums fact-finder, 2
     exact integer rounds) over a synthetic conflicting-claims corpus:
@@ -4454,6 +4479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_prior": q_entity_prior,
         "entity_disambig": q_entity_disambig,
         "truth_find": q_truth_find,
+        "kg_sweep_cut": q_kg_sweep,
     }
 
 
@@ -5319,6 +5345,70 @@ def _transe_sql(
                (1 + sum(CASE WHEN {better} THEN 1 ELSE 0 END))::INT
                  AS rank
         FROM x GROUP BY head, rel, tail, score
+    """
+
+
+def _sweep_sql(rounds: int = 4) -> str:
+    """Mirror of graphstats.ppr_sweep_cut over the forward-push PPR
+    vector: rank by score*1e6//deg (desc, score desc, node asc), per-rank
+    cumulative volume and open-close cut counts, conductance ppm."""
+    big = 1 << 62
+    return f"""
+    WITH ppr AS MATERIALIZED (
+      {_ppr_push_sql(rounds=rounds)}
+    ), raw2 AS (
+      SELECT 'hub' || ((doc_id*7)%61)::VARCHAR AS s,
+             'hub' || ((doc_id*11)%53)::VARCHAR AS d
+      FROM documents
+    ), und AS MATERIALIZED (
+      SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+      FROM raw2 WHERE s <> d
+    ), deg AS MATERIALIZED (
+      SELECT node, count(*)::BIGINT AS deg FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+      ) GROUP BY node
+    ), cand AS (
+      SELECT p.node, p.est::BIGINT AS score, deg.deg,
+             ((p.est * 1000000) // deg.deg)::BIGINT AS k
+      FROM ppr p JOIN deg ON deg.node = p.node
+      WHERE p.est > 0
+    ), ranked AS MATERIALIZED (
+      SELECT node, score, deg,
+             row_number() OVER (ORDER BY k DESC, score DESC, node ASC)::BIGINT
+               AS rank
+      FROM cand
+    ), e2 AS MATERIALIZED (
+      SELECT least(coalesce(ra.rank, {big}), coalesce(rb.rank, {big})) AS rmin,
+             greatest(coalesce(ra.rank, {big}), coalesce(rb.rank, {big})) AS rmax
+      FROM und
+      LEFT JOIN ranked ra ON ra.node = und.a
+      LEFT JOIN ranked rb ON rb.node = und.b
+    ), opened AS (
+      SELECT rmin AS rank, count(*)::BIGINT AS o FROM e2
+      WHERE rmin < {big} GROUP BY rmin
+    ), closed AS (
+      SELECT rmax AS rank, count(*)::BIGINT AS c FROM e2
+      WHERE rmax < {big} GROUP BY rmax
+    ), tv AS (
+      SELECT (2 * count(*))::BIGINT AS tv FROM und
+    ), curve AS (
+      SELECT r.rank, r.node, r.score, r.deg,
+             sum(r.deg) OVER w::BIGINT AS vol,
+             (sum(coalesce(o.o, 0)) OVER w
+              - sum(coalesce(c.c, 0)) OVER w)::BIGINT AS cut,
+             tv.tv
+      FROM ranked r
+      LEFT JOIN opened o ON o.rank = r.rank
+      LEFT JOIN closed c ON c.rank = r.rank
+      CROSS JOIN tv
+      WINDOW w AS (ORDER BY r.rank ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT rank, node, score, deg, vol, cut,
+           CASE WHEN least(vol, tv - vol) > 0
+                THEN ((cut * 1000000) // least(vol, tv - vol))::BIGINT
+                ELSE NULL END AS phi_ppm
+    FROM curve
     """
 
 
@@ -7694,6 +7784,7 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "truth_find": _truth_sql(rounds=2),
+        "kg_sweep_cut": _sweep_sql(rounds=4),
         "entity_disambig": """
             WITH a AS (
               SELECT 'm' || (doc_id % 7) AS mention,

@@ -47,6 +47,7 @@ from .graphstats import (
     neighbor_jaccard,
     pagerank_fixed_point,
     ppr_forward_push,
+    ppr_sweep_cut,
     reciprocity,
     rich_club,
     salsa_scores,

@@ -4210,3 +4210,146 @@ def four_clique_counts(
         .unionAll(k4.select(F.col("d").alias("node")))
     )
     return corners.groupBy("node").agg(F.count("*").alias("cliques4"))
+
+
+def ppr_sweep_cut(
+    edges: DataFrame,
+    scores: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    score_col: str = "est",
+) -> DataFrame:
+    """Conductance sweep cut over a PPR score vector -> one row per
+    sweep prefix ``(rank, node, score, deg, vol, cut, phi_ppm)`` — the
+    second half of Andersen-Chung-Lang local clustering (FOCS'06):
+    :func:`ppr_forward_push` concentrates seed mass, the sweep orders
+    nodes by ``score/degree`` and scans prefixes; the prefix minimizing
+    conductance IS the local community, with ACL's approximation
+    guarantee. ``argmin(phi_ppm)`` over this frame is the cluster
+    boundary; returning the whole curve keeps the operator composable
+    (plateau detection, multi-scale cuts) and oracle-checkable row by
+    row.
+
+    Exact integer arithmetic: the sweep key is ``score * 1_000_000 div
+    degree`` (BIGINT truncating div — deterministic, engine-portable;
+    ties break on score desc then node asc, a total order), conductance
+    is ``cut * 1_000_000 div min(vol, total_vol - vol)`` ppm (null for
+    the degenerate full-graph prefix where the min is 0).
+
+    Shape: the graph symmetrizes once (distinct canonical pairs); the
+    candidate set is only nodes holding PPR mass — frontier-sized, the
+    seeds' push ball, NOT the graph. Global sweep rank is the lazy
+    distributed zip-index over one range-partitioned sort (never a
+    single-task window over the graph). Per-prefix cut comes from an
+    open/close decomposition — an edge crosses prefix j iff
+    ``min_rank <= j < max_rank``, so ``cut(j) = opened(j) - closed(j)``,
+    two per-rank counting aggregates + cumulative sums — instead of
+    re-counting boundary edges per prefix (which would be quadratic).
+    The three cumulative sums run in one window ordered by rank over the
+    per-rank frame: single-task, but sized by the CANDIDATE set (the
+    local cluster's support, thousands at most under any sane push
+    radius), the same documented bound as sampling.apportion_budget's
+    key-table window.
+    """
+    u, v = F.col(src_col).cast("string"), F.col(dst_col).cast("string")
+    und = (
+        edges.select(
+            F.least(u, v).alias("a"), F.greatest(u, v).alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .transform(lambda d: stats_reset_checkpoint(d, eager=False))
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    cand = (
+        scores.select(
+            F.col(node_col).cast("string").alias("node"),
+            F.col(score_col).cast("long").alias("score"),
+        )
+        .where(F.col("score") > 0)
+        .join(deg, "node")
+        .withColumn("_key", F.expr("score * 1000000 div deg").cast("long"))
+    )
+    from .compiler import with_row_index
+
+    ranked = stats_reset_checkpoint(
+        with_row_index(
+            cand.orderBy(
+                F.col("_key").desc(), F.col("score").desc(), F.col("node")
+            ),
+            "_idx",
+        ).select(
+            (F.col("_idx") + 1).cast("long").alias("rank"),
+            "node",
+            "score",
+            "deg",
+        ),
+        eager=False,
+    )
+    big = F.lit(1 << 62).cast("long")
+    r_a = ranked.select(F.col("node").alias("a"), F.col("rank").alias("_ra"))
+    r_b = ranked.select(F.col("node").alias("b"), F.col("rank").alias("_rb"))
+    e2 = (
+        und.join(r_a, "a", "left")
+        .join(r_b, "b", "left")
+        .select(
+            F.least(F.coalesce("_ra", big), F.coalesce("_rb", big)).alias("rmin"),
+            F.greatest(F.coalesce("_ra", big), F.coalesce("_rb", big)).alias("rmax"),
+        )
+        .where(F.col("rmin") < big)
+    )
+    opened = e2.groupBy(F.col("rmin").alias("rank")).agg(
+        F.count("*").alias("_opened")
+    )
+    closed = e2.where(F.col("rmax") < big).groupBy(
+        F.col("rmax").alias("rank")
+    ).agg(F.count("*").alias("_closed"))
+    total_vol = und.agg((2 * F.count("*")).cast("long").alias("_tv"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    per_rank = (
+        ranked.join(opened, "rank", "left")
+        .join(closed, "rank", "left")
+        .crossJoin(F.broadcast(total_vol))
+        .select(
+            "rank",
+            "node",
+            "score",
+            "deg",
+            F.sum("deg").over(w).cast("long").alias("vol"),
+            (
+                F.sum(F.coalesce("_opened", F.lit(0))).over(w)
+                - F.sum(F.coalesce("_closed", F.lit(0))).over(w)
+            ).cast("long").alias("cut"),
+            F.col("_tv"),
+        )
+    )
+    side = F.least(F.col("vol"), F.col("_tv") - F.col("vol"))
+    return per_rank.select(
+        "rank",
+        "node",
+        "score",
+        "deg",
+        "vol",
+        "cut",
+        F.when(side > 0, F.expr("cut * 1000000").cast("long"))
+        .otherwise(F.lit(None))
+        .cast("long")
+        .alias("_num"),
+        side.alias("_side"),
+    ).select(
+        "rank",
+        "node",
+        "score",
+        "deg",
+        "vol",
+        "cut",
+        F.expr("_num div _side").cast("long").alias("phi_ppm"),
+    )
