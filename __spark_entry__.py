@@ -2196,6 +2196,67 @@ def q_kg_transe_filtered(spark, sf_dir):
     return hash_transe_rank(triples, cands, dim=4, mod=1000, filtered=True)
 
 
+def q_kg_rank_eval(spark, sf_dir):
+    """MRR / Hits@k rollup (exact integer ppm) over the FILTERED TransE
+    ranking — the one-row eval summary every link-prediction harness
+    reports; double-truncating integer MRR is documented and
+    engine-portable."""
+    from ontoweaver_spark.similarity import hash_transe_rank, rank_metrics
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    triples = docs.select(
+        F.concat(F.lit("e"), (i % 50).cast("string")).alias("head"),
+        F.concat(F.lit("r"), (i % 3).cast("string")).alias("rel"),
+        F.concat(
+            F.lit("e"),
+            ((i * 7 + F.expr("doc_id div 150")) % 50).cast("string"),
+        ).alias("tail"),
+    )
+    cands = docs.where(i < 50).select(
+        F.concat(F.lit("e"), i.cast("string")).alias("candidate")
+    )
+    return rank_metrics(
+        hash_transe_rank(triples, cands, dim=4, mod=1000, filtered=True)
+    )
+
+
+def q_entity_disambig_ctx(spark, sf_dir):
+    """Two-signal entity disambiguation (context overlap + prior): the
+    candidate set comes from the commonness prior, the pick from exact
+    BIGINT token-profile overlap with the occurrence's own text, prior
+    and entity id as deterministic tie-breaks; zero-overlap occurrences
+    fall back to the prior argmax."""
+    from ontoweaver_spark.linking import disambiguate_by_context, entity_prior
+    from ontoweaver_spark.textops import tokens
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    anchors = docs.select(
+        F.concat(F.lit("m"), (i % 7).cast("string")).alias("mention"),
+        F.concat(F.lit("e"), (i % 3).cast("string")).alias("entity_id"),
+    )
+    toks = docs.select(
+        F.concat(F.lit("e"), (i % 3).cast("string")).alias("entity_id"),
+        F.explode(F.array_distinct(tokens(F.lower(F.col("text"))))).alias(
+            "token"
+        ),
+    )
+    profiles = (
+        toks.groupBy("entity_id", "token")
+        .agg(F.count("*").alias("weight"))
+        .where((F.col("weight") >= 2) & (F.col("weight") <= 6))
+    )
+    occ = docs.select(
+        i.cast("string").alias("occ_id"),
+        F.concat(F.lit("m"), (i % 7).cast("string")).alias("mention"),
+        F.array_distinct(tokens(F.lower(F.col("text")))).alias("tokens"),
+    )
+    return disambiguate_by_context(occ, entity_prior(anchors), profiles)
+
+
 def q_kg_sweep(spark, sf_dir):
     """Conductance sweep cut (the second half of Andersen-Chung-Lang
     local clustering) over the forward-push PPR vector on the hub
@@ -4480,6 +4541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_disambig": q_entity_disambig,
         "truth_find": q_truth_find,
         "kg_sweep_cut": q_kg_sweep,
+        "kg_rank_eval": q_kg_rank_eval,
+        "entity_disambig_ctx": q_entity_disambig_ctx,
     }
 
 
@@ -7785,6 +7848,84 @@ def oracle_sql() -> dict[str, str]:
         """,
         "truth_find": _truth_sql(rounds=2),
         "kg_sweep_cut": _sweep_sql(rounds=4),
+        "kg_rank_eval": f"""
+            WITH ranked AS (
+              {_transe_sql(dim=4, mod=1000,
+                           tail_expr="(doc_id * 7 + (doc_id // 150)) % 50",
+                           filtered=True)}
+            )
+            SELECT count(*)::BIGINT AS n,
+                   (sum(1000000 // rank) // count(*))::BIGINT AS mrr_ppm,
+                   (sum(CASE WHEN rank <= 1 THEN 1 ELSE 0 END) * 1000000
+                    // count(*))::BIGINT AS hits1_ppm,
+                   (sum(CASE WHEN rank <= 3 THEN 1 ELSE 0 END) * 1000000
+                    // count(*))::BIGINT AS hits3_ppm,
+                   (sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) * 1000000
+                    // count(*))::BIGINT AS hits10_ppm
+            FROM ranked
+        """,
+        "entity_disambig_ctx": r"""
+            WITH toks AS MATERIALIZED (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS l
+              FROM documents
+            ), dtok AS MATERIALIZED (
+              SELECT DISTINCT doc_id, t.token
+              FROM toks, UNNEST(l) AS t(token)
+            ), c AS (
+              SELECT 'm' || (doc_id % 7) AS mention,
+                     'e' || (doc_id % 3) AS entity_id,
+                     count(*)::BIGINT AS n_links
+              FROM documents GROUP BY 1, 2
+            ), prior AS MATERIALIZED (
+              SELECT mention, entity_id, n_links,
+                     ((n_links * 1000000)
+                      // sum(n_links) OVER (PARTITION BY mention))::BIGINT
+                       AS prior_ppm
+              FROM c
+            ), prof AS MATERIALIZED (
+              SELECT 'e' || (d.doc_id % 3) AS entity_id, dt.token,
+                     count(*)::BIGINT AS weight
+              FROM documents d JOIN dtok dt ON dt.doc_id = d.doc_id
+              GROUP BY 1, 2
+              HAVING count(*) BETWEEN 2 AND 6
+            ), cand AS MATERIALIZED (
+              SELECT p.mention, p.entity_id, p.prior_ppm, f.token, f.weight
+              FROM prior p JOIN prof f USING (entity_id)
+            ), occ_tok AS (
+              SELECT d.doc_id::VARCHAR AS occ_id,
+                     'm' || (d.doc_id % 7) AS mention, dt.token
+              FROM documents d JOIN dtok dt ON dt.doc_id = d.doc_id
+            ), scored AS MATERIALIZED (
+              SELECT o.occ_id, o.mention, ca.entity_id, ca.prior_ppm,
+                     sum(ca.weight)::BIGINT AS ctx_score
+              FROM occ_tok o
+              JOIN cand ca ON ca.mention = o.mention AND ca.token = o.token
+              GROUP BY 1, 2, 3, 4
+            ), picked AS (
+              SELECT occ_id, entity_id, ctx_score, prior_ppm,
+                     row_number() OVER (
+                       PARTITION BY occ_id
+                       ORDER BY ctx_score DESC, prior_ppm DESC, entity_id ASC
+                     ) AS rk
+              FROM scored
+            ), fb AS (
+              SELECT mention, entity_id, prior_ppm,
+                     row_number() OVER (
+                       PARTITION BY mention
+                       ORDER BY prior_ppm DESC, n_links DESC, entity_id ASC
+                     ) AS rk
+              FROM prior
+            )
+            SELECT d.doc_id::VARCHAR AS occ_id,
+                   'm' || (d.doc_id % 7) AS mention,
+                   coalesce(p.entity_id, f.entity_id) AS entity_id,
+                   coalesce(p.ctx_score, 0)::BIGINT AS ctx_score,
+                   coalesce(p.prior_ppm, f.prior_ppm) AS prior_ppm
+            FROM documents d
+            LEFT JOIN picked p ON p.occ_id = d.doc_id::VARCHAR AND p.rk = 1
+            LEFT JOIN fb f ON f.mention = 'm' || (d.doc_id % 7) AND f.rk = 1
+        """,
         "entity_disambig": """
             WITH a AS (
               SELECT 'm' || (doc_id % 7) AS mention,

@@ -617,3 +617,99 @@ def truth_finder(
             .transform(lambda d: stats_reset_checkpoint(d, eager=False))
         )
     return conf
+
+
+def disambiguate_by_context(
+    occurrences: DataFrame,
+    prior: DataFrame,
+    profiles: DataFrame,
+    occ_id_col: str = "occ_id",
+    mention_col: str = "mention",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Context-compatibility entity disambiguation -> one row per
+    occurrence ``(occ_id, mention, entity_id, ctx_score, prior_ppm)`` —
+    the second stage of the classic two-signal linker (prior +
+    context): among the candidate entities the `entity_prior` table
+    admits for a mention, pick the one whose token profile overlaps the
+    occurrence's OWN context most (exact BIGINT overlap weight); fall
+    back to the prior argmax when no candidate profile token matches.
+
+    ``occurrences``: (occ_id, mention, tokens array<string>).
+    ``profiles``: (entity_id, token, weight BIGINT) — e.g. document
+    frequencies of tokens in pages known to refer to the entity.
+
+    Deterministic pick per occurrence: highest ``ctx_score``, then
+    highest ``prior_ppm``, then smallest ``entity_id`` — one
+    min_by-over-struct aggregate keyed on occ_id.
+
+    Shape at 10^12 occurrences: candidate profile tokens materialize
+    once as ``prior JOIN profiles`` keyed on entity_id (dictionary x
+    profile-width — vocabulary-scale, NOT corpus-scale); the occurrence
+    side explodes its context tokens and joins on (mention, token) —
+    both hash joins on bounded-cardinality dictionary keys; the final
+    argmax is map-side combinable. Occurrences whose mention has no
+    candidates at all come back with null entity (left joins end to
+    end), mirroring `disambiguate_by_prior`'s unlinked convention.
+    """
+    occ = occurrences.select(
+        F.col(occ_id_col).cast("string").alias("occ_id"),
+        F.col(mention_col).cast("string").alias("mention"),
+        F.col(tokens_col).alias("_toks"),
+    )
+    cand_tokens = (
+        prior.select("mention", "entity_id", "prior_ppm")
+        .join(
+            profiles.select(
+                F.col("entity_id"),
+                F.col("token").cast("string").alias("token"),
+                F.col("weight").cast("long").alias("weight"),
+            ),
+            "entity_id",
+        )
+    )
+    occ_tokens = occ.select(
+        "occ_id", "mention", F.explode_outer(F.array_distinct("_toks")).alias("token")
+    )
+    scored = (
+        occ_tokens.join(cand_tokens, ["mention", "token"])
+        .groupBy("occ_id", "mention", "entity_id", "prior_ppm")
+        .agg(F.sum("weight").alias("ctx_score"))
+    )
+    picked = scored.groupBy("occ_id").agg(
+        F.expr(
+            "min_by(named_struct('entity_id', entity_id,"
+            " 'ctx_score', ctx_score, 'prior_ppm', prior_ppm),"
+            " named_struct('a', -ctx_score, 'b', -prior_ppm, 'c', entity_id))"
+        ).alias("_pick")
+    )
+    # occurrences with zero profile-token overlap fall back to the prior
+    # argmax for their mention; mentions absent from the prior stay null
+    fallback = (
+        prior.groupBy("mention")
+        .agg(
+            F.expr(
+                "min_by(named_struct('entity_id', entity_id,"
+                " 'prior_ppm', prior_ppm),"
+                " named_struct('a', -prior_ppm, 'b', -n_links, 'c', entity_id))"
+            ).alias("_fb")
+        )
+    )
+    return (
+        occ.select("occ_id", "mention")
+        .join(picked, "occ_id", "left")
+        .join(fallback, "mention", "left")
+        .select(
+            "occ_id",
+            "mention",
+            F.coalesce(F.col("_pick.entity_id"), F.col("_fb.entity_id")).alias(
+                "entity_id"
+            ),
+            F.coalesce(F.col("_pick.ctx_score"), F.lit(0)).cast("long").alias(
+                "ctx_score"
+            ),
+            F.coalesce(F.col("_pick.prior_ppm"), F.col("_fb.prior_ppm")).alias(
+                "prior_ppm"
+            ),
+        )
+    )

@@ -652,3 +652,38 @@ def hash_transe_rank(
         (1 + F.sum(better.cast("int"))).cast("int").alias("rank")
     )
     return ranked
+
+
+def rank_metrics(ranked: DataFrame, ks: tuple = (1, 3, 10)) -> DataFrame:
+    """KG-embedding evaluation rollup over a ``hash_transe_rank``-shaped
+    frame -> ONE row ``(n, mrr_ppm, hits{k}_ppm ...)`` — the numbers every
+    link-prediction paper reports (MRR, Hits@k), exact-integer so the
+    result hash-matches any engine:
+
+    - ``mrr_ppm  = sum(1_000_000 div rank) div n`` (reciprocal ranks as
+      truncated ppm, then a truncated mean — both divisions BIGINT; the
+      double-truncation is documented, deterministic, and within 1 ppm
+      per term of the float MRR),
+    - ``hits{k}_ppm = count(rank <= k) * 1_000_000 div n``.
+
+    One map-side-combined aggregate over the ranked frame; composes with
+    either protocol (raw / ``filtered=True``).
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(1000000 div rank)").alias("_rr_sum"),
+    ]
+    for k in ks:
+        aggs.append(
+            F.sum((F.col("rank") <= k).cast("long")).alias(f"_h{k}")
+        )
+    row = ranked.agg(*aggs)
+    out = [
+        F.col("n").cast("long").alias("n"),
+        F.expr("_rr_sum div n").cast("long").alias("mrr_ppm"),
+    ]
+    for k in ks:
+        out.append(
+            F.expr(f"_h{k} * 1000000 div n").cast("long").alias(f"hits{k}_ppm")
+        )
+    return row.select(*out)
