@@ -4252,6 +4252,83 @@ def q_ld_extract(spark, sf_dir):
     return extract_embedded_jsonld(pages)
 
 
+def q_meta_og(spark, sf_dir):
+    """OpenGraph / <meta>-tag harvest over synthesized pages: og:title,
+    a name=/content= description with an HTML entity (decode checked),
+    an attribute-order-swapped og:len, and a charset tag that must drop
+    (no name/property). Closed-form oracle from the raw columns."""
+    from ontoweaver_spark.webdoc import extract_meta_tags
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><head><meta property="og:title" content="'),
+        F.upper(F.col("source")),
+        F.lit('" /><meta name="description" content="x &amp; '), F.col("lang"),
+        F.lit('"><meta content="'), F.col("n_chars").cast("string"),
+        F.lit('" property=\'og:len\' ><meta charset="utf-8"></head><body>'),
+        F.col("text"), F.lit("</body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://x.test/"), i.cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    return extract_meta_tags(pages)
+
+
+def q_microdata(spark, sf_dir):
+    """Schema.org MICRODATA harvest (attribute-based sibling of ld_extract):
+    itemscope/itemtype -> `a` triple, span itemprop text value, meta
+    itemprop content value, single-quoted itemprop with an entity in the
+    text run. Closed-form oracle."""
+    from ontoweaver_spark.webdoc import extract_microdata
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body itemscope itemtype="https://schema.org/'),
+        F.col("source"),
+        F.lit('"><span itemprop="inLanguage">'), F.col("lang"),
+        F.lit('</span><meta itemprop="numChars" content="'),
+        F.col("n_chars").cast("string"),
+        F.lit("\"><b itemprop = 'via'>s &amp; "), F.col("source"),
+        F.lit("</b></body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://x.test/"), i.cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    return extract_microdata(pages)
+
+
+def q_web_tables(spark, sf_dir):
+    """WebTables-style relational harvest: first <table> per page, header
+    row joined onto body cells as (url, row_idx, col_idx, header, cell);
+    inner tags stripped, entities decoded, whitespace collapsed, a second
+    table ignored. Closed-form oracle (4 cells per page)."""
+    from ontoweaver_spark.webdoc import extract_html_tables
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><p>no</p><table id="t1">'
+              "<tr><th> source </th><th>chars</th></tr><tr><td>"),
+        F.col("source"), F.lit("</td><td>"), F.col("n_chars").cast("string"),
+        F.lit("</td></tr><tr><td>l &amp; "), F.col("lang"),
+        F.lit("</td><td><i>"), (i % 7).cast("string"),
+        F.lit("</i></td></tr></table>"
+              "<table><tr><td>ignored</td></tr></table></body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://x.test/"), i.cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    return extract_html_tables(pages)
+
+
 def q_kg_lcc(spark, sf_dir):
     """Giant-component extraction: star-topology membership graph where
     half the docs share one anchor (the giant component) and the rest
@@ -4543,6 +4620,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sweep_cut": q_kg_sweep,
         "kg_rank_eval": q_kg_rank_eval,
         "entity_disambig_ctx": q_entity_disambig_ctx,
+        "meta_og": q_meta_og,
+        "microdata": q_microdata,
+        "web_tables": q_web_tables,
     }
 
 
@@ -9553,6 +9633,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT count(*) FROM und) AS n_edges,
                    coalesce((SELECT sum(w) FROM wp), 0)::BIGINT AS wedges,
                    (coalesce((SELECT sum(w * (w-1) // 2) FROM wp), 0) // 2)::BIGINT AS squares
+        """,
+        "meta_og": """
+            SELECT 'https://x.test/' || doc_id::VARCHAR AS subject,
+                   'og:title' AS predicate, upper(source) AS object
+            FROM documents
+            UNION ALL
+            SELECT 'https://x.test/' || doc_id::VARCHAR, 'description',
+                   'x & ' || lang
+            FROM documents
+            UNION ALL
+            SELECT 'https://x.test/' || doc_id::VARCHAR, 'og:len',
+                   n_chars::VARCHAR
+            FROM documents
+        """,
+        "microdata": """
+            SELECT 'https://x.test/' || doc_id::VARCHAR AS subject,
+                   'a' AS predicate,
+                   'https://schema.org/' || source AS object
+            FROM documents
+            UNION ALL
+            SELECT 'https://x.test/' || doc_id::VARCHAR, 'inLanguage', lang
+            FROM documents
+            UNION ALL
+            SELECT 'https://x.test/' || doc_id::VARCHAR, 'numChars',
+                   n_chars::VARCHAR
+            FROM documents
+            UNION ALL
+            SELECT 'https://x.test/' || doc_id::VARCHAR, 'via',
+                   's & ' || source
+            FROM documents
+        """,
+        "web_tables": """
+            SELECT 'https://x.test/' || doc_id::VARCHAR AS url,
+                   1 AS row_idx, 0 AS col_idx,
+                   'source' AS header, source AS cell
+            FROM documents
+            UNION ALL
+            SELECT 'https://x.test/' || doc_id::VARCHAR, 1, 1, 'chars',
+                   n_chars::VARCHAR
+            FROM documents
+            UNION ALL
+            SELECT 'https://x.test/' || doc_id::VARCHAR, 2, 0, 'source',
+                   'l & ' || lang
+            FROM documents
+            UNION ALL
+            SELECT 'https://x.test/' || doc_id::VARCHAR, 2, 1, 'chars',
+                   (doc_id % 7)::VARCHAR
+            FROM documents
         """,
         "ld_extract": """
             SELECT 'doc' || doc_id::VARCHAR AS subject, 'a' AS predicate,

@@ -193,3 +193,176 @@ def extract_embedded_jsonld(
         .where(~F.col("predicate").startswith("@") & F.col("object").isNotNull())
     )
     return typed.unionByName(props)
+
+
+def extract_meta_tags(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """``<meta>``-tag harvest -> ``(subject, predicate, object)`` triples:
+    OpenGraph (``property="og:..."``), Twitter cards and classic
+    ``name=``/``content=`` metadata, subject = page url. After embedded
+    JSON-LD (`extract_embedded_jsonld`) this is the second-richest
+    structured-triple source in crawl HTML — most CMSes emit og:title /
+    og:type / og:url on every page.
+
+    One ``regexp_extract_all`` for the tags, one explode, two
+    per-tag ``regexp_extract`` projections — whole-stage codegen, no
+    Python, no shuffle. Attribute order is tolerated (``content``
+    before or after ``property``/``name``); tags missing either half
+    drop out (loud by absence). Multi-valued properties (repeated
+    ``og:image``) each emit their own triple, order-preserving via the
+    explode position.
+    """
+    html_expr = (
+        f'decode({html_col}, "utf-8")'
+        if dict(df.dtypes)[html_col] == "binary" else html_col
+    )
+    tags = F.expr(
+        f"regexp_extract_all({html_expr}, "
+        r"'(?is)<meta\\s[^>]*>', 0)"
+    )
+    exploded = df.select(
+        F.col(url_col).alias("subject"), F.explode(tags).alias("_tag")
+    )
+    key = F.regexp_extract(
+        F.col("_tag"),
+        r'(?is)\s(?:property|name)\s*=\s*["\']([^"\']+)["\']',
+        1,
+    )
+    val = F.regexp_extract(
+        F.col("_tag"), r'(?is)\scontent\s*=\s*["\']([^"\']*)["\']', 1
+    )
+    for ent, rep in _ENTITIES:  # same decode order as html_to_text
+        val = F.regexp_replace(val, ent, rep)
+    return (
+        exploded.select(
+            "subject", key.alias("predicate"), val.alias("object")
+        )
+        .where((F.col("predicate") != "") & (F.col("object") != ""))
+    )
+
+
+def extract_microdata(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Schema.org MICRODATA harvest (the attribute-based sibling of the
+    JSON-LD script block) -> ``(subject, predicate, object)`` triples:
+    the page's first ``itemscope itemtype="..."`` becomes an ``a``
+    triple, and every ``itemprop="k"`` tag becomes a property triple —
+    value from ``content=`` when present (meta/link style), else the
+    tag's immediate text (``<span itemprop=...>text<``). Subject is the
+    page url.
+
+    Flat subset by design: NESTED itemscopes are not scoped (their
+    itemprops attach to the page subject) — the documented residue,
+    mirroring `extract_embedded_jsonld`'s flat-object bound; route
+    pages needing full microdata nesting through a DOM parser offline.
+    Chain is regexp_extract_all + explode + three regexp_extracts —
+    JVM-only, zero shuffle.
+    """
+    html_expr = (
+        f'decode({html_col}, "utf-8")'
+        if dict(df.dtypes)[html_col] == "binary" else html_col
+    )
+    html_s = F.expr(html_expr)
+    itemtype = F.regexp_extract(
+        html_s,
+        r'(?is)\bitemscope\b[^>]*\bitemtype\s*=\s*["\']([^"\']+)["\']',
+        1,
+    )
+    typed = df.select(
+        F.col(url_col).alias("subject"),
+        F.lit("a").alias("predicate"),
+        itemtype.alias("object"),
+    ).where(F.col("object") != "")
+    # one tag (+ optional immediate text run) per itemprop occurrence
+    tags = F.expr(
+        f"regexp_extract_all({html_expr}, "
+        r"'(?is)<[a-z][^>]*\\bitemprop\\s*=[^>]*>[^<]*', 0)"
+    )
+    exploded = df.select(
+        F.col(url_col).alias("subject"), F.explode(tags).alias("_tag")
+    )
+    prop = F.regexp_extract(
+        F.col("_tag"), r'(?is)\bitemprop\s*=\s*["\']([^"\']+)["\']', 1
+    )
+    content_attr = F.regexp_extract(
+        F.col("_tag"), r'(?is)\bcontent\s*=\s*["\']([^"\']*)["\']', 1
+    )
+    text_run = F.trim(F.regexp_extract(F.col("_tag"), r">([^<]*)$", 1))
+    value = F.when(content_attr != "", content_attr).otherwise(text_run)
+    for ent, rep in _ENTITIES:  # same decode order as html_to_text
+        value = F.regexp_replace(value, ent, rep)
+    props = exploded.select(
+        "subject",
+        prop.alias("predicate"),
+        value.alias("object"),
+    ).where((F.col("predicate") != "") & (F.col("object") != ""))
+    return typed.unionByName(props)
+
+
+def extract_html_tables(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """WebTables-style relational harvest (Cafarella et al., VLDB'08):
+    pull each page's FIRST ``<table>`` and emit one row per body cell,
+    ``(url, row_idx, col_idx, header, cell)`` — header joined in from
+    the table's first row, so each cell arrives as the
+    (attribute, value) pair a KG mapping consumes directly (feed the
+    result to `weave` with header->predicate mapping for instant
+    table-to-triples).
+
+    Plan: regexp for the table block, ``regexp_extract_all`` rows
+    (``<tr``), posexplode, ``regexp_extract_all`` cells (``<td``/
+    ``<th``), posexplode, then one BROADCAST join of the header row
+    back onto body cells by col_idx — the header frame is one row per
+    (page, column), dictionary-sized relative to the cells. Tags inside
+    cells are stripped, entities decoded with the shared table. Pages
+    with no table vanish (loud by absence).
+    """
+    html_expr = (
+        f'decode({html_col}, "utf-8")'
+        if dict(df.dtypes)[html_col] == "binary" else html_col
+    )
+    block = F.regexp_extract(
+        F.expr(html_expr), r"(?is)<table[^>]*>(.*?)</table>", 1
+    )
+    rows = df.select(
+        F.col(url_col).alias("url"),
+        F.expr(
+            # row bodies: content of each <tr>...</tr>
+            f"regexp_extract_all(regexp_extract({html_expr}, "
+            r"'(?is)<table[^>]*>(.*?)</table>', 1), "
+            r"'(?is)<tr[^>]*>(.*?)</tr>', 1)"
+        ).alias("_rows"),
+    ).select("url", F.posexplode("_rows").alias("row_idx", "_row"))
+    cells = rows.select(
+        "url",
+        "row_idx",
+        F.expr(
+            r"regexp_extract_all(_row, '(?is)<t[dh][^>]*>(.*?)</t[dh]>', 1)"
+        ).alias("_cells"),
+    ).select(
+        "url", "row_idx", F.posexplode("_cells").alias("col_idx", "_cell")
+    )
+    clean = F.trim(F.regexp_replace(F.col("_cell"), r"(?is)<[^>]+>", " "))
+    for ent, rep in _ENTITIES:
+        clean = F.regexp_replace(clean, ent, rep)
+    cells = cells.select(
+        "url", "row_idx", "col_idx", F.regexp_replace(clean, r"\s+", " ").alias("cell")
+    )
+    header = (
+        cells.where(F.col("row_idx") == 0)
+        .select("url", "col_idx", F.col("cell").alias("header"))
+    )
+    return (
+        cells.where(F.col("row_idx") > 0)
+        .join(F.broadcast(header), ["url", "col_idx"], "left")
+        .select("url", "row_idx", "col_idx", "header", "cell")
+    )

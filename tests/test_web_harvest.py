@@ -1,0 +1,84 @@
+"""Goldens for the structured-data harvesters over crawl HTML:
+<meta>-tag (OpenGraph), schema.org microdata, and WebTables-style
+first-table extraction. Reference analog: none (the reference consumes
+pre-extracted CSVs); these are the web-KG bootstrap surface the north
+rule targets."""
+
+import pyspark.sql.functions as F
+
+from ontoweaver_spark.webdoc import (
+    extract_html_tables,
+    extract_meta_tags,
+    extract_microdata,
+)
+
+_HTML = """<html><head>
+<meta property="og:title" content="My Page"/>
+<meta name="description" content="A &amp; B">
+<meta content="article" property="og:type" >
+<meta charset="utf-8">
+<meta property="og:image" content="i1.png"><meta property='og:image' content='i2.png'>
+</head><body itemscope itemtype="https://schema.org/Article">
+<span itemprop="author">Ada L.</span>
+<meta itemprop="datePublished" content="2020-01-02">
+<b itemprop = 'note'>s &amp; t</b>
+<table class="t"><tr><th> name </th><th>age</th></tr>
+<tr><td>Bob &lt;x&gt;</td><td>33</td></tr>
+<tr><td><b>Eve</b></td><td></td></tr></table>
+<table><tr><td>second table ignored</td></tr></table>
+</body></html>"""
+
+
+def _page(spark, html=_HTML):
+    return spark.createDataFrame([("http://a", html)], ["url", "html"])
+
+
+def test_meta_tags_golden(spark):
+    got = {
+        (r["predicate"], r["object"])
+        for r in extract_meta_tags(_page(spark)).collect()
+    }
+    assert got == {
+        ("og:title", "My Page"),
+        ("description", "A & B"),  # entity decoded
+        ("og:type", "article"),  # attribute order swapped
+        ("og:image", "i1.png"),
+        ("og:image", "i2.png"),  # single-quoted + repeated property
+    }  # charset tag (no name/property) dropped
+
+
+def test_microdata_golden(spark):
+    got = {
+        (r["predicate"], r["object"])
+        for r in extract_microdata(_page(spark)).collect()
+    }
+    assert got == {
+        ("a", "https://schema.org/Article"),
+        ("author", "Ada L."),  # text-run value
+        ("datePublished", "2020-01-02"),  # content= value
+        ("note", "s & t"),  # single quotes, spaces around =, entity
+    }
+
+
+def test_html_tables_golden(spark):
+    rows = {
+        (r["row_idx"], r["col_idx"]): (r["header"], r["cell"])
+        for r in extract_html_tables(_page(spark)).collect()
+    }
+    # header row emits no body cells; second table ignored
+    assert rows == {
+        (1, 0): ("name", "Bob <x>"),  # entity decoded, header trimmed
+        (1, 1): ("age", "33"),
+        (2, 0): ("name", "Eve"),  # inner tag stripped
+        (2, 1): ("age", ""),
+    }
+
+
+def test_binary_html_and_absences(spark):
+    df = spark.createDataFrame(
+        [("http://b", bytearray(b"<html><body>plain</body></html>"))],
+        ["url", "html"],
+    ).select("url", F.col("html").cast("binary").alias("html"))
+    assert extract_meta_tags(df).count() == 0
+    assert extract_microdata(df).count() == 0
+    assert extract_html_tables(df).count() == 0
