@@ -4410,6 +4410,62 @@ def q_media_audio(spark, sf_dir):
     return audio_features(synthetic_media(spark, 2000, seed=42))
 
 
+def q_kg_simrank(spark, sf_dir):
+    """Truncated SimRank (2 exact-integer rounds, C=0.8) over the sparse
+    directed doc graph: 'similar if referenced by similar sources' — the
+    structural merge-candidate signal for ER. Oracle unrolls the same
+    BIGINT recurrence as MATERIALIZED CTEs."""
+    from ontoweaver_spark.graphstats import simrank_scores
+
+    _tune(spark)
+    return simrank_scores(_doc_graph(spark, sf_dir), rounds=2)
+
+
+def _simrank_sql(rounds: int = 2, c_num: int = 8, c_den: int = 10,
+                 cap: int = 64, scale: int = 1_000_000) -> str:
+    body = f"""
+    WITH raw AS MATERIALIZED (
+      {_doc_graph_sql()}
+    ), e AS MATERIALIZED (
+      SELECT DISTINCT src AS u, dst AS v FROM raw WHERE src <> dst
+    ), ind AS MATERIALIZED (
+      SELECT v AS node, count(*)::BIGINT AS ind FROM e GROUP BY 1
+    ), outd AS (
+      SELECT u AS node, count(*)::BIGINT AS outd FROM e GROUP BY 1
+    ), prop AS MATERIALIZED (
+      SELECT e.u AS i, e.v AS a FROM e
+      JOIN outd o ON o.node = e.u AND o.outd <= {cap}
+    ), nodes AS (
+      SELECT u AS node FROM e UNION SELECT v FROM e
+    ), s0 AS MATERIALIZED (
+      SELECT node AS pi, node AS pj, {scale}::BIGINT AS s FROM nodes
+    )"""
+    prev = "s0"
+    for r in range(1, rounds + 1):
+        body += f""", sum{r} AS MATERIALIZED (
+      SELECT p1.a AS a, p2.a AS b, sum({prev}.s)::BIGINT AS su
+      FROM {prev}
+      JOIN prop p1 ON p1.i = {prev}.pi
+      JOIN prop p2 ON p2.i = {prev}.pj
+      WHERE p1.a <> p2.a
+      GROUP BY 1, 2
+    ), s{r} AS MATERIALIZED (
+      SELECT pi, pj, s FROM s0
+      UNION ALL
+      SELECT pi, pj, s FROM (
+        SELECT m.a AS pi, m.b AS pj,
+               (({c_num} * m.su) // ({c_den} * ia.ind * ib.ind))::BIGINT AS s
+        FROM sum{r} m
+        JOIN ind ia ON ia.node = m.a
+        JOIN ind ib ON ib.node = m.b
+      ) WHERE s >= 1
+    )"""
+        prev = f"s{r}"
+    return body + f"""
+    SELECT pi AS a, pj AS b, s AS simrank FROM {prev} WHERE pi < pj
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -4623,6 +4679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_og": q_meta_og,
         "microdata": q_microdata,
         "web_tables": q_web_tables,
+        "kg_simrank": q_kg_simrank,
     }
 
 
@@ -9634,6 +9691,7 @@ def oracle_sql() -> dict[str, str]:
                    coalesce((SELECT sum(w) FROM wp), 0)::BIGINT AS wedges,
                    (coalesce((SELECT sum(w * (w-1) // 2) FROM wp), 0) // 2)::BIGINT AS squares
         """,
+        "kg_simrank": _simrank_sql(rounds=2),
         "meta_og": """
             SELECT 'https://x.test/' || doc_id::VARCHAR AS subject,
                    'og:title' AS predicate, upper(source) AS object

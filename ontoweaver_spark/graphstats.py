@@ -4353,3 +4353,115 @@ def ppr_sweep_cut(
         "cut",
         F.expr("_num div _side").cast("long").alias("phi_ppm"),
     )
+
+
+def simrank_scores(
+    edges: DataFrame,
+    rounds: int = 2,
+    c_num: int = 8,
+    c_den: int = 10,
+    max_out_degree: int = 64,
+    scale: int = 1_000_000,
+    min_score: int = 1,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Truncated SimRank (Jeh & Widom, KDD'02) over the directed simple
+    graph -> ``(a, b, simrank)`` with ``a < b`` and score in fixed-point
+    ``scale`` units: "two objects are similar if they are referenced by
+    similar objects" — THE structural node-similarity for entity
+    resolution on a KG (two entities cited by the same similar sources
+    are merge candidates even with zero textual overlap).
+
+    Exact recurrence, all BIGINT:
+    ``s_0(a,b) = scale*[a=b]``;
+    ``s_k(a,b) = (c_num * SUM_{i->a, j->b} s_{k-1}(i,j))
+                 DIV (c_den * indeg(a) * indeg(b))`` for a != b,
+    diagonal pinned at ``scale``. Truncating integer division per pair
+    per round makes the result partition-order independent and
+    hash-identical in any engine (same argument as
+    :func:`pagerank_fixed_point`); C = c_num/c_den is the standard 0.8.
+
+    Scale shape: the nonzero-pair frontier starts at the diagonal and
+    each round fans out through ONE two-sided hash join against the
+    out-adjacency (i->a onto the left key, j->b onto the right key)
+    followed by one map-side-combined sum keyed on (a,b). The fan-out
+    factor is outdeg(i)*outdeg(j), so nodes with out-degree >
+    ``max_out_degree`` do not PROPAGATE similarity (their targets'
+    pairs lose those terms — the same hub-cap move as
+    :func:`link_prediction_scores`: a page linking to everyone certifies
+    nothing). Capped hubs still RECEIVE scores as a/b. Pair-state stays
+    bounded by sum(min(outdeg,cap)^2) per round, never |V|^2: truncated
+    rounds keep the frontier local exactly like the k-hop guarantee.
+    Scores below ``min_score`` (post-division zeros) are dropped each
+    round — the sparsity that keeps round k+1's join input small.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    indeg = e.groupBy(F.col("v").alias("node")).agg(
+        F.count("*").alias("ind")
+    )
+    outdeg = e.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("outd")
+    )
+    # propagation adjacency: i -> a, only for i under the out-degree cap
+    prop = (
+        e.join(
+            outdeg.where(F.col("outd") <= max_out_degree).select(
+                F.col("node").alias("u")
+            ),
+            "u",
+        )
+        .select(F.col("u").alias("i"), F.col("v").alias("a"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    diag = nodes.select(
+        F.col("node").alias("pi"),
+        F.col("node").alias("pj"),
+        F.lit(scale).cast("long").alias("s"),
+    )
+    cur = diag
+    for _ in range(rounds):
+        summed = (
+            cur.join(prop.select(F.col("i").alias("pi"), "a"), "pi")
+            .join(
+                prop.select(F.col("i").alias("pj"), F.col("a").alias("b")),
+                "pj",
+            )
+            .where(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.sum("s").alias("_sum"))
+        )
+        offdiag = (
+            summed.join(indeg.select(F.col("node").alias("a"),
+                                     F.col("ind").alias("ia")), "a")
+            .join(indeg.select(F.col("node").alias("b"),
+                               F.col("ind").alias("ib")), "b")
+            .select(
+                F.col("a").alias("pi"),
+                F.col("b").alias("pj"),
+                F.expr(f"({int(c_num)} * _sum) div ({int(c_den)} * ia * ib)")
+                .cast("long")
+                .alias("s"),
+            )
+            .where(F.col("s") >= min_score)
+        )
+        cur = (
+            diag.unionByName(offdiag)
+            .transform(lambda d: stats_reset_checkpoint(d, eager=False))
+        )
+    return (
+        cur.where(F.col("pi") < F.col("pj"))
+        .select(F.col("pi").alias("a"), F.col("pj").alias("b"),
+                F.col("s").alias("simrank"))
+    )
