@@ -4466,6 +4466,91 @@ def _simrank_sql(rounds: int = 2, c_num: int = 8, c_den: int = 10,
     """
 
 
+def q_kg_twins(spark, sf_dir):
+    """Structural-equivalence twin classes over a planted two-relation
+    graph (v_k -> h_{k%6}, r_{k%10} -> v_k): v_k and v_j are twins iff
+    k = j mod 30, so 60 v-nodes collapse into 30 pairs; h/r nodes stay
+    singletons. The supernode-collapse / interchangeable-entity signal."""
+    from ontoweaver_spark.graphstats import structural_twins
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    k = (F.col("doc_id") % 60).cast("long")
+    e = docs.select(
+        F.concat(F.lit("v"), k.cast("string")).alias("src"),
+        F.concat(F.lit("h"), (k % 6).cast("string")).alias("dst"),
+    ).unionByName(
+        docs.select(
+            F.concat(F.lit("r"), (k % 10).cast("string")).alias("src"),
+            F.concat(F.lit("v"), k.cast("string")).alias("dst"),
+        )
+    )
+    return structural_twins(e)
+
+
+def q_retrieval_eval(spark, sf_dir):
+    """Per-query IR evaluation (NDCG@10 / AP@10 / P@10, exact integer ppm
+    with a literal trunc(scale/log2(r+1)) gain table shared with the
+    oracle) over a synthesized judged ranking: 20 queries, ranks from
+    doc_id div 20, relevance from (doc_id*13)%7."""
+    from ontoweaver_spark.similarity import retrieval_metrics
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    res = docs.select(
+        F.concat(F.lit("q"), (i % 20).cast("string")).alias("query_id"),
+        (F.expr("doc_id div 20") + 1).cast("long").alias("rank"),
+        F.when((i * 13) % 7 < 2, F.lit(1)).otherwise(F.lit(0)).alias("rel"),
+    )
+    return retrieval_metrics(res, k=10)
+
+
+def _retrieval_sql(k: int = 10, scale: int = 1_000_000) -> str:
+    import math
+
+    gains = {r: int(scale / math.log2(r + 1)) for r in range(1, k + 1)}
+    ideal = {r: sum(gains[i] for i in range(1, r + 1)) for r in range(1, k + 1)}
+    gain_case = "CASE " + " ".join(
+        f"WHEN rank = {r} THEN {g}" for r, g in gains.items()
+    ) + " ELSE 0 END"
+    idcg_case = "CASE " + " ".join(
+        f"WHEN least(p.n_rel, {k}) = {r} THEN {g}" for r, g in ideal.items()
+    ) + " ELSE 0 END"
+    return f"""
+    WITH res AS MATERIALIZED (
+      SELECT 'q' || (doc_id % 20)::VARCHAR AS query_id,
+             (doc_id // 20 + 1)::BIGINT AS rank,
+             CASE WHEN (doc_id * 13) % 7 < 2 THEN 1 ELSE 0 END AS rel
+      FROM documents
+    ), perq AS (
+      SELECT query_id, sum(rel)::BIGINT AS n_rel FROM res GROUP BY 1
+    ), topk AS (
+      SELECT query_id, rank, rel, {gain_case} AS gain,
+             sum(rel) OVER (PARTITION BY query_id ORDER BY rank)
+               AS hits_so_far
+      FROM res WHERE rank <= {k}
+    ), scored AS (
+      SELECT query_id,
+             sum(rel * gain)::BIGINT AS dcg,
+             sum(CASE WHEN rel = 1
+                 THEN hits_so_far * {scale} // rank ELSE 0 END)::BIGINT
+               AS ap_num,
+             sum(rel)::BIGINT AS hits_at_k
+      FROM topk GROUP BY 1
+    )
+    SELECT p.query_id, p.n_rel,
+           (CASE WHEN p.n_rel > 0
+            THEN (coalesce(s.dcg, 0) * {scale}) // ({idcg_case})
+            ELSE 0 END)::BIGINT AS ndcg_ppm,
+           (CASE WHEN p.n_rel > 0
+            THEN coalesce(s.ap_num, 0) // least(p.n_rel, {k})
+            ELSE 0 END)::BIGINT AS ap_ppm,
+           (coalesce(s.hits_at_k, 0) * {scale} // {k})::BIGINT AS p_at_k_ppm
+    FROM perq p LEFT JOIN scored s USING (query_id)
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -4680,6 +4765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "microdata": q_microdata,
         "web_tables": q_web_tables,
         "kg_simrank": q_kg_simrank,
+        "kg_twins": q_kg_twins,
+        "retrieval_eval": q_retrieval_eval,
     }
 
 
@@ -9692,6 +9779,51 @@ def oracle_sql() -> dict[str, str]:
                    (coalesce((SELECT sum(w * (w-1) // 2) FROM wp), 0) // 2)::BIGINT AS squares
         """,
         "kg_simrank": _simrank_sql(rounds=2),
+        "retrieval_eval": _retrieval_sql(k=10),
+        "kg_twins": """
+            WITH e AS MATERIALIZED (
+              SELECT DISTINCT u, v FROM (
+                SELECT 'v' || (doc_id % 60)::VARCHAR AS u,
+                       'h' || ((doc_id % 60) % 6)::VARCHAR AS v
+                FROM documents
+                UNION ALL
+                SELECT 'r' || ((doc_id % 60) % 10)::VARCHAR,
+                       'v' || (doc_id % 60)::VARCHAR
+                FROM documents
+              ) WHERE u <> v
+            ), op AS MATERIALIZED (
+              SELECT u AS node,
+                     sum(('0x'||substr(md5('t1:'||v),1,15))::BIGINT
+                         % 2147483647)::BIGINT AS os1,
+                     sum(('0x'||substr(md5('t2:'||v),1,15))::BIGINT
+                         % 2147483647)::BIGINT AS os2,
+                     count(*)::BIGINT AS onn
+              FROM e GROUP BY 1
+            ), ip AS MATERIALIZED (
+              SELECT v AS node,
+                     sum(('0x'||substr(md5('t1:'||u),1,15))::BIGINT
+                         % 2147483647)::BIGINT AS is1,
+                     sum(('0x'||substr(md5('t2:'||u),1,15))::BIGINT
+                         % 2147483647)::BIGINT AS is2,
+                     count(*)::BIGINT AS inn
+              FROM e GROUP BY 1
+            ), prof AS MATERIALIZED (
+              SELECT coalesce(op.node, ip.node) AS node,
+                     coalesce(os1, 0) AS os1, coalesce(os2, 0) AS os2,
+                     coalesce(onn, 0) AS onn,
+                     coalesce(is1, 0) AS is1, coalesce(is2, 0) AS is2,
+                     coalesce(inn, 0) AS inn
+              FROM op FULL OUTER JOIN ip ON op.node = ip.node
+            ), cls AS (
+              SELECT os1, os2, onn, is1, is2, inn,
+                     min(node) AS class_id, count(*)::BIGINT AS class_size
+              FROM prof GROUP BY 1, 2, 3, 4, 5, 6
+            )
+            SELECT p.node, c.class_id, c.class_size
+            FROM prof p
+            JOIN cls c USING (os1, os2, onn, is1, is2, inn)
+            WHERE c.class_size >= 2
+        """,
         "meta_og": """
             SELECT 'https://x.test/' || doc_id::VARCHAR AS subject,
                    'og:title' AS predicate, upper(source) AS object

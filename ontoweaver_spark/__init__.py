@@ -51,7 +51,9 @@ from .graphstats import (
     reciprocity,
     rich_club,
     salsa_scores,
+    simrank_scores,
     square_count,
+    structural_twins,
     top_hubs,
     transitive_reduction,
     truss_numbers,
@@ -63,10 +65,18 @@ from .linking import (
     canonical_entity,
     canonical_url,
     comention_edges,
+    disambiguate_by_context,
     disambiguate_by_prior,
     entity_prior,
     link_entities,
     truth_finder,
+)
+from .similarity import rank_metrics, retrieval_metrics
+from .webdoc import (
+    extract_embedded_jsonld,
+    extract_html_tables,
+    extract_meta_tags,
+    extract_microdata,
 )
 from .nulls import is_not_null
 from .ontology import automap_to_targets, subclass_closure, subclass_edges_from_triples
@@ -102,6 +112,10 @@ __all__ = [
     "butterfly_count", "neighbor_jaccard", "transitive_reduction",
     "wl_colors", "core_numbers", "maximal_matching", "diameter_double_sweep",
     "katz_fixed_point", "reciprocity", "square_count", "skyline",
+    "simrank_scores", "structural_twins", "rank_metrics",
+    "retrieval_metrics", "disambiguate_by_context", "disambiguate_by_prior",
+    "extract_embedded_jsonld", "extract_meta_tags", "extract_microdata",
+    "extract_html_tables",
 ]
 
 

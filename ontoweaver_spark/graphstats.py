@@ -4465,3 +4465,71 @@ def simrank_scores(
         .select(F.col("pi").alias("a"), F.col("pj").alias("b"),
                 F.col("s").alias("simrank"))
     )
+
+
+def structural_twins(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    min_class_size: int = 2,
+) -> DataFrame:
+    """Exact-neighborhood twin classes -> ``(node, class_id,
+    class_size)``: nodes whose OUT-neighbor set and IN-neighbor set are
+    both identical collapse into one class (``class_id`` = lexicographic
+    min member). Structural equivalence in the strict sense — the
+    supernode-collapse primitive for KG compression and the strongest
+    "these entities are interchangeable" merge signal (two product pages
+    linked by exactly the same hubs to exactly the same targets), one
+    notch stronger than :func:`wl_colors`' depth-r indistinguishability.
+
+    Neighbor SETS are folded with the same commutative-sum idiom as
+    :func:`wl_colors` (sum of md5-int mod 2^31-1 + set size), but with
+    TWO independently-salted sums per direction: a false merge needs a
+    simultaneous collision in two 31-bit residues AND equal degrees on
+    both sides (~2^-62 per pair) — negligible-by-construction and
+    documented, while a hub with 10^8 neighbors folds map-side with
+    bounded state (the sorted-concat signature would collect a gigabyte
+    string in one task).
+
+    Shape: two distinct-edge scans -> per-node aggregates -> one
+    groupBy on the 6-field signature (min + count) -> one hash join
+    back to members. Classes below ``min_class_size`` drop (set it to 1
+    to keep singletons).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    M = 2147483647
+
+    def _profile(frame, node_col, nbr_col, tag, cnt):
+        return frame.groupBy(F.col(node_col).alias("node")).agg(
+            F.sum(F.pmod(md5_int(F.concat(F.lit("t1:"), F.col(nbr_col))), F.lit(M)))
+            .alias(f"{tag}s1"),
+            F.sum(F.pmod(md5_int(F.concat(F.lit("t2:"), F.col(nbr_col))), F.lit(M)))
+            .alias(f"{tag}s2"),
+            F.count("*").alias(cnt),  # 'onn'/'inn', not on/in: SQL keywords
+        )
+    out_p = _profile(e, "u", "v", "o", "onn")
+    in_p = _profile(e, "v", "u", "i", "inn")
+    prof = (
+        out_p.join(in_p, "node", "full")
+        .select(
+            "node",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).alias(c)
+                for c in ("os1", "os2", "onn", "is1", "is2", "inn")
+            ],
+        )
+    )
+    sig_cols = ["os1", "os2", "onn", "is1", "is2", "inn"]
+    classes = prof.groupBy(*sig_cols).agg(
+        F.min("node").alias("class_id"), F.count("*").alias("class_size")
+    )
+    return (
+        prof.join(classes, sig_cols)
+        .where(F.col("class_size") >= min_class_size)
+        .select("node", "class_id", "class_size")
+    )

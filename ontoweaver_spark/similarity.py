@@ -687,3 +687,93 @@ def rank_metrics(ranked: DataFrame, ks: tuple = (1, 3, 10)) -> DataFrame:
             F.expr(f"_h{k} * 1000000 div n").cast("long").alias(f"hits{k}_ppm")
         )
     return row.select(*out)
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    k: int = 10,
+    scale: int = 1_000_000,
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Per-query IR evaluation over a ranked result list with binary
+    relevance -> ``(query_id, n_rel, ndcg_ppm, ap_ppm, p_at_k_ppm)`` —
+    the retrieval-side twin of :func:`rank_metrics` (use that for KG
+    link prediction, this for BM25/ANN search quality):
+
+    - ``ndcg_ppm``: DCG@k with the binary gain table
+      ``G[r] = trunc(scale / log2(r+1))`` (a LITERAL integer table baked
+      at plan-build time — the only float touch happens in Python once,
+      never in the engine, so Spark and any SQL oracle share identical
+      constants), normalized by the ideal DCG over ``min(R, k)`` top
+      slots; 0 when the query has no relevant docs.
+    - ``ap_ppm``: average precision@k — mean over hit ranks r <= k of
+      ``P@r = hits_so_far * scale div r``, divided by ``min(R, k)``.
+    - ``p_at_k_ppm``: ``hits_at_k * scale div k``.
+
+    ``R = n_rel`` counts relevant rows ANYWHERE in the query's result
+    frame (judged-pool convention; relevance outside the frame is
+    unknowable here). All arithmetic after the literal table is BIGINT
+    truncating division — engine-portable and partition-independent.
+
+    Shape: one rank<=k filter, one cumulative-count window PARTITIONED
+    BY query (each partition is a <=k-row top-k list, so the window is
+    bounded by construction, never corpus-scale), one per-query
+    aggregate with map-side partials.
+    """
+    import math
+
+    gains = {r: int(scale / math.log2(r + 1)) for r in range(1, k + 1)}
+    gain_expr = "CASE " + " ".join(
+        f"WHEN {rank_col} = {r} THEN {g}L" for r, g in gains.items()
+    ) + " ELSE 0L END"
+    per_q = results.groupBy(F.col(query_col).alias("query_id")).agg(
+        F.sum(F.col(rel_col).cast("long")).alias("n_rel")
+    )
+    topk = (
+        results.where(F.col(rank_col) <= k)
+        .select(
+            F.col(query_col).alias("query_id"),
+            F.col(rank_col).alias("rank"),
+            F.col(rel_col).cast("long").alias("rel"),
+            F.expr(gain_expr).alias("gain"),
+        )
+        .withColumn("hits_so_far", F.sum("rel").over(
+            Window.partitionBy("query_id").orderBy("rank")
+        ))
+    )
+    scored = topk.groupBy("query_id").agg(
+        F.sum(F.col("rel") * F.col("gain")).alias("dcg"),
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.expr(f"hits_so_far * {scale} div rank"),
+            ).otherwise(F.lit(0))
+        ).alias("_ap_num"),
+        F.sum("rel").alias("hits_at_k"),
+    )
+    # ideal DCG for R relevant docs = sum of the top min(R, k) gains
+    ideal = {r: sum(gains[i] for i in range(1, r + 1)) for r in range(1, k + 1)}
+    idcg_expr = "CASE " + " ".join(
+        f"WHEN least(n_rel, {k}) = {r} THEN {g}L" for r, g in ideal.items()
+    ) + " ELSE 0L END"
+    return (
+        per_q.join(scored, "query_id", "left")
+        .select(
+            "query_id",
+            "n_rel",
+            F.expr(
+                f"CASE WHEN n_rel > 0 THEN"
+                f" (coalesce(dcg, 0) * {scale}) div ({idcg_expr})"
+                f" ELSE 0 END"
+            ).cast("long").alias("ndcg_ppm"),
+            F.expr(
+                f"CASE WHEN n_rel > 0 THEN"
+                f" coalesce(_ap_num, 0) div least(n_rel, {k})"
+                f" ELSE 0 END"
+            ).cast("long").alias("ap_ppm"),
+            F.expr(f"coalesce(hits_at_k, 0) * {scale} div {k}")
+            .cast("long").alias("p_at_k_ppm"),
+        )
+    )
