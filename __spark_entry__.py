@@ -4551,6 +4551,59 @@ def _retrieval_sql(k: int = 10, scale: int = 1_000_000) -> str:
     """
 
 
+def q_rake(spark, sf_dir):
+    """RAKE keyphrase extraction per document: stopword/punctuation-
+    bounded candidate runs, exact-integer deg/freq word scores summed
+    per phrase. Oracle replicates the regexp chain + BIGINT arithmetic."""
+    from ontoweaver_spark.textops import rake_keyphrases
+
+    _tune(spark)
+    return rake_keyphrases(_docs(spark, sf_dir), max_phrase_len=6)
+
+
+def _rake_sql(max_phrase_len: int = 6, scale: int = 1_000_000) -> str:
+    from ontoweaver_spark.textops import STOPWORDS
+
+    sw_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    return rf"""
+    WITH cand AS MATERIALIZED (
+      SELECT doc_id, phrase, len(string_split(phrase, ' ')) AS plen
+      FROM (
+        SELECT doc_id,
+               trim(regexp_replace(t.p, '\s+', ' ', 'g')) AS phrase
+        FROM documents,
+             UNNEST(string_split(
+               regexp_replace(
+                 regexp_replace(lower(trim(text)), '[^a-z0-9\s]+', '|', 'g'),
+                 '{sw_pat}', '|', 'g'),
+               '|')) AS t(p)
+      ) WHERE phrase <> ''
+    ), capped AS MATERIALIZED (
+      SELECT * FROM cand WHERE plen <= {max_phrase_len}
+    ), words_all AS MATERIALIZED (
+      SELECT doc_id, plen, t.w
+      FROM capped, UNNEST(string_split(phrase, ' ')) AS t(w)
+    ), wscore AS MATERIALIZED (
+      SELECT doc_id, w,
+             (sum(plen)::BIGINT * {scale} // count(*))::BIGINT AS ws
+      FROM words_all GROUP BY 1, 2
+    ), dph AS MATERIALIZED (
+      SELECT doc_id, phrase, count(*)::BIGINT AS n_occ,
+             min(plen)::BIGINT AS n_words
+      FROM capped GROUP BY 1, 2
+    ), phw AS (
+      SELECT doc_id, phrase, t.w
+      FROM dph, UNNEST(string_split(phrase, ' ')) AS t(w)
+    ), scored AS (
+      SELECT p.doc_id, p.phrase, sum(s.ws)::BIGINT AS score_ppm
+      FROM phw p JOIN wscore s ON s.doc_id = p.doc_id AND s.w = p.w
+      GROUP BY 1, 2
+    )
+    SELECT d.doc_id, d.phrase, d.n_words, d.n_occ, s.score_ppm
+    FROM dph d JOIN scored s ON s.doc_id = d.doc_id AND s.phrase = d.phrase
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -4767,6 +4820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_simrank": q_kg_simrank,
         "kg_twins": q_kg_twins,
         "retrieval_eval": q_retrieval_eval,
+        "rake_phrases": q_rake,
     }
 
 
@@ -9780,6 +9834,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_simrank": _simrank_sql(rounds=2),
         "retrieval_eval": _retrieval_sql(k=10),
+        "rake_phrases": _rake_sql(max_phrase_len=6),
         "kg_twins": """
             WITH e AS MATERIALIZED (
               SELECT DISTINCT u, v FROM (

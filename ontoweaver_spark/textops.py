@@ -1777,3 +1777,70 @@ def keyness_terms(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: list[str] | None = None,
+    max_phrase_len: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) per document ->
+    ``(doc_id, phrase, n_words, n_occ, score_ppm)`` — the classic
+    unsupervised keyword op for corpus topical indexing / KG property
+    suggestion. Candidate phrases are maximal token runs between
+    stopwords and punctuation; each word scores ``deg/freq`` (deg = sum
+    of lengths of phrases containing it, freq = occurrence count, both
+    per doc) and a phrase scores the sum of its words' scores.
+
+    Exact integers: word score is ``deg * scale DIV freq`` and the
+    phrase score a BIGINT sum — engine-portable, no float ordering.
+    Repeated words inside one phrase count once per occurrence
+    (standard RAKE); repeated occurrences of a phrase share one score
+    row with ``n_occ`` recording multiplicity.
+
+    Scale shape: candidate segmentation is a pure JVM regexp chain
+    (punctuation and ``\\b``-bounded stopwords both become split
+    points — no gaps-and-islands window, no Python), and every
+    aggregate is keyed by doc or (doc, word) — cardinality bounded by
+    document length, map-side combinable, zero corpus-wide state.
+    """
+    sw = stopwords if stopwords is not None else STOPWORDS
+    lowered = F.lower(F.trim(F.col(text_col)))
+    seg = F.regexp_replace(lowered, r"[^a-z0-9\s]+", "|")
+    if sw:
+        seg = F.regexp_replace(seg, r"\b(" + "|".join(sw) + r")\b", "|")
+    cand = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(F.split(seg, r"\|")).alias("_raw"))
+        .select(
+            "doc_id",
+            F.trim(F.regexp_replace(F.col("_raw"), r"\s+", " ")).alias("phrase"),
+        )
+        .where(F.col("phrase") != "")
+        .withColumn("plen", F.size(F.split(F.col("phrase"), " ")))
+        .where(F.col("plen") <= max_phrase_len)
+    )
+    words_all = cand.select(
+        "doc_id", "plen", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    wscore = (
+        words_all.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("deg"))
+        .select("doc_id", "w", F.expr(f"deg * {scale} div freq").alias("_ws"))
+    )
+    distinct_ph = cand.groupBy("doc_id", "phrase").agg(
+        F.count("*").alias("n_occ"), F.first("plen").alias("n_words")
+    )
+    ph_words = distinct_ph.select(
+        "doc_id", "phrase", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    scored = (
+        ph_words.join(wscore, ["doc_id", "w"])
+        .groupBy("doc_id", "phrase")
+        .agg(F.sum("_ws").alias("score_ppm"))
+    )
+    return distinct_ph.join(scored, ["doc_id", "phrase"]).select(
+        "doc_id", "phrase", "n_words", "n_occ", "score_ppm"
+    )

@@ -1,0 +1,41 @@
+"""Hand-computed RAKE golden (Rose et al. 2010): deg/freq word scores,
+phrase sums, stopword + punctuation segmentation, occurrence counting."""
+
+from ontoweaver_spark.textops import rake_keyphrases
+
+
+def test_rake_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "Deep learning of deep networks, and the deep learning rocks.")],
+        ["doc_id", "text"],
+    )
+    got = {r["phrase"]: r for r in rake_keyphrases(df).collect()}
+    # deep: freq 3, deg 2+2+3=7 -> 2333333; learning: 2, 5 -> 2500000
+    # networks: 1, 2 -> 2000000; rocks: 1, 3 -> 3000000
+    assert got["deep learning"]["score_ppm"] == 2333333 + 2500000
+    assert got["deep networks"]["score_ppm"] == 2333333 + 2000000
+    assert got["deep learning rocks"]["score_ppm"] == 2333333 + 2500000 + 3000000
+    assert set(got) == {"deep learning", "deep networks", "deep learning rocks"}
+
+
+def test_rake_occurrences_and_cap(spark):
+    df = spark.createDataFrame([(1, "red fox and red fox")], ["doc_id", "text"])
+    rows = rake_keyphrases(df).collect()
+    assert len(rows) == 1 and rows[0]["n_occ"] == 2
+    # red: freq 2 deg 4 -> 2000000; fox same -> phrase 4000000 (occurrences
+    # share ONE score row, never doubled)
+    assert rows[0]["score_ppm"] == 4_000_000
+    # a run longer than the cap drops entirely
+    assert rake_keyphrases(
+        spark.createDataFrame([(1, "one two three")], ["doc_id", "text"]),
+        max_phrase_len=2,
+    ).count() == 0
+
+
+def test_rake_repeated_word_in_phrase_counts_twice(spark):
+    df = spark.createDataFrame([(1, "new york new york")], ["doc_id", "text"])
+    rows = rake_keyphrases(df).collect()
+    # one 4-token phrase; new: freq 2 deg 8 -> 4e6, york same;
+    # each occurrence inside the phrase contributes -> 4 * 4e6
+    assert rows[0]["score_ppm"] == 16_000_000
+    assert rows[0]["n_words"] == 4
