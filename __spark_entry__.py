@@ -4604,6 +4604,45 @@ def _rake_sql(max_phrase_len: int = 6, scale: int = 1_000_000) -> str:
     """
 
 
+def q_tables_kg(spark, sf_dir):
+    """THE WebTables-to-KG composition: synthesized crawl HTML -> first-
+    table cell harvest -> declared-header pivot -> declarative mapping ->
+    fused typed edges. Exercises extract_html_tables, table_rows_to_frame
+    and the weave engine end to end; closed-form edge oracle."""
+    from ontoweaver_spark import weave
+    from ontoweaver_spark.webdoc import extract_html_tables, table_rows_to_frame
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><table><tr><th>source</th><th>chars</th></tr><tr><td>'),
+        F.col("source"), F.lit("</td><td>"), F.col("n_chars").cast("string"),
+        F.lit("</td></tr><tr><td>l &amp; "), F.col("lang"),
+        F.lit("</td><td><i>"), (i % 7).cast("string"),
+        F.lit("</i></td></tr></table></body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://x.test/"), i.cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    frame = table_rows_to_frame(
+        extract_html_tables(pages), ["source", "chars"]
+    ).withColumn(
+        "rid", F.concat("url", F.lit("#"), F.col("row_idx").cast("string"))
+    )
+    mapping = {
+        "row": {"map": {"id_from_column": "rid", "to_subject": "table_row"}},
+        "transformers": [
+            {"map": {"column": "source", "to_object": "source",
+                     "via_relation": "from_source"}},
+            {"map": {"column": "chars", "to_properties": ["chars"]}},
+        ],
+    }
+    _, fedges = weave(frame, mapping, affix="suffix")
+    return fedges.select("src", "dst", F.col("label").alias("elabel"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -4821,6 +4860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_twins": q_kg_twins,
         "retrieval_eval": q_retrieval_eval,
         "rake_phrases": q_rake,
+        "tables_kg": q_tables_kg,
     }
 
 
@@ -9835,6 +9875,17 @@ def oracle_sql() -> dict[str, str]:
         "kg_simrank": _simrank_sql(rounds=2),
         "retrieval_eval": _retrieval_sql(k=10),
         "rake_phrases": _rake_sql(max_phrase_len=6),
+        "tables_kg": """
+            SELECT 'https://x.test/' || doc_id::VARCHAR || '#1:table_row'
+                     AS src,
+                   source || ':source' AS dst,
+                   'from_source' AS elabel
+            FROM documents
+            UNION ALL
+            SELECT 'https://x.test/' || doc_id::VARCHAR || '#2:table_row',
+                   'l & ' || lang || ':source', 'from_source'
+            FROM documents
+        """,
         "kg_twins": """
             WITH e AS MATERIALIZED (
               SELECT DISTINCT u, v FROM (

@@ -366,3 +366,28 @@ def extract_html_tables(
         .join(F.broadcast(header), ["url", "col_idx"], "left")
         .select("url", "row_idx", "col_idx", "header", "cell")
     )
+
+
+def table_rows_to_frame(
+    cells: DataFrame,
+    headers: list[str],
+    url_col: str = "url",
+) -> DataFrame:
+    """Pivot :func:`extract_html_tables` cell rows back into a columnar
+    frame -> ``(url, row_idx, <one column per requested header>)`` — the
+    bridge from relational web harvest to the declarative mapping
+    engine: feed the result straight to ``weave`` and a page's table
+    rows become typed KG nodes/edges (the WebTables-to-KG path).
+
+    ``headers`` is DECLARED, not discovered: schema-on-read like every
+    loader here, so the plan is fixed at build time and the pivot is one
+    groupBy(url, row_idx) with one max(when(header=h)) aggregate per
+    column — map-side combinable, no second discovery scan, no driver
+    collect. Headers a page lacks come back null (mapping validation
+    decides whether that's an error); extra harvested columns drop.
+    """
+    aggs = [
+        F.max(F.when(F.col("header") == h, F.col("cell"))).alias(h)
+        for h in headers
+    ]
+    return cells.groupBy(F.col(url_col).alias("url"), "row_idx").agg(*aggs)

@@ -82,3 +82,29 @@ def test_binary_html_and_absences(spark):
     assert extract_meta_tags(df).count() == 0
     assert extract_microdata(df).count() == 0
     assert extract_html_tables(df).count() == 0
+
+
+def test_table_rows_to_frame_and_weave(spark):
+    from ontoweaver_spark import weave
+    from ontoweaver_spark.webdoc import table_rows_to_frame
+
+    cells = extract_html_tables(_page(spark))
+    frame = table_rows_to_frame(cells, ["name", "age", "missing"])
+    rows = {r["row_idx"]: r for r in frame.collect()}
+    assert rows[1]["name"] == "Bob <x>" and rows[1]["age"] == "33"
+    assert rows[1]["missing"] is None  # declared-but-absent header -> null
+    frame = frame.withColumn(
+        "rid",
+        F.concat("url", F.lit("#"), F.col("row_idx").cast("string")),
+    )
+    mapping = {
+        "row": {"map": {"id_from_column": "rid", "to_subject": "table_row"}},
+        "transformers": [
+            {"map": {"column": "name", "to_object": "person",
+                     "via_relation": "names"}},
+        ],
+    }
+    _, fedges = weave(frame, mapping, affix="suffix")
+    got = {(r["src"], r["dst"]) for r in fedges.collect()}
+    assert ("http://a#1:table_row", "Bob <x>:person") in got
+    assert ("http://a#2:table_row", "Eve:person") in got
