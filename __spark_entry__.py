@@ -4643,6 +4643,69 @@ def q_tables_kg(spark, sf_dir):
     return fedges.select("src", "dst", F.col("label").alias("elabel"))
 
 
+def q_kg_refex(spark, sf_dir):
+    """ReFeX recursive role features (2 rounds, 14 exact-BIGINT columns)
+    over the sparse doc graph — the RolX feature stage; equal vectors =
+    same structural role. Oracle unrolls the same neighbor-sum rounds."""
+    from ontoweaver_spark.graphstats import refex_features
+
+    _tune(spark)
+    return refex_features(_doc_graph(spark, sf_dir), rounds=2)
+
+
+def _refex_sql(rounds: int = 2) -> str:
+    body = f"""
+    WITH raw AS MATERIALIZED (
+      {_doc_graph_sql()}
+    ), e AS MATERIALIZED (
+      SELECT DISTINCT src AS u, dst AS v FROM raw WHERE src <> dst
+    ), nodes AS (
+      SELECT u AS node FROM e UNION SELECT v FROM e
+    ), f0 AS MATERIALIZED (
+      SELECT n.node,
+             coalesce(o.od, 0)::BIGINT AS od,
+             coalesce(i.ind, 0)::BIGINT AS ind
+      FROM nodes n
+      LEFT JOIN (SELECT u AS node, count(*) AS od FROM e GROUP BY 1) o
+        ON o.node = n.node
+      LEFT JOIN (SELECT v AS node, count(*) AS ind FROM e GROUP BY 1) i
+        ON i.node = n.node
+    )"""
+    all_cols = ["od", "ind"]
+    new_cols = ["od", "ind"]
+    for r in range(1, rounds + 1):
+        os_aggs = ", ".join(
+            f"sum(p.{c})::BIGINT AS os_{c}" for c in new_cols
+        )
+        is_aggs = ", ".join(
+            f"sum(p.{c})::BIGINT AS is_{c}" for c in new_cols
+        )
+        minted = [f"os_{c}" for c in new_cols] + [f"is_{c}" for c in new_cols]
+        keep = ", ".join(f"f.{c}" for c in all_cols)
+        fill = ", ".join(
+            f"coalesce({'o' if m.startswith('os_') else 'i'}.{m}, 0)::BIGINT"
+            f" AS {m}"
+            for m in minted
+        )
+        body += f""", o{r} AS MATERIALIZED (
+      SELECT e.u AS node, {os_aggs} FROM e
+      JOIN f{r - 1} p ON p.node = e.v GROUP BY 1
+    ), i{r} AS MATERIALIZED (
+      SELECT e.v AS node, {is_aggs} FROM e
+      JOIN f{r - 1} p ON p.node = e.u GROUP BY 1
+    ), f{r} AS MATERIALIZED (
+      SELECT f.node, {keep}, {fill}
+      FROM f{r - 1} f
+      LEFT JOIN o{r} o ON o.node = f.node
+      LEFT JOIN i{r} i ON i.node = f.node
+    )"""
+        all_cols += minted
+        new_cols = minted
+    return body + f"""
+    SELECT * FROM f{rounds}
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -4861,6 +4924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval": q_retrieval_eval,
         "rake_phrases": q_rake,
         "tables_kg": q_tables_kg,
+        "kg_refex": q_kg_refex,
     }
 
 
@@ -9875,6 +9939,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_simrank": _simrank_sql(rounds=2),
         "retrieval_eval": _retrieval_sql(k=10),
         "rake_phrases": _rake_sql(max_phrase_len=6),
+        "kg_refex": _refex_sql(rounds=2),
         "tables_kg": """
             SELECT 'https://x.test/' || doc_id::VARCHAR || '#1:table_row'
                      AS src,

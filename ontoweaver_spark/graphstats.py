@@ -4533,3 +4533,77 @@ def structural_twins(
         .where(F.col("class_size") >= min_class_size)
         .select("node", "class_id", "class_size")
     )
+
+
+def refex_features(
+    edges: DataFrame,
+    rounds: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Recursive structural features (ReFeX, Henderson et al. KDD'11 —
+    the feature stage of RolX role discovery) -> one row per node with
+    exact-BIGINT feature columns: base features ``od``/``ind`` (out/in
+    degree), then each round appends, for every feature minted in the
+    PREVIOUS round, its sum over out-neighbors (``os_*``) and over
+    in-neighbors (``is_*``) — rounds=2 gives 2 + 4 + 8 = 14 columns.
+    Nodes with equal vectors play the same structural role (broker, hub
+    spoke, leaf-of-hub, ...) regardless of where in the graph they sit —
+    the role signal that feeds clustering/blocking where
+    :func:`structural_twins` (exact same neighbors) is too strict and
+    :func:`wl_colors` (opaque hash) is unusable as a feature.
+
+    Recursing only over the previous round's features is the standard
+    pruned variant: the full closure triples columns per round while
+    adding only re-sums of already-present information. All sums are
+    integer aggregates over the edge list — two hash joins + two
+    map-side-combined aggs per round, no windows, no floats (ReFeX's
+    means are sum/deg — derivable downstream where needed without
+    sacrificing the engine-exact hash).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = e.select(F.col("u").alias("node")).unionAll(
+        e.select("v")
+    ).distinct()
+    od = e.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("od"))
+    ind = e.groupBy(F.col("v").alias("node")).agg(F.count("*").alias("ind"))
+    feats = (
+        nodes.join(od, "node", "left")
+        .join(ind, "node", "left")
+        .select(
+            "node",
+            F.coalesce("od", F.lit(0)).cast("long").alias("od"),
+            F.coalesce("ind", F.lit(0)).cast("long").alias("ind"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    new_cols = ["od", "ind"]
+    for _ in range(rounds):
+        src_feats = feats.select(F.col("node"), *new_cols)
+        osum = (
+            e.join(src_feats.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(*[F.sum(c).alias(f"os_{c}") for c in new_cols])
+        )
+        isum = (
+            e.join(src_feats.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(*[F.sum(c).alias(f"is_{c}") for c in new_cols])
+        )
+        minted = [f"os_{c}" for c in new_cols] + [f"is_{c}" for c in new_cols]
+        feats = (
+            feats.join(osum, "node", "left")
+            .join(isum, "node", "left")
+            .select(
+                "*",
+            )
+            .na.fill(0, minted)
+            .transform(lambda d: stats_reset_checkpoint(d, eager=False))
+        )
+        new_cols = minted
+    return feats
