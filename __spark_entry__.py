@@ -4706,6 +4706,60 @@ def _refex_sql(rounds: int = 2) -> str:
     """
 
 
+def q_kg_label_prop(spark, sf_dir):
+    """Seeded label propagation (3 monotone rounds, exact-integer
+    majority votes, deterministic tie-breaks) over the doc graph: 20
+    seed nodes typed T0/T1/T2 spread through the link structure — the
+    semi-supervised KG type-completion op."""
+    from ontoweaver_spark.graphstats import propagate_labels
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    seeds = docs.where(F.col("doc_id") % 25 == 0).select(
+        F.concat(F.lit("n"), F.col("doc_id").cast("string")).alias("node"),
+        F.concat(F.lit("T"), (F.col("doc_id") % 3).cast("string")).alias("label"),
+    )
+    return propagate_labels(_doc_graph(spark, sf_dir), seeds, rounds=3)
+
+
+def _label_prop_sql(rounds: int = 3) -> str:
+    body = f"""
+    WITH raw AS MATERIALIZED (
+      {_doc_graph_sql()}
+    ), und AS MATERIALIZED (
+      SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM raw
+        UNION ALL SELECT dst, src FROM raw
+      ) WHERE a <> b
+    ), lab0 AS MATERIALIZED (
+      SELECT 'n' || doc_id::VARCHAR AS node,
+             'T' || (doc_id % 3)::VARCHAR AS label,
+             0 AS round_assigned
+      FROM documents WHERE doc_id % 25 = 0
+    )"""
+    for r in range(1, rounds + 1):
+        body += f""", v{r} AS MATERIALIZED (
+      SELECT e.b AS node, l.label, count(*)::BIGINT AS cnt
+      FROM und e
+      JOIN lab{r - 1} l ON l.node = e.a
+      WHERE e.b NOT IN (SELECT node FROM lab{r - 1})
+      GROUP BY 1, 2
+    ), n{r} AS MATERIALIZED (
+      SELECT node, label, {r} AS round_assigned FROM (
+        SELECT node, label,
+               row_number() OVER (
+                 PARTITION BY node ORDER BY cnt DESC, label ASC
+               ) AS rk
+        FROM v{r}
+      ) WHERE rk = 1
+    ), lab{r} AS MATERIALIZED (
+      SELECT * FROM lab{r - 1} UNION ALL SELECT * FROM n{r}
+    )"""
+    return body + f"""
+    SELECT node, label, round_assigned FROM lab{rounds}
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -4925,6 +4979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_phrases": q_rake,
         "tables_kg": q_tables_kg,
         "kg_refex": q_kg_refex,
+        "kg_label_prop": q_kg_label_prop,
     }
 
 
@@ -9940,6 +9995,7 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_eval": _retrieval_sql(k=10),
         "rake_phrases": _rake_sql(max_phrase_len=6),
         "kg_refex": _refex_sql(rounds=2),
+        "kg_label_prop": _label_prop_sql(rounds=3),
         "tables_kg": """
             SELECT 'https://x.test/' || doc_id::VARCHAR || '#1:table_row'
                      AS src,

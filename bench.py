@@ -138,7 +138,13 @@ def main() -> None:
                  "dedup_winnow", "kg_2ecc", "dedup_cosine_l2ap",
                  "hll_count", "kg_trussness", "kg_rich_club",
                  "allen_audit", "keyness", "kg_eigen", "kg_ppr_push",
-                 "kg_salsa", "kg_percolation", "domain_extract", "kg_4cliques"]:
+                 "kg_salsa", "kg_percolation", "domain_extract", "kg_4cliques",
+                 "kg_coloring", "kg_transe_filtered", "emb_near_dup",
+                 "entity_canonical", "validate_docs", "entity_prior",
+                 "entity_disambig", "truth_find", "kg_sweep_cut",
+                 "kg_rank_eval", "entity_disambig_ctx", "meta_og",
+                 "microdata", "web_tables", "kg_simrank", "kg_twins",
+                 "retrieval_eval", "rake_phrases", "tables_kg", "kg_refex"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the

@@ -4607,3 +4607,69 @@ def refex_features(
         )
         new_cols = minted
     return feats
+
+
+def propagate_labels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Seeded label propagation -> ``(node, label, round_assigned)``:
+    starting from a seed table of known labels (entity types curated by
+    hand or inferred from schema.org), each round every still-unlabeled
+    node adopts the MAJORITY label among its labeled neighbors on the
+    undirected graph (ties: count desc, then label asc — fully
+    deterministic), and once labeled a node never changes. The
+    semi-supervised type-completion companion to ``kg_typeinfer``:
+    schema gives types to the mapped core, propagation extends them
+    through the link structure.
+
+    Monotone-seeded (labels only spread, never flip) => converges in
+    <= diameter rounds and the result is partition-order independent —
+    exact integer vote counts plus a lexicographic tie-break make it
+    hash-identical in any engine, unlike classic LPA whose oscillation
+    needs async tricks.
+
+    Per round: one hash join (labels onto edges) + one (node, label)
+    count agg + one per-node argmax via min_by over a (neg count, label)
+    struct (no window) + one anti-join to keep only new nodes. Frontier
+    shrinks monotonically; plan reset per round via
+    ``stats_reset_checkpoint`` like every iterative loop here.
+    """
+    u, v = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.select(u.alias("a"), v.alias("b"))
+        .unionAll(edges.select(v.alias("a"), u.alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labeled = seeds.select(
+        F.col(node_col).alias("node"),
+        F.col(label_col).cast("string").alias("label"),
+        F.lit(0).alias("round_assigned"),
+    )
+    for r in range(1, rounds + 1):
+        votes = (
+            und.join(
+                labeled.select(F.col("node").alias("a"), "label"), "a"
+            )
+            .join(
+                labeled.select(F.col("node").alias("b")), "b", "left_anti"
+            )
+            .groupBy(F.col("b").alias("node"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        new = votes.groupBy("node").agg(
+            F.expr(
+                "min_by(label, named_struct('nc', -cnt, 'l', label))"
+            ).alias("label")
+        ).withColumn("round_assigned", F.lit(r))
+        labeled = labeled.unionByName(new).transform(
+            lambda d: stats_reset_checkpoint(d, eager=False)
+        )
+    return labeled
