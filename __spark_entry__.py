@@ -4760,6 +4760,35 @@ def _label_prop_sql(rounds: int = 3) -> str:
     """
 
 
+def q_zorder(spark, sf_dir):
+    """Morton/Z-order layout keys over (n_chars, doc_id mod 512) — the
+    multi-dimensional data-skipping sort key for lakehouse writes; pure
+    BIGINT shift/mask arithmetic, oracle-identical in any engine."""
+    from ontoweaver_spark.layout import zorder_key
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        zorder_key(
+            [F.col("n_chars"), (F.col("doc_id") % 512)], bits=16
+        ).alias("zkey"),
+    )
+
+
+def _zorder_sql(bits: int = 16) -> str:
+    top = (1 << bits) - 1
+    exprs = {"n_chars": 0, "(doc_id % 512)": 1}
+    terms = []
+    for col, j in exprs.items():
+        clamped = f"least(greatest({col}::BIGINT, 0), {top})"
+        for i in range(bits):
+            terms.append(f"((({clamped} >> {i}) & 1) << {i * 2 + j})")
+    return f"""
+    SELECT doc_id, ({' + '.join(terms)})::BIGINT AS zkey FROM documents
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -4980,6 +5009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tables_kg": q_tables_kg,
         "kg_refex": q_kg_refex,
         "kg_label_prop": q_kg_label_prop,
+        "zorder_docs": q_zorder,
     }
 
 
@@ -9996,6 +10026,7 @@ def oracle_sql() -> dict[str, str]:
         "rake_phrases": _rake_sql(max_phrase_len=6),
         "kg_refex": _refex_sql(rounds=2),
         "kg_label_prop": _label_prop_sql(rounds=3),
+        "zorder_docs": _zorder_sql(bits=16),
         "tables_kg": """
             SELECT 'https://x.test/' || doc_id::VARCHAR || '#1:table_row'
                      AS src,

@@ -35,6 +35,8 @@ from .fusion import (
 from .decontam import contamination_report, decontaminate
 from .graphstats import (
     bootstrap_percolation,
+    propagate_labels,
+    refex_features,
     butterfly_count,
     core_numbers,
     degree_histogram,
@@ -74,14 +76,16 @@ from .linking import (
 from .similarity import rank_metrics, retrieval_metrics
 from .webdoc import (
     extract_embedded_jsonld,
+    table_rows_to_frame,
     extract_html_tables,
     extract_meta_tags,
     extract_microdata,
 )
+from .layout import zorder_key, zorder_layout
 from .nulls import is_not_null
 from .ontology import automap_to_targets, subclass_closure, subclass_edges_from_triples
 from .sampling import hash_split, skyline, stratified_sample
-from .textops import corpus_stats
+from .textops import corpus_stats, rake_keyphrases
 from .sessions import session_stats, sessionize
 # urls.canonical_url is intentionally NOT re-exported at package level:
 # linking.canonical_url (the entity-identity key) already owns the name;
@@ -115,7 +119,9 @@ __all__ = [
     "simrank_scores", "structural_twins", "rank_metrics",
     "retrieval_metrics", "disambiguate_by_context", "disambiguate_by_prior",
     "extract_embedded_jsonld", "extract_meta_tags", "extract_microdata",
-    "extract_html_tables",
+    "extract_html_tables", "zorder_key", "zorder_layout",
+    "refex_features", "propagate_labels", "rake_keyphrases",
+    "table_rows_to_frame",
 ]
 
 
