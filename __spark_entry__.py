@@ -4789,6 +4789,22 @@ def _zorder_sql(bits: int = 16) -> str:
     """
 
 
+def q_judge_agreement(spark, sf_dir):
+    """Cohen's kappa between two synthetic annotators (B flips A's label
+    on every 5th doc): chance-corrected agreement as exact rational ppm
+    — the labeling-pipeline QA rollup (LLM-judge vs gold)."""
+    from ontoweaver_spark.textops import annotator_agreement
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    a = F.concat(F.lit("L"), (i % 4).cast("string"))
+    b = F.when(i % 5 == 0, F.concat(F.lit("L"), ((i + 1) % 4).cast("string"))).otherwise(a)
+    return annotator_agreement(
+        docs.select(a.alias("label_a"), b.alias("label_b"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -5010,6 +5026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_refex": q_kg_refex,
         "kg_label_prop": q_kg_label_prop,
         "zorder_docs": q_zorder,
+        "judge_agreement": q_judge_agreement,
     }
 
 
@@ -10027,6 +10044,30 @@ def oracle_sql() -> dict[str, str]:
         "kg_refex": _refex_sql(rounds=2),
         "kg_label_prop": _label_prop_sql(rounds=3),
         "zorder_docs": _zorder_sql(bits=16),
+        "judge_agreement": """
+            WITH pairs AS MATERIALIZED (
+              SELECT 'L' || (doc_id % 4)::VARCHAR AS a,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN 'L' || ((doc_id + 1) % 4)::VARCHAR
+                          ELSE 'L' || (doc_id % 4)::VARCHAR END AS b
+              FROM documents
+            ), base AS (
+              SELECT count(*)::BIGINT AS n,
+                     sum(CASE WHEN a = b THEN 1 ELSE 0 END)::BIGINT AS agree
+              FROM pairs
+            ), sab AS (
+              SELECT coalesce(sum(na * nb), 0)::BIGINT AS sab FROM
+                (SELECT a AS label, count(*)::BIGINT AS na FROM pairs GROUP BY 1) ca
+              JOIN
+                (SELECT b AS label, count(*)::BIGINT AS nb FROM pairs GROUP BY 1) cb
+              USING (label)
+            )
+            SELECT n, (agree * 1000000 // n)::BIGINT AS agree_ppm,
+                   (CASE WHEN n * n = sab THEN NULL
+                    ELSE (agree * n - sab) * 1000000 // (n * n - sab)
+                    END)::BIGINT AS kappa_ppm
+            FROM base, sab
+        """,
         "tables_kg": """
             SELECT 'https://x.test/' || doc_id::VARCHAR || '#1:table_row'
                      AS src,

@@ -1844,3 +1844,53 @@ def rake_keyphrases(
     return distinct_ph.join(scored, ["doc_id", "phrase"]).select(
         "doc_id", "phrase", "n_words", "n_occ", "score_ppm"
     )
+
+
+def annotator_agreement(
+    df: DataFrame,
+    a_col: str = "label_a",
+    b_col: str = "label_b",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Inter-annotator agreement over two label columns -> ONE row
+    ``(n, agree_ppm, kappa_ppm)`` — Cohen's kappa, the standard
+    chance-corrected agreement for labeling pipelines (human QA pairs,
+    LLM-judge vs gold, two judge prompts against each other: raw
+    agreement flatters whenever one label dominates; kappa does not).
+
+    Exact rational arithmetic: with ``agree`` matching pairs, ``n``
+    total and ``sab = sum over labels of count_a(l) * count_b(l)``,
+    ``kappa = (agree*n - sab) / (n^2 - sab)`` — emitted as truncated ppm
+    BIGINT, so the result hash-matches any engine. ``n^2 == sab``
+    (chance agreement is certain: both annotators constant) makes kappa
+    undefined -> NULL, never a fake 0 or 1.
+
+    Shape: one two-sided count aggregate + two label-marginal aggs
+    joined on label (label-vocabulary-sized, broadcastable) + a 1-row
+    cross join — map-side combinable end to end, no windows.
+    """
+    pairs = df.select(
+        F.col(a_col).cast("string").alias("a"),
+        F.col(b_col).cast("string").alias("b"),
+    )
+    base = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("a") == F.col("b")).cast("long")).alias("agree"),
+    )
+    ca = pairs.groupBy(F.col("a").alias("label")).agg(F.count("*").alias("na"))
+    cb = pairs.groupBy(F.col("b").alias("label")).agg(F.count("*").alias("nb"))
+    sab = (
+        ca.join(cb, "label")
+        .agg(F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)).alias("sab"))
+    )
+    return (
+        base.crossJoin(sab)
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.expr(f"agree * {scale} div n").cast("long").alias("agree_ppm"),
+            F.expr(
+                f"CASE WHEN n * n = sab THEN NULL"
+                f" ELSE (agree * n - sab) * {scale} div (n * n - sab) END"
+            ).cast("long").alias("kappa_ppm"),
+        )
+    )

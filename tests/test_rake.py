@@ -39,3 +39,22 @@ def test_rake_repeated_word_in_phrase_counts_twice(spark):
     # each occurrence inside the phrase contributes -> 4 * 4e6
     assert rows[0]["score_ppm"] == 16_000_000
     assert rows[0]["n_words"] == 4
+
+
+def test_cohen_kappa_textbook(spark):
+    from ontoweaver_spark.textops import annotator_agreement
+
+    rows = ([("y", "y")] * 20 + [("y", "n")] * 10
+            + [("n", "y")] * 5 + [("n", "n")] * 15)
+    df = spark.createDataFrame(rows, ["label_a", "label_b"])
+    got = annotator_agreement(df).collect()[0]
+    # po = 0.7, pe = (30*25 + 20*25)/2500 = 0.5 -> kappa = 0.4
+    assert (got["n"], got["agree_ppm"], got["kappa_ppm"]) == (50, 700000, 400000)
+
+
+def test_cohen_kappa_undefined_is_null(spark):
+    from ontoweaver_spark.textops import annotator_agreement
+
+    df = spark.createDataFrame([("x", "x")] * 5, ["label_a", "label_b"])
+    got = annotator_agreement(df).collect()[0]
+    assert got["agree_ppm"] == 1_000_000 and got["kappa_ppm"] is None
