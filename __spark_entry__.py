@@ -4805,6 +4805,61 @@ def q_judge_agreement(spark, sf_dir):
     )
 
 
+_SPOT_GAZ = [
+    ("table value", "E1"),
+    ("value", "E2"),
+    ("row fast merge", "E3"),
+    ("hash", "E4"),
+    ("fast merge", "E5"),
+]
+
+
+def q_spot_mentions(spark, sf_dir):
+    """Gazetteer mention spotting over raw document text: multi-word
+    surface forms found as token n-grams (n<=3), broadcast dictionary
+    join, maximal-match overlap policy ('fast merge' never fires inside
+    'row fast merge'). The extraction step before entity linking."""
+    from ontoweaver_spark.linking import spot_mentions
+
+    _tune(spark)
+    gaz = spark.createDataFrame(_SPOT_GAZ, ["surface", "entity_id"])
+    return spot_mentions(_docs(spark, sf_dir), gaz, max_len=3)
+
+
+def _spot_sql(max_len: int = 3) -> str:
+    gaz_rows = ", ".join(f"('{s}', '{e}')" for s, e in _SPOT_GAZ)
+    gram_selects = []
+    for n in range(1, max_len + 1):
+        gram_selects.append(f"""
+      SELECT doc_id, t.i AS pos, {n} AS n_tokens,
+             array_to_string(list_slice(l, t.i, t.i + {n - 1}), ' ') AS surface
+      FROM toks, UNNEST(range(1, greatest(len(l) - {n - 1}, 0) + 1)) AS t(i)""")
+    grams = "\n      UNION ALL".join(gram_selects)
+    return rf"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             regexp_split_to_array(
+               trim(regexp_replace(lower(text), '[^a-z0-9\s]+', ' ', 'g')),
+               '\s+') AS l
+      FROM documents
+    ), gaz(surface, entity_id) AS (
+      VALUES {gaz_rows}
+    ), grams AS MATERIALIZED ({grams}
+    ), hits AS MATERIALIZED (
+      SELECT g.doc_id, g.pos, g.n_tokens, g.surface, z.entity_id
+      FROM grams g JOIN gaz z USING (surface)
+    )
+    SELECT h.doc_id, h.pos, h.n_tokens, h.surface, h.entity_id
+    FROM hits h
+    WHERE NOT EXISTS (
+      SELECT 1 FROM hits o
+      WHERE o.doc_id = h.doc_id AND o.pos <= h.pos
+        AND o.pos + o.n_tokens >= h.pos + h.n_tokens
+        AND o.n_tokens > h.n_tokens
+    )
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -5027,6 +5082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_label_prop": q_kg_label_prop,
         "zorder_docs": q_zorder,
         "judge_agreement": q_judge_agreement,
+        "spot_mentions": q_spot_mentions,
     }
 
 
@@ -10044,6 +10100,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_refex": _refex_sql(rounds=2),
         "kg_label_prop": _label_prop_sql(rounds=3),
         "zorder_docs": _zorder_sql(bits=16),
+        "spot_mentions": _spot_sql(max_len=3),
         "judge_agreement": """
             WITH pairs AS MATERIALIZED (
               SELECT 'L' || (doc_id % 4)::VARCHAR AS a,

@@ -713,3 +713,95 @@ def disambiguate_by_context(
             ),
         )
     )
+
+
+def spot_mentions(
+    docs: DataFrame,
+    gazetteer: DataFrame,
+    max_len: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    surface_col: str = "surface",
+    entity_col: str = "entity_id",
+) -> DataFrame:
+    """Dictionary mention spotting -> ``(doc_id, pos, n_tokens, surface,
+    entity_id)``: find every occurrence of a gazetteer surface form
+    (multi-word allowed, up to ``max_len`` tokens) inside raw document
+    text — the step BEFORE :func:`link_entities`/:func:`entity_prior`:
+    those resolve already-extracted mentions; this extracts them. The
+    distributed stand-in for an Aho-Corasick pass: candidate n-grams
+    come straight off each document's token array (no joins to build
+    them), and only the broadcast-sized dictionary join touches a
+    shuffle boundary.
+
+    Matching is on lowercase whitespace-normalized tokens (punctuation
+    split off, same normalization applied to the gazetteer side).
+    Overlap policy: MAXIMAL matches only — a match strictly contained
+    inside another match of the same document is dropped ("york" never
+    fires inside "new york city"), via one per-doc containment
+    anti-join over the (bounded, dictionary-hit-sized) match set.
+    Partial overlaps that contain each other's boundaries both survive
+    (deterministic, order-free — no sequential leftmost scan).
+
+    Scale shape: per-doc n-gram generation is ``max_len`` array
+    ``transform``s + one explode (document-length-bounded, zero
+    shuffle); the dictionary join broadcasts the gazetteer; the
+    containment anti-join is keyed by doc_id over only the HITS, not
+    the n-grams.
+    """
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]+", " ")),
+        r"\s+",
+    )
+    grams = None
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+    for n in range(1, max_len + 1):
+        g = base.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    # sequence(1, 0) counts DOWN in Spark — guard short docs
+                    F.when(
+                        F.size("_t") >= n,
+                        F.sequence(F.lit(1), F.size("_t") - F.lit(n - 1)),
+                    ).otherwise(F.array().cast("array<int>")),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(
+                            " ", F.slice(F.col("_t"), i, F.lit(n))
+                        ).alias("surface"),
+                    ),
+                )
+            ).alias("_g"),
+        ).select(
+            "doc_id",
+            F.col("_g.pos").alias("pos"),
+            F.lit(n).alias("n_tokens"),
+            F.col("_g.surface").alias("surface"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    dim = gazetteer.select(
+        F.trim(
+            F.regexp_replace(
+                F.lower(F.col(surface_col).cast("string")), r"\s+", " "
+            )
+        ).alias("surface"),
+        F.col(entity_col).cast("string").alias("entity_id"),
+    ).dropDuplicates(["surface"])
+    hits = grams.join(F.broadcast(dim), "surface").select(
+        "doc_id", "pos", "n_tokens", "surface", "entity_id"
+    )
+    hits = hits.localCheckpoint(eager=False)
+    other = hits.select(
+        F.col("doc_id").alias("_d2"),
+        F.col("pos").alias("_p2"),
+        F.col("n_tokens").alias("_n2"),
+    )
+    return hits.join(
+        other,
+        (F.col("doc_id") == F.col("_d2"))
+        & (F.col("_p2") <= F.col("pos"))
+        & (F.col("_p2") + F.col("_n2") >= F.col("pos") + F.col("n_tokens"))
+        & (F.col("_n2") > F.col("n_tokens")),
+        "left_anti",
+    )
