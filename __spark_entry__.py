@@ -4860,6 +4860,16 @@ def _spot_sql(max_len: int = 3) -> str:
     """
 
 
+def q_readability(spark, sf_dir):
+    """Flesch-Kincaid readability per document, exact-integer ppm grade
+    (vowel-group syllable proxy, truncating BIGINT divisions) — the
+    corpus-curation quality gate."""
+    from ontoweaver_spark.textops import readability
+
+    _tune(spark)
+    return readability(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -5083,6 +5093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_docs": q_zorder,
         "judge_agreement": q_judge_agreement,
         "spot_mentions": q_spot_mentions,
+        "readability": q_readability,
     }
 
 
@@ -10101,6 +10112,26 @@ def oracle_sql() -> dict[str, str]:
         "kg_label_prop": _label_prop_sql(rounds=3),
         "zorder_docs": _zorder_sql(bits=16),
         "spot_mentions": _spot_sql(max_len=3),
+        "readability": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     greatest(CASE WHEN trim(text) = '' THEN 0
+                              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                              END, 1)::BIGINT AS n_words,
+                     greatest(len(regexp_extract_all(trim(text),
+                                                     '[.!?]+(\s|$)')),
+                              1)::BIGINT AS n_sentences,
+                     greatest(len(regexp_extract_all(lower(text),
+                                                     '[aeiouy]+')),
+                              1)::BIGINT AS n_syllables
+              FROM documents
+            )
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   ((390000 * n_words // n_sentences)
+                    + (11800000 * n_syllables // n_words)
+                    - 15590000)::BIGINT AS fk_grade_ppm
+            FROM base
+        """,
         "judge_agreement": """
             WITH pairs AS MATERIALIZED (
               SELECT 'L' || (doc_id % 4)::VARCHAR AS a,

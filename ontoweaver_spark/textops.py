@@ -1894,3 +1894,60 @@ def annotator_agreement(
             ).cast("long").alias("kappa_ppm"),
         )
     )
+
+
+def readability(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Flesch-Kincaid grade estimate per document -> ``(doc_id, n_words,
+    n_sentences, n_syllables, fk_grade_ppm)`` — the classic readability
+    gate for training-corpus curation (too-low = boilerplate/listicles,
+    too-high = OCR garbage / formula soup).
+
+    Syllables use the standard regex proxy (count of ``[aeiouy]+``
+    vowel groups — the same heuristic every non-dictionary
+    implementation uses, deterministic by construction). Sentences are
+    ``[.!?]+`` runs followed by whitespace-or-end, floored at 1 so the
+    formula is total on junk input; words are whitespace tokens,
+    floored at 1.
+
+    FK grade = 0.39*W/S + 11.8*Y/W - 15.59 — emitted exactly as
+    ``390000*scale_adj*W DIV S + 11800000*Y DIV W - 15590000`` in ppm
+    units (each DIV a truncating BIGINT divide; may be negative for
+    trivially short text, deliberately NOT clamped). One zero-shuffle
+    projection: three regexp counts per row, no tokenize-explode, no
+    Python.
+    """
+    t = F.trim(F.col(text_col))
+    words = F.greatest(
+        F.when(t == "", F.lit(0)).otherwise(
+            F.size(F.split(t, r"\s+"))
+        ),
+        F.lit(1),
+    ).cast("long")
+    sentences = F.greatest(
+        F.expr(f"regexp_count(trim({text_col}), '[.!?]+(\\\\s|$)')"),
+        F.lit(1),
+    ).cast("long")
+    syllables = F.greatest(
+        F.expr(f"regexp_count(lower({text_col}), '[aeiouy]+')"), F.lit(1)
+    ).cast("long")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(
+            f"(390000 * n_words div n_sentences)"
+            f" + (11800000 * n_syllables div n_words) - 15590000"
+        ).cast("long").alias("fk_grade_ppm"),
+    )

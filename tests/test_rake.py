@@ -58,3 +58,18 @@ def test_cohen_kappa_undefined_is_null(spark):
     df = spark.createDataFrame([("x", "x")] * 5, ["label_a", "label_b"])
     got = annotator_agreement(df).collect()[0]
     assert got["agree_ppm"] == 1_000_000 and got["kappa_ppm"] is None
+
+
+def test_readability_hand_computed(spark):
+    from ontoweaver_spark.textops import readability
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran fast!"), (2, "")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in readability(df).collect()}
+    # W=7 S=2 Y=7: 390000*7//2 + 11800000 - 15590000 = -2425000
+    assert (got[1]["n_words"], got[1]["n_sentences"], got[1]["n_syllables"]) == (7, 2, 7)
+    assert got[1]["fk_grade_ppm"] == 1365000 + 11800000 - 15590000
+    # junk input floors everything at 1 and stays total
+    assert (got[2]["n_words"], got[2]["n_sentences"]) == (1, 1)
