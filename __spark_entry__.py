@@ -4870,6 +4870,62 @@ def q_readability(spark, sf_dir):
     return readability(_docs(spark, sf_dir))
 
 
+def q_kg_onion(spark, sf_dir):
+    """Onion decomposition (k-core peeling order) of the doc graph: 20
+    branch-free rounds thread the (k, layer) state as a broadcast 1-row
+    frame, so the run unrolls verbatim into the SQL oracle. Layer
+    separates fringe from center within a core."""
+    from ontoweaver_spark.graphstats import onion_layers
+
+    _tune(spark)
+    return onion_layers(_doc_graph(spark, sf_dir), rounds=20)
+
+
+def _onion_sql(rounds: int = 20) -> str:
+    body = f"""
+    WITH raw AS MATERIALIZED (
+      {_doc_graph_sql()}
+    ), und AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ), both_e AS MATERIALIZED (
+      SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+    ), rem0 AS MATERIALIZED (
+      SELECT a AS node FROM und UNION SELECT b FROM und
+    ), st0 AS (SELECT 1 AS k, 0 AS layer)"""
+    for r in range(1, rounds + 1):
+        p = r - 1
+        body += f""", live{r} AS (
+      SELECT e.a, e.b FROM both_e e
+      JOIN rem{p} r1 ON r1.node = e.a
+      JOIN rem{p} r2 ON r2.node = e.b
+    ), dg{r} AS MATERIALIZED (
+      SELECT r.node, coalesce(d.deg, 0) AS deg
+      FROM rem{p} r
+      LEFT JOIN (SELECT a AS node, count(*) AS deg FROM live{r} GROUP BY 1) d
+        ON d.node = r.node
+    ), s{r} AS MATERIALIZED (
+      SELECT node FROM dg{r}, st{p} WHERE deg <= k
+    ), out{r} AS MATERIALIZED (
+      SELECT node, k::BIGINT AS core, (layer + 1)::BIGINT AS layer
+      FROM s{r}, st{p}
+    ), ns{r} AS (SELECT count(*) AS ns FROM s{r}
+    ), st{r} AS MATERIALIZED (
+      SELECT CASE WHEN ns = 0 THEN k + 1 ELSE k END AS k,
+             CASE WHEN ns = 0 THEN layer ELSE layer + 1 END AS layer
+      FROM st{p}, ns{r}
+    ), rem{r} AS MATERIALIZED (
+      SELECT node FROM rem{p}
+      WHERE node NOT IN (SELECT node FROM s{r})
+    )"""
+    unions = "\n      UNION ALL ".join(
+        f"SELECT * FROM out{r}" for r in range(1, rounds + 1)
+    )
+    return body + f"""
+    {unions}
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -5094,6 +5150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "judge_agreement": q_judge_agreement,
         "spot_mentions": q_spot_mentions,
         "readability": q_readability,
+        "kg_onion": q_kg_onion,
     }
 
 
@@ -10112,6 +10169,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_label_prop": _label_prop_sql(rounds=3),
         "zorder_docs": _zorder_sql(bits=16),
         "spot_mentions": _spot_sql(max_len=3),
+        "kg_onion": _onion_sql(rounds=20),
         "readability": r"""
             WITH base AS (
               SELECT doc_id,

@@ -4673,3 +4673,85 @@ def propagate_labels(
             lambda d: stats_reset_checkpoint(d, eager=False)
         )
     return labeled
+
+
+def onion_layers(
+    edges: DataFrame,
+    rounds: int = 16,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Onion decomposition (Hebert-Dufresne, Grochow & Allard 2016) ->
+    ``(node, core, layer)``: the k-core peeling ORDER. Round upon round,
+    every node whose remaining degree is <= the current threshold k
+    peels off as one layer (core = k); when nothing peels, k increments
+    without minting a layer. Layer number separates tree-like fringe
+    from dense center WITHIN the same core — the structure signal
+    ``core_numbers`` alone flattens (a 2-core path node and a 2-core
+    ring node share core but not layer).
+
+    Exactly ``rounds`` rounds run, BRANCH-FREE: the scalar state
+    (k, layer) travels as a one-row frame cross-joined into each
+    round's plan, and the "did anything peel" test is an in-plan 1-row
+    count aggregate — no driver-side branching, so the computation is a
+    pure function of (graph, rounds) and unrolls verbatim into a SQL
+    oracle. Nodes still unpeeled after ``rounds`` are absent from the
+    output (pick rounds >= layers + max core; each no-peel round costs
+    one k increment).
+
+    Per round: degrees on the REMAINING subgraph (two semi joins + one
+    count agg), one threshold filter, one anti join — all keyed hash
+    ops; the state row broadcasts. Plans reset per round via
+    ``stats_reset_checkpoint``.
+    """
+    u, v = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.select(F.least(u, v).alias("a"), F.greatest(u, v).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    both = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+    rem = und.select(F.col("a").alias("node")).unionAll(
+        und.select("b")
+    ).distinct()
+    spark = edges.sparkSession
+    state = spark.createDataFrame([(1, 0)], ["k", "layer"])
+    out = None
+    for _ in range(rounds):
+        live = (
+            both.join(rem.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(rem.withColumnRenamed("node", "b"), "b", "left_semi")
+        )
+        deg = live.groupBy(F.col("a").alias("node")).agg(
+            F.count("*").alias("deg")
+        )
+        degged = rem.join(deg, "node", "left").select(
+            "node", F.coalesce("deg", F.lit(0)).alias("deg")
+        )
+        s = degged.crossJoin(F.broadcast(state)).where(
+            F.col("deg") <= F.col("k")
+        )
+        peeled = s.select(
+            "node",
+            F.col("k").cast("long").alias("core"),
+            (F.col("layer") + 1).cast("long").alias("layer"),
+        ).localCheckpoint(eager=False)
+        out = peeled if out is None else out.unionByName(peeled)
+        n_s = peeled.agg(F.count("*").alias("ns"))
+        state = (
+            state.crossJoin(F.broadcast(n_s))
+            .select(
+                F.when(F.col("ns") == 0, F.col("k") + 1)
+                .otherwise(F.col("k")).alias("k"),
+                F.when(F.col("ns") == 0, F.col("layer"))
+                .otherwise(F.col("layer") + 1).alias("layer"),
+            )
+            .transform(lambda d: stats_reset_checkpoint(d, eager=False))
+        )
+        rem = rem.join(peeled.select("node"), "node", "left_anti").transform(
+            lambda d: stats_reset_checkpoint(d, eager=False)
+        )
+    return out
