@@ -144,7 +144,9 @@ def main() -> None:
                  "entity_disambig", "truth_find", "kg_sweep_cut",
                  "kg_rank_eval", "entity_disambig_ctx", "meta_og",
                  "microdata", "web_tables", "kg_simrank", "kg_twins",
-                 "retrieval_eval", "rake_phrases", "tables_kg", "kg_refex"]:
+                 "retrieval_eval", "rake_phrases", "tables_kg", "kg_refex",
+                 "kg_label_prop", "zorder_docs", "judge_agreement",
+                 "spot_mentions", "readability", "kg_onion"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the

@@ -35,6 +35,7 @@ from .fusion import (
 from .decontam import contamination_report, decontaminate
 from .graphstats import (
     bootstrap_percolation,
+    onion_layers,
     propagate_labels,
     refex_features,
     butterfly_count,
@@ -65,6 +66,7 @@ from .neo4j_export import write_neo4j_import
 from .ids import affix_id
 from .linking import (
     canonical_entity,
+    spot_mentions,
     canonical_url,
     comention_edges,
     disambiguate_by_context,
@@ -85,7 +87,7 @@ from .layout import zorder_key, zorder_layout
 from .nulls import is_not_null
 from .ontology import automap_to_targets, subclass_closure, subclass_edges_from_triples
 from .sampling import hash_split, skyline, stratified_sample
-from .textops import corpus_stats, rake_keyphrases
+from .textops import annotator_agreement, corpus_stats, rake_keyphrases, readability
 from .sessions import session_stats, sessionize
 # urls.canonical_url is intentionally NOT re-exported at package level:
 # linking.canonical_url (the entity-identity key) already owns the name;
@@ -121,7 +123,8 @@ __all__ = [
     "extract_embedded_jsonld", "extract_meta_tags", "extract_microdata",
     "extract_html_tables", "zorder_key", "zorder_layout",
     "refex_features", "propagate_labels", "rake_keyphrases",
-    "table_rows_to_frame",
+    "table_rows_to_frame", "onion_layers", "spot_mentions",
+    "readability", "annotator_agreement",
 ]
 
 

@@ -723,6 +723,7 @@ def spot_mentions(
     id_col: str = "doc_id",
     surface_col: str = "surface",
     entity_col: str = "entity_id",
+    maximal_only: bool = True,
 ) -> DataFrame:
     """Dictionary mention spotting -> ``(doc_id, pos, n_tokens, surface,
     entity_id)``: find every occurrence of a gazetteer surface form
@@ -791,6 +792,11 @@ def spot_mentions(
     hits = grams.join(F.broadcast(dim), "surface").select(
         "doc_id", "pos", "n_tokens", "surface", "entity_id"
     )
+    if not maximal_only:
+        # every dictionary hit, contained spans included (the input a
+        # trained span-ranker would want); single broadcast join, no
+        # checkpoint, no self-join
+        return hits
     hits = hits.localCheckpoint(eager=False)
     other = hits.select(
         F.col("doc_id").alias("_d2"),
