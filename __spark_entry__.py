@@ -4926,6 +4926,69 @@ def _onion_sql(rounds: int = 20) -> str:
     """
 
 
+def q_textrank(spark, sf_dir):
+    """TextRank keyword salience: every document's co-occurrence graph
+    ranked in ONE corpus-wide exact-BIGINT PageRank over doc#word nodes
+    (window 2, 3 iterations). RAKE's single-word sibling."""
+    from ontoweaver_spark.textops import textrank_keywords
+
+    _tune(spark)
+    return textrank_keywords(_docs(spark, sf_dir), window=2, iterations=3)
+
+
+def _textrank_sql(window: int = 2, iterations: int = 3,
+                  scale: int = 1_000_000, damping: int = 85) -> str:
+    from ontoweaver_spark.textops import STOPWORDS
+
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    teleport = (100 - damping) * scale // 100
+    pair_selects = []
+    for o in range(1, window + 1):
+        pair_selects.append(f"""
+      SELECT doc || '#' || l[t.i] AS src, doc || '#' || l[t.i + {o}] AS dst
+      FROM toks, UNNEST(range(1, greatest(len(l) - {o}, 0) + 1)) AS t(i)""")
+    pairs = "\n      UNION ALL".join(pair_selects)
+    body = rf"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id::VARCHAR AS doc,
+             list_filter(
+               regexp_split_to_array(
+                 trim(regexp_replace(lower(text), '[^a-z0-9\s]+', ' ', 'g')),
+                 '\s+'),
+               w -> w <> '' AND w NOT IN ({stoplist})) AS l
+      FROM documents
+    ), p0 AS ({pairs}
+    ), e0 AS (SELECT src, dst FROM p0 WHERE src <> dst
+    ), e AS MATERIALIZED (
+      SELECT DISTINCT s, d FROM (
+        SELECT src AS s, dst AS d FROM e0
+        UNION ALL SELECT dst, src FROM e0
+      )
+    ), outd AS MATERIALIZED (
+      SELECT s, count(*) AS od FROM e GROUP BY s
+    ), nodes AS MATERIALIZED (
+      SELECT s AS node FROM e UNION SELECT d FROM e
+    ), r0 AS MATERIALIZED (
+      SELECT node, {scale}::BIGINT AS "rank" FROM nodes
+    )"""
+    for i in range(1, iterations + 1):
+        body += f""", r{i} AS MATERIALIZED (
+      SELECT n.node,
+             ({teleport} + ({damping} * coalesce(t.inb, 0)) // 100)::BIGINT
+               AS "rank"
+      FROM nodes n LEFT JOIN (
+        SELECT e.d AS node, sum(r."rank" // o.od) AS inb
+        FROM e JOIN outd o ON e.s = o.s JOIN r{i - 1} r ON r.node = e.s
+        GROUP BY e.d
+      ) t ON t.node = n.node
+    )"""
+    return body + f"""
+    SELECT split_part(node, '#', 1) AS doc_id,
+           split_part(node, '#', 2) AS word, "rank"
+    FROM r{iterations}
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -5151,6 +5214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spot_mentions": q_spot_mentions,
         "readability": q_readability,
         "kg_onion": q_kg_onion,
+        "textrank": q_textrank,
     }
 
 
@@ -10170,6 +10234,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_docs": _zorder_sql(bits=16),
         "spot_mentions": _spot_sql(max_len=3),
         "kg_onion": _onion_sql(rounds=20),
+        "textrank": _textrank_sql(window=2, iterations=3),
         "readability": r"""
             WITH base AS (
               SELECT doc_id,

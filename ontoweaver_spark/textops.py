@@ -1951,3 +1951,75 @@ def readability(
             f" + (11800000 * n_syllables div n_words) - 15590000"
         ).cast("long").alias("fk_grade_ppm"),
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    window: int = 2,
+    iterations: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: list[str] | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """TextRank keyword scores (Mihalcea & Tarau, EMNLP'04) ->
+    ``(doc_id, word, rank)``: PageRank over each document's word
+    co-occurrence graph (an edge when two content words appear within
+    ``window`` positions of the stopword-filtered token sequence, both
+    directions). THE classic graph-based keyword ranker — RAKE's
+    phrase-oriented sibling; use RAKE for multi-word phrases, this for
+    single-word salience.
+
+    Spark-first trick: all documents' graphs are ONE graph — nodes are
+    ``doc_id#word``, so a single :func:`pagerank_fixed_point` call (the
+    exact-BIGINT power iteration, every round one join + one map-side
+    sum) ranks the whole corpus at once; per-doc iteration never
+    happens. Co-occurrence pairs come straight off each token array
+    (``window`` array transforms + explode, zero joins), the same
+    zero-shuffle generation as ``spot_mentions``.
+
+    Exact-integer PageRank => hash-identical in any engine; ranks
+    comparable WITHIN a doc (the use) and deliberately not normalized
+    across docs.
+    """
+    sw = stopwords if stopwords is not None else STOPWORDS
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]+", " ")),
+        r"\s+",
+    )
+    filtered = F.filter(toks, lambda w: ~w.isin(sw) & (w != ""))
+    base = df.select(
+        F.col(id_col).cast("string").alias("_doc"), filtered.alias("_t")
+    )
+    pairs = None
+    for o in range(1, window + 1):
+        p = base.select(
+            "_doc",
+            F.explode(
+                F.when(
+                    F.size("_t") > o,
+                    F.sequence(F.lit(1), F.size("_t") - F.lit(o)),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("_i"),
+            F.col("_t"),
+        ).select(
+            F.concat("_doc", F.lit("#"), F.element_at("_t", F.col("_i"))).alias("src"),
+            F.concat(
+                "_doc", F.lit("#"), F.element_at("_t", F.col("_i") + o)
+            ).alias("dst"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    edges = pairs.where(F.col("src") != F.col("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    from .graphstats import pagerank_fixed_point
+
+    ranked = pagerank_fixed_point(
+        edges, iterations=iterations, scale=scale
+    )
+    return ranked.select(
+        F.split_part(F.col("node"), F.lit("#"), F.lit(1)).alias("doc_id"),
+        F.split_part(F.col("node"), F.lit("#"), F.lit(2)).alias("word"),
+        F.col("rank"),
+    )

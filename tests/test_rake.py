@@ -73,3 +73,22 @@ def test_readability_hand_computed(spark):
     assert got[1]["fk_grade_ppm"] == 1365000 + 11800000 - 15590000
     # junk input floors everything at 1 and stays total
     assert (got[2]["n_words"], got[2]["n_sentences"]) == (1, 1)
+
+
+def test_textrank_salience_and_scoping(spark):
+    from ontoweaver_spark.textops import textrank_keywords
+
+    df = spark.createDataFrame(
+        [(1, "spark engine ranks the spark graph with spark power"),
+         (2, "quiet words")],
+        ["doc_id", "text"],
+    )
+    got = {(r["doc_id"], r["word"]): r["rank"]
+           for r in textrank_keywords(df).collect()}
+    d1 = {w: v for (d, w), v in got.items() if d == "1"}
+    # the hub word dominates its document's graph
+    assert max(d1, key=d1.get) == "spark"
+    assert "the" not in d1  # stopword filtered
+    # doc 2's two words form one symmetric pair -> equal ranks, and
+    # doc scoping means they never mix with doc 1
+    assert got[("2", "quiet")] == got[("2", "words")]
