@@ -4989,6 +4989,40 @@ def _textrank_sql(window: int = 2, iterations: int = 3,
     """
 
 
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity governance rollup over quasi-identifiers
+    (lang, source, doc_id mod 40): equivalence classes below k=5 and the
+    rows they expose — the post-PII-scrub structural re-identification
+    check."""
+    from ontoweaver_spark.validate import k_anonymity_report
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir).withColumn("bucket", F.col("doc_id") % 40)
+    return k_anonymity_report(docs, ["lang", "source", "bucket"], k=5)
+
+
+def q_url_features(spark, sf_dir):
+    """Structural URL features over synthesized crawl URLs (scheme,
+    host, path depth/length, query params, fragment) — frontier
+    prioritization signals; closed-form oracle from the construction."""
+    from ontoweaver_spark.urls import url_features
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    url = F.concat(
+        F.when(i % 2 == 0, F.lit("https")).otherwise(F.lit("http")),
+        F.lit("://h"), (i % 7).cast("string"), F.lit(".example"),
+        F.when(i % 3 == 0, F.lit(""))
+        .when(i % 3 == 1, F.concat(F.lit("/p"), i.cast("string")))
+        .otherwise(F.concat(F.lit("/p/"), i.cast("string"))),
+        F.when(i % 4 == 0, F.concat(F.lit("?x=1&y="), F.col("lang")))
+        .otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return url_features(docs.select("doc_id", url.alias("url")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -5215,6 +5249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "kg_onion": q_kg_onion,
         "textrank": q_textrank,
+        "k_anonymity": q_k_anonymity,
+        "url_features": q_url_features,
     }
 
 
@@ -10235,6 +10271,44 @@ def oracle_sql() -> dict[str, str]:
         "spot_mentions": _spot_sql(max_len=3),
         "kg_onion": _onion_sql(rounds=20),
         "textrank": _textrank_sql(window=2, iterations=3),
+        "k_anonymity": """
+            WITH g AS (
+              SELECT lang, source, doc_id % 40 AS b, count(*) AS gn
+              FROM documents GROUP BY 1, 2, 3
+            )
+            SELECT sum(gn)::BIGINT AS n_rows,
+                   count(*)::BIGINT AS n_groups,
+                   sum(CASE WHEN gn < 5 THEN 1 ELSE 0 END)::BIGINT
+                     AS violating_groups,
+                   sum(CASE WHEN gn < 5 THEN gn ELSE 0 END)::BIGINT
+                     AS rows_at_risk,
+                   min(gn)::BIGINT AS min_group_size,
+                   5::BIGINT AS k
+            FROM g
+        """,
+        "url_features": """
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+                   || '://h' || (doc_id % 7)::VARCHAR || '.example'
+                   || (CASE WHEN doc_id % 3 = 0 THEN ''
+                       WHEN doc_id % 3 = 1 THEN '/p' || doc_id::VARCHAR
+                       ELSE '/p/' || doc_id::VARCHAR END)
+                   || (CASE WHEN doc_id % 4 = 0 THEN '?x=1&y=' || lang
+                       ELSE '' END)
+                   || (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END)
+                     AS url,
+                   (doc_id % 2 = 0) AS is_https,
+                   'h' || (doc_id % 7)::VARCHAR || '.example' AS host,
+                   (CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 1
+                    ELSE 2 END)::BIGINT AS path_depth,
+                   (CASE doc_id % 3 WHEN 0 THEN 0
+                    WHEN 1 THEN 2 + len(doc_id::VARCHAR)
+                    ELSE 3 + len(doc_id::VARCHAR) END)::BIGINT AS path_len,
+                   (CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 0 END)::BIGINT
+                     AS n_params,
+                   (doc_id % 5 = 0) AS has_fragment
+            FROM documents
+        """,
         "readability": r"""
             WITH base AS (
               SELECT doc_id,

@@ -569,3 +569,41 @@ def with_registrable_domain(
     return df.join(
         mapping, df[host_col] == mapping["_h"], "left"
     ).drop("_h")
+
+
+def url_features(
+    df: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Structural URL features -> input columns + ``(is_https, host,
+    path_depth, path_len, n_params, has_fragment)`` — the crawl-quality
+    and frontier-prioritization signals (deep paths and parameter soups
+    correlate with faceted-search/duplicate pages; schedulers downrank
+    them before fetching). Pure zero-shuffle regexp projection, no
+    Python, oracle-reproducible.
+
+    ``path_depth`` counts non-empty ``/``-separated path segments;
+    ``n_params`` counts ``&``-separated entries of a non-empty query
+    string. Fragments and queries are located with RE2-safe character
+    classes only.
+    """
+    u = F.col(url_col)
+    no_frag = F.regexp_replace(u, r"#.*$", "")
+    query = F.regexp_extract(no_frag, r"\?(.*)$", 1)
+    path = F.regexp_extract(
+        no_frag, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*(/[^?]*)?", 1
+    )
+    return df.select(
+        "*",
+        u.startswith("https://").alias("is_https"),
+        F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+        .alias("host"),
+        F.size(
+            F.filter(F.split(path, "/"), lambda s: s != "")
+        ).cast("long").alias("path_depth"),
+        F.length(path).cast("long").alias("path_len"),
+        F.when(query == "", F.lit(0))
+        .otherwise(F.size(F.split(query, "&")))
+        .cast("long").alias("n_params"),
+        u.rlike("#").alias("has_fragment"),
+    )

@@ -223,3 +223,36 @@ def repair_dangling_edges(
         ]
     )
     return nodes.unionByName(pad), placeholders
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """Training-data governance rollup -> ONE row ``(n_rows, n_groups,
+    violating_groups, rows_at_risk, min_group_size, k)``: group the
+    frame by its quasi-identifier columns and count equivalence classes
+    smaller than ``k`` — the k-anonymity criterion (Sweeney 2002). A
+    corpus whose (host, lang, date-bucket, ...) combination isolates
+    individual users re-identifies them no matter how well the free
+    text was PII-scrubbed; run this AFTER ``scrub_pii``, which removes
+    surface strings but cannot see joinable structure.
+
+    One groupBy over the quasi-identifier tuple + one 1-row rollup with
+    map-side partials; NULL values count as a value of their own
+    (groupBy semantics — NULL-keyed rows form their own class, stated
+    explicitly because NULL often IS the identifying signal).
+    """
+    groups = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count("*").alias("_gn")
+    )
+    return groups.agg(
+        F.sum("_gn").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum((F.col("_gn") < k).cast("long")).alias("violating_groups"),
+        F.sum(F.when(F.col("_gn") < k, F.col("_gn")).otherwise(F.lit(0)))
+        .cast("long").alias("rows_at_risk"),
+        F.min("_gn").cast("long").alias("min_group_size"),
+        F.lit(k).cast("long").alias("k"),
+    )
