@@ -146,7 +146,8 @@ def main() -> None:
                  "microdata", "web_tables", "kg_simrank", "kg_twins",
                  "retrieval_eval", "rake_phrases", "tables_kg", "kg_refex",
                  "kg_label_prop", "zorder_docs", "judge_agreement",
-                 "spot_mentions", "readability", "kg_onion"]:
+                 "spot_mentions", "readability", "kg_onion",
+                 "textrank", "k_anonymity", "url_features"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the
