@@ -5023,6 +5023,44 @@ def q_url_features(spark, sf_dir):
     return url_features(docs.select("doc_id", url.alias("url")))
 
 
+def q_triples_graph(spark, sf_dir):
+    """Harvest-to-graph bridge: embedded JSON-LD triples from synthesized
+    pages -> typed nodes + declared-relation edges + property rows, all
+    unioned into one auditable frame (kind column). Closes the loop from
+    the HTML harvesters into the engine's graph shape."""
+    from ontoweaver_spark.ontology import graph_from_triples
+    from ontoweaver_spark.webdoc import extract_embedded_jsonld
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    ld = F.concat(
+        F.lit('{"@id":"doc'), i.cast("string"),
+        F.lit('","@type":"Article","about":"ent'), (i % 40).cast("string"),
+        F.lit('","name":"n '), (i % 9).cast("string"), F.lit('"}'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://x.test/"), i.cast("string")).alias("url"),
+        F.concat(
+            F.lit('<html><head><script type="application/ld+json">'), ld,
+            F.lit("</script></head><body></body></html>"),
+        ).alias("html"),
+    )
+    nodes, edges, props = graph_from_triples(
+        extract_embedded_jsonld(pages), relation_predicates=["about"]
+    )
+    return (
+        nodes.select(F.lit("node").alias("kind"), F.col("id").alias("a"),
+                     F.col("label").alias("b"), F.lit("").alias("c"))
+        .unionByName(
+            edges.select(F.lit("edge").alias("kind"), F.col("src").alias("a"),
+                         F.col("dst").alias("b"), F.col("label").alias("c")))
+        .unionByName(
+            props.select(F.lit("prop").alias("kind"), F.col("id").alias("a"),
+                         F.col("key").alias("b"), F.col("value").alias("c")))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -5251,6 +5289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank": q_textrank,
         "k_anonymity": q_k_anonymity,
         "url_features": q_url_features,
+        "triples_graph": q_triples_graph,
     }
 
 
@@ -10271,6 +10310,22 @@ def oracle_sql() -> dict[str, str]:
         "spot_mentions": _spot_sql(max_len=3),
         "kg_onion": _onion_sql(rounds=20),
         "textrank": _textrank_sql(window=2, iterations=3),
+        "triples_graph": """
+            SELECT 'node' AS kind, 'doc' || doc_id::VARCHAR AS a,
+                   'Article' AS b, '' AS c
+            FROM documents
+            UNION ALL
+            SELECT 'node', 'ent' || g::VARCHAR, 'entity', ''
+            FROM (SELECT DISTINCT doc_id % 40 AS g FROM documents)
+            UNION ALL
+            SELECT 'edge', 'doc' || doc_id::VARCHAR,
+                   'ent' || (doc_id % 40)::VARCHAR, 'about'
+            FROM documents
+            UNION ALL
+            SELECT 'prop', 'doc' || doc_id::VARCHAR, 'name',
+                   'n ' || (doc_id % 9)::VARCHAR
+            FROM documents
+        """,
         "k_anonymity": """
             WITH g AS (
               SELECT lang, source, doc_id % 40 AS b, count(*) AS gn

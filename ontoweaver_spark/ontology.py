@@ -573,3 +573,69 @@ def rdfs_entailment(
         .distinct()
     )
     return edges_closed, types_closed
+
+
+def graph_from_triples(
+    triples: DataFrame,
+    relation_predicates: list[str],
+    type_predicate: str = "a",
+    default_type: str = "entity",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Bridge harvested ``(subject, predicate, object)`` triples (from
+    `webdoc.extract_embedded_jsonld` / `extract_meta_tags` /
+    `extract_microdata`, or any loader) into the engine's graph shape ->
+    ``(nodes, edges, props)``:
+
+    - ``type_predicate`` triples set node labels (lexicographic MIN when
+      a subject carries several types — deterministic, documented);
+      untyped subjects get ``default_type``.
+    - predicates in ``relation_predicates`` (a DECLARED list, the same
+      schema-on-read stance as ``table_rows_to_frame``) become edges;
+      their objects become nodes too, typed by their own type triple or
+      ``default_type``.
+    - every other predicate becomes a property row
+      ``(id, key, value)`` — multi-valued kept as rows, the caller
+      reduces (``reconciliate`` semantics) when a scalar is needed.
+
+    Shape: one tiny broadcastable type table (distinct subjects of the
+    type predicate) left-joined onto subjects and relation objects; all
+    aggregates keyed by id — no windows, no corpus-wide state. This is
+    the inverse of ``rdf_export.graph_to_triples`` up to the declared
+    relation split.
+    """
+    t = triples.select(
+        F.col("subject").cast("string").alias("s"),
+        F.col("predicate").cast("string").alias("p"),
+        F.col("object").cast("string").alias("o"),
+    )
+    types = (
+        t.where(F.col("p") == type_predicate)
+        .groupBy("s")
+        .agg(F.min("o").alias("label"))
+    )
+    rel = t.where(F.col("p").isin(relation_predicates))
+    subjects = t.select("s").distinct()
+    objects = rel.select(F.col("o").alias("s")).distinct()
+    nodes = (
+        subjects.unionByName(objects)
+        .distinct()
+        .join(types, "s", "left")
+        .select(
+            F.col("s").alias("id"),
+            F.coalesce("label", F.lit(default_type)).alias("label"),
+        )
+    )
+    edges = rel.select(
+        F.col("s").alias("src"), F.col("o").alias("dst"),
+        F.col("p").alias("label"),
+    ).distinct()
+    props = (
+        t.where(
+            (F.col("p") != type_predicate)
+            & ~F.col("p").isin(relation_predicates)
+        )
+        .select(F.col("s").alias("id"), F.col("p").alias("key"),
+                F.col("o").alias("value"))
+        .distinct()
+    )
+    return nodes, edges, props

@@ -108,3 +108,24 @@ def test_table_rows_to_frame_and_weave(spark):
     got = {(r["src"], r["dst"]) for r in fedges.collect()}
     assert ("http://a#1:table_row", "Bob <x>:person") in got
     assert ("http://a#2:table_row", "Eve:person") in got
+
+
+def test_graph_from_triples_golden(spark):
+    from ontoweaver_spark.ontology import graph_from_triples
+
+    t = spark.createDataFrame(
+        [("d1", "a", "Article"), ("d1", "a", "Blog"),  # multi-type -> min
+         ("d1", "about", "e1"), ("d1", "name", "x"),
+         ("d2", "about", "e1"), ("d2", "about", "e2"),
+         ("e2", "a", "Person")],
+        ["subject", "predicate", "object"],
+    )
+    nodes, edges, props = graph_from_triples(t, relation_predicates=["about"])
+    n = {r["id"]: r["label"] for r in nodes.collect()}
+    assert n == {"d1": "Article", "d2": "entity",
+                 "e1": "entity", "e2": "Person"}
+    e = {(r["src"], r["dst"], r["label"]) for r in edges.collect()}
+    assert e == {("d1", "e1", "about"), ("d2", "e1", "about"),
+                 ("d2", "e2", "about")}
+    p = {(r["id"], r["key"], r["value"]) for r in props.collect()}
+    assert p == {("d1", "name", "x")}
