@@ -5061,6 +5061,39 @@ def q_triples_graph(spark, sf_dir):
     )
 
 
+def q_kg_bowtie(spark, sf_dir):
+    """Bow-tie decomposition (Broder WWW'00) of a planted web graph:
+    8-cycle CORE, IN/OUT chains, a core-bypassing TUBE, TENDRILs off
+    both sides, a DISCONNECTED pair. The oracle is fully closed-form —
+    an independent derivation of every region from the construction."""
+    from ontoweaver_spark.graphstats import bowtie_decomposition
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    m = (F.col("doc_id") % 50).cast("long")
+
+    def lbl(p, mod):
+        return F.concat(F.lit(p), (m % mod).cast("string"))
+
+    pairs = [
+        (lbl("c", 8), F.concat(F.lit("c"), ((m + 1) % 8).cast("string"))),
+        (lbl("a", 12), lbl("c", 8)),
+        (lbl("b", 12), lbl("a", 12)),
+        (lbl("c", 8), lbl("x", 10)),
+        (lbl("x", 10), lbl("y", 10)),
+        (lbl("a", 12), lbl("t", 6)),
+        (lbl("t", 6), lbl("x", 10)),
+        (lbl("a", 12), lbl("n", 5)),
+        (lbl("w", 5), lbl("y", 10)),
+        (lbl("d", 4), lbl("e", 4)),
+    ]
+    e = None
+    for s, d in pairs:
+        part = docs.select(s.alias("src"), d.alias("dst"))
+        e = part if e is None else e.unionByName(part)
+    return bowtie_decomposition(e, rounds=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -5290,6 +5323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "url_features": q_url_features,
         "triples_graph": q_triples_graph,
+        "kg_bowtie": q_kg_bowtie,
     }
 
 
@@ -10310,6 +10344,27 @@ def oracle_sql() -> dict[str, str]:
         "spot_mentions": _spot_sql(max_len=3),
         "kg_onion": _onion_sql(rounds=20),
         "textrank": _textrank_sql(window=2, iterations=3),
+        "kg_bowtie": """
+            SELECT 'c' || i::VARCHAR AS node, 'CORE' AS region FROM range(8) t(i)
+            UNION ALL
+            SELECT 'a' || i::VARCHAR, 'IN' FROM range(12) t(i)
+            UNION ALL
+            SELECT 'b' || i::VARCHAR, 'IN' FROM range(12) t(i)
+            UNION ALL
+            SELECT 'x' || i::VARCHAR, 'OUT' FROM range(10) t(i)
+            UNION ALL
+            SELECT 'y' || i::VARCHAR, 'OUT' FROM range(10) t(i)
+            UNION ALL
+            SELECT 't' || i::VARCHAR, 'TUBE' FROM range(6) t(i)
+            UNION ALL
+            SELECT 'n' || i::VARCHAR, 'TENDRIL' FROM range(5) t(i)
+            UNION ALL
+            SELECT 'w' || i::VARCHAR, 'TENDRIL' FROM range(5) t(i)
+            UNION ALL
+            SELECT 'd' || i::VARCHAR, 'DISCONNECTED' FROM range(4) t(i)
+            UNION ALL
+            SELECT 'e' || i::VARCHAR, 'DISCONNECTED' FROM range(4) t(i)
+        """,
         "triples_graph": """
             SELECT 'node' AS kind, 'doc' || doc_id::VARCHAR AS a,
                    'Article' AS b, '' AS c

@@ -4755,3 +4755,97 @@ def onion_layers(
             lambda d: stats_reset_checkpoint(d, eager=False)
         )
     return out
+
+
+def bowtie_decomposition(
+    edges: DataFrame,
+    rounds: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bow-tie decomposition of a directed graph (Broder et al., WWW'00
+    — THE web-graph structure map) -> ``(node, region)`` with region in
+    ``CORE`` (largest SCC), ``IN`` (reaches the core), ``OUT`` (reached
+    from it), ``TUBE`` (on an IN-to-OUT path that bypasses the core),
+    ``TENDRIL`` (dangling off IN or into OUT), ``DISCONNECTED``. The
+    regions are disjoint by construction (a node both reaching and
+    reached from the core is mutually reachable with it, i.e. IN the
+    core SCC).
+
+    Reachability runs exactly ``rounds`` frontier expansions per
+    direction (4 BFS passes total: core-forward, core-backward,
+    IN-forward, OUT-backward) — pick rounds >= the graph's directed
+    diameter for exact semantics; fixed rounds keep the computation a
+    pure function of (graph, rounds) that unrolls into a SQL oracle.
+    Core selection is size-desc / scc_id-asc (deterministic) via one
+    1-row broadcast argmax over the SCC size table.
+
+    Per round each BFS is one frontier join + distinct union —
+    visited-set-bounded state, the canonical iterative-graph shape;
+    everything else is semi/anti joins against bounded label sets.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("string").alias("s"),
+            F.col(dst_col).cast("string").alias("d"),
+        )
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    scc = strongly_connected_components(e, src_col="s", dst_col="d")
+    sizes = scc.groupBy("scc_id").agg(F.count("*").alias("n"))
+    core_id = sizes.agg(
+        F.expr("min_by(scc_id, named_struct('nn', -n, 's', scc_id))")
+        .alias("core_id")
+    )
+    core = (
+        scc.join(F.broadcast(core_id),
+                 F.col("scc_id") == F.col("core_id"))
+        .select("node")
+        .localCheckpoint(eager=False)
+    )
+
+    def reach(seeds, forward: bool):
+        key_out, key_in = ("s", "d") if forward else ("d", "s")
+        visited = seeds.select("node")
+        frontier = visited
+        for _ in range(rounds):
+            nxt = (
+                e.join(frontier.withColumnRenamed("node", key_out), key_out)
+                .select(F.col(key_in).alias("node"))
+                .join(visited, "node", "left_anti")
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
+            visited = visited.unionByName(nxt).transform(
+                lambda df: stats_reset_checkpoint(df, eager=False)
+            )
+            frontier = nxt
+        return visited
+
+    fwd_core = reach(core, True)
+    bwd_core = reach(core, False)
+    in_set = bwd_core.join(core, "node", "left_anti").localCheckpoint(eager=False)
+    out_set = fwd_core.join(core, "node", "left_anti").localCheckpoint(eager=False)
+    fwd_in = reach(in_set, True)
+    bwd_out = reach(out_set, False)
+    nodes = scc.select("node")
+    flag = lambda s, name: s.select("node").withColumn(name, F.lit(True))
+    lab = (
+        nodes.join(flag(core, "_core"), "node", "left")
+        .join(flag(in_set, "_in"), "node", "left")
+        .join(flag(out_set, "_out"), "node", "left")
+        .join(flag(fwd_in, "_fi"), "node", "left")
+        .join(flag(bwd_out, "_bo"), "node", "left")
+    )
+    return lab.select(
+        "node",
+        F.when(F.col("_core"), F.lit("CORE"))
+        .when(F.col("_in"), F.lit("IN"))
+        .when(F.col("_out"), F.lit("OUT"))
+        .when(F.col("_fi") & F.col("_bo"), F.lit("TUBE"))
+        .when(F.col("_fi") | F.col("_bo"), F.lit("TENDRIL"))
+        .otherwise(F.lit("DISCONNECTED"))
+        .alias("region"),
+    )
