@@ -5094,6 +5094,99 @@ def q_kg_bowtie(spark, sf_dir):
     return bowtie_decomposition(e, rounds=6)
 
 
+def q_script_profile(spark, sf_dir):
+    """Unicode-script routing profile over synthesized multilingual text
+    (Latin / Cyrillic / CJK / mixed by doc_id mod 4): exact ppm ratios
+    per script block + deterministic dominant-script argmax."""
+    from ontoweaver_spark.textops import script_profile
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    text = (
+        F.when(i % 4 == 0, F.col("text"))
+        .when(i % 4 == 1, F.concat(F.lit("текст ряд "), (i % 9).cast("string")))
+        .when(i % 4 == 2, F.lit("漢字テキスト"))
+        .otherwise(F.concat(F.lit("abc οπτ "), (i % 7).cast("string")))
+    )
+    return script_profile(docs.select("doc_id", text.alias("text")))
+
+
+def _script_profile_sql(scale: int = 1_000_000) -> str:
+    from ontoweaver_spark.textops import _SCRIPT_RANGES
+
+    synth = """
+      SELECT doc_id,
+             CASE
+               WHEN doc_id % 4 = 0 THEN text
+               WHEN doc_id % 4 = 1 THEN 'текст ряд ' || (doc_id % 9)::VARCHAR
+               WHEN doc_id % 4 = 2 THEN '漢字テキスト'
+               ELSE 'abc οπτ ' || (doc_id % 7)::VARCHAR
+             END AS t
+      FROM documents"""
+    ppm_cols = []
+    for name, pat in _SCRIPT_RANGES:
+        ppm_cols.append(
+            f"CASE WHEN length(t) > 0 THEN"
+            f" len(regexp_extract_all(t, '{pat}')) * {scale} // length(t)"
+            f" ELSE 0 END::BIGINT AS {name}_ppm"
+        )
+    dom = "CASE "
+    # argmax with table order as tie-break: later entries win only on
+    # STRICT improvement, so evaluate in reverse with greatest-chain...
+    # simplest faithful mirror: nested CASE over running best
+    cond = []
+    for idx, (name, _) in enumerate(_SCRIPT_RANGES):
+        earlier = [f"{n2}_ppm" for n2, _ in _SCRIPT_RANGES[:idx]]
+        later = [f"{n2}_ppm" for n2, _ in _SCRIPT_RANGES[idx + 1:]]
+        conds = [f"{name}_ppm > 0"]
+        conds += [f"{name}_ppm > {e}" for e in earlier]
+        conds += [f"{name}_ppm >= {l}" for l in later]
+        cond.append(f"WHEN {' AND '.join(conds)} THEN '{name}'")
+    dom += " ".join(cond) + " ELSE 'none' END AS dominant_script"
+    return f"""
+    WITH synth AS MATERIALIZED ({synth}
+    ), p AS MATERIALIZED (
+      SELECT doc_id, length(t)::BIGINT AS n_chars,
+             {', '.join(ppm_cols)}
+      FROM synth
+    )
+    SELECT doc_id, n_chars,
+           {', '.join(f'{name}_ppm' for name, _ in _SCRIPT_RANGES)},
+           {dom}
+    FROM p
+    """
+
+
+def q_table_types(spark, sf_dir):
+    """WebTables column-type inference over synthesized 2-row tables:
+    integer column, mixed int+decimal column -> decimal, a date column
+    polluted to 50% (below the 60% threshold) -> string, and a text
+    column. Closed-form oracle."""
+    from ontoweaver_spark.webdoc import extract_html_tables, infer_table_column_types
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><body><table>"
+              "<tr><th>n</th><th>d</th><th>t</th><th>s</th></tr><tr><td>"),
+        F.col("n_chars").cast("string"), F.lit("</td><td>"),
+        (i % 90).cast("string"), F.lit(".5</td><td>2024-01-0"),
+        (1 + i % 9).cast("string"), F.lit("</td><td>"),
+        F.col("source"), F.lit("</td></tr><tr><td>"),
+        i.cast("string"), F.lit("</td><td>"),
+        (i % 7).cast("string"), F.lit(".25</td><td>n/a</td><td>"),
+        F.col("lang"),
+        F.lit("</td></tr></table></body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://x.test/"), i.cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    return infer_table_column_types(extract_html_tables(pages))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -5324,6 +5417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_features": q_url_features,
         "triples_graph": q_triples_graph,
         "kg_bowtie": q_kg_bowtie,
+        "script_profile": q_script_profile,
+        "table_types": q_table_types,
     }
 
 
@@ -10344,6 +10439,27 @@ def oracle_sql() -> dict[str, str]:
         "spot_mentions": _spot_sql(max_len=3),
         "kg_onion": _onion_sql(rounds=20),
         "textrank": _textrank_sql(window=2, iterations=3),
+        "script_profile": _script_profile_sql(),
+        "table_types": """
+            SELECT 'https://x.test/' || doc_id::VARCHAR AS url,
+                   0 AS col_idx, 'n' AS header, 2::BIGINT AS n_cells,
+                   2::BIGINT AS n_int, 0::BIGINT AS n_dec,
+                   0::BIGINT AS n_date, 0::BIGINT AS n_empty,
+                   'integer' AS inferred_type
+            FROM documents
+            UNION ALL
+            SELECT 'https://x.test/' || doc_id::VARCHAR, 1, 'd', 2,
+                   0, 2, 0, 0, 'decimal'
+            FROM documents
+            UNION ALL
+            SELECT 'https://x.test/' || doc_id::VARCHAR, 2, 't', 2,
+                   0, 0, 1, 0, 'string'
+            FROM documents
+            UNION ALL
+            SELECT 'https://x.test/' || doc_id::VARCHAR, 3, 's', 2,
+                   0, 0, 0, 0, 'string'
+            FROM documents
+        """,
         "kg_bowtie": """
             SELECT 'c' || i::VARCHAR AS node, 'CORE' AS region FROM range(8) t(i)
             UNION ALL

@@ -147,7 +147,9 @@ def main() -> None:
                  "retrieval_eval", "rake_phrases", "tables_kg", "kg_refex",
                  "kg_label_prop", "zorder_docs", "judge_agreement",
                  "spot_mentions", "readability", "kg_onion",
-                 "textrank", "k_anonymity", "url_features"]:
+                 "textrank", "k_anonymity", "url_features",
+                 "triples_graph", "kg_bowtie", "script_profile",
+                 "table_types"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the

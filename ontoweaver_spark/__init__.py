@@ -35,6 +35,7 @@ from .fusion import (
 from .decontam import contamination_report, decontaminate
 from .graphstats import (
     bootstrap_percolation,
+    bowtie_decomposition,
     onion_layers,
     propagate_labels,
     refex_features,
@@ -78,6 +79,7 @@ from .linking import (
 from .similarity import rank_metrics, retrieval_metrics
 from .webdoc import (
     extract_embedded_jsonld,
+    infer_table_column_types,
     table_rows_to_frame,
     extract_html_tables,
     extract_meta_tags,
@@ -85,15 +87,15 @@ from .webdoc import (
 )
 from .layout import zorder_key, zorder_layout
 from .nulls import is_not_null
-from .ontology import automap_to_targets, subclass_closure, subclass_edges_from_triples
+from .ontology import automap_to_targets, graph_from_triples, subclass_closure, subclass_edges_from_triples
 from .sampling import hash_split, skyline, stratified_sample
-from .textops import annotator_agreement, corpus_stats, rake_keyphrases, readability
+from .textops import annotator_agreement, corpus_stats, rake_keyphrases, readability, script_profile, textrank_keywords
 from .sessions import session_stats, sessionize
 # urls.canonical_url is intentionally NOT re-exported at package level:
 # linking.canonical_url (the entity-identity key) already owns the name;
 # the crawl-snapshot variant is reached as ontoweaver_spark.urls.*
-from .urls import latest_per_url
-from .validate import graph_integrity, quarantine, validate_input
+from .urls import latest_per_url, url_features
+from .validate import graph_integrity, k_anonymity_report, quarantine, validate_input
 from .registry import import_from_path, register, register_all
 from .session import get_spark, tune_session
 from .spec import MappingError, MappingSpec, TransformerSpec, load_mapping, parse_mapping
@@ -124,7 +126,9 @@ __all__ = [
     "extract_html_tables", "zorder_key", "zorder_layout",
     "refex_features", "propagate_labels", "rake_keyphrases",
     "table_rows_to_frame", "onion_layers", "spot_mentions",
-    "readability", "annotator_agreement",
+    "readability", "annotator_agreement", "bowtie_decomposition",
+    "graph_from_triples", "k_anonymity_report", "url_features",
+    "textrank_keywords", "script_profile", "infer_table_column_types",
 ]
 
 

@@ -2023,3 +2023,54 @@ def textrank_keywords(
         F.split_part(F.col("node"), F.lit("#"), F.lit(2)).alias("word"),
         F.col("rank"),
     )
+
+
+_SCRIPT_RANGES = [
+    ("latin", r"[A-Za-z]"),
+    ("cyrillic", r"[Ѐ-ӿ]"),
+    ("cjk", r"[぀-ヿ一-鿿가-힯]"),
+    ("arabic", r"[؀-ۿ]"),
+    ("greek", r"[Ͱ-Ͽ]"),
+    ("devanagari", r"[ऀ-ॿ]"),
+    ("digit", r"[0-9]"),
+]
+
+
+def script_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Unicode-script profile per document -> ``(doc_id, n_chars,
+    <script>_ppm ..., dominant_script)`` — the script-level routing
+    signal UPSTREAM of language ID (``lang_id`` separates en/de/fr;
+    this separates Latin from CJK/Cyrillic/Arabic/Greek/Devanagari
+    outright, which is what a multilingual crawl shards on first).
+
+    Ratios are exact ppm of TOTAL characters (``count * scale DIV
+    n_chars``); the dominant script is the ppm argmax with the fixed
+    range-table order as tie-break (``latin`` first), ``none`` for
+    empty text. One zero-shuffle projection of ``regexp_count`` per
+    range — the ranges are the standard BMP blocks, ASCII-safe regexes
+    on both engines.
+    """
+    t = F.col(text_col)
+    n = F.length(t).cast("long")
+    cols = [F.col(id_col).alias("doc_id"), n.alias("n_chars")]
+    ppm_cols = []
+    for name, pat in _SCRIPT_RANGES:
+        ppm = F.when(n > 0, F.expr(
+            f"regexp_count({text_col}, '{pat}')"
+            f" * {scale} div length({text_col})"
+        )).otherwise(F.lit(0)).cast("long")
+        cols.append(ppm.alias(f"{name}_ppm"))
+        ppm_cols.append((name, ppm))
+    dom = F.lit("none")
+    best = F.lit(0).cast("long")
+    for name, ppm in ppm_cols:
+        take = ppm > best
+        dom = F.when(take, F.lit(name)).otherwise(dom)
+        best = F.when(take, ppm).otherwise(best)
+    cols.append(dom.alias("dominant_script"))
+    return df.select(*cols)

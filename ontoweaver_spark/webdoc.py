@@ -391,3 +391,56 @@ def table_rows_to_frame(
         for h in headers
     ]
     return cells.groupBy(F.col(url_col).alias("url"), "row_idx").agg(*aggs)
+
+
+def infer_table_column_types(
+    cells: DataFrame,
+    min_ratio_ppm: int = 600_000,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Column-type inference over :func:`extract_html_tables` cells ->
+    one row per ``(url, col_idx)``: ``(url, col_idx, header, n_cells,
+    n_int, n_dec, n_date, n_empty, inferred_type)`` — the WebTables
+    schema-detection step (Cafarella VLDB'08 §4) between raw harvest
+    and a typed mapping: a column is numeric/date only when the harvest
+    agrees often enough, junk rows vote it back to string.
+
+    Cell classes (anchored RE2 regexes, both-engine safe):
+    integer ``^-?[0-9]+$``, decimal ``^-?[0-9]+[.,][0-9]+$``, date
+    ``^[0-9]{4}-[0-9]{2}-[0-9]{2}$``; empty cells are counted but vote
+    for nothing. Decision on NON-empty counts, exact ppm thresholds,
+    fixed precedence: ``decimal`` when ints+decimals clear the
+    threshold and at least one true decimal exists, else ``integer``,
+    else ``date``, else ``string``. One groupBy(url, col_idx) with
+    map-side partials — column-count-bounded output, no windows.
+    """
+    c = F.col("cell")
+    is_int = c.rlike(r"^-?[0-9]+$")
+    is_dec = c.rlike(r"^-?[0-9]+[.,][0-9]+$")
+    is_date = c.rlike(r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$")
+    agg = cells.groupBy("url", "col_idx").agg(
+        F.min("header").alias("header"),
+        F.count("*").alias("n_cells"),
+        F.sum(is_int.cast("long")).alias("n_int"),
+        F.sum(is_dec.cast("long")).alias("n_dec"),
+        F.sum(is_date.cast("long")).alias("n_date"),
+        F.sum((c == "").cast("long")).alias("n_empty"),
+    )
+    nn = F.col("n_cells") - F.col("n_empty")
+    ratio = lambda col: F.when(nn > 0, col * scale / nn).otherwise(F.lit(0))
+    num_ok = F.when(
+        nn > 0, (F.col("n_int") + F.col("n_dec")) * F.lit(scale) >= F.lit(min_ratio_ppm) * nn
+    ).otherwise(F.lit(False))
+    date_ok = F.when(
+        nn > 0, F.col("n_date") * F.lit(scale) >= F.lit(min_ratio_ppm) * nn
+    ).otherwise(F.lit(False))
+    inferred = (
+        F.when(num_ok & (F.col("n_dec") > 0), F.lit("decimal"))
+        .when(num_ok, F.lit("integer"))
+        .when(date_ok, F.lit("date"))
+        .otherwise(F.lit("string"))
+    )
+    return agg.select(
+        "url", "col_idx", "header", "n_cells", "n_int", "n_dec",
+        "n_date", "n_empty", inferred.alias("inferred_type")
+    )

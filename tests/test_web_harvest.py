@@ -129,3 +129,43 @@ def test_graph_from_triples_golden(spark):
                  ("d2", "e2", "about")}
     p = {(r["id"], r["key"], r["value"]) for r in props.collect()}
     assert p == {("d1", "name", "x")}
+
+
+def test_infer_table_column_types(spark):
+    from ontoweaver_spark.webdoc import infer_table_column_types
+
+    rows = [("u", 1, 0, "n", "12"), ("u", 2, 0, "n", "-3"),
+            ("u", 1, 1, "d", "1.5"), ("u", 2, 1, "d", "7"),
+            ("u", 1, 2, "t", "2024-01-02"), ("u", 2, 2, "t", "n/a"),
+            ("u", 1, 3, "s", "x"), ("u", 2, 3, "s", "")]
+    df = spark.createDataFrame(
+        rows, ["url", "row_idx", "col_idx", "header", "cell"]
+    )
+    got = {r["col_idx"]: r for r in infer_table_column_types(df).collect()}
+    assert got[0]["inferred_type"] == "integer"
+    assert got[1]["inferred_type"] == "decimal"  # ints + one true decimal
+    assert got[2]["inferred_type"] == "string"  # 50% dates < 60% threshold
+    assert got[3]["inferred_type"] == "string" and got[3]["n_empty"] == 1
+    # all-empty column stays string without dividing by zero
+    empty = spark.createDataFrame(
+        [("u", 1, 0, "h", ""), ("u", 2, 0, "h", "")],
+        ["url", "row_idx", "col_idx", "header", "cell"],
+    )
+    r = infer_table_column_types(empty).collect()[0]
+    assert r["inferred_type"] == "string" and r["n_empty"] == 2
+
+
+def test_script_profile_golden(spark):
+    from ontoweaver_spark.textops import script_profile
+
+    df = spark.createDataFrame(
+        [(1, "hello мир 123"), (2, "日本語テキスト"), (3, "")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in script_profile(df).collect()}
+    assert got[1]["latin_ppm"] == 5 * 1_000_000 // 13
+    assert got[1]["cyrillic_ppm"] == 3 * 1_000_000 // 13
+    assert got[1]["dominant_script"] == "latin"
+    assert got[2]["cjk_ppm"] == 1_000_000
+    assert got[2]["dominant_script"] == "cjk"
+    assert got[3]["dominant_script"] == "none" and got[3]["n_chars"] == 0
