@@ -4762,6 +4762,7 @@ def bowtie_decomposition(
     rounds: int = 6,
     src_col: str = "src",
     dst_col: str = "dst",
+    scc_trim_rounds: int = 10,
 ) -> DataFrame:
     """Bow-tie decomposition of a directed graph (Broder et al., WWW'00
     — THE web-graph structure map) -> ``(node, region)`` with region in
@@ -4793,7 +4794,9 @@ def bowtie_decomposition(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    scc = strongly_connected_components(e, src_col="s", dst_col="d")
+    scc = strongly_connected_components(
+        e, src_col="s", dst_col="d", trim_rounds=scc_trim_rounds
+    )
     sizes = scc.groupBy("scc_id").agg(F.count("*").alias("n"))
     core_id = sizes.agg(
         F.expr("min_by(scc_id, named_struct('nn', -n, 's', scc_id))")
