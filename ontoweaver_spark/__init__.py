@@ -50,6 +50,7 @@ from .graphstats import (
     maximal_matching,
     neighbor_jaccard,
     pagerank_fixed_point,
+    spam_mass,
     ppr_forward_push,
     ppr_sweep_cut,
     reciprocity,
@@ -66,6 +67,8 @@ from .graphstats import (
 from .neo4j_export import write_neo4j_import
 from .ids import affix_id
 from .linking import (
+    blocking_metrics,
+    fold_diacritics,
     canonical_entity,
     spot_mentions,
     canonical_url,
@@ -87,7 +90,14 @@ from .webdoc import (
 )
 from .layout import zorder_key, zorder_layout
 from .nulls import is_not_null
-from .ontology import automap_to_targets, graph_from_triples, subclass_closure, subclass_edges_from_triples
+from .ontology import (
+    automap_to_targets,
+    functional_violations,
+    graph_from_triples,
+    ifp_sameas_candidates,
+    subclass_closure,
+    subclass_edges_from_triples,
+)
 from .sampling import hash_split, skyline, stratified_sample
 from .textops import annotator_agreement, corpus_stats, rake_keyphrases, readability, script_profile, textrank_keywords
 from .sessions import session_stats, sessionize
@@ -95,7 +105,13 @@ from .sessions import session_stats, sessionize
 # linking.canonical_url (the entity-identity key) already owns the name;
 # the crawl-snapshot variant is reached as ontoweaver_spark.urls.*
 from .urls import latest_per_url, url_features
-from .validate import graph_integrity, k_anonymity_report, quarantine, validate_input
+from .validate import (
+    graph_integrity,
+    k_anonymity_report,
+    quarantine,
+    shacl_validate,
+    validate_input,
+)
 from .registry import import_from_path, register, register_all
 from .session import get_spark, tune_session
 from .spec import MappingError, MappingSpec, TransformerSpec, load_mapping, parse_mapping
@@ -129,6 +145,8 @@ __all__ = [
     "readability", "annotator_agreement", "bowtie_decomposition",
     "graph_from_triples", "k_anonymity_report", "url_features",
     "textrank_keywords", "script_profile", "infer_table_column_types",
+    "shacl_validate", "functional_violations", "ifp_sameas_candidates",
+    "blocking_metrics", "fold_diacritics", "spam_mass",
 ]
 
 

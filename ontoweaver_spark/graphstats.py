@@ -4852,3 +4852,69 @@ def bowtie_decomposition(
         .otherwise(F.lit("DISCONNECTED"))
         .alias("region"),
     )
+
+
+def spam_mass(
+    edges: DataFrame,
+    trusted_seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    iterations: int = 5,
+    scale: int = 1_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Spam-mass estimate (Gyöngyi et al., VLDB'04 TrustRank / the 2006
+    spam-mass follow-up) -> ``(node, rank, trusted_rank, spam_mass_ppm)``:
+    how much of each node's PageRank arrives from OUTSIDE a trusted seed
+    set. Link farms inflate global PageRank but cannot buy proximity to
+    trusted hosts, so rank minus seed-personalized rank is the classic
+    web-spam demotion signal — for a crawl-derived host graph this is
+    the filter that decides which hosts' pages feed KG extraction at all.
+
+    spam_mass_ppm = max(0, rank - trusted_rank_scaled) * 1e6 DIV rank,
+    where trusted_rank_scaled rescales the PPR mass (teleport sums to
+    |seeds| * scale) onto the global mass (|V| * scale) by the exact
+    integer factor |V| DIV-free multiply: ppr * |V| DIV |seeds|. 1e6 =
+    fully spam-supported, 0 = fully trusted-supported. Both inputs are
+    the engine's exact-BIGINT recurrences (:func:`pagerank_fixed_point`,
+    :func:`personalized_pagerank`), so the whole surface is engine-
+    bit-identical and hash-oracle-checkable; rank >= the teleport floor
+    > 0, so the DIV is total. Overflow bound: ppr_rank * |V| < 2^63 —
+    holds whenever |V| * scale itself does, the same bound PageRank
+    already carries.
+
+    Shape: the two recurrences share the canonical iterative plan (edge
+    list + degrees localCheckpoint-ed once, one join + one map-side-
+    combinable sum per round); the combination adds one node-keyed join
+    of the two rank frames plus two broadcast 1-row count frames.
+    """
+    pr = pagerank_fixed_point(
+        edges, src_col=src_col, dst_col=dst_col,
+        iterations=iterations, scale=scale, damping_pct=damping_pct,
+    )
+    tr = personalized_pagerank(
+        edges, trusted_seeds, src_col=src_col, dst_col=dst_col,
+        node_col=node_col, iterations=iterations, scale=scale,
+        damping_pct=damping_pct,
+    ).select(F.col("node"), F.col("rank").alias("_tr"))
+    nv = F.broadcast(pr.agg(F.count("*").alias("_nv")))
+    ns = F.broadcast(
+        trusted_seeds.select(F.col(node_col).alias("node")).distinct()
+        .agg(F.count("*").alias("_ns"))
+    )
+    joined = (
+        pr.join(tr, "node", "left")
+        .crossJoin(nv)
+        .crossJoin(ns)
+        .select(
+            "node", "rank",
+            F.expr("coalesce(_tr, 0) * _nv DIV _ns").alias("trusted_rank"),
+        )
+    )
+    return joined.select(
+        "node", "rank", "trusted_rank",
+        F.expr(
+            "greatest(0, rank - trusted_rank) * 1000000 DIV rank"
+        ).alias("spam_mass_ppm"),
+    )

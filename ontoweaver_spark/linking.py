@@ -811,3 +811,88 @@ def spot_mentions(
         & (F.col("_n2") > F.col("n_tokens")),
         "left_anti",
     )
+
+
+# Vendored 1:1 diacritic fold table (U+00C0-U+024F), generated from and
+# bit-identical to DuckDB 1.0 ``strip_accents`` on every covered char
+# (tests/test_er_metrics.py re-derives it against the installed duckdb).
+# Ligatures and non-decomposable letters in the range (AE, ss, Dj, Th, OE,
+# ...) are deliberately NOT folded -- strip_accents keeps them too, so the
+# two engines agree by construction.
+_FOLD_SRC = 'ÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝàáâãäåçèéêëìíîïñòóôõöùúûüýÿĀāĂăĄąĆćĈĉĊċČčĎďĒēĔĕĖėĘęĚěĜĝĞğĠġĢģĤĥĨĩĪīĬĭĮįİĴĵĶķĹĺĻļĽľŃńŅņŇňŌōŎŏŐőŔŕŖŗŘřŚśŜŝŞşŠšŢţŤťŨũŪūŬŭŮůŰűŲųŴŵŶŷŸŹźŻżŽžƠơƯưǍǎǏǐǑǒǓǔǕǖǗǘǙǚǛǜǞǟǠǡǦǧǨǩǪǫǬǭǰǴǵǸǹǺǻȀȁȂȃȄȅȆȇȈȉȊȋȌȍȎȏȐȑȒȓȔȕȖȗȘșȚțȞȟȦȧȨȩȪȫȬȭȮȯȰȱȲȳ'
+_FOLD_DST = 'AAAAAACEEEEIIIINOOOOOUUUUYaaaaaaceeeeiiiinooooouuuuyyAaAaAaCcCcCcCcDdEeEeEeEeEeGgGgGgGgHhIiIiIiIiIJjKkLlLlLlNnNnNnOoOoOoRrRrRrSsSsSsSsTtTtUuUuUuUuUuUuWwYyYZzZzZzOoUuAaIiOoUuUuUuUuUuAaAaGgKkOoOojGgNnAaAaAaEeEeIiIiOoOoRrRrUuUuSsTtHhAaEeOoOoOoOoYy'
+
+
+def fold_diacritics(col):
+    """Accent-fold a string Column for ER blocking keys: ``Renée`` ->
+    ``Renee``, ``Černý`` -> ``Cerny``. Entity names arrive from the crawl
+    in mixed normalization; exact-match blocking on the raw surface form
+    splits what is one entity. This is the cheap, exact, engine-portable
+    4/5ths of Unicode normalization: a single in-codegen ``translate``
+    (no UDF, no shuffle, no Python), covering every 1:1 Latin diacritic
+    decomposition in U+00C0-U+024F exactly as DuckDB's
+    ``strip_accents`` folds them. Full NFKD (ligature expansion,
+    non-Latin scripts) is a documented non-goal -- it is not 1:1, so it
+    cannot be a translate; route those corpora through a Pandas-UDF
+    normalizer instead and lose the SQL-oracle property.
+    """
+    return F.translate(col if isinstance(col, Column) else F.col(col),
+                       _FOLD_SRC, _FOLD_DST)
+
+
+def blocking_metrics(
+    candidates: DataFrame,
+    gold: DataFrame,
+    n_records: int,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Blocking-quality rollup for an ER candidate generator -> ONE row
+    ``(n_candidates, n_gold, n_matched, total_pairs, reduction_ratio_ppm,
+    pair_completeness_ppm, pair_quality_ppm)`` — the standard blocking
+    evaluation triple (Christen, TKDE'12): reduction ratio = how much of
+    the quadratic pair space the blocker pruned; pair completeness =
+    recall of true matches among candidates; pair quality = precision.
+    Every blocker in this engine (token blocking, sorted neighborhood,
+    minhash bands, IFP joins) trades these off — this is the measurement
+    that says which to ship at which threshold, BEFORE paying for the
+    expensive match step.
+
+    Pairs are canonicalized (least, greatest) on both sides so direction
+    never miscounts. All ratios are exact integer ppm (x * 1e6 DIV y,
+    NULL when the denominator is 0); ``total_pairs = n(n-1)/2`` comes
+    from the caller-supplied record count, since the candidate frame no
+    longer knows the universe it was drawn from. Shape: two distincts +
+    one broadcast-sized inner join on the (usually tiny) gold set, then
+    single-row aggregates crossed together — output is one row.
+    """
+    def canon(df):
+        a, b = F.col(a_col).cast("string"), F.col(b_col).cast("string")
+        return df.select(
+            F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+        ).where(F.col("a") != F.col("b")).distinct()
+
+    cand, g = canon(candidates), canon(gold)
+    total = n_records * (n_records - 1) // 2
+    nc = cand.agg(F.count("*").alias("n_candidates"))
+    ng = g.agg(F.count("*").alias("n_gold"))
+    nm = cand.join(F.broadcast(g), ["a", "b"]).agg(
+        F.count("*").alias("n_matched")
+    )
+    row = nc.crossJoin(F.broadcast(ng)).crossJoin(F.broadcast(nm))
+    return row.select(
+        "n_candidates", "n_gold", "n_matched",
+        F.lit(total).cast("long").alias("total_pairs"),
+        F.when(
+            F.lit(total) > 0,
+            F.expr(f"(({total} - n_candidates) * 1000000) DIV {total}"),
+        ).alias("reduction_ratio_ppm"),
+        F.when(
+            F.col("n_gold") > 0,
+            F.expr("(n_matched * 1000000) DIV n_gold"),
+        ).alias("pair_completeness_ppm"),
+        F.when(
+            F.col("n_candidates") > 0,
+            F.expr("(n_matched * 1000000) DIV n_candidates"),
+        ).alias("pair_quality_ppm"),
+    )

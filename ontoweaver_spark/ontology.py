@@ -639,3 +639,94 @@ def graph_from_triples(
         .distinct()
     )
     return nodes, edges, props
+
+
+def functional_violations(
+    edges: DataFrame,
+    predicates: list[str],
+    src_col: str = "src",
+    dst_col: str = "dst",
+    label_col: str = "label",
+) -> DataFrame:
+    """owl:FunctionalProperty audit -> ``(src, label, n_objects)`` for
+    every subject asserting MORE THAN ONE distinct object on a
+    functional predicate (one birth date, one canonical URL, one
+    CEO-as-of-now). The reference's validation never sees this — it
+    checks cell values row by row (``src/ontoweaver/validate.py``),
+    but a functional violation is a cross-ROW property of the graph,
+    exactly the conflict :func:`~ontoweaver_spark.linking.resolve_claims`
+    votes away downstream; run this audit first to MEASURE how much
+    conflict the crawl carries per predicate.
+
+    One predicate-filtered distinct + one map-side-combinable groupBy,
+    keyed on (src, label) — co-located with the bucketed edge tables'
+    src clustering at scale. ``predicates`` is config-sized.
+    """
+    e = edges.select(
+        F.col(src_col).cast("string").alias("src"),
+        F.col(dst_col).cast("string").alias("dst"),
+        F.col(label_col).cast("string").alias("label"),
+    ).where(F.col("label").isin([str(p) for p in predicates]))
+    return (
+        e.distinct()
+        .groupBy("src", "label")
+        .agg(F.count("*").alias("n_objects"))
+        .where(F.col("n_objects") > 1)
+    )
+
+
+def ifp_sameas_candidates(
+    edges: DataFrame,
+    predicates: list[str],
+    src_col: str = "src",
+    dst_col: str = "dst",
+    label_col: str = "label",
+    max_group: int = 100,
+) -> DataFrame:
+    """owl:InverseFunctionalProperty joins -> ``(a, b, label, obj)``
+    owl:sameAs CANDIDATE pairs (a < b lexicographically): two subjects
+    sharing the same object on an inverse-functional predicate (same
+    ISBN, same DOI, same canonical email hash) denote the same entity —
+    the classic high-precision ER signal that seeds
+    :func:`~ontoweaver_spark.fusion.sameas_canonicalize`.
+
+    Skew guard: a dirty IFP value shared by k subjects would emit
+    k(k-1)/2 pairs — a single placeholder value ("unknown", "n/a")
+    could detonate the self-join. Groups larger than ``max_group``
+    are DROPPED before pairing (they carry no identity signal; a
+    placeholder shared by thousands of subjects is noise, not
+    evidence), bounding the blow-up at max_group^2 per value and
+    making the join size O(|E| * max_group).
+
+    Shape: one groupBy on (label, obj) collecting the subject set
+    (bounded by the guard), then an in-plan pair expansion — no self-
+    join of the raw edge table, no shuffle beyond the single groupBy.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("string").alias("src"),
+            F.col(dst_col).cast("string").alias("dst"),
+            F.col(label_col).cast("string").alias("label"),
+        )
+        .where(F.col("label").isin([str(p) for p in predicates]))
+        .distinct()
+    )
+    groups = (
+        e.groupBy("label", F.col("dst").alias("obj"))
+        .agg(F.collect_set("src").alias("_ss"))
+        .where((F.size("_ss") >= 2) & (F.size("_ss") <= max_group))
+        .select("label", "obj", F.array_sort("_ss").alias("_ss"))
+    )
+    pairs = groups.select(
+        "label", "obj",
+        F.explode(
+            F.expr(
+                "flatten(transform(_ss, (x, i) -> "
+                "transform(slice(_ss, i + 2, size(_ss) - i - 1), "
+                "y -> struct(x as a, y as b))))"
+            )
+        ).alias("_p"),
+    )
+    return pairs.select(
+        F.col("_p.a").alias("a"), F.col("_p.b").alias("b"), "label", "obj"
+    )

@@ -256,3 +256,156 @@ def k_anonymity_report(
         F.min("_gn").cast("long").alias("min_group_size"),
         F.lit(k).cast("long").alias("k"),
     )
+
+
+def shacl_validate(
+    nodes: DataFrame,
+    edges: DataFrame,
+    shapes: list[dict],
+    props: DataFrame | None = None,
+) -> DataFrame:
+    """SHACL-lite node-shape validation of a typed property graph -> one
+    row per violation ``(id, shape, path, violation, observed)``.
+
+    The reference validates table CELLS (pandera rules,
+    ``src/ontoweaver/validate.py:17-126``) and this engine's
+    :func:`validate_edge_types` checks single edges against domain/range —
+    but neither can say "every document node must have EXACTLY ONE
+    in_language edge whose target is a language node". That per-node
+    STRUCTURAL contract is what W3C SHACL node shapes express
+    (sh:targetClass + sh:path + sh:minCount/sh:maxCount/sh:class/
+    sh:pattern/sh:in), and it is the acceptance gate a production KG
+    build runs before publishing a graph snapshot.
+
+    ``shapes`` is config-sized (broadcast everywhere), one dict per
+    constraint::
+
+        {"shape": "DocShape", "target_class": "document",
+         "path": "in_language",            # outgoing edge label
+         "min_count": 1, "max_count": 1,   # cardinality (either optional)
+         "object_class": "language"}       # required label of edge target
+        {"shape": "DocShape", "target_class": "document",
+         "key": "n_chars",                 # property row on `props`
+         "pattern": "^[0-9]+$",            # RLIKE, unanchored unless ^$
+         "values": ["en", "de"]}           # allowed-value set (sh:in)
+
+    Violations emitted (``observed`` is always a string):
+
+    - ``min_count`` / ``max_count`` — edge-count outside bounds
+      (observed = the count; nodes with ZERO path edges are included,
+      which a naive group-by-the-edges formulation silently misses)
+    - ``object_class`` — edge target typed otherwise (observed = target
+      label, or ``missing`` when the target has no node row)
+    - ``pattern`` / ``values`` — property value fails the regex /
+      allowed set (observed = the value; absent keys are a cardinality
+      concern, not a value concern, so no row — declare min_count on an
+      edge path or validate presence upstream)
+
+    Scale shape: every join against the shape table is a broadcast; the
+    big joins are keyed on node id / edge src / edge dst (the same keys
+    the bucketed graph tables cluster by, so at 10^12 edges they
+    co-locate with zero extra shuffle). Cardinality counting is one
+    map-side-combinable groupBy over the path-filtered edges; the
+    zero-count grid is targets x per-shape constraint rows (output-sized,
+    never |V| x |shapes| for shapes whose class the node doesn't carry).
+    """
+    spark = nodes.sparkSession
+    card_rows, class_rows, val_rows = [], [], []
+    for s in shapes:
+        name, tgt = str(s["shape"]), str(s["target_class"])
+        if "path" in s:
+            if "min_count" in s or "max_count" in s:
+                card_rows.append(
+                    (name, tgt, str(s["path"]),
+                     int(s.get("min_count", 0)),
+                     int(s["max_count"]) if "max_count" in s else None)
+                )
+            if "object_class" in s:
+                class_rows.append(
+                    (name, tgt, str(s["path"]), str(s["object_class"]))
+                )
+        if "key" in s:
+            val_rows.append(
+                (name, tgt, str(s["key"]),
+                 str(s["pattern"]) if "pattern" in s else None,
+                 [str(v) for v in s["values"]] if "values" in s else None)
+            )
+    if val_rows and props is None:
+        raise ValueError(
+            "shacl_validate: value constraints (key/pattern/values) need "
+            "the props frame (id, key, value)"
+        )
+    out_cols = ["id", "shape", "path", "violation", "observed"]
+    parts = []
+    n = nodes.select(F.col("id").cast("string").alias("id"),
+                     F.col("label").cast("string").alias("label"))
+    e = edges.select(F.col("src").cast("string").alias("src"),
+                     F.col("dst").cast("string").alias("dst"),
+                     F.col("label").cast("string").alias("elabel"))
+    if card_rows:
+        cons = F.broadcast(spark.createDataFrame(
+            card_rows, "shape string, label string, path string, "
+                       "mn long, mx long"))
+        grid = n.join(cons, "label").select("id", "shape", "path", "mn", "mx")
+        paths = sorted({r[2] for r in card_rows})
+        cnt = (
+            e.where(F.col("elabel").isin(paths))
+            .groupBy(F.col("src").alias("id"), F.col("elabel").alias("path"))
+            .agg(F.count("*").alias("_c"))
+        )
+        got = grid.join(cnt, ["id", "path"], "left").select(
+            "id", "shape", "path", "mn", "mx",
+            F.coalesce(F.col("_c"), F.lit(0)).alias("_c"),
+        )
+        parts.append(got.where(F.col("_c") < F.col("mn")).select(
+            "id", "shape", "path", F.lit("min_count").alias("violation"),
+            F.col("_c").cast("string").alias("observed")))
+        parts.append(got.where(F.col("mx").isNotNull()
+                               & (F.col("_c") > F.col("mx"))).select(
+            "id", "shape", "path", F.lit("max_count").alias("violation"),
+            F.col("_c").cast("string").alias("observed")))
+    if class_rows:
+        cons = F.broadcast(spark.createDataFrame(
+            class_rows, "shape string, label string, path string, "
+                        "want string"))
+        typed = (
+            e.select(F.col("src").alias("id"), "dst",
+                     F.col("elabel").alias("path"))
+            .join(n, "id")                      # src type gates targeting
+            .join(cons, ["label", "path"])
+        )
+        dst_t = n.select(F.col("id").alias("dst"),
+                         F.col("label").alias("_dl"))
+        parts.append(
+            typed.join(dst_t, "dst", "left")
+            .where(F.col("_dl").isNull() | (F.col("_dl") != F.col("want")))
+            .select("id", "shape", "path",
+                    F.lit("object_class").alias("violation"),
+                    F.coalesce(F.col("_dl"), F.lit("missing"))
+                    .alias("observed"))
+        )
+    if val_rows:
+        cons = F.broadcast(spark.createDataFrame(
+            val_rows, "shape string, label string, path string, "
+                      "pat string, allowed array<string>"))
+        p = props.select(F.col("id").cast("string").alias("id"),
+                         F.col("key").cast("string").alias("path"),
+                         F.col("value").cast("string").alias("_v"))
+        typed = p.join(n, "id").join(cons, ["label", "path"])
+        parts.append(typed.where(
+            F.col("pat").isNotNull() & ~F.expr("_v rlike pat")
+        ).select("id", "shape", "path", F.lit("pattern").alias("violation"),
+                 F.col("_v").alias("observed")))
+        parts.append(typed.where(
+            F.col("allowed").isNotNull()
+            & ~F.array_contains(F.col("allowed"), F.col("_v"))
+        ).select("id", "shape", "path", F.lit("values").alias("violation"),
+                 F.col("_v").alias("observed")))
+    if not parts:
+        return spark.createDataFrame(
+            [], "id string, shape string, path string, violation string, "
+                "observed string")
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionAll(q)
+    return out.select(*out_cols)
