@@ -5191,6 +5191,184 @@ def q_table_types(spark, sf_dir):
     return infer_table_column_types(extract_html_tables(pages))
 
 
+def q_kg_shacl(spark, sf_dir):
+    """SHACL-lite node-shape validation over a typed doc graph with
+    PLANTED violations: every 7th doc has no in_language edge
+    (min_count), every 11th (and not 7th) carries a second edge aimed at
+    its source node (max_count + object_class), every 13th doc's n_chars
+    property is letter-prefixed (pattern), and es/zh docs violate the
+    lang allowed-set. Oracle: the same plantings as CTEs + UNION ALL of
+    per-kind group-bys/filters."""
+    from ontoweaver_spark.validate import shacl_validate
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    did = F.concat(F.lit("d"), F.col("doc_id").cast("string"))
+    nodes = (
+        docs.select(did.alias("id"), F.lit("document").alias("label"))
+        .unionAll(docs.select(F.col("lang").alias("id"),
+                              F.lit("language").alias("label")))
+        .unionAll(docs.select(F.col("source").alias("id"),
+                              F.lit("source").alias("label")))
+        .distinct()
+    )
+    edges = (
+        docs.where(F.col("doc_id") % 7 != 0)
+        .select(did.alias("src"), F.col("lang").alias("dst"),
+                F.lit("in_language").alias("label"))
+        .unionAll(
+            docs.where((F.col("doc_id") % 11 == 0) & (F.col("doc_id") % 7 != 0))
+            .select(did.alias("src"), F.col("source").alias("dst"),
+                    F.lit("in_language").alias("label"))
+        )
+    )
+    props = (
+        docs.select(
+            did.alias("id"), F.lit("n_chars").alias("key"),
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.concat(F.lit("c"), F.col("n_chars").cast("string")))
+            .otherwise(F.col("n_chars").cast("string")).alias("value"))
+        .unionAll(docs.select(did.alias("id"), F.lit("lang").alias("key"),
+                              F.col("lang").alias("value")))
+    )
+    shapes = [
+        {"shape": "DocShape", "target_class": "document",
+         "path": "in_language", "min_count": 1, "max_count": 1,
+         "object_class": "language"},
+        {"shape": "DocShape", "target_class": "document",
+         "key": "n_chars", "pattern": "^[0-9]+$"},
+        {"shape": "DocShape", "target_class": "document",
+         "key": "lang", "values": ["en", "de", "fr"]},
+    ]
+    return shacl_validate(nodes, edges, shapes, props=props)
+
+
+def q_kg_functional(spark, sf_dir):
+    """owl:FunctionalProperty audit: 100 entities each asserting the
+    langs/sources of their docs as birth_date / canonical_url claims —
+    subjects with >1 distinct object per functional predicate are the
+    conflict measure resolve_claims later votes away. Oracle: filtered
+    distinct-count group-by."""
+    from ontoweaver_spark.ontology import functional_violations
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    ent = F.concat(F.lit("e"), (F.col("doc_id") % 100).cast("string"))
+    edges = (
+        docs.select(ent.alias("src"), F.col("lang").alias("dst"),
+                    F.lit("birth_date").alias("label"))
+        .unionAll(docs.select(ent.alias("src"), F.col("source").alias("dst"),
+                              F.lit("canonical_url").alias("label")))
+        .unionAll(docs.select(ent.alias("src"), F.col("source").alias("dst"),
+                              F.lit("mentions").alias("label")))
+    )
+    return functional_violations(edges, ["birth_date", "canonical_url"])
+
+
+def q_kg_ifp(spark, sf_dir):
+    """owl:InverseFunctionalProperty sameAs candidates: docs sharing an
+    ISBN residue (doc_id % 250) pair up; every 50th doc also asserts the
+    placeholder 'isbn:unknown', whose group blows past max_group=20 at
+    sf0.1 and is dropped by the skew guard (kept at smaller sf — the
+    guard itself is part of the checked semantics). Oracle: group-size-
+    filtered self-join."""
+    from ontoweaver_spark.ontology import ifp_sameas_candidates
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    sub = F.concat(F.lit("a"), F.col("doc_id").cast("string"))
+    edges = (
+        docs.select(
+            sub.alias("src"),
+            F.concat(F.lit("isbn:"),
+                     (F.col("doc_id") % 250).cast("string")).alias("dst"),
+            F.lit("has_isbn").alias("label"))
+        .unionAll(
+            docs.where(F.col("doc_id") % 50 == 0)
+            .select(sub.alias("src"), F.lit("isbn:unknown").alias("dst"),
+                    F.lit("has_isbn").alias("label")))
+        .unionAll(
+            docs.select(sub.alias("src"), F.col("source").alias("dst"),
+                        F.lit("from_source").alias("label")))
+    )
+    return ifp_sameas_candidates(edges, ["has_isbn"], max_group=20)
+
+
+def q_er_blocking_eval(spark, sf_dir):
+    """Blocking-quality rollup: records blocked on doc_id DIV 4 (all
+    within-block pairs become candidates), gold = consecutive-id pairs —
+    the 1-in-4 gold pair that straddles a block boundary is the planted
+    recall loss, so pair_completeness lands near 750000 ppm, not 10^6.
+    Oracle: the same block self-join + scalar-subquery arithmetic."""
+    from ontoweaver_spark.linking import blocking_metrics
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    rec = docs.select(
+        F.concat(F.lit("p"), F.col("doc_id").cast("string")).alias("rid"),
+        F.expr("doc_id div 4").alias("blk"),
+        F.col("doc_id").alias("i"),
+    )
+    a = rec.select(F.col("rid").alias("a"), "blk", F.col("i").alias("ia"))
+    b = rec.select(F.col("rid").alias("b"), "blk", F.col("i").alias("ib"))
+    cand = a.join(b, "blk").where(F.col("ia") < F.col("ib")).select("a", "b")
+    gold = rec.where(F.col("i") < n - 1).select(
+        F.col("rid").alias("a"),
+        F.concat(F.lit("p"), (F.col("i") + 1).cast("string")).alias("b"),
+    )
+    return blocking_metrics(cand, gold, n_records=n)
+
+
+def q_er_fold_keys(spark, sf_dir):
+    """Accent-folded ER blocking keys: five accented surname templates
+    crossed with the 20 sources, folded via the vendored translate map
+    and counted per folded key — the group sizes ARE the blocking-key
+    histogram. Oracle: DuckDB strip_accents on the identical
+    construction (the fold table is generated from strip_accents, so
+    agreement is by construction and the hash proves it)."""
+    from ontoweaver_spark.linking import fold_diacritics
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    names = F.array(*[F.lit(s) for s in
+                      ["Renée", "Černý", "François", "Müller", "Ibáñez"]])
+    name = F.concat(
+        F.element_at(names, (F.col("doc_id") % 5 + 1).cast("int")),
+        F.lit(" "), F.col("source"),
+    )
+    return (
+        docs.select(fold_diacritics(name).alias("folded_key"))
+        .groupBy("folded_key")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_kg_spam_mass(spark, sf_dir):
+    """Spam-mass demotion over a 500-node residue link graph (every node
+    links 3r+1, even nodes also 7r+3; trusted seeds = the 20 nodes with
+    r%25==0): rank minus seed-personalized rank, exact-integer ppm.
+    Oracle: BOTH 4-round recurrences unrolled as MATERIALIZED CTEs plus
+    the same scalar-subquery mass rescale."""
+    from ontoweaver_spark.graphstats import spam_mass
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    r = F.col("doc_id") % 500
+
+    def d(c):
+        return F.concat(F.lit("d"), c.cast("string"))
+
+    edges = (
+        docs.select(d(r).alias("src"), d((r * 3 + 1) % 500).alias("dst"))
+        .unionAll(
+            docs.where(r % 2 == 0)
+            .select(d(r).alias("src"), d((r * 7 + 3) % 500).alias("dst")))
+    )
+    seeds = docs.where(r % 25 == 0).select(d(r).alias("node")).distinct()
+    return spam_mass(edges, seeds, iterations=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -5423,6 +5601,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bowtie": q_kg_bowtie,
         "script_profile": q_script_profile,
         "table_types": q_table_types,
+        "kg_shacl": q_kg_shacl,
+        "kg_functional": q_kg_functional,
+        "kg_ifp": q_kg_ifp,
+        "er_blocking_eval": q_er_blocking_eval,
+        "er_fold_keys": q_er_fold_keys,
+        "kg_spam_mass": q_kg_spam_mass,
     }
 
 
@@ -6757,6 +6941,71 @@ def _cover_sql(k: int = 5) -> str:
         for r in range(1, k + 1)
     ]
     parts.append("\n    " + "\n    UNION ALL ".join(selects))
+    return "".join(parts)
+
+
+def _spam_mass_sql(iterations: int = 4, scale: int = 1_000_000,
+                   damping: int = 85) -> str:
+    """Unrolled spam-mass oracle: BOTH exact-integer recurrences
+    (global PageRank r0..rN, seed-personalized t0..tN) as MATERIALIZED
+    CTEs over the residue link graph, then the same |V| DIV |seeds|
+    mass rescale and greatest(0, ...) ppm — mirrors graphstats.spam_mass
+    by construction, independent by formulation (scalar subqueries vs
+    broadcast count frames)."""
+    teleport = (100 - damping) * scale // 100
+    parts = [f"""
+    WITH docs AS (
+      SELECT DISTINCT doc_id % 500 AS r FROM documents
+    ), e AS MATERIALIZED (
+      SELECT 'd' || r::VARCHAR AS s, 'd' || ((r * 3 + 1) % 500)::VARCHAR AS d
+      FROM docs
+      UNION
+      SELECT 'd' || r::VARCHAR, 'd' || ((r * 7 + 3) % 500)::VARCHAR
+      FROM docs WHERE r % 2 = 0
+    ), outd AS (
+      SELECT s, count(*) AS od FROM e GROUP BY s
+    ), nodes AS (
+      SELECT s AS node FROM e UNION SELECT d FROM e
+    ), seeds AS (
+      SELECT DISTINCT 'd' || r::VARCHAR AS node FROM docs WHERE r % 25 = 0
+    ), flag AS MATERIALIZED (
+      SELECT n.node, CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS sf
+      FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+    ), r0 AS (
+      SELECT node, {scale}::BIGINT AS "rank" FROM nodes
+    ), t0 AS (
+      SELECT node, (sf * {scale})::BIGINT AS "rank" FROM flag
+    )"""]
+    for i in range(1, iterations + 1):
+        parts.append(f""", r{i} AS MATERIALIZED (
+      SELECT n.node,
+             ({teleport} + ({damping} * coalesce(t.inb, 0)) // 100)::BIGINT
+               AS "rank"
+      FROM nodes n LEFT JOIN (
+        SELECT e.d AS node, sum(r."rank" // o.od) AS inb
+        FROM e JOIN outd o ON e.s = o.s JOIN r{i - 1} r ON r.node = e.s
+        GROUP BY e.d
+      ) t ON t.node = n.node
+    ), t{i} AS MATERIALIZED (
+      SELECT f.node,
+             (f.sf * {teleport}
+              + ({damping} * coalesce(t.inb, 0)) // 100)::BIGINT AS "rank"
+      FROM flag f LEFT JOIN (
+        SELECT e.d AS node, sum(r."rank" // o.od) AS inb
+        FROM e JOIN outd o ON e.s = o.s JOIN t{i - 1} r ON r.node = e.s
+        GROUP BY e.d
+      ) t ON t.node = f.node
+    )""")
+    parts.append(f""", cnt AS (
+      SELECT (SELECT count(*) FROM nodes) AS nv,
+             (SELECT count(*) FROM seeds) AS ns
+    )
+    SELECT p.node, p."rank" AS "rank",
+           (coalesce(t."rank", 0) * cnt.nv) // cnt.ns AS trusted_rank,
+           (greatest(0, p."rank" - (coalesce(t."rank", 0) * cnt.nv) // cnt.ns)
+            * 1000000) // p."rank" AS spam_mass_ppm
+    FROM r{iterations} p
+    LEFT JOIN t{iterations} t ON t.node = p.node, cnt""")
     return "".join(parts)
 
 
@@ -10464,6 +10713,104 @@ def oracle_sql() -> dict[str, str]:
                    0, 0, 0, 0, 'string'
             FROM documents
         """,
+        "kg_shacl": """
+            WITH docs AS (
+              SELECT doc_id, lang, source, n_chars FROM documents
+            )
+            SELECT 'd' || doc_id::VARCHAR AS id, 'DocShape' AS shape,
+                   'in_language' AS path, 'min_count' AS violation,
+                   '0' AS observed
+            FROM docs WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT 'd' || doc_id::VARCHAR, 'DocShape', 'in_language',
+                   'max_count', '2'
+            FROM docs WHERE doc_id % 11 = 0 AND doc_id % 7 <> 0
+            UNION ALL
+            SELECT 'd' || doc_id::VARCHAR, 'DocShape', 'in_language',
+                   'object_class', 'source'
+            FROM docs WHERE doc_id % 11 = 0 AND doc_id % 7 <> 0
+            UNION ALL
+            SELECT 'd' || doc_id::VARCHAR, 'DocShape', 'n_chars',
+                   'pattern', 'c' || n_chars::VARCHAR
+            FROM docs WHERE doc_id % 13 = 0
+            UNION ALL
+            SELECT 'd' || doc_id::VARCHAR, 'DocShape', 'lang',
+                   'values', lang
+            FROM docs WHERE lang NOT IN ('en', 'de', 'fr')
+        """,
+        "kg_functional": """
+            WITH e AS (
+              SELECT DISTINCT 'e' || (doc_id % 100)::VARCHAR AS src,
+                     lang AS dst, 'birth_date' AS label
+              FROM documents
+              UNION
+              SELECT DISTINCT 'e' || (doc_id % 100)::VARCHAR, source,
+                     'canonical_url'
+              FROM documents
+            )
+            SELECT src, label, count(*) AS n_objects
+            FROM e GROUP BY src, label HAVING count(*) > 1
+        """,
+        "kg_ifp": """
+            WITH e AS (
+              SELECT DISTINCT 'a' || doc_id::VARCHAR AS src,
+                     'isbn:' || (doc_id % 250)::VARCHAR AS obj
+              FROM documents
+              UNION
+              SELECT DISTINCT 'a' || doc_id::VARCHAR, 'isbn:unknown'
+              FROM documents WHERE doc_id % 50 = 0
+            ), g AS (
+              SELECT obj FROM e GROUP BY obj
+              HAVING count(*) >= 2 AND count(*) <= 20
+            )
+            SELECT a.src AS a, b.src AS b, 'has_isbn' AS label, a.obj AS obj
+            FROM e a JOIN e b ON a.obj = b.obj AND a.src < b.src
+            JOIN g ON g.obj = a.obj
+        """,
+        "er_blocking_eval": """
+            WITH nn AS (
+              SELECT count(*) AS n FROM documents
+            ), rec AS (
+              SELECT 'p' || doc_id::VARCHAR AS rid, doc_id // 4 AS blk,
+                     doc_id AS i
+              FROM documents
+            ), cand AS (
+              SELECT DISTINCT least(a.rid, b.rid) AS a,
+                     greatest(a.rid, b.rid) AS b
+              FROM rec a JOIN rec b ON a.blk = b.blk AND a.i < b.i
+            ), gold AS (
+              SELECT DISTINCT least(rid, 'p' || (i + 1)::VARCHAR) AS a,
+                     greatest(rid, 'p' || (i + 1)::VARCHAR) AS b
+              FROM rec WHERE i < (SELECT n FROM nn) - 1
+            ), c AS (
+              SELECT count(*) AS n_candidates FROM cand
+            ), g AS (
+              SELECT count(*) AS n_gold FROM gold
+            ), m AS (
+              SELECT count(*) AS n_matched
+              FROM cand JOIN gold ON cand.a = gold.a AND cand.b = gold.b
+            )
+            SELECT c.n_candidates, g.n_gold, m.n_matched,
+                   (nn.n * (nn.n - 1) // 2)::BIGINT AS total_pairs,
+                   ((nn.n * (nn.n - 1) // 2 - c.n_candidates) * 1000000)
+                     // (nn.n * (nn.n - 1) // 2) AS reduction_ratio_ppm,
+                   (m.n_matched * 1000000) // g.n_gold
+                     AS pair_completeness_ppm,
+                   (m.n_matched * 1000000) // c.n_candidates
+                     AS pair_quality_ppm
+            FROM c, g, m, nn
+        """,
+        "er_fold_keys": """
+            SELECT strip_accents(
+                     CASE doc_id % 5
+                       WHEN 0 THEN 'Renée' WHEN 1 THEN 'Černý'
+                       WHEN 2 THEN 'François' WHEN 3 THEN 'Müller'
+                       ELSE 'Ibáñez' END || ' ' || source
+                   ) AS folded_key,
+                   count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "kg_spam_mass": _spam_mass_sql(iterations=4),
         "kg_bowtie": """
             SELECT 'c' || i::VARCHAR AS node, 'CORE' AS region FROM range(8) t(i)
             UNION ALL
