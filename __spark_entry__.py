@@ -5369,6 +5369,32 @@ def q_kg_spam_mass(spark, sf_dir):
     return spam_mass(edges, seeds, iterations=4)
 
 
+def q_kg_partition_quality(spark, sf_dir):
+    """Hybrid vertex-cut placement scored: a planted crawl hub ('H' links
+    every doc) plus a 500-node tail graph, assigned by
+    assign_edge_partitions (hash(src) for normal srcs, hash(src)+hash(dst)
+    spread for hubs) and rolled into balance/replication ppm. Oracle: the
+    same md5-hex hashing + CASE placement + two rollups in SQL."""
+    from ontoweaver_spark.graphstats import (
+        assign_edge_partitions,
+        partition_quality,
+    )
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    did = F.concat(F.lit("d"), F.col("doc_id").cast("string"))
+    tail_src = F.concat(F.lit("d"), (F.col("doc_id") % 500).cast("string"))
+    tail_dst = F.concat(
+        F.lit("d"), ((F.col("doc_id") * 3 + 1) % 500).cast("string")
+    )
+    edges = (
+        docs.select(F.lit("H").alias("src"), did.alias("dst"))
+        .unionAll(docs.select(tail_src.alias("src"), tail_dst.alias("dst")))
+    )
+    assigned = assign_edge_partitions(edges, num_partitions=16, hub_threshold=50)
+    return partition_quality(assigned, num_partitions=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -5607,6 +5633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_blocking_eval": q_er_blocking_eval,
         "er_fold_keys": q_er_fold_keys,
         "kg_spam_mass": q_kg_spam_mass,
+        "kg_partition_quality": q_kg_partition_quality,
     }
 
 
@@ -10811,6 +10838,45 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "kg_spam_mass": _spam_mass_sql(iterations=4),
+        "kg_partition_quality": """
+            WITH e0 AS (
+              SELECT 'H' AS src, 'd' || doc_id::VARCHAR AS dst FROM documents
+              UNION ALL
+              SELECT 'd' || (doc_id % 500)::VARCHAR,
+                     'd' || ((doc_id * 3 + 1) % 500)::VARCHAR
+              FROM documents
+            ), deg AS (
+              SELECT src, count(*) AS c FROM e0 GROUP BY src
+            ), a AS MATERIALIZED (
+              SELECT e0.src, e0.dst,
+                     CASE WHEN d.c > 50
+                          THEN ((('0x' || substr(md5(e0.src), 1, 15))::BIGINT)
+                                + (('0x' || substr(md5(e0.dst), 1, 15))::BIGINT)) % 16
+                          ELSE (('0x' || substr(md5(e0.src), 1, 15))::BIGINT) % 16 END AS part
+              FROM e0 JOIN deg d ON d.src = e0.src
+            ), loads AS (
+              SELECT part, count(*) AS n FROM a GROUP BY part
+            ), tot AS (
+              SELECT sum(n)::BIGINT AS n_edges, count(*) AS parts_used,
+                     max(n) AS max_load
+              FROM loads
+            ), touch AS (
+              SELECT DISTINCT v, part FROM (
+                SELECT src AS v, part FROM a
+                UNION ALL SELECT dst, part FROM a
+              )
+            ), rep AS (
+              SELECT count(DISTINCT v) AS n_vertices,
+                     count(*) AS replicas
+              FROM touch
+            )
+            SELECT tot.n_edges, rep.n_vertices, tot.parts_used, tot.max_load,
+                   (tot.max_load * 16 * 1000000) // tot.n_edges
+                     AS balance_ppm,
+                   (rep.replicas * 1000000) // rep.n_vertices
+                     AS replication_ppm
+            FROM tot, rep
+        """,
         "kg_bowtie": """
             SELECT 'c' || i::VARCHAR AS node, 'CORE' AS region FROM range(8) t(i)
             UNION ALL

@@ -49,7 +49,9 @@ from .graphstats import (
     katz_fixed_point,
     maximal_matching,
     neighbor_jaccard,
+    assign_edge_partitions,
     pagerank_fixed_point,
+    partition_quality,
     spam_mass,
     ppr_forward_push,
     ppr_sweep_cut,
@@ -147,6 +149,7 @@ __all__ = [
     "textrank_keywords", "script_profile", "infer_table_column_types",
     "shacl_validate", "functional_violations", "ifp_sameas_candidates",
     "blocking_metrics", "fold_diacritics", "spam_mass",
+    "assign_edge_partitions", "partition_quality",
 ]
 
 

@@ -1292,6 +1292,44 @@ def edge_partition_plan(
     vertex-cut plan's imbalance collapses vs naive hash(src) on a skewed
     graph.
     """
+    assigned = assign_edge_partitions(
+        edges, num_partitions=num_partitions, hub_threshold=hub_threshold,
+        src_col=src_col, dst_col=dst_col,
+    )
+    return (
+        assigned.select(
+            "partition",
+            F.col("is_hub_edge").cast("long").alias("_hub_edge"),
+            "src",
+        )
+        .groupBy("partition")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum("_hub_edge").alias("n_hub_edges"),
+            F.count_distinct("src").alias("n_srcs"),
+        )
+    )
+
+
+def assign_edge_partitions(
+    edges: DataFrame,
+    num_partitions: int = 32,
+    hub_threshold: int = 1000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-EDGE hybrid vertex-cut assignment -> ``(src, dst, is_hub_edge,
+    partition)`` — the placement frame :func:`edge_partition_plan`
+    aggregates into a load report and :func:`partition_quality` scores.
+    Normal edges go to ``hash(src) % P`` (1D, source-co-located); edges
+    whose source out-degree exceeds ``hub_threshold`` are spread by
+    ``(hash(src) + hash(dst)) % P`` (2D vertex-cut) — the PowerGraph
+    hybrid-cut (Gonzalez et al., OSDI'12; Chen et al., EuroSys'15
+    PowerLyra). md5-based hashes keep the plan deterministic and
+    oracle-reproducible. Shape: one map-side-combinable degree aggregate,
+    a broadcast hub join (hubs are few by definition), then a pure
+    projection — no shuffle of the edge table itself.
+    """
     deg = edges.groupBy(F.col(src_col).alias("_h")).agg(
         F.count(F.lit(1)).alias("_outdeg")
     )
@@ -1301,24 +1339,64 @@ def edge_partition_plan(
     ).select(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
-        F.col("_h").isNotNull().alias("_is_hub"),
+        F.col("_h").isNotNull().alias("is_hub_edge"),
     )
     part = F.when(
-        F.col("_is_hub"),
+        F.col("is_hub_edge"),
         F.pmod(md5_int(F.col("src")) + md5_int(F.col("dst")), F.lit(num_partitions)),
     ).otherwise(F.pmod(md5_int(F.col("src")), F.lit(num_partitions)))
-    return (
-        e.select(
-            part.cast("int").alias("partition"),
-            F.col("_is_hub").cast("long").alias("_hub_edge"),
-            "src",
-        )
-        .groupBy("partition")
-        .agg(
-            F.count(F.lit(1)).alias("n_edges"),
-            F.sum("_hub_edge").alias("n_hub_edges"),
-            F.count_distinct("src").alias("n_srcs"),
-        )
+    return e.select("src", "dst", "is_hub_edge", part.cast("int").alias("partition"))
+
+
+def partition_quality(
+    assigned: DataFrame,
+    num_partitions: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    partition_col: str = "partition",
+) -> DataFrame:
+    """Score an edge-partition assignment -> ONE row ``(n_edges,
+    n_vertices, parts_used, max_load, balance_ppm, replication_ppm)`` —
+    the two numbers that decide whether a placement survives 1000
+    executors: **balance** = max_load * P * 1e6 DIV n_edges (1e6 =
+    perfectly level; the straggler factor is balance/1e6) and
+    **replication factor** = avg distinct partitions touched per vertex
+    * 1e6 (the vertex-cut cost: every extra replica is one more copy of
+    vertex state to synchronize per iteration — THE communication-volume
+    proxy PowerGraph optimizes). Evaluating both against
+    :func:`assign_edge_partitions` at two hub thresholds is how the
+    threshold is picked for a given degree distribution — measured, not
+    guessed.
+
+    Shape: one groupBy for loads + one endpoint-exploded distinct for
+    replicas (both map-side combinable), crossed into a single row.
+    """
+    e = assigned.select(
+        F.col(src_col).cast("string").alias("src"),
+        F.col(dst_col).cast("string").alias("dst"),
+        F.col(partition_col).alias("part"),
+    )
+    loads = e.groupBy("part").agg(F.count(F.lit(1)).alias("_n"))
+    tot = F.broadcast(loads.agg(
+        F.sum("_n").alias("n_edges"),
+        F.count(F.lit(1)).alias("parts_used"),
+        F.max("_n").alias("max_load"),
+    ))
+    touch = (
+        e.select(F.col("src").alias("v"), "part")
+        .unionAll(e.select(F.col("dst").alias("v"), "part"))
+        .distinct()
+    )
+    rep = F.broadcast(
+        touch.groupBy("v").agg(F.count(F.lit(1)).alias("_r"))
+        .agg(F.count(F.lit(1)).alias("n_vertices"),
+             F.sum("_r").alias("_replicas"))
+    )
+    return tot.crossJoin(rep).select(
+        "n_edges", "n_vertices", "parts_used", "max_load",
+        F.expr(f"max_load * {num_partitions} * 1000000 DIV n_edges")
+        .alias("balance_ppm"),
+        F.expr("_replicas * 1000000 DIV n_vertices").alias("replication_ppm"),
     )
 
 
