@@ -5395,6 +5395,60 @@ def q_kg_partition_quality(spark, sf_dir):
     return partition_quality(assigned, num_partitions=16)
 
 
+def q_kg_profile(spark, sf_dir):
+    """Completeness profile of the planted doc graph (same plantings as
+    kg_shacl: language edge missing for every 7th doc, a second
+    in_language edge for every 11th): per-class per-path fill rates,
+    occurrence totals and distinct-value counts — the numbers that tell
+    you WHICH shapes to declare. Oracle: closed-form group-bys over the
+    same plantings."""
+    from ontoweaver_spark.ontology import class_property_profile
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    did = F.concat(F.lit("d"), F.col("doc_id").cast("string"))
+    nodes = (
+        docs.select(did.alias("id"), F.lit("document").alias("label"))
+        .unionAll(docs.select(F.col("lang").alias("id"),
+                              F.lit("language").alias("label")))
+        .distinct()
+    )
+    edges = (
+        docs.where(F.col("doc_id") % 7 != 0)
+        .select(did.alias("src"), F.col("lang").alias("dst"),
+                F.lit("in_language").alias("label"))
+        .unionAll(
+            docs.where((F.col("doc_id") % 11 == 0) & (F.col("doc_id") % 7 != 0))
+            .select(did.alias("src"), F.col("source").alias("dst"),
+                    F.lit("in_language").alias("label")))
+        .unionAll(docs.select(did.alias("src"), F.col("source").alias("dst"),
+                              F.lit("from_source").alias("label")))
+    )
+    props = docs.select(did.alias("id"), F.lit("n_chars").alias("key"),
+                        F.col("n_chars").cast("string").alias("value"))
+    return class_property_profile(nodes, edges=edges, props=props)
+
+
+def q_kg_charsets(spark, sf_dir):
+    """Characteristic sets of a harvested triple pile: every doc asserts
+    name, every 2nd adds isbn, every 3rd adds url -> four emergent
+    subject classes with exact member counts. Oracle: DISTINCT + ordered
+    string_agg + group-by."""
+    from ontoweaver_spark.ontology import characteristic_sets
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    did = F.concat(F.lit("d"), F.col("doc_id").cast("string"))
+    triples = (
+        docs.select(did.alias("subject"), F.lit("name").alias("predicate"))
+        .unionAll(docs.where(F.col("doc_id") % 2 == 0)
+                  .select(did.alias("subject"), F.lit("isbn").alias("predicate")))
+        .unionAll(docs.where(F.col("doc_id") % 3 == 0)
+                  .select(did.alias("subject"), F.lit("url").alias("predicate")))
+    )
+    return characteristic_sets(triples)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -5634,6 +5688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_fold_keys": q_er_fold_keys,
         "kg_spam_mass": q_kg_spam_mass,
         "kg_partition_quality": q_kg_partition_quality,
+        "kg_profile": q_kg_profile,
+        "kg_charsets": q_kg_charsets,
     }
 
 
@@ -10838,6 +10894,55 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "kg_spam_mass": _spam_mass_sql(iterations=4),
+        "kg_profile": """
+            WITH docs AS (
+              SELECT doc_id, lang, source, n_chars FROM documents
+            ), nd AS (
+              SELECT count(*) AS n FROM docs
+            ), lang_edges AS (
+              SELECT 'd' || doc_id::VARCHAR AS id, lang AS v
+              FROM docs WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT 'd' || doc_id::VARCHAR, source
+              FROM docs WHERE doc_id % 11 = 0 AND doc_id % 7 <> 0
+            )
+            SELECT 'document' AS label, 'edge' AS kind,
+                   'in_language' AS path, nd.n AS n_nodes,
+                   count(DISTINCT id) AS n_present,
+                   count(*)::BIGINT AS n_total,
+                   count(DISTINCT v) AS n_distinct,
+                   (count(DISTINCT id) * 1000000) // nd.n AS fill_ppm
+            FROM lang_edges, nd GROUP BY nd.n
+            UNION ALL
+            SELECT 'document', 'edge', 'from_source', nd.n,
+                   count(*), count(*)::BIGINT,
+                   count(DISTINCT source),
+                   (count(*) * 1000000) // nd.n
+            FROM docs, nd GROUP BY nd.n
+            UNION ALL
+            SELECT 'document', 'prop', 'n_chars', nd.n,
+                   count(*), count(*)::BIGINT,
+                   count(DISTINCT n_chars::VARCHAR),
+                   (count(*) * 1000000) // nd.n
+            FROM docs, nd GROUP BY nd.n
+        """,
+        "kg_charsets": """
+            WITH t AS (
+              SELECT 'd' || doc_id::VARCHAR AS s, 'name' AS p FROM documents
+              UNION
+              SELECT 'd' || doc_id::VARCHAR, 'isbn'
+              FROM documents WHERE doc_id % 2 = 0
+              UNION
+              SELECT 'd' || doc_id::VARCHAR, 'url'
+              FROM documents WHERE doc_id % 3 = 0
+            ), per AS (
+              SELECT s, string_agg(p, '|' ORDER BY p) AS cs,
+                     count(*) AS np
+              FROM t GROUP BY s
+            )
+            SELECT cs, count(*) AS n_subjects, np AS n_preds
+            FROM per GROUP BY cs, np
+        """,
         "kg_partition_quality": """
             WITH e0 AS (
               SELECT 'H' AS src, 'd' || doc_id::VARCHAR AS dst FROM documents

@@ -94,6 +94,8 @@ from .layout import zorder_key, zorder_layout
 from .nulls import is_not_null
 from .ontology import (
     automap_to_targets,
+    characteristic_sets,
+    class_property_profile,
     functional_violations,
     graph_from_triples,
     ifp_sameas_candidates,
@@ -150,6 +152,7 @@ __all__ = [
     "shacl_validate", "functional_violations", "ifp_sameas_candidates",
     "blocking_metrics", "fold_diacritics", "spam_mass",
     "assign_edge_partitions", "partition_quality",
+    "class_property_profile", "characteristic_sets",
 ]
 
 

@@ -730,3 +730,119 @@ def ifp_sameas_candidates(
     return pairs.select(
         F.col("_p.a").alias("a"), F.col("_p.b").alias("b"), "label", "obj"
     )
+
+
+def class_property_profile(
+    nodes: DataFrame,
+    edges: DataFrame | None = None,
+    props: DataFrame | None = None,
+) -> DataFrame:
+    """KG completeness profile -> one row per ``(label, kind, path)``:
+    ``(label, kind, path, n_nodes, n_present, n_total, n_distinct,
+    fill_ppm)`` — for every node class, what fraction of its instances
+    carry each outgoing edge label (``kind='edge'``) and each property
+    key (``kind='prop'``), plus total occurrence and distinct-value
+    counts. This is the EXPLORATORY dual of :func:`~ontoweaver_spark.
+    validate.shacl_validate`: the profile over a fresh crawl tells you
+    which shapes are worth declaring (a path at fill 997000 ppm wants
+    ``min_count 1``; one at 12000 ppm doesn't), and run per snapshot it
+    is the completeness-regression alarm (yesterday in_language filled
+    99.7%, today 71% — the extractor broke, block the publish).
+
+    Shape: one (src,label)-keyed count per source + one class-level
+    rollup per kind; the node-label join is the same id-keyed join the
+    bucketed graph tables co-locate. No collects, output is
+    schema-sized (|labels| x |paths|).
+    """
+    n = nodes.select(F.col("id").cast("string").alias("id"),
+                     F.col("label").cast("string").alias("label"))
+    class_n = n.groupBy("label").agg(F.count(F.lit(1)).alias("n_nodes"))
+    parts = []
+
+    def profile(rows, kind):
+        # rows: (id, path, value) occurrences on typed nodes
+        per_node = rows.groupBy("id", "path").agg(
+            F.count(F.lit(1)).alias("_occ"),
+            F.count_distinct("value").alias("_dv"),
+        )
+        typed = per_node.join(n, "id")
+        agg = typed.groupBy("label", "path").agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.sum("_occ").alias("n_total"),
+        )
+        # distinct values are counted across the CLASS, not per node
+        dv = (
+            rows.join(n, "id")
+            .groupBy("label", "path")
+            .agg(F.count_distinct("value").alias("n_distinct"))
+        )
+        return (
+            agg.join(dv, ["label", "path"])
+            .join(F.broadcast(class_n), "label")
+            .select(
+                "label", F.lit(kind).alias("kind"), "path",
+                "n_nodes", "n_present",
+                F.col("n_total").cast("long").alias("n_total"),
+                "n_distinct",
+                F.expr("n_present * 1000000 DIV n_nodes").alias("fill_ppm"),
+            )
+        )
+
+    if edges is not None:
+        parts.append(profile(
+            edges.select(F.col("src").cast("string").alias("id"),
+                         F.col("label").cast("string").alias("path"),
+                         F.col("dst").cast("string").alias("value")),
+            "edge"))
+    if props is not None:
+        parts.append(profile(
+            props.select(F.col("id").cast("string").alias("id"),
+                         F.col("key").cast("string").alias("path"),
+                         F.col("value").cast("string").alias("value")),
+            "prop"))
+    if not parts:
+        raise ValueError("class_property_profile: pass edges and/or props")
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionAll(q)
+    return out
+
+
+def characteristic_sets(
+    triples: DataFrame,
+    subj_col: str = "subject",
+    pred_col: str = "predicate",
+) -> DataFrame:
+    """Characteristic sets (Neumann & Moerkotte, ICDE'11) over a triple
+    store -> ``(cs, n_subjects, n_preds)``: group subjects by the exact
+    SET of predicates they carry (``cs`` = the sorted predicate list
+    joined with ``|``). The distribution of characteristic sets IS the
+    latent schema of a harvested web KG — scraped triples have no
+    declared classes, but "the 2.1M subjects with {name, url, isbn}"
+    is a book-shaped class the mapping author should target — and it is
+    the structure SPARQL engines use for star-join cardinality
+    estimation. Emergent classes in hand, :func:`class_property_profile`
+    and SHACL shapes follow.
+
+    Shape: one distinct + one subject-keyed sort-collect + one
+    map-side-combinable count — the canonical two-aggregate profile;
+    nothing is quadratic in predicates because the set rides as one
+    string key. Output is schema-sized (distinct predicate combinations,
+    not subjects).
+    """
+    per_subj = (
+        triples.select(F.col(subj_col).cast("string").alias("s"),
+                       F.col(pred_col).cast("string").alias("p"))
+        .distinct()
+        .groupBy("s")
+        .agg(F.array_sort(F.collect_set("p")).alias("_ps"))
+    )
+    return (
+        per_subj.select(
+            F.array_join("_ps", "|").alias("cs"),
+            F.size("_ps").alias("n_preds"),
+        )
+        .groupBy("cs", "n_preds")
+        .agg(F.count(F.lit(1)).alias("n_subjects"))
+        .select("cs", "n_subjects", F.col("n_preds").cast("long").alias("n_preds"))
+    )
