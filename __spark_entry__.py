@@ -5449,6 +5449,24 @@ def q_kg_charsets(spark, sf_dir):
     return characteristic_sets(triples)
 
 
+def q_er_bcubed(spark, sf_dir):
+    """B-cubed scoring of a deliberately mis-granular clustering:
+    predicted clusters = doc_id div 4 blocks vs gold = div 5 blocks —
+    the 4/5 lattice yields every overlap size 1..4, exercising both
+    truncated averages. Oracle: the same three group-bys + per-record
+    ppm arithmetic in SQL."""
+    from ontoweaver_spark.linking import bcubed_metrics
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    rid = F.concat(F.lit("p"), F.col("doc_id").cast("string"))
+    pred = docs.select(rid.alias("id"), F.concat(
+        F.lit("b"), F.expr("doc_id div 4").cast("string")).alias("cluster"))
+    gold = docs.select(rid.alias("id"), F.concat(
+        F.lit("g"), F.expr("doc_id div 5").cast("string")).alias("cluster"))
+    return bcubed_metrics(pred, gold)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -5690,6 +5708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_partition_quality": q_kg_partition_quality,
         "kg_profile": q_kg_profile,
         "kg_charsets": q_kg_charsets,
+        "er_bcubed": q_er_bcubed,
     }
 
 
@@ -10894,6 +10913,38 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "kg_spam_mass": _spam_mass_sql(iterations=4),
+        "er_bcubed": """
+            WITH rec AS (
+              SELECT 'p' || doc_id::VARCHAR AS id,
+                     'b' || (doc_id // 4)::VARCHAR AS pc,
+                     'g' || (doc_id // 5)::VARCHAR AS gc
+              FROM documents
+            ), ps AS (
+              SELECT pc, count(*) AS s FROM rec GROUP BY pc
+            ), gs AS (
+              SELECT gc, count(*) AS s FROM rec GROUP BY gc
+            ), isz AS (
+              SELECT pc, gc, count(*) AS s FROM rec GROUP BY pc, gc
+            ), scored AS (
+              SELECT (isz.s * 1000000) // ps.s AS p,
+                     (isz.s * 1000000) // gs.s AS r
+              FROM rec
+              JOIN isz ON isz.pc = rec.pc AND isz.gc = rec.gc
+              JOIN ps ON ps.pc = rec.pc
+              JOIN gs ON gs.gc = rec.gc
+            ), agg AS (
+              SELECT count(*) AS n_records,
+                     sum(p)::BIGINT // count(*) AS bcubed_precision_ppm,
+                     sum(r)::BIGINT // count(*) AS bcubed_recall_ppm
+              FROM scored
+            )
+            SELECT n_records, bcubed_precision_ppm, bcubed_recall_ppm,
+                   CASE WHEN bcubed_precision_ppm + bcubed_recall_ppm > 0
+                        THEN (2 * bcubed_precision_ppm * bcubed_recall_ppm)
+                             // (bcubed_precision_ppm + bcubed_recall_ppm)
+                   END AS bcubed_f1_ppm
+            FROM agg
+        """,
         "kg_profile": """
             WITH docs AS (
               SELECT doc_id, lang, source, n_chars FROM documents

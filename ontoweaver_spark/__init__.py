@@ -69,6 +69,7 @@ from .graphstats import (
 from .neo4j_export import write_neo4j_import
 from .ids import affix_id
 from .linking import (
+    bcubed_metrics,
     blocking_metrics,
     fold_diacritics,
     canonical_entity,
@@ -152,7 +153,7 @@ __all__ = [
     "shacl_validate", "functional_violations", "ifp_sameas_candidates",
     "blocking_metrics", "fold_diacritics", "spam_mass",
     "assign_edge_partitions", "partition_quality",
-    "class_property_profile", "characteristic_sets",
+    "class_property_profile", "characteristic_sets", "bcubed_metrics",
 ]
 
 

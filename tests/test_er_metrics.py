@@ -59,3 +59,36 @@ def test_blocking_metrics_zero_denominators(spark):
     assert row.reduction_ratio_ppm is None
     assert row.pair_completeness_ppm is None
     assert row.pair_quality_ppm is None
+
+
+def _bcubed_replay(pred, gold):
+    from collections import Counter
+    common = set(pred) & set(gold)
+    ps = Counter(pred[i] for i in common)
+    gs = Counter(gold[i] for i in common)
+    it = Counter((pred[i], gold[i]) for i in common)
+    n = len(common)
+    P = sum(it[(pred[i], gold[i])] * 10**6 // ps[pred[i]] for i in common) // n
+    R = sum(it[(pred[i], gold[i])] * 10**6 // gs[gold[i]] for i in common) // n
+    F = 2 * P * R // (P + R) if P + R else None
+    return n, P, R, F
+
+
+def test_bcubed_textbook_and_replay(spark):
+    # classic example: gold {a,b,c},{d,e}; predicted merges everything
+    pred = {x: "p0" for x in "abcde"}
+    gold = {**{x: "g0" for x in "abc"}, **{x: "g1" for x in "de"}}
+    pdf = spark.createDataFrame(list(pred.items()), "id string, cluster string")
+    gdf = spark.createDataFrame(list(gold.items()), "id string, cluster string")
+    from ontoweaver_spark.linking import bcubed_metrics
+
+    row = bcubed_metrics(pdf, gdf).collect()[0]
+    n, P, R, F = _bcubed_replay(pred, gold)
+    assert (row.n_records, row.bcubed_precision_ppm,
+            row.bcubed_recall_ppm, row.bcubed_f1_ppm) == (n, P, R, F)
+    assert row.bcubed_recall_ppm == 1_000_000        # over-merge: recall 1
+    assert row.bcubed_precision_ppm < 1_000_000      # ... precision pays
+    # perfect clustering scores exactly 10^6 everywhere
+    perfect = bcubed_metrics(gdf, gdf).collect()[0]
+    assert (perfect.bcubed_precision_ppm, perfect.bcubed_recall_ppm,
+            perfect.bcubed_f1_ppm) == (1_000_000, 1_000_000, 1_000_000)
