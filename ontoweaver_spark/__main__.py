@@ -145,6 +145,14 @@ def main(argv=None) -> int:
                     help="what invalid rows do during extraction: raise "
                          "(reference-parity fail-loud), filter (drop), "
                          "report (drop + counts)")
+    ap.add_argument("--shacl", default=None, metavar="SHAPES",
+                    help="SHACL-lite shapes file (YAML/JSON list of node "
+                         "shapes); the fused graph is validated pre-render "
+                         "and violations written to OUT/shacl_violations; "
+                         "any violation fails the run (exit 3) unless "
+                         "--shacl-report-only")
+    ap.add_argument("--shacl-report-only", action="store_true",
+                    help="report SHACL violations without failing the run")
     ap.add_argument("--validate-output", action="store_true",
                     help="after fusion, check final-graph invariants (no "
                          "null/duplicate node ids, no dangling edge "
@@ -320,6 +328,26 @@ def main(argv=None) -> int:
         from .validate import graph_integrity
 
         integrity = graph_integrity(fnodes, fedges)
+    shacl_n = None
+    if args.shacl:
+        # publish gate: per-node structural contracts over the FUSED graph
+        # (pre-render — cardinalities/classes need raw ids and the props map)
+        from .validate import graph_props_frame, load_shapes, shacl_validate
+
+        shapes = load_shapes(args.shacl)
+        viol = shacl_validate(
+            fnodes.select("id", "label"), fedges,
+            shapes, props=graph_props_frame(fnodes),
+        ).localCheckpoint()
+        shacl_n = viol.count()
+        if shacl_n:
+            import os as _os
+
+            vpath = _os.path.join(args.out, "shacl_violations")
+            viol.write.mode("overwrite").parquet(vpath)
+            for r in viol.limit(5).collect():
+                print(f"SHACL {r.violation}: node={r.id} shape={r.shape} "
+                      f"path={r.path} observed={r.observed}", file=sys.stderr)
 
     if args.prop_sep is not None:
         # reference -S prop-sep: render multi-valued properties as joined
@@ -357,11 +385,16 @@ def main(argv=None) -> int:
     if integrity is not None:
         manifest["integrity"] = integrity
         out_json["integrity"] = integrity
+    if shacl_n is not None:
+        manifest["shacl_violations"] = shacl_n
+        out_json["shacl_violations"] = shacl_n
     _save_manifest(args.out, manifest)
     print(json.dumps(out_json))
     spark.stop()
     if integrity is not None and not integrity["ok"]:
         return 1
+    if shacl_n and not args.shacl_report_only:
+        return 3
     if args.neo4j_import_run:
         from .neo4j_export import run_import_script
 

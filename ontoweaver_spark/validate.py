@@ -409,3 +409,49 @@ def shacl_validate(
     for q in parts[1:]:
         out = out.unionAll(q)
     return out.select(*out_cols)
+
+
+def graph_props_frame(nodes: DataFrame) -> DataFrame:
+    """Flatten the fused graph's ``properties`` map column
+    (``map<string, array<string>>``, the :func:`~ontoweaver_spark.weave`
+    output shape) into the ``(id, key, value)`` rows
+    :func:`shacl_validate` scores — one row per multi-value entry, pure
+    explode projection, no shuffle."""
+    return nodes.select(
+        "id", F.explode_outer("properties").alias("key", "_vs")
+    ).select(
+        "id", "key", F.explode_outer("_vs").alias("value")
+    ).where(F.col("key").isNotNull())
+
+
+def load_shapes(path: str) -> list[dict]:
+    """Load a SHACL-lite shapes file (YAML or JSON: either a bare list
+    of shape dicts or ``{"shapes": [...]}``) for :func:`shacl_validate`;
+    unknown keys fail loudly here, at parse time, not as silent
+    non-constraints at run time."""
+    import json
+
+    with open(path) as fh:
+        text = fh.read()
+    try:
+        import yaml
+
+        data = yaml.safe_load(text)
+    except ImportError:
+        data = json.loads(text)
+    if isinstance(data, dict):
+        data = data.get("shapes", [])
+    if not isinstance(data, list) or not data:
+        raise ValueError(f"shapes file {path}: expected a non-empty list "
+                         "of shape dicts (or {'shapes': [...]})")
+    allowed = {"shape", "target_class", "path", "min_count", "max_count",
+               "object_class", "key", "pattern", "values"}
+    for i, s in enumerate(data):
+        if not isinstance(s, dict) or "shape" not in s or "target_class" not in s:
+            raise ValueError(f"shapes[{i}]: every shape needs 'shape' and "
+                             "'target_class'")
+        unknown = set(s) - allowed
+        if unknown:
+            raise ValueError(f"shapes[{i}] ({s.get('shape')}): unknown keys "
+                             f"{sorted(unknown)} — allowed: {sorted(allowed)}")
+    return data
