@@ -112,6 +112,8 @@ from .sessions import session_stats, sessionize
 from .urls import latest_per_url, url_features
 from .validate import (
     graph_integrity,
+    graph_props_frame,
+    load_shapes,
     k_anonymity_report,
     quarantine,
     shacl_validate,
@@ -154,6 +156,7 @@ __all__ = [
     "blocking_metrics", "fold_diacritics", "spam_mass",
     "assign_edge_partitions", "partition_quality",
     "class_property_profile", "characteristic_sets", "bcubed_metrics",
+    "graph_props_frame", "load_shapes",
 ]
 
 
