@@ -4561,6 +4561,61 @@ def q_rake(spark, sf_dir):
     return rake_keyphrases(_docs(spark, sf_dir), max_phrase_len=6)
 
 
+def _hearst_sql() -> str:
+    """DuckDB mirror of q_hearst: the SAME planted sentences (word
+    rotation over _HEARST_WORDS) and the byte-identical Java∩RE2 regex
+    chain — patterns/groups/separator/stoplist single-sourced from
+    ontoweaver_spark.webdoc so the two sides cannot drift."""
+    from ontoweaver_spark.webdoc import (
+        HEARST_PATTERNS, _HEARST_DROP, _HEARST_SEP,
+    )
+
+    words = ", ".join(f"'{w}'" for w in _HEARST_WORDS)
+
+    def pick(j: int) -> str:
+        return f"l[1 + (doc_id + {j}) % 12]"
+
+    planted = (
+        f"'fruits such as ' || {pick(0)} || ', ' || {pick(1)} || "
+        f"' and ' || {pick(2)} || "
+        f"'. such tools as ' || {pick(3)} || ' or ' || {pick(4)} || "
+        f"'. ' || {pick(5)} || ', ' || {pick(6)} || ' and other metals' || "
+        f"'. cities, including ' || {pick(7)} || ' and ' || {pick(8)} || "
+        f"'. drinks, especially ' || {pick(9)} || '. ' || text"
+    )
+    branches = "\n              UNION ALL\n".join(
+        f"""              SELECT doc_id, '{name}' AS pattern,
+                     regexp_extract_all(tx, '{p}', {hg}) AS gh,
+                     regexp_extract_all(tx, '{p}', {lg}) AS gl
+              FROM t"""
+        for name, (p, hg, lg) in HEARST_PATTERNS.items()
+    )
+    drop = ", ".join(f"'{d}'" for d in _HEARST_DROP)
+    return f"""
+            WITH w AS (
+              SELECT doc_id, text, [{words}] AS l FROM documents
+            ), t AS (
+              SELECT doc_id,
+                     lower(regexp_replace({planted}, '\\s+', ' ', 'g')) AS tx
+              FROM w
+            ), m AS (
+{branches}
+            ), z AS (
+              SELECT doc_id, pattern, gh[g.i] AS hypernym, gl[g.i] AS lst
+              FROM m, LATERAL unnest(generate_series(1, len(gh))) AS g(i)
+            ), e AS (
+              SELECT doc_id, pattern, hypernym,
+                     unnest(string_split_regex(lst, '{_HEARST_SEP}'))
+                       AS hyponym
+              FROM z
+            )
+            SELECT DISTINCT doc_id, hyponym, hypernym, pattern FROM e
+            WHERE length(hyponym) >= 3 AND length(hypernym) >= 3
+              AND hyponym <> hypernym
+              AND hyponym NOT IN ({drop}) AND hypernym NOT IN ({drop})
+    """
+
+
 def _rake_sql(max_phrase_len: int = 6, scale: int = 1_000_000) -> str:
     from ontoweaver_spark.textops import STOPWORDS
 
@@ -5467,6 +5522,41 @@ def q_er_bcubed(spark, sf_dir):
     return bcubed_metrics(pred, gold)
 
 
+_HEARST_WORDS = [
+    "apple", "pear", "plum", "kiwi", "mango", "grape",
+    "melon", "fig", "lime", "peach", "cherry", "lemon",
+]
+
+
+def q_hearst(spark, sf_dir):
+    """Hearst-pattern hypernym harvest (is-a triples from raw sentence
+    text — the COLING'92 KG bootstrap): five planted sentences per doc
+    exercise every pattern (such_as / such_x_as / and_other / including
+    / especially) over a deterministic word rotation, with the real
+    ``text`` column appended so both engines also process realistic
+    residue identically. Oracle: the byte-identical Java∩RE2 regex chain
+    in DuckDB (regexp_extract_all groups + string_split_regex)."""
+    from ontoweaver_spark.webdoc import hearst_hypernyms
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    words = F.array(*[F.lit(s) for s in _HEARST_WORDS])
+    w = [F.element_at(words, ((F.col("doc_id") + j) % 12 + 1).cast("int"))
+         for j in range(10)]
+    planted = F.concat(
+        F.lit("fruits such as "), w[0], F.lit(", "), w[1],
+        F.lit(" and "), w[2],
+        F.lit(". such tools as "), w[3], F.lit(" or "), w[4],
+        F.lit(". "), w[5], F.lit(", "), w[6], F.lit(" and other metals"),
+        F.lit(". cities, including "), w[7], F.lit(" and "), w[8],
+        F.lit(". drinks, especially "), w[9],
+        F.lit(". "), F.col("text"),
+    )
+    return hearst_hypernyms(
+        docs.select("doc_id", planted.alias("text"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -5709,6 +5799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_profile": q_kg_profile,
         "kg_charsets": q_kg_charsets,
         "er_bcubed": q_er_bcubed,
+        "hearst_isa": q_hearst,
     }
 
 
@@ -11333,4 +11424,5 @@ def oracle_sql() -> dict[str, str]:
                                    1, 15))::BIGINT AS graph_hash
             FROM hist
         """,
+        "hearst_isa": _hearst_sql(),
     }

@@ -149,7 +149,10 @@ def main() -> None:
                  "spot_mentions", "readability", "kg_onion",
                  "textrank", "k_anonymity", "url_features",
                  "triples_graph", "kg_bowtie", "script_profile",
-                 "table_types"]:
+                 "table_types", "kg_shacl", "kg_functional", "kg_ifp",
+                 "er_blocking_eval", "er_fold_keys", "kg_spam_mass",
+                 "kg_partition_quality", "kg_charsets",
+                 "er_bcubed", "hearst_isa"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the

@@ -444,3 +444,96 @@ def infer_table_column_types(
         "url", "col_idx", "header", "n_cells", "n_int", "n_dec",
         "n_date", "n_empty", inferred.alias("inferred_type")
     )
+
+# --------------------------------------------------------------------------
+# Hearst-pattern hypernym extraction: is-a triples from raw sentence text
+# --------------------------------------------------------------------------
+
+# The shared comma-list shape: "a, b, c and d" / "a or b" / a bare word.
+# Strictly inside the Java-regex ∩ RE2 intersection (no lookaround, no
+# backrefs) so the DuckDB oracle runs the byte-identical pattern.
+_HEARST_LIST = r"[a-z]+(?:, [a-z]+)*(?:,? (?:and|or) [a-z]+)?"
+
+# name -> (pattern, hypernym_group, list_group). The five classic Hearst
+# (COLING 1992) lexico-syntactic patterns over single-word noun proxies.
+HEARST_PATTERNS: dict[str, tuple[str, int, int]] = {
+    "such_as": (rf"\b([a-z]+) such as ({_HEARST_LIST})", 1, 2),
+    "such_x_as": (rf"\bsuch ([a-z]+) as ({_HEARST_LIST})", 1, 2),
+    "and_other": (rf"\b({_HEARST_LIST}),? (?:and|or) other ([a-z]+)", 2, 1),
+    "including": (rf"\b([a-z]+),? including ({_HEARST_LIST})", 1, 2),
+    "especially": (rf"\b([a-z]+),? especially ({_HEARST_LIST})", 1, 2),
+}
+
+_HEARST_SEP = r", |,? (?:and|or) "
+
+# list members that are grammar, not nouns, in these frames
+_HEARST_DROP = ["other", "others", "more", "such"]
+
+
+def hearst_hypernyms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 3,
+    patterns: dict[str, tuple[str, int, int]] | None = None,
+) -> DataFrame:
+    """Hearst-pattern hypernym extraction -> ``(id, hyponym, hypernym,
+    pattern)`` distinct rows: the classic lexico-syntactic is-a bootstrap
+    (Hearst, COLING 1992) that turns raw crawl sentences into
+    ``subclass_of`` candidate triples — the text-side complement of the
+    markup harvesters (:func:`extract_embedded_jsonld` /
+    :func:`extract_microdata`), feeding the same
+    ``ontology.graph_from_triples`` bridge and ``onto_closure``. The
+    reference consumes ontologies as given (src/ontoweaver/ontology
+    handling); bootstrapping one FROM the corpus is the 10^12-page
+    problem this engine exists for.
+
+    Five patterns over a deliberately deterministic noun proxy
+    (single lowercase words): ``X such as A, B and C`` / ``such X as A
+    or B`` / ``A, B and other X`` / ``X, including A, B`` / ``X,
+    especially A``. Known residue, documented not guessed: a clause
+    after a comma can be absorbed into a greedy list ("browsers,
+    especially chrome, dominate" -> hyponym "dominate"), and multi-word
+    noun phrases are out of scope — precision filtering is downstream's
+    job (claim voting / SHACL gates), recall per pattern is exact.
+
+    Scale shape: ONE zero-shuffle projection per row builds ALL
+    patterns' matches (``zip_with`` of two group-extractions per
+    pattern, concatenated, ONE explode), then a member-level explode and
+    the closing ``distinct`` — the only shuffle. Regex engines never
+    leave the JVM; every construct used is in the Java∩RE2 intersection
+    (the scrub_pii discipline), so the oracle is byte-identical.
+    """
+    pats = patterns or HEARST_PATTERNS
+    t = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+
+    def _zipper(name: str):
+        # factory, not a default arg: pyspark reads the lambda's arity
+        return lambda h, l: F.struct(
+            F.lit(name).alias("pattern"), h.alias("head"), l.alias("lst")
+        )
+
+    per_pattern = [
+        F.zip_with(
+            F.regexp_extract_all(t, F.lit(p), hg),
+            F.regexp_extract_all(t, F.lit(p), lg),
+            _zipper(name),
+        )
+        for name, (p, hg, lg) in pats.items()
+    ]
+    matches = df.select(
+        F.col(id_col), F.explode(F.concat(*per_pattern)).alias("m")
+    )
+    out = matches.select(
+        id_col,
+        F.explode(F.split("m.lst", _HEARST_SEP)).alias("hyponym"),
+        F.col("m.head").alias("hypernym"),
+        F.col("m.pattern").alias("pattern"),
+    ).where(
+        (F.length("hyponym") >= min_len)
+        & (F.length("hypernym") >= min_len)
+        & (F.col("hyponym") != F.col("hypernym"))
+        & ~F.col("hyponym").isin(_HEARST_DROP)
+        & ~F.col("hypernym").isin(_HEARST_DROP)
+    )
+    return out.distinct()
