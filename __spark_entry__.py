@@ -5522,6 +5522,36 @@ def q_er_bcubed(spark, sf_dir):
     return bcubed_metrics(pred, gold)
 
 
+def q_change_rate(spark, sf_dir):
+    """Recrawl change-rate estimation (Cho & Garcia-Molina freshness
+    model): five deterministic snapshots per url (value flips at
+    snapshot doc_id%4, then flips back at snapshot 4 for doc_id%3==0)
+    yield every (n_changes in 0..2) case; staleness_ppm ranks the
+    refetch plan at as_of=9. Exact-integer ratios only."""
+    from ontoweaver_spark.sessions import change_rate
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    snaps = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array(*[F.lit(k) for k in range(5)])).alias("k"),
+    ).select(
+        F.concat(
+            F.lit("https://crawl."), F.col("source"), F.lit(".com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("k").cast("long").alias("ts"),
+        F.when(
+            (F.col("k") == 4) & (F.col("doc_id") % 3 == 0), F.lit("a")
+        )
+        .when(F.col("k") < F.col("doc_id") % 4, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("value"),
+    )
+    return change_rate(snaps, as_of=9)
+
+
 _HEARST_WORDS = [
     "apple", "pear", "plum", "kiwi", "mango", "grape",
     "melon", "fig", "lime", "peach", "cherry", "lemon",
@@ -5800,6 +5830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_charsets": q_kg_charsets,
         "er_bcubed": q_er_bcubed,
         "hearst_isa": q_hearst,
+        "change_rate": q_change_rate,
     }
 
 
@@ -11425,4 +11456,39 @@ def oracle_sql() -> dict[str, str]:
             FROM hist
         """,
         "hearst_isa": _hearst_sql(),
+        "change_rate": """
+            WITH snaps AS (
+              SELECT 'https://crawl.' || source || '.com/p/'
+                       || doc_id::VARCHAR AS url,
+                     u.k::BIGINT AS ts,
+                     CASE WHEN u.k = 4 AND doc_id % 3 = 0 THEN 'a'
+                          WHEN u.k < doc_id % 4 THEN 'a'
+                          ELSE 'b' END AS value
+              FROM documents, LATERAL unnest([0, 1, 2, 3, 4]) AS u(k)
+            ), chg AS (
+              SELECT url, ts,
+                     CASE WHEN lag(value) OVER w IS NULL THEN 0
+                          WHEN lag(value) OVER w <> value THEN 1
+                          ELSE 0 END AS c
+              FROM snaps WINDOW w AS (PARTITION BY url ORDER BY ts, value)
+            ), agg AS (
+              SELECT url, count(*)::BIGINT AS n_fetches,
+                     sum(c)::BIGINT AS n_changes,
+                     min(ts) AS first_ts, max(ts) AS last_ts
+              FROM chg GROUP BY url
+            )
+            SELECT url, n_fetches, n_changes, first_ts, last_ts,
+                   CASE WHEN n_fetches > 1
+                        THEN n_changes * 1000000 // (n_fetches - 1)
+                   END AS change_ppm,
+                   CASE WHEN n_changes > 0
+                        THEN (last_ts - first_ts) // n_changes
+                   END AS est_change_interval,
+                   CASE WHEN n_changes > 0
+                         AND (last_ts - first_ts) // n_changes > 0
+                        THEN (9 - last_ts) * 1000000
+                               // ((last_ts - first_ts) // n_changes)
+                   END AS staleness_ppm
+            FROM agg
+        """,
     }

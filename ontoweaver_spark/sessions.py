@@ -263,6 +263,87 @@ def snapshot_at(
     )
 
 
+def change_rate(
+    snapshots: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    as_of=None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-key recrawl change statistics -> ``(key, n_fetches,
+    n_changes, first_ts, last_ts, change_ppm, est_change_interval[,
+    staleness_ppm])`` — the freshness model that decides WHICH of 10^12
+    pages to refetch next (Cho & Garcia-Molina, "Effective page refresh
+    policies for web crawlers", TOIT 2003): pages are Poisson-changing
+    processes, and the crawler's budget goes to the pages whose
+    estimated change interval has most elapsed.
+
+    Exact integers only: ``change_ppm = n_changes * scale DIV
+    (n_fetches - 1)`` (the fraction of refetch gaps that observed a
+    change; NULL on a single fetch), ``est_change_interval =
+    (last_ts - first_ts) DIV n_changes`` (mean observed time between
+    changes in ``ts`` units; NULL when nothing changed), and — when
+    ``as_of`` is given — ``staleness_ppm = (as_of - last_ts) * scale
+    DIV est_change_interval`` (elapsed fraction of the expected change
+    interval: >= scale means the page has likely changed; sort
+    descending and cut at budget for the refetch plan; NULL where the
+    interval is unknown, i.e. never-changed pages, which a real
+    scheduler refetches on a slow fixed cycle). ``as_of`` is a caller
+    input, never wall-clock — determinism discipline. The ratio
+    estimator undercounts when changes outpace fetches (Cho & G-M's
+    ``-ln(1 - X/n)`` correction is the float refinement; the exact
+    rational form keeps the ORDERING for any fixed fetch cadence, which
+    is what the scheduler consumes).
+
+    100-TB shape: one lag window + one rollup, both keyed on ``key_col``
+    — HashPartitioning(key) satisfies the groupBy clustering, so ONE
+    shuffle total and per-key state is the snapshot history, never the
+    corpus (the validity_intervals argument, sessions.py:190).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, value_col)
+    chg = (
+        F.when(F.lag(value_col).over(w).isNull(), 0)
+        .when(F.lag(value_col).over(w) != F.col(value_col), 1)
+        .otherwise(0)
+    )
+    agg = (
+        snapshots.select(key_col, ts_col, chg.alias("_chg"))
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_fetches"),
+            F.sum("_chg").alias("n_changes"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+    )
+    out = agg.select(
+        key_col, "n_fetches", "n_changes", "first_ts", "last_ts",
+        F.when(
+            F.col("n_fetches") > 1,
+            F.expr(f"n_changes * CAST({scale} AS BIGINT) div (n_fetches - 1)"),
+        ).alias("change_ppm"),
+        F.when(
+            F.col("n_changes") > 0,
+            F.expr("(last_ts - first_ts) div n_changes"),
+        ).alias("est_change_interval"),
+    )
+    if as_of is not None:
+        out = out.withColumn(
+            "staleness_ppm",
+            F.when(
+                F.col("est_change_interval") > 0,
+                # exact BIGINT div — float `/` + cast rounds through a
+                # double (the burst_windows lesson, sessions.py:334)
+                F.expr(
+                    f"(CAST({int(as_of)} AS BIGINT) - last_ts)"
+                    f" * CAST({scale} AS BIGINT) div est_change_interval"
+                ),
+            ),
+        )
+    return out
+
+
 def funnel(
     events: DataFrame,
     stages: list,

@@ -59,3 +59,48 @@ def test_sessionize_numbers_deterministic(spark):
     assert a == b
     assert {s for e, s in a if e in (0, 1, 2)} == {1}
     assert {s for e, s in a if e in (3, 4)} == {2}
+
+
+def test_change_rate_exact_integers(spark):
+    """Hand-computed freshness stats: a page that changed twice in 4
+    time units, one that never changed, and one observed once."""
+    from ontoweaver_spark.sessions import change_rate
+
+    snaps = spark.createDataFrame(
+        [
+            # u1: b,b,a,a,b at ts 0..4 -> 2 changes over span 4
+            ("u1", 0, "b"), ("u1", 1, "b"), ("u1", 2, "a"),
+            ("u1", 3, "a"), ("u1", 4, "b"),
+            # u2: constant
+            ("u2", 0, "x"), ("u2", 1, "x"), ("u2", 2, "x"),
+            # u3: single fetch
+            ("u3", 7, "y"),
+        ],
+        "url string, ts long, value string",
+    )
+    got = {r["url"]: r.asDict() for r in change_rate(snaps, key_col="url",
+                                                     as_of=10).collect()}
+    u1 = got["u1"]
+    assert (u1["n_fetches"], u1["n_changes"]) == (5, 2)
+    assert u1["change_ppm"] == 2 * 1_000_000 // 4          # 500000
+    assert u1["est_change_interval"] == (4 - 0) // 2        # 2
+    assert u1["staleness_ppm"] == (10 - 4) * 1_000_000 // 2  # 3000000
+    u2 = got["u2"]
+    assert u2["n_changes"] == 0 and u2["change_ppm"] == 0
+    assert u2["est_change_interval"] is None
+    assert u2["staleness_ppm"] is None
+    u3 = got["u3"]
+    assert u3["n_fetches"] == 1 and u3["change_ppm"] is None
+    assert u3["est_change_interval"] is None
+
+
+def test_change_rate_partition_invariant(spark):
+    from ontoweaver_spark.sessions import change_rate
+
+    rows = [(f"u{i % 17}", t, "ab"[(i * t) % 2]) for i in range(60)
+            for t in range(4)]
+    snaps = spark.createDataFrame(rows, "url string, ts long, value string")
+    a = sorted(map(tuple, change_rate(snaps, as_of=9).collect()))
+    b = sorted(map(tuple, change_rate(snaps.repartition(13),
+                                      as_of=9).collect()))
+    assert a == b and len(a) == 17
