@@ -4616,6 +4616,62 @@ def _hearst_sql() -> str:
     """
 
 
+def _meronym_sql() -> str:
+    """DuckDB mirror of q_meronym: the SAME planted sentences (word
+    rotation over _HEARST_WORDS) and the byte-identical Java∩RE2 regex
+    chain — patterns/groups/separator/stoplists single-sourced from
+    ontoweaver_spark.webdoc so the two sides cannot drift."""
+    from ontoweaver_spark.webdoc import (
+        MERONYM_PATTERNS, _HEARST_SEP, _MERONYM_DROP,
+    )
+
+    words = ", ".join(f"'{w}'" for w in _HEARST_WORDS)
+
+    def pick(j: int) -> str:
+        return f"l[1 + (doc_id + {j}) % 12]"
+
+    planted = (
+        f"'engine consists of ' || {pick(0)} || ', ' || {pick(1)} || "
+        f"' and ' || {pick(2)} || "
+        f"'. water is composed of ' || {pick(3)} || ' and ' || {pick(4)} || "
+        f"'. basket contains ' || {pick(5)} || ', ' || {pick(6)} || "
+        f"'. ' || {pick(7)} || ', ' || {pick(8)} || "
+        f"' are parts of wagon. ' || {pick(9)} || "
+        f"' is a member of club. ' || text"
+    )
+    branches = "\n              UNION ALL\n".join(
+        f"""              SELECT doc_id, '{name}' AS pattern,
+                     regexp_extract_all(tx, '{p}', {wg}) AS gw,
+                     regexp_extract_all(tx, '{p}', {lg}) AS gl
+              FROM t"""
+        for name, (p, wg, lg) in MERONYM_PATTERNS.items()
+    )
+    drop = ", ".join(f"'{d}'" for d in _MERONYM_DROP)
+    return f"""
+            WITH w AS (
+              SELECT doc_id, text, [{words}] AS l FROM documents
+            ), t AS (
+              SELECT doc_id,
+                     lower(regexp_replace({planted}, '\\s+', ' ', 'g')) AS tx
+              FROM w
+            ), m AS (
+{branches}
+            ), z AS (
+              SELECT doc_id, pattern, gw[g.i] AS whole, gl[g.i] AS lst
+              FROM m, LATERAL unnest(generate_series(1, len(gw))) AS g(i)
+            ), e AS (
+              SELECT doc_id, pattern, whole,
+                     unnest(string_split_regex(lst, '{_HEARST_SEP}'))
+                       AS part
+              FROM z
+            )
+            SELECT DISTINCT doc_id, part, whole, pattern FROM e
+            WHERE length(part) >= 3 AND length(whole) >= 3
+              AND part <> whole
+              AND part NOT IN ({drop}) AND whole NOT IN ({drop})
+    """
+
+
 def _rake_sql(max_phrase_len: int = 6, scale: int = 1_000_000) -> str:
     from ontoweaver_spark.textops import STOPWORDS
 
@@ -5587,6 +5643,37 @@ def q_hearst(spark, sf_dir):
     )
 
 
+def q_meronym(spark, sf_dir):
+    """Meronym-pattern part-whole harvest (part-of triples from raw
+    sentence text — the Berland & Charniak ACL'99 complement of the
+    Hearst is-a bootstrap): five planted sentences per doc exercise
+    every frame (consists_of / composed_of / contains / part_of /
+    member_of) over the same deterministic word rotation as q_hearst,
+    with the real ``text`` column appended so both engines also process
+    realistic residue identically. Oracle: the byte-identical Java∩RE2
+    regex chain in DuckDB (patterns single-sourced via _meronym_sql)."""
+    from ontoweaver_spark.webdoc import meronym_parts
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    words = F.array(*[F.lit(s) for s in _HEARST_WORDS])
+    w = [F.element_at(words, ((F.col("doc_id") + j) % 12 + 1).cast("int"))
+         for j in range(10)]
+    planted = F.concat(
+        F.lit("engine consists of "), w[0], F.lit(", "), w[1],
+        F.lit(" and "), w[2],
+        F.lit(". water is composed of "), w[3], F.lit(" and "), w[4],
+        F.lit(". basket contains "), w[5], F.lit(", "), w[6],
+        F.lit(". "), w[7], F.lit(", "), w[8],
+        F.lit(" are parts of wagon. "),
+        w[9], F.lit(" is a member of club. "),
+        F.col("text"),
+    )
+    return meronym_parts(
+        docs.select("doc_id", planted.alias("text"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -5830,6 +5917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_charsets": q_kg_charsets,
         "er_bcubed": q_er_bcubed,
         "hearst_isa": q_hearst,
+        "meronym_partof": q_meronym,
         "change_rate": q_change_rate,
     }
 
@@ -11456,6 +11544,7 @@ def oracle_sql() -> dict[str, str]:
             FROM hist
         """,
         "hearst_isa": _hearst_sql(),
+        "meronym_partof": _meronym_sql(),
         "change_rate": """
             WITH snaps AS (
               SELECT 'https://crawl.' || source || '.com/p/'

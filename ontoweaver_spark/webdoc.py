@@ -537,3 +537,60 @@ def hearst_hypernyms(
         & ~F.col("hypernym").isin(_HEARST_DROP)
     )
     return out.distinct()
+
+
+# --------------------------------------------------------------------------
+# Meronym (part-whole) pattern extraction: part-of triples from sentence text
+# --------------------------------------------------------------------------
+
+# name -> (pattern, whole_group, parts_list_group). Conservative part-whole
+# frames (Berland & Charniak ACL'99 / Girju et al. ACL'03) over the same
+# single-word proxies and Java∩RE2 comma-list shape as HEARST_PATTERNS, so
+# the DuckDB oracle runs the byte-identical regexes.
+MERONYM_PATTERNS: dict[str, tuple[str, int, int]] = {
+    "consists_of": (rf"\b([a-z]+) consists of ({_HEARST_LIST})", 1, 2),
+    "composed_of": (rf"\b([a-z]+) (?:is|are) composed of ({_HEARST_LIST})", 1, 2),
+    "contains": (rf"\b([a-z]+) contains ({_HEARST_LIST})", 1, 2),
+    "part_of": (rf"\b({_HEARST_LIST}) (?:is|are) parts? of (?:the |a |an )?([a-z]+)", 2, 1),
+    "member_of": (rf"\b({_HEARST_LIST}) (?:is|are) (?:a |an )?members? of (?:the |a |an )?([a-z]+)", 2, 1),
+}
+
+# frame grammar words that would otherwise leak in as arguments
+_MERONYM_DROP = _HEARST_DROP + ["part", "parts", "member", "members"]
+
+
+def meronym_parts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 3,
+) -> DataFrame:
+    """Meronym-pattern part-whole extraction -> ``(id, part, whole,
+    pattern)`` distinct rows: the part-of complement of
+    :func:`hearst_hypernyms` (is-a), bootstrapping ``part_of`` candidate
+    triples from raw crawl sentences for the same
+    ``ontology.graph_from_triples`` bridge. The reference consumes
+    ontologies as given (src/ontoweaver/ontology handling); harvesting
+    the mereology FROM the corpus is engine-side superset surface.
+
+    Five frames: ``Y consists of A, B and C`` / ``Y is composed of A and
+    B`` / ``Y contains A, B`` / ``A, B are parts of Y`` / ``A is a
+    member of Y``. Same documented residue as the Hearst extractor
+    (greedy comma-lists can absorb a preceding clause; multi-word noun
+    phrases out of scope — precision filtering is downstream's job),
+    and the same scale shape: the whole extraction is the generic
+    zero-shuffle Hearst projection (ONE concat of zip_with matches, ONE
+    explode) with the closing ``distinct`` as the only shuffle.
+    """
+    out = hearst_hypernyms(
+        df, text_col=text_col, id_col=id_col, min_len=min_len,
+        patterns=MERONYM_PATTERNS,
+    )
+    return (
+        out.withColumnRenamed("hyponym", "part")
+        .withColumnRenamed("hypernym", "whole")
+        .where(
+            ~F.col("part").isin(_MERONYM_DROP)
+            & ~F.col("whole").isin(_MERONYM_DROP)
+        )
+    )
