@@ -5674,6 +5674,111 @@ def q_meronym(spark, sf_dir):
     )
 
 
+def q_dates(spark, sf_dir):
+    """Date-mention extraction + exact-integer epoch-day normalization
+    (temporal qualifiers for harvested facts): four planted mentions per
+    doc exercise every format (iso / us_text / eu_text / slash) over
+    deterministic doc_id rotations that INCLUDE calendar-invalid dates
+    (day 31 in 30-day months, month 13/14, a constant feb-30), so the
+    exact days-in-month + leap validity filter is part of what the
+    oracle checks; the real ``text`` column is appended so both engines
+    also process realistic residue identically. Oracle: byte-identical
+    regexes + the single-sourced Hinnant days-from-civil BIGINT
+    arithmetic (textops._epoch_day_expr) in DuckDB."""
+    from ontoweaver_spark.textops import _DATE_MONTHS, extract_dates
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    months = F.array(*[F.lit(s) for s in _DATE_MONTHS])
+    did = F.col("doc_id")
+
+    def mon(off: int) -> Column:
+        return F.element_at(months, ((did + off) % 12 + 1).cast("int"))
+
+    def pad2(c: Column) -> Column:
+        return F.lpad(c.cast("string"), 2, "0")
+
+    planted = F.concat(
+        F.lit("logged "), (1990 + did % 40).cast("string"),
+        F.lit("-"), pad2(1 + did % 12), F.lit("-"), pad2(1 + did % 28),
+        F.lit(". posted "), mon(3), F.lit(" "),
+        (1 + did % 31).cast("string"), F.lit(", "),
+        (2000 + did % 25).cast("string"),
+        F.lit(". seen "), (1 + (did * 7) % 31).cast("string"),
+        F.lit(" "), mon(7), F.lit(" "), (1995 + did % 20).cast("string"),
+        F.lit(". filed "), (1 + did % 14).cast("string"), F.lit("/"),
+        (1 + (did * 3) % 31).cast("string"), F.lit("/"),
+        (2010 + did % 10).cast("string"),
+        F.lit(". bogus 2023-02-30. "), F.col("text"),
+    )
+    return extract_dates(docs.select("doc_id", planted.alias("text")))
+
+
+def _dates_sql() -> str:
+    """DuckDB mirror of q_dates: the SAME planted mentions and the
+    byte-identical regex chain — patterns/groups, month table, validity
+    filter and the Hinnant epoch-day arithmetic all single-sourced from
+    ontoweaver_spark.textops so the two sides cannot drift."""
+    from ontoweaver_spark.textops import (
+        _DATE_MONTHS, _days_in_month_sql, _epoch_day_expr, DATE_PATTERNS,
+    )
+
+    months = ", ".join(f"'{m}'" for m in _DATE_MONTHS)
+
+    def mon(off: int) -> str:
+        return f"l[1 + (doc_id + {off}) % 12]"
+
+    planted = (
+        f"'logged ' || (1990 + doc_id % 40)::VARCHAR || '-' || "
+        f"lpad((1 + doc_id % 12)::VARCHAR, 2, '0') || '-' || "
+        f"lpad((1 + doc_id % 28)::VARCHAR, 2, '0') || "
+        f"'. posted ' || {mon(3)} || ' ' || (1 + doc_id % 31)::VARCHAR || "
+        f"', ' || (2000 + doc_id % 25)::VARCHAR || "
+        f"'. seen ' || (1 + (doc_id * 7) % 31)::VARCHAR || ' ' || {mon(7)} || "
+        f"' ' || (1995 + doc_id % 20)::VARCHAR || "
+        f"'. filed ' || (1 + doc_id % 14)::VARCHAR || '/' || "
+        f"(1 + (doc_id * 3) % 31)::VARCHAR || '/' || "
+        f"(2010 + doc_id % 10)::VARCHAR || "
+        f"'. bogus 2023-02-30. ' || text"
+    )
+    branches = "\n              UNION ALL\n".join(
+        f"""              SELECT doc_id, '{name}' AS fmt,
+                     regexp_extract_all(tx, '{p}', {yg}) AS gy,
+                     regexp_extract_all(tx, '{p}', {mg}) AS gm,
+                     regexp_extract_all(tx, '{p}', {dg}) AS gd
+              FROM t"""
+        for name, (p, yg, mg, dg) in DATE_PATTERNS.items()
+    )
+    return f"""
+            WITH w AS (
+              SELECT doc_id, text, [{months}] AS l FROM documents
+            ), t AS (
+              SELECT doc_id,
+                     lower(regexp_replace({planted}, '\\s+', ' ', 'g')) AS tx
+              FROM w
+            ), m AS (
+{branches}
+            ), z AS (
+              SELECT doc_id, fmt, gy[g.i] AS ys, gm[g.i] AS ms, gd[g.i] AS ds
+              FROM m, LATERAL unnest(generate_series(1, len(gy))) AS g(i)
+            ), p AS (
+              SELECT doc_id, fmt, ys::BIGINT AS y,
+                     CASE WHEN regexp_matches(ms, '^\\d+$') THEN ms::BIGINT
+                          ELSE list_position([{months}], ms)::BIGINT END AS m,
+                     ds::BIGINT AS d
+              FROM z
+            ), v AS (
+              SELECT * FROM p
+              WHERE y >= 1 AND y <= 9999 AND m >= 1 AND m <= 12
+                AND d >= 1 AND d <= {_days_in_month_sql("y", "m")}
+            )
+            SELECT DISTINCT doc_id, fmt, y, m, d,
+                   {_epoch_day_expr("y", "m", "d", div="//")}::BIGINT
+                     AS epoch_day
+            FROM v
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -5918,6 +6023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_bcubed": q_er_bcubed,
         "hearst_isa": q_hearst,
         "meronym_partof": q_meronym,
+        "date_norm": q_dates,
         "change_rate": q_change_rate,
     }
 
@@ -11545,6 +11651,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hearst_isa": _hearst_sql(),
         "meronym_partof": _meronym_sql(),
+        "date_norm": _dates_sql(),
         "change_rate": """
             WITH snaps AS (
               SELECT 'https://crawl.' || source || '.com/p/'

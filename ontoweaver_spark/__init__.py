@@ -90,6 +90,8 @@ from .webdoc import (
     extract_html_tables,
     extract_meta_tags,
     extract_microdata,
+    hearst_hypernyms,
+    meronym_parts,
 )
 from .layout import zorder_key, zorder_layout
 from .nulls import is_not_null
@@ -104,7 +106,7 @@ from .ontology import (
     subclass_edges_from_triples,
 )
 from .sampling import hash_split, skyline, stratified_sample
-from .textops import annotator_agreement, corpus_stats, rake_keyphrases, readability, script_profile, textrank_keywords
+from .textops import annotator_agreement, corpus_stats, extract_dates, rake_keyphrases, readability, script_profile, textrank_keywords
 from .sessions import session_stats, sessionize
 # urls.canonical_url is intentionally NOT re-exported at package level:
 # linking.canonical_url (the entity-identity key) already owns the name;
@@ -157,6 +159,7 @@ __all__ = [
     "assign_edge_partitions", "partition_quality",
     "class_property_profile", "characteristic_sets", "bcubed_metrics",
     "graph_props_frame", "load_shapes",
+    "hearst_hypernyms", "meronym_parts", "extract_dates",
 ]
 
 

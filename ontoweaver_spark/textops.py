@@ -2074,3 +2074,128 @@ def script_profile(
         best = F.when(take, ppm).otherwise(best)
     cols.append(dom.alias("dominant_script"))
     return df.select(*cols)
+
+
+# --------------------------------------------------------------------------
+# Date mention extraction + exact-integer normalization to epoch days
+# --------------------------------------------------------------------------
+
+_DATE_MONTHS = [
+    "january", "february", "march", "april", "may", "june",
+    "july", "august", "september", "october", "november", "december",
+]
+_MON_ALT = "|".join(_DATE_MONTHS)
+
+# name -> (pattern, year_group, month_group, day_group). Java∩RE2∩DuckDB
+# regexes (no lookaround/backrefs) so the oracle runs them byte-identical.
+# "slash" is pinned to US month/day/year order; textual month groups carry
+# the month NAME and are resolved against _DATE_MONTHS in-plan.
+DATE_PATTERNS: dict[str, tuple[str, int, int, int]] = {
+    "iso": (r"\b(\d{4})-(\d{2})-(\d{2})\b", 1, 2, 3),
+    "us_text": (rf"\b({_MON_ALT}) (\d{{1,2}}), (\d{{4}})\b", 3, 1, 2),
+    "eu_text": (rf"\b(\d{{1,2}}) ({_MON_ALT}) (\d{{4}})\b", 3, 2, 1),
+    "slash": (r"\b(\d{1,2})/(\d{1,2})/(\d{4})\b", 3, 1, 2),
+}
+
+def _epoch_day_expr(y: str, m: str, d: str, div: str = "div") -> str:
+    """Exact-integer days-from-civil (Howard Hinnant's public-domain
+    civil-calendar algorithm, proleptic Gregorian) as engine SQL;
+    ``div`` is the integer-division keyword (Spark ``div``, DuckDB
+    ``//``). Every step is BIGINT integer division on NON-NEGATIVE
+    operands for y >= 1, so the two engines cannot differ. Shared by
+    the Column builder and the DuckDB oracle so the arithmetic is
+    single-sourced."""
+    yy = f"(({y}) - (CASE WHEN ({m}) <= 2 THEN 1 ELSE 0 END))"
+    era = f"(({yy}) {div} 400)"
+    yoe = f"(({yy}) - {era} * 400)"
+    mp = f"((({m}) + 9) % 12)"
+    doy = f"((153 * {mp} + 2) {div} 5 + ({d}) - 1)"
+    doe = f"({yoe} * 365 + {yoe} {div} 4 - {yoe} {div} 100 + {doy})"
+    return f"({era} * 146097 + {doe} - 719468)"
+
+
+def _days_in_month_sql(y: str, m: str) -> str:
+    leap = (
+        f"(CASE WHEN (({y}) % 4 = 0 AND ({y}) % 100 <> 0)"
+        f" OR ({y}) % 400 = 0 THEN 1 ELSE 0 END)"
+    )
+    return (
+        f"(CASE WHEN ({m}) = 2 THEN 28 + {leap}"
+        f" WHEN ({m}) IN (4, 6, 9, 11) THEN 30 ELSE 31 END)"
+    )
+
+
+def extract_dates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Date-mention extraction + normalization -> distinct ``(doc_id,
+    fmt, y, m, d, epoch_day)``: finds ISO (``2021-03-17``), US textual
+    (``march 5, 2022``), EU textual (``28 february 1999``) and US slash
+    (``12/31/2020``) dates in raw text and normalizes each to an EXACT
+    integer epoch day (days since 1970-01-01, proleptic Gregorian via
+    Hinnant's days-from-civil — pure BIGINT ``div`` arithmetic, so the
+    DuckDB oracle is bit-identical by construction, never via either
+    engine's locale-dependent date parser). Calendar-invalid mentions
+    (``2023-02-30``, ``11/31/2020``) are DROPPED by an exact
+    days-in-month + leap-rule filter — that filter is part of the
+    checked semantics.
+
+    The KG-construction use: normalized epoch days are the temporal
+    qualifiers of harvested facts (publish dates, event dates, validity
+    intervals) — the input to ``temporal_reachability`` and the SCD2
+    history sinks, harvested straight from sentence text like
+    :func:`~ontoweaver_spark.webdoc.hearst_hypernyms` harvests is-a.
+
+    Scale shape: ONE zero-shuffle projection builds every pattern's
+    (y, m, d) triples (three group-extractions zipped per pattern,
+    concatenated, ONE explode); the closing ``distinct`` is the only
+    shuffle. Regexes never leave the JVM.
+    """
+    months = F.array(*[F.lit(s) for s in _DATE_MONTHS])
+    t = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+
+    def _tagger(name: str):
+        # factory, not a default arg: pyspark reads the HOF lambda's
+        # arity, and a 2-param lambda becomes the (value, index) form
+        return lambda s: F.struct(
+            F.lit(name).alias("fmt"),
+            s["ys"].alias("ys"),
+            s["ms"].alias("ms"),
+            s["ds"].alias("ds"),
+        )
+
+    per_pattern = []
+    for name, (pat, yg, mg, dg) in DATE_PATTERNS.items():
+        ys = F.regexp_extract_all(t, F.lit(pat), yg)
+        ms = F.regexp_extract_all(t, F.lit(pat), mg)
+        ds = F.regexp_extract_all(t, F.lit(pat), dg)
+        zipped = F.arrays_zip(ys.alias("ys"), ms.alias("ms"), ds.alias("ds"))
+        per_pattern.append(F.transform(zipped, _tagger(name)))
+    mentions = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.concat(*per_pattern)).alias("x"),
+    )
+    m_num = (
+        F.when(
+            F.col("x.ms").rlike(r"^\d+$"), F.col("x.ms").cast("long")
+        )
+        .otherwise(F.array_position(months, F.col("x.ms")))
+    )
+    parsed = mentions.select(
+        "doc_id",
+        F.col("x.fmt").alias("fmt"),
+        F.col("x.ys").cast("long").alias("y"),
+        m_num.alias("m"),
+        F.col("x.ds").cast("long").alias("d"),
+    )
+    valid = parsed.where(
+        (F.col("y") >= 1) & (F.col("y") <= 9999)
+        & (F.col("m") >= 1) & (F.col("m") <= 12)
+        & (F.col("d") >= 1)
+        & (F.col("d") <= F.expr(_days_in_month_sql("y", "m")))
+    )
+    return valid.withColumn(
+        "epoch_day", F.expr(_epoch_day_expr("y", "m", "d", div="div")).cast("long")
+    ).distinct()
