@@ -5779,6 +5779,107 @@ def _dates_sql() -> str:
     """
 
 
+def q_temporal_facts(spark, sf_dir):
+    """Temporal fact composition — the harvested part-whole triples
+    (q_meronym) qualified with their document's earliest normalized
+    date (q_dates): the (subj, pred, obj, first_seen_day) slice a
+    temporal KG ingests. Oracle: the two single-sourced SQL chains
+    composed with the same doc-level min + inner join."""
+    from ontoweaver_spark.webdoc import qualify_with_first_date
+
+    return qualify_with_first_date(
+        q_meronym(spark, sf_dir), q_dates(spark, sf_dir)
+    )
+
+
+def q_quantities(spark, sf_dir):
+    """Quantity-mention extraction + exact-integer canonicalization
+    (numeric property values for harvested facts): planted mentions per
+    doc exercise both kinds (closed unit table + scale words), fraction
+    handling, and the int64 overflow guard (a constant
+    999999999999 gb plant must yield canonical_e6 NULL on both
+    engines); the real ``text`` column is appended so both engines also
+    process realistic residue identically. Oracle: byte-identical
+    regexes + the single-sourced unit/scale tables in DuckDB, with the
+    engines' non-participating-group difference (Spark '' vs DuckDB
+    NULL) normalized by the shared no-fraction CASE."""
+    from ontoweaver_spark.textops import extract_quantities
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.lit("clock "), (1 + did % 8).cast("string"), F.lit("."),
+        (did % 10).cast("string"), F.lit(" ghz. range "),
+        (did % 2000).cast("string"), F.lit(" km. users "),
+        (1 + did % 999).cast("string"), F.lit("."),
+        (did % 100).cast("string"), F.lit(" million. mass "),
+        (1 + did % 50).cast("string"), F.lit(" kg. cap 999999999999 gb. "),
+        F.col("text"),
+    )
+    return extract_quantities(docs.select("doc_id", planted.alias("text")))
+
+
+def _quantities_sql() -> str:
+    """DuckDB mirror of q_quantities: the SAME planted mentions and the
+    byte-identical regex chain — patterns, the unit/scale tables, the
+    no-fraction normalization and the overflow guard all single-sourced
+    from ontoweaver_spark.textops so the two sides cannot drift."""
+    from ontoweaver_spark.textops import (
+        _I64_MAX, _QUANTITY_SCALES, QUANTITY_PATTERNS, QUANTITY_UNITS,
+    )
+
+    planted = (
+        "'clock ' || (1 + doc_id % 8)::VARCHAR || '.' || "
+        "(doc_id % 10)::VARCHAR || ' ghz. range ' || "
+        "(doc_id % 2000)::VARCHAR || ' km. users ' || "
+        "(1 + doc_id % 999)::VARCHAR || '.' || "
+        "(doc_id % 100)::VARCHAR || ' million. mass ' || "
+        "(1 + doc_id % 50)::VARCHAR || ' kg. cap 999999999999 gb. ' || text"
+    )
+    branches = "\n              UNION ALL\n".join(
+        f"""              SELECT doc_id, '{name}' AS kind,
+                     regexp_extract_all(tx, '{p}', {ig}) AS gi,
+                     regexp_extract_all(tx, '{p}', {fg}) AS gf,
+                     regexp_extract_all(tx, '{p}', {wg}) AS gw
+              FROM t"""
+        for name, (p, ig, fg, wg) in QUANTITY_PATTERNS.items()
+    )
+    unit_rows = ", ".join(
+        f"('{u}', {f}::BIGINT, '{b}')"
+        for u, (f, b) in {
+            **QUANTITY_UNITS,
+            **{w: (s, "count") for w, s in _QUANTITY_SCALES.items()},
+        }.items()
+    )
+    return f"""
+            WITH t AS (
+              SELECT doc_id,
+                     lower(regexp_replace({planted}, '\\s+', ' ', 'g')) AS tx
+              FROM documents
+            ), m AS (
+{branches}
+            ), z AS (
+              SELECT doc_id, kind, gi[g.i] AS ip, gf[g.i] AS fp,
+                     gw[g.i] AS wd
+              FROM m, LATERAL unnest(generate_series(1, len(gi))) AS g(i)
+            ), u(unit, mult, base_unit) AS (
+              VALUES {unit_rows}
+            ), p AS (
+              SELECT doc_id, kind,
+                     ip::BIGINT * 1000000 +
+                       (CASE WHEN fp IS NULL OR fp = '' THEN '000000'
+                             ELSE rpad(fp, 6, '0') END)::BIGINT AS num_e6,
+                     wd AS unit
+              FROM z
+            )
+            SELECT DISTINCT p.doc_id, p.kind, p.num_e6, p.unit, u.base_unit,
+                   CASE WHEN p.num_e6 <= {_I64_MAX} // u.mult
+                        THEN p.num_e6 * u.mult END AS canonical_e6
+            FROM p JOIN u USING (unit)
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -6024,6 +6125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hearst_isa": q_hearst,
         "meronym_partof": q_meronym,
         "date_norm": q_dates,
+        "temporal_facts": q_temporal_facts,
+        "quantity_norm": q_quantities,
         "change_rate": q_change_rate,
     }
 
@@ -11652,6 +11755,17 @@ def oracle_sql() -> dict[str, str]:
         "hearst_isa": _hearst_sql(),
         "meronym_partof": _meronym_sql(),
         "date_norm": _dates_sql(),
+        "quantity_norm": _quantities_sql(),
+        "temporal_facts": f"""
+            WITH mer AS ({_meronym_sql()}),
+            dat AS ({_dates_sql()}),
+            fst AS (
+              SELECT doc_id, min(epoch_day) AS first_seen_day
+              FROM dat GROUP BY doc_id
+            )
+            SELECT m.doc_id, m.part, m.whole, m.pattern, f.first_seen_day
+            FROM mer m JOIN fst f USING (doc_id)
+        """,
         "change_rate": """
             WITH snaps AS (
               SELECT 'https://crawl.' || source || '.com/p/'

@@ -2199,3 +2199,136 @@ def extract_dates(
     return valid.withColumn(
         "epoch_day", F.expr(_epoch_day_expr("y", "m", "d", div="div")).cast("long")
     ).distinct()
+
+
+# --------------------------------------------------------------------------
+# Quantity mention extraction + exact-integer canonicalization
+# --------------------------------------------------------------------------
+
+# unit token -> (multiplier to the family base, base unit). Only
+# multiplicative-UP units (factor >= 1) so the canonical value is exact
+# BIGINT multiplication, never division. Listed longest-first — that is
+# the alternation order inside the regex and first-alternative-wins is
+# what both engines do.
+QUANTITY_UNITS: dict[str, tuple[int, str]] = {
+    "khz": (10**3, "hz"),
+    "mhz": (10**6, "hz"),
+    "ghz": (10**9, "hz"),
+    "km": (10**3, "m"),
+    "kg": (10**3, "g"),
+    "kb": (10**3, "b"),
+    "mb": (10**6, "b"),
+    "gb": (10**9, "b"),
+    "hz": (1, "hz"),
+    "m": (1, "m"),
+    "g": (1, "g"),
+    "b": (1, "b"),
+}
+
+_QUANTITY_SCALES: dict[str, int] = {
+    "thousand": 10**3,
+    "million": 10**6,
+    "billion": 10**9,
+}
+
+_NUM = r"(\d{1,12})(?:\.(\d{1,6}))?"
+
+# name -> (pattern, int_group, frac_group, word_group)
+QUANTITY_PATTERNS: dict[str, tuple[str, int, int, int]] = {
+    "unit": (
+        rf"\b{_NUM} ?({'|'.join(QUANTITY_UNITS)})\b", 1, 2, 3,
+    ),
+    "scale": (
+        rf"\b{_NUM} ({'|'.join(_QUANTITY_SCALES)})\b", 1, 2, 3,
+    ),
+}
+
+_I64_MAX = 2**63 - 1
+
+
+def extract_quantities(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quantity-mention extraction + canonicalization -> distinct
+    ``(doc_id, kind, num_e6, unit, base_unit, canonical_e6)``: finds
+    ``<number> <unit>`` (km/kg/gb/ghz/... — the closed
+    :data:`QUANTITY_UNITS` table) and ``<number>
+    thousand|million|billion`` count mentions in raw text and
+    normalizes each to EXACT integers — ``num_e6`` is the literal
+    number in millionths (``int*10^6 + frac`` right-padded to 6
+    digits), ``canonical_e6`` the value in millionths of the family
+    BASE unit (m/g/b/hz/count). Only multiplicative-up factors exist in
+    the table, so canonicalization is one BIGINT multiply — exact by
+    construction, no float anywhere; a mention whose product would
+    exceed int64 yields ``canonical_e6 = NULL`` (explicit guard, never
+    silent wraparound).
+
+    The KG-construction use: harvested numeric property values
+    (populations, sizes, frequencies, prices-less-currency) with
+    engine-identical semantics — the numeric complement of
+    :func:`extract_dates`.
+
+    Known residue, documented not guessed: an integer part longer than
+    12 digits (or a fraction beyond 6) splits at the regex bound and
+    the tail digits parse as their own number; both engines split
+    identically. Scale shape: ONE zero-shuffle projection (three group
+    extractions zipped per pattern, one explode); the closing
+    ``distinct`` is the only shuffle.
+    """
+    t = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+
+    def _tagger(name: str):
+        # factory, not a default arg (pyspark HOF lambdas must be 1-ary)
+        return lambda s: F.struct(
+            F.lit(name).alias("kind"),
+            s["ip"].alias("ip"),
+            s["fp"].alias("fp"),
+            s["wd"].alias("wd"),
+        )
+
+    per_pattern = []
+    for name, (pat, ig, fg, wg) in QUANTITY_PATTERNS.items():
+        ip = F.regexp_extract_all(t, F.lit(pat), ig)
+        fp = F.regexp_extract_all(t, F.lit(pat), fg)
+        wd = F.regexp_extract_all(t, F.lit(pat), wg)
+        zipped = F.arrays_zip(ip.alias("ip"), fp.alias("fp"), wd.alias("wd"))
+        per_pattern.append(F.transform(zipped, _tagger(name)))
+    mentions = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.concat(*per_pattern)).alias("x"),
+    )
+    # Spark yields '' for a non-participating group, DuckDB NULL — the
+    # shared normalization treats both as "no fraction"
+    frac6 = F.when(
+        F.col("x.fp").isNull() | (F.col("x.fp") == ""), F.lit("000000")
+    ).otherwise(F.rpad(F.col("x.fp"), 6, "0"))
+    num_e6 = (
+        F.col("x.ip").cast("long") * F.lit(1_000_000).cast("long")
+        + frac6.cast("long")
+    )
+    mult = F.lit(None).cast("long")
+    base = F.lit(None).cast("string")
+    for u, (f, b) in {**QUANTITY_UNITS, **{
+        w: (s, "count") for w, s in _QUANTITY_SCALES.items()
+    }}.items():
+        hit = F.col("x.wd") == u
+        mult = F.when(hit, F.lit(f).cast("long")).otherwise(mult)
+        base = F.when(hit, F.lit(b)).otherwise(base)
+    parsed = mentions.select(
+        "doc_id",
+        F.col("x.kind").alias("kind"),
+        num_e6.alias("num_e6"),
+        F.col("x.wd").alias("unit"),
+        base.alias("base_unit"),
+        mult.alias("_mult"),
+    )
+    canonical = F.when(
+        F.col("num_e6") <= F.expr(f"{_I64_MAX} div _mult"),
+        F.col("num_e6") * F.col("_mult"),
+    )
+    return parsed.select(
+        "doc_id", "kind", "num_e6", "unit", "base_unit",
+        canonical.cast("long").alias("canonical_e6"),
+    ).distinct()

@@ -594,3 +594,28 @@ def meronym_parts(
             & ~F.col("whole").isin(_MERONYM_DROP)
         )
     )
+
+
+def qualify_with_first_date(
+    facts: DataFrame,
+    dates: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temporal qualification of harvested facts -> the fact frame plus
+    ``first_seen_day``: joins each fact row to the EARLIEST normalized
+    epoch day mentioned in its source document (from
+    :func:`~ontoweaver_spark.textops.extract_dates`), the standard
+    provenance qualifier of a web-harvested triple (first-seen drives
+    freshness scoring and claim-voting tie-breaks). Facts from docs with
+    no parseable date are dropped — an un-datable fact has no place in a
+    temporal KG slice; keep the unqualified frame for the rest.
+
+    Scale shape: the date frame aggregates to one row per document
+    BEFORE the join (map-side partial min), so the join is
+    doc-cardinality on both sides and co-partitions on the same key the
+    fact extraction already grouped by. Nothing collects.
+    """
+    first = dates.groupBy(id_col).agg(
+        F.min("epoch_day").alias("first_seen_day")
+    )
+    return facts.join(first, id_col)

@@ -79,3 +79,22 @@ def test_epoch_day_matches_datetime_across_eras(spark):
     docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
     got = {(r.y, r.m, r.d): r.epoch_day for r in extract_dates(docs).collect()}
     assert got == {(y, m, d): _ed(y, m, d) for y, m, d in days}
+
+
+def test_qualify_with_first_date(spark):
+    from ontoweaver_spark.webdoc import qualify_with_first_date
+
+    facts = spark.createDataFrame(
+        [(1, "wheel", "car"), (2, "leaf", "tree"), (3, "nodate", "x")],
+        "doc_id long, part string, whole string",
+    )
+    dates = spark.createDataFrame(
+        [(1, 100), (1, 50), (2, 7)],
+        "doc_id long, epoch_day long",
+    )
+    got = {
+        (r.doc_id, r.part, r.first_seen_day)
+        for r in qualify_with_first_date(facts, dates).collect()
+    }
+    # earliest date wins; undated doc 3 is dropped
+    assert got == {(1, "wheel", 50), (2, "leaf", 7)}
