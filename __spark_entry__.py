@@ -5880,6 +5880,84 @@ def _quantities_sql() -> str:
     """
 
 
+def q_geo(spark, sf_dir):
+    """Coordinate-mention extraction in exact integer microdegrees (the
+    schema.org geo qualifier): one planted pair per doc over rotations
+    that INCLUDE out-of-range latitudes (doc_id%100 > 90) and
+    longitudes (doc_id%200 > 180) so the exact range filter is part of
+    what the oracle checks; hemisphere letters alternate so both sign
+    branches run. Real ``text`` appended for identical residue
+    processing. Oracle: the byte-identical regex + the same
+    digit-string microdegree arithmetic in DuckDB."""
+    from ontoweaver_spark.textops import extract_geo
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.lit("at "), (did % 100).cast("string"), F.lit("."),
+        (did % 10).cast("string"),
+        F.when(did % 2 == 0, F.lit(" n")).otherwise(F.lit(" s")),
+        F.lit(", "), (did % 200).cast("string"), F.lit("."),
+        ((did * 3) % 10).cast("string"),
+        F.when(did % 3 == 0, F.lit(" e")).otherwise(F.lit(" w")),
+        F.lit(". "), F.col("text"),
+    )
+    return extract_geo(docs.select("doc_id", planted.alias("text")))
+
+
+def _geo_sql() -> str:
+    """DuckDB mirror of q_geo: the SAME planted pair and the
+    byte-identical regex — pattern and microdegree arithmetic
+    single-sourced from ontoweaver_spark.textops."""
+    from ontoweaver_spark.textops import GEO_PATTERN
+
+    planted = (
+        "'at ' || (doc_id % 100)::VARCHAR || '.' || "
+        "(doc_id % 10)::VARCHAR || "
+        "(CASE WHEN doc_id % 2 = 0 THEN ' n' ELSE ' s' END) || "
+        "', ' || (doc_id % 200)::VARCHAR || '.' || "
+        "((doc_id * 3) % 10)::VARCHAR || "
+        "(CASE WHEN doc_id % 3 = 0 THEN ' e' ELSE ' w' END) || "
+        "'. ' || text"
+    )
+
+    def udeg(ig: int, fg: int, neg: str, sg: int) -> str:
+        frac6 = (
+            f"(CASE WHEN g{fg} IS NULL OR g{fg} = '' THEN '000000'"
+            f" ELSE rpad(g{fg}, 6, '0') END)::BIGINT"
+        )
+        mag = f"(g{ig}::BIGINT * 1000000 + {frac6})"
+        return f"(CASE WHEN g{sg} = '{neg}' THEN -{mag} ELSE {mag} END)"
+
+    groups = ",\n                     ".join(
+        f"regexp_extract_all(tx, '{GEO_PATTERN}', {g}) AS a{g}"
+        for g in range(1, 7)
+    )
+    cols = ", ".join(f"a{g}[u.i] AS g{g}" for g in range(1, 7))
+    return f"""
+            WITH t AS (
+              SELECT doc_id,
+                     lower(regexp_replace({planted}, '\\s+', ' ', 'g')) AS tx
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     {groups}
+              FROM t
+            ), z AS (
+              SELECT doc_id, {cols}
+              FROM m, LATERAL unnest(generate_series(1, len(a1))) AS u(i)
+            ), p AS (
+              SELECT doc_id,
+                     {udeg(1, 2, 's', 3)} AS lat_udeg,
+                     {udeg(4, 5, 'w', 6)} AS lon_udeg
+              FROM z
+            )
+            SELECT DISTINCT doc_id, lat_udeg, lon_udeg FROM p
+            WHERE abs(lat_udeg) <= 90000000 AND abs(lon_udeg) <= 180000000
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -6127,6 +6205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_norm": q_dates,
         "temporal_facts": q_temporal_facts,
         "quantity_norm": q_quantities,
+        "geo_norm": q_geo,
         "change_rate": q_change_rate,
     }
 
@@ -11756,6 +11835,7 @@ def oracle_sql() -> dict[str, str]:
         "meronym_partof": _meronym_sql(),
         "date_norm": _dates_sql(),
         "quantity_norm": _quantities_sql(),
+        "geo_norm": _geo_sql(),
         "temporal_facts": f"""
             WITH mer AS ({_meronym_sql()}),
             dat AS ({_dates_sql()}),

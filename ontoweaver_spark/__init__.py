@@ -107,7 +107,7 @@ from .ontology import (
     subclass_edges_from_triples,
 )
 from .sampling import hash_split, skyline, stratified_sample
-from .textops import annotator_agreement, corpus_stats, extract_dates, extract_quantities, rake_keyphrases, readability, script_profile, textrank_keywords
+from .textops import annotator_agreement, corpus_stats, extract_dates, extract_geo, extract_quantities, rake_keyphrases, readability, script_profile, textrank_keywords
 from .sessions import session_stats, sessionize
 # urls.canonical_url is intentionally NOT re-exported at package level:
 # linking.canonical_url (the entity-identity key) already owns the name;
@@ -161,7 +161,7 @@ __all__ = [
     "class_property_profile", "characteristic_sets", "bcubed_metrics",
     "graph_props_frame", "load_shapes",
     "hearst_hypernyms", "meronym_parts", "extract_dates",
-    "extract_quantities", "qualify_with_first_date",
+    "extract_quantities", "qualify_with_first_date", "extract_geo",
 ]
 
 

@@ -2332,3 +2332,70 @@ def extract_quantities(
         "doc_id", "kind", "num_e6", "unit", "base_unit",
         canonical.cast("long").alias("canonical_e6"),
     ).distinct()
+
+
+# --------------------------------------------------------------------------
+# Geographic-coordinate extraction in exact integer microdegrees
+# --------------------------------------------------------------------------
+
+# "40.7128 n, 74.006 w" / "51 N 0.1278 W" — decimal-degree pairs with
+# hemisphere letters. Java∩RE2∩DuckDB-safe (no lookaround); degree signs
+# and punctuation variants are out of scope by contract (they are not
+# ASCII-stable across crawls), documented not guessed.
+GEO_PATTERN = (
+    r"\b(\d{1,2})(?:\.(\d{1,6}))? ?([ns]),? ?"
+    r"(\d{1,3})(?:\.(\d{1,6}))? ?([ew])\b"
+)
+
+
+def extract_geo(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Coordinate-mention extraction -> distinct ``(doc_id, lat_udeg,
+    lon_udeg)`` in EXACT integer microdegrees (degrees x 10^6, signed by
+    hemisphere): the geo qualifier of harvested facts (schema.org
+    ``geo`` / place triples), completing the typed-literal harvest
+    family (:func:`extract_dates` temporal, :func:`extract_quantities`
+    numeric). Microdegrees from digit strings — ``deg*10^6 +
+    rpad(frac, 6)`` — never a float parse, so the DuckDB oracle is
+    bit-identical by construction. Out-of-range pairs (|lat| > 90°,
+    |lon| > 180°) are DROPPED by an exact integer filter that is part
+    of the checked semantics.
+
+    Scale shape: ONE zero-shuffle projection (six group extractions
+    zipped, one explode); the closing ``distinct`` is the only shuffle.
+    """
+    t = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    parts = [
+        F.regexp_extract_all(t, F.lit(GEO_PATTERN), g).alias(f"g{g}")
+        for g in range(1, 7)
+    ]
+    zipped = F.arrays_zip(*parts)
+    mentions = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(zipped).alias("x")
+    )
+
+    def udeg(ig: int, fg: int, neg_letter: str, sg: int) -> Column:
+        frac6 = F.when(
+            F.col(f"x.g{fg}").isNull() | (F.col(f"x.g{fg}") == ""),
+            F.lit("000000"),
+        ).otherwise(F.rpad(F.col(f"x.g{fg}"), 6, "0"))
+        mag = (
+            F.col(f"x.g{ig}").cast("long") * F.lit(1_000_000).cast("long")
+            + frac6.cast("long")
+        )
+        return F.when(
+            F.col(f"x.g{sg}") == neg_letter, -mag
+        ).otherwise(mag)
+
+    out = mentions.select(
+        "doc_id",
+        udeg(1, 2, "s", 3).alias("lat_udeg"),
+        udeg(4, 5, "w", 6).alias("lon_udeg"),
+    )
+    return out.where(
+        (F.abs(F.col("lat_udeg")) <= 90_000_000)
+        & (F.abs(F.col("lon_udeg")) <= 180_000_000)
+    ).distinct()

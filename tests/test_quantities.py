@@ -77,3 +77,37 @@ def test_distinct_across_repeats(spark):
     )
     # "5" and "5.000000" normalize to the same num_e6 -> one row
     assert extract_quantities(docs).count() == 1
+
+
+def test_extract_geo_signs_and_range(spark):
+    from ontoweaver_spark.textops import extract_geo
+
+    docs = spark.createDataFrame(
+        [
+            (1, "NYC sits at 40.7128 N, 74.006 W; London 51.5074 n 0.1278 w."),
+            (2, "Sydney 33.8688 S, 151.2093 E."),
+            (3, "bogus 95.1 n, 10 e. bogus2 10 n, 181 e. none here."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.lat_udeg, r.lon_udeg)
+        for r in extract_geo(docs).collect()
+    }
+    assert got == {
+        (1, 40_712_800, -74_006_000),
+        (1, 51_507_400, -127_800),
+        (2, -33_868_800, 151_209_300),
+    }
+
+
+def test_extract_geo_boundary_inclusive(spark):
+    from ontoweaver_spark.textops import extract_geo
+
+    docs = spark.createDataFrame(
+        [(1, "poles 90 n, 180 w and 90.000001 n, 0 e.")],
+        "doc_id long, text string",
+    )
+    got = {(r.lat_udeg, r.lon_udeg) for r in extract_geo(docs).collect()}
+    # exactly 90/180 kept; one microdegree over dropped
+    assert got == {(90_000_000, -180_000_000)}
