@@ -5958,6 +5958,42 @@ def _geo_sql() -> str:
     """
 
 
+def q_text_kg(spark, sf_dir):
+    """Raw sentence text -> typed knowledge graph, end to end: the
+    Hearst is-a harvest (q_hearst) and the meronym part-of harvest
+    (q_meronym) union into one (subject, predicate, object) frame,
+    bridge through ontology.graph_from_triples (both predicates
+    declared as relations), and come out as the engine's auditable
+    node/edge union — the complete text-side bootstrap the north rule
+    describes, composed purely from oracle-gated parts. Oracle: the two
+    single-sourced SQL chains unioned and the same distinct-node /
+    distinct-edge bridge in DuckDB."""
+    from ontoweaver_spark.ontology import graph_from_triples
+
+    isa = q_hearst(spark, sf_dir).select(
+        F.col("hyponym").alias("subject"),
+        F.lit("is_a").alias("predicate"),
+        F.col("hypernym").alias("object"),
+    )
+    pof = q_meronym(spark, sf_dir).select(
+        F.col("part").alias("subject"),
+        F.lit("part_of").alias("predicate"),
+        F.col("whole").alias("object"),
+    )
+    nodes, edges, _props = graph_from_triples(
+        isa.unionByName(pof), relation_predicates=["is_a", "part_of"]
+    )
+    return nodes.select(
+        F.lit("node").alias("kind"), F.col("id").alias("a"),
+        F.col("label").alias("b"), F.lit("").alias("c"),
+    ).unionByName(
+        edges.select(
+            F.lit("edge").alias("kind"), F.col("src").alias("a"),
+            F.col("dst").alias("b"), F.col("label").alias("c"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -6206,6 +6242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_facts": q_temporal_facts,
         "quantity_norm": q_quantities,
         "geo_norm": q_geo,
+        "text_kg": q_text_kg,
         "change_rate": q_change_rate,
     }
 
@@ -11836,6 +11873,22 @@ def oracle_sql() -> dict[str, str]:
         "date_norm": _dates_sql(),
         "quantity_norm": _quantities_sql(),
         "geo_norm": _geo_sql(),
+        "text_kg": f"""
+            WITH h AS ({_hearst_sql()}),
+            mer AS ({_meronym_sql()}),
+            tri AS (
+              SELECT hyponym AS s, 'is_a' AS p, hypernym AS o FROM h
+              UNION ALL
+              SELECT part AS s, 'part_of' AS p, whole AS o FROM mer
+            ), nd AS (
+              SELECT DISTINCT s FROM (
+                SELECT s FROM tri UNION ALL SELECT o AS s FROM tri
+              )
+            )
+            SELECT 'node' AS kind, s AS a, 'entity' AS b, '' AS c FROM nd
+            UNION ALL
+            SELECT DISTINCT 'edge' AS kind, s AS a, o AS b, p AS c FROM tri
+        """,
         "temporal_facts": f"""
             WITH mer AS ({_meronym_sql()}),
             dat AS ({_dates_sql()}),
