@@ -5994,6 +5994,77 @@ def q_text_kg(spark, sf_dir):
     )
 
 
+def q_acronyms(spark, sf_dir):
+    """Schwartz–Hearst acronym harvest (the ER alias-table bootstrap):
+    one matching three-word definition per doc (rotation words, the
+    parenthesized token built from their REAL initials) plus one
+    deliberately wrong pair (``(qqq)``) that the in-plan initials test
+    must reject; the real ``text`` column is appended so both engines
+    also process realistic residue identically. Oracle: the
+    byte-identical regex + the same slice/initials list arithmetic in
+    DuckDB."""
+    from ontoweaver_spark.webdoc import acronym_pairs
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    words = F.array(*[F.lit(s) for s in _HEARST_WORDS])
+    w = [F.element_at(words, ((F.col("doc_id") + j) % 12 + 1).cast("int"))
+         for j in range(3)]
+    acro = F.concat(*[F.substring(x, 1, 1) for x in w])
+    planted = F.concat(
+        F.lit("the "), w[0], F.lit(" "), w[1], F.lit(" "), w[2],
+        F.lit(" ("), acro, F.lit(") works. a wrong pair here (qqq). "),
+        F.col("text"),
+    )
+    return acronym_pairs(docs.select("doc_id", planted.alias("text")))
+
+
+def _acronyms_sql() -> str:
+    """DuckDB mirror of q_acronyms: the SAME planted definition and the
+    byte-identical regex — pattern single-sourced from
+    ontoweaver_spark.webdoc, initials test as list arithmetic."""
+    from ontoweaver_spark.webdoc import ACRONYM_PATTERN
+
+    words = ", ".join(f"'{w}'" for w in _HEARST_WORDS)
+
+    def pick(j: int) -> str:
+        return f"l[1 + (doc_id + {j}) % 12]"
+
+    acro = " || ".join(f"substr({pick(j)}, 1, 1)" for j in range(3))
+    planted = (
+        f"'the ' || {pick(0)} || ' ' || {pick(1)} || ' ' || {pick(2)} || "
+        f"' (' || {acro} || ') works. a wrong pair here (qqq). ' || text"
+    )
+    return f"""
+            WITH w AS (
+              SELECT doc_id, text, [{words}] AS l FROM documents
+            ), t AS (
+              SELECT doc_id,
+                     lower(regexp_replace({planted}, '\\s+', ' ', 'g')) AS tx
+              FROM w
+            ), m AS (
+              SELECT doc_id,
+                     regexp_extract_all(tx, '{ACRONYM_PATTERN}', 1) AS g1,
+                     regexp_extract_all(tx, '{ACRONYM_PATTERN}', 2) AS g2
+              FROM t
+            ), z AS (
+              SELECT doc_id,
+                     string_split(trim(g1[u.i]), ' ') AS ws,
+                     g2[u.i] AS short_form
+              FROM m, LATERAL unnest(generate_series(1, len(g1))) AS u(i)
+            ), c AS (
+              SELECT doc_id, short_form, ws, length(short_form) AS n
+              FROM z WHERE len(ws) >= length(short_form)
+            )
+            SELECT DISTINCT doc_id, short_form,
+                   array_to_string(ws[len(ws)-n+1:], ' ') AS long_form
+            FROM c
+            WHERE array_to_string(
+                    list_transform(ws[len(ws)-n+1:], x -> x[1]), ''
+                  ) = short_form
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -6243,6 +6314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantity_norm": q_quantities,
         "geo_norm": q_geo,
         "text_kg": q_text_kg,
+        "acronym_alias": q_acronyms,
         "change_rate": q_change_rate,
     }
 
@@ -11873,6 +11945,7 @@ def oracle_sql() -> dict[str, str]:
         "date_norm": _dates_sql(),
         "quantity_norm": _quantities_sql(),
         "geo_norm": _geo_sql(),
+        "acronym_alias": _acronyms_sql(),
         "text_kg": f"""
             WITH h AS ({_hearst_sql()}),
             mer AS ({_meronym_sql()}),

@@ -92,6 +92,7 @@ from .webdoc import (
     extract_microdata,
     hearst_hypernyms,
     meronym_parts,
+    acronym_pairs,
     qualify_with_first_date,
 )
 from .layout import zorder_key, zorder_layout
@@ -162,6 +163,7 @@ __all__ = [
     "graph_props_frame", "load_shapes",
     "hearst_hypernyms", "meronym_parts", "extract_dates",
     "extract_quantities", "qualify_with_first_date", "extract_geo",
+    "acronym_pairs",
 ]
 
 

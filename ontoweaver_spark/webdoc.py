@@ -619,3 +619,64 @@ def qualify_with_first_date(
         F.min("epoch_day").alias("first_seen_day")
     )
     return facts.join(first, id_col)
+
+
+# --------------------------------------------------------------------------
+# Acronym / long-form pair extraction (Schwartz & Hearst, PSB 2003)
+# --------------------------------------------------------------------------
+
+# "world health organization (who)" — 2-6 single-space words followed by a
+# parenthesized 2-6-letter token. Java∩RE2∩DuckDB-safe; the initials test
+# happens in-plan, not in the regex.
+ACRONYM_PATTERN = r"\b((?:[a-z]+ ){2,6})\(([a-z]{2,6})\)"
+
+
+def acronym_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Acronym definition harvest -> distinct ``(doc_id, short_form,
+    long_form)``: the Schwartz–Hearst (PSB 2003) "long form (SF)"
+    convention, simplified to its exact-match core — a parenthesized
+    2-6-letter token whose letters are the initials of the immediately
+    preceding words. The emitted pairs are the alias table entity
+    resolution runs on (``who`` ≡ ``world health organization``), the
+    same role as ``owl:sameAs`` but bootstrapped from raw text.
+
+    Deliberately deterministic subset, documented not guessed: the full
+    Schwartz–Hearst inner-letter backtracking (``SF`` letters matching
+    non-initial characters) is out of scope; case is folded first so
+    the signal is the parenthesization, not capitalization. Precision
+    filtering is downstream's job (claim voting / blocking metrics).
+
+    Scale shape: ONE zero-shuffle projection (two group extractions
+    zipped, one explode), then per-row array ops (slice/transform/join
+    — all in-codegen); the closing ``distinct`` is the only shuffle.
+    """
+    t = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    zipped = F.arrays_zip(
+        F.regexp_extract_all(t, F.lit(ACRONYM_PATTERN), 1).alias("lf"),
+        F.regexp_extract_all(t, F.lit(ACRONYM_PATTERN), 2).alias("sf"),
+    )
+    m = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(zipped).alias("x")
+    ).select(
+        "doc_id",
+        F.split(F.trim(F.col("x.lf")), " ").alias("ws"),
+        F.col("x.sf").alias("short_form"),
+    )
+    n = F.length("short_form")
+    tail = F.slice(F.col("ws"), F.size("ws") - n + 1, n)
+    initials = F.array_join(
+        F.transform(tail, lambda w: F.substring(w, 1, 1)), ""
+    )
+    return (
+        m.where(F.size("ws") >= n)
+        .where(initials == F.col("short_form"))
+        .select(
+            "doc_id", "short_form",
+            F.array_join(tail, " ").alias("long_form"),
+        )
+        .distinct()
+    )

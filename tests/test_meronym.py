@@ -79,3 +79,39 @@ def test_distinct_across_repeats(spark):
     )
     out = meronym_parts(docs)
     assert out.count() == 1
+
+
+def test_acronym_pairs_schwartz_hearst(spark):
+    from ontoweaver_spark.webdoc import acronym_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The World Health Organization (WHO) said so."),
+            (2, "the central processing unit (CPU) and a bad match (xyz)."),
+            # 4-letter acronym over a longer preceding span: only the
+            # last 4 words' initials count
+            (3, "we love the hyper text markup language (html) spec."),
+            # too few words before the paren
+            (4, "only two (otw) here."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.short_form, r.long_form)
+        for r in acronym_pairs(docs).collect()
+    }
+    assert got == {
+        (1, "who", "world health organization"),
+        (2, "cpu", "central processing unit"),
+        (3, "html", "hyper text markup language"),
+    }
+
+
+def test_acronym_pairs_distinct(spark):
+    from ontoweaver_spark.webdoc import acronym_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "central processing unit (cpu). central processing unit (cpu).")],
+        "doc_id long, text string",
+    )
+    assert acronym_pairs(docs).count() == 1
