@@ -152,7 +152,9 @@ def main() -> None:
                  "table_types", "kg_shacl", "kg_functional", "kg_ifp",
                  "er_blocking_eval", "er_fold_keys", "kg_spam_mass",
                  "kg_partition_quality", "kg_charsets",
-                 "er_bcubed", "hearst_isa"]:
+                 "er_bcubed", "hearst_isa", "change_rate",
+                 "meronym_partof", "date_norm", "temporal_facts",
+                 "quantity_norm", "geo_norm", "text_kg", "acronym_alias"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the
