@@ -6065,6 +6065,180 @@ def _acronyms_sql() -> str:
     """
 
 
+def q_breadcrumbs(spark, sf_dir):
+    """Breadcrumb-navigation taxonomy harvest (site-declared broader-than
+    edges): each doc gets a planted page whose FIRST breadcrumb container
+    holds a three-crumb trail (Home > 'W0 & W1' > W2, entity-encoded amp,
+    padded anchor text) plus a DECOY second breadcrumb container that
+    must be ignored, with the real ``text`` column appended inside the
+    body so both engines also process realistic residue identically.
+    Oracle: the byte-identical Java∩RE2 container/anchor regex chain +
+    the same entity-decode order in DuckDB."""
+    from ontoweaver_spark.webdoc import breadcrumb_trails
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    words = F.array(*[F.lit(s) for s in _HEARST_WORDS])
+    w = [F.element_at(words, ((F.col("doc_id") + j) % 12 + 1).cast("int"))
+         for j in range(3)]
+    planted = F.concat(
+        F.lit('<html><ol class="crumb breadcrumb"><li><a href="/">Home'
+              '</a></li><li><a> '),
+        w[0], F.lit(" &amp; "), w[1],
+        F.lit(' </a></li><li><a>'), w[2],
+        F.lit('</a></li></ol><div class="breadcrumb"><a>decoy</a>'
+              "<a>pages</a></div><p>"),
+        F.col("text"), F.lit("</p></html>"),
+    )
+    return breadcrumb_trails(
+        docs.select("doc_id", planted.alias("html")), id_col="doc_id"
+    )
+
+
+def _breadcrumbs_sql() -> str:
+    """DuckDB mirror of q_breadcrumbs: the SAME planted page and the
+    byte-identical regex chain — container/anchor patterns and the
+    entity-decode order single-sourced from ontoweaver_spark.webdoc."""
+    from ontoweaver_spark.webdoc import (
+        BREADCRUMB_ANCHOR, BREADCRUMB_CONTAINER, _ENTITIES,
+    )
+
+    words = ", ".join(f"'{w}'" for w in _HEARST_WORDS)
+
+    def pick(j: int) -> str:
+        return f"l[1 + (doc_id + {j}) % 12]"
+
+    planted = (
+        "'<html><ol class=\"crumb breadcrumb\"><li><a href=\"/\">Home"
+        f"</a></li><li><a> ' || {pick(0)} || ' &amp; ' || {pick(1)} || "
+        f"' </a></li><li><a>' || {pick(2)} || "
+        "'</a></li></ol><div class=\"breadcrumb\"><a>decoy</a>"
+        "<a>pages</a></div><p>' || text || '</p></html>'"
+    )
+    container = BREADCRUMB_CONTAINER.replace("'", "''")
+    anchor = BREADCRUMB_ANCHOR.replace("'", "''")
+    clean = "x"
+    for ent, rep in _ENTITIES:
+        e, r = ent.replace("'", "''"), rep.replace("'", "''")
+        clean = f"regexp_replace({clean}, '{e}', '{r}', 'g')"
+    return f"""
+            WITH w AS (
+              SELECT doc_id, text, [{words}] AS l FROM documents
+            ), h AS (
+              SELECT doc_id AS id, {planted} AS html FROM w
+            ), c AS (
+              SELECT id, regexp_extract(html, '{container}', 1) AS inner_h
+              FROM h
+            ), a AS (
+              SELECT id, regexp_extract_all(inner_h, '{anchor}', 1) AS raw
+              FROM c
+            ), t AS (
+              SELECT id, list_transform(raw, x -> trim({clean})) AS crumbs
+              FROM a
+            )
+            SELECT DISTINCT id, crumbs[g.i] AS child,
+                   crumbs[g.i - 1] AS parent, g.i::BIGINT AS child_pos
+            FROM t, LATERAL unnest(generate_series(2, len(crumbs))) AS g(i)
+            WHERE crumbs[g.i] <> '' AND crumbs[g.i - 1] <> ''
+    """
+
+
+def q_copula(spark, sf_dir):
+    """Copula is-a harvest (the recall arm of the is-a bootstrap: "X is
+    a Y" / "X is a kind of Y"): two planted frames per doc over the word
+    rotation — the second deliberately also fires the bare is_a frame as
+    "… is a kind", which the copula stoplist must reject — with the real
+    ``text`` column appended so both engines also process realistic
+    residue identically. Oracle: the byte-identical Java∩RE2 regex chain
+    + the same stoplist in DuckDB."""
+    from ontoweaver_spark.webdoc import copula_isa
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    words = F.array(*[F.lit(s) for s in _HEARST_WORDS])
+    w = [F.element_at(words, ((F.col("doc_id") + j) % 12 + 1).cast("int"))
+         for j in range(4)]
+    planted = F.concat(
+        w[0], F.lit(" is a "), w[1], F.lit(". "),
+        w[2], F.lit(" is a kind of "), w[3], F.lit(". "),
+        F.col("text"),
+    )
+    return copula_isa(docs.select("doc_id", planted.alias("text")))
+
+
+def _copula_sql() -> str:
+    """DuckDB mirror of q_copula: the SAME planted frames and the
+    byte-identical regex chain — patterns/separator/stoplist
+    single-sourced from ontoweaver_spark.webdoc so the two sides cannot
+    drift."""
+    from ontoweaver_spark.webdoc import (
+        COPULA_PATTERNS, _COPULA_DROP, _HEARST_SEP,
+    )
+
+    words = ", ".join(f"'{w}'" for w in _HEARST_WORDS)
+
+    def pick(j: int) -> str:
+        return f"l[1 + (doc_id + {j}) % 12]"
+
+    planted = (
+        f"{pick(0)} || ' is a ' || {pick(1)} || '. ' || "
+        f"{pick(2)} || ' is a kind of ' || {pick(3)} || '. ' || text"
+    )
+    branches = "\n              UNION ALL\n".join(
+        f"""              SELECT doc_id, '{name}' AS pattern,
+                     regexp_extract_all(tx, '{p}', {hg}) AS gh,
+                     regexp_extract_all(tx, '{p}', {lg}) AS gl
+              FROM t"""
+        for name, (p, hg, lg) in COPULA_PATTERNS.items()
+    )
+    drop = ", ".join(f"'{d}'" for d in _COPULA_DROP)
+    return f"""
+            WITH w AS (
+              SELECT doc_id, text, [{words}] AS l FROM documents
+            ), t AS (
+              SELECT doc_id,
+                     lower(regexp_replace({planted}, '\\s+', ' ', 'g')) AS tx
+              FROM w
+            ), m AS (
+{branches}
+            ), z AS (
+              SELECT doc_id, pattern, gh[g.i] AS hypernym, gl[g.i] AS lst
+              FROM m, LATERAL unnest(generate_series(1, len(gh))) AS g(i)
+            ), e AS (
+              SELECT doc_id, pattern, hypernym,
+                     unnest(string_split_regex(lst, '{_HEARST_SEP}'))
+                       AS hyponym
+              FROM z
+            )
+            SELECT DISTINCT doc_id, hyponym, hypernym, pattern FROM e
+            WHERE length(hyponym) >= 3 AND length(hypernym) >= 3
+              AND hyponym <> hypernym
+              AND hyponym NOT IN ({drop}) AND hypernym NOT IN ({drop})
+    """
+
+
+def q_triple_support(spark, sf_dir):
+    """Independent-document support gate over the Hearst harvest: the
+    exact distinct-doc count per (subject, predicate, object) with
+    ``min_support=2`` — the precision filter every pattern harvester in
+    this engine defers to. Planted rotation pairs recur across docs
+    (support ≈ n/12); singleton residue pairs from the real ``text``
+    column are exactly what the gate must drop. Oracle: plain
+    count-distinct + HAVING over the same Hearst SQL chain."""
+    from ontoweaver_spark.ontology import triple_support
+
+    h = q_hearst(spark, sf_dir)
+    return triple_support(
+        h.select(
+            F.col("hyponym").alias("subject"),
+            F.col("pattern").alias("predicate"),
+            F.col("hypernym").alias("object"),
+            "doc_id",
+        ),
+        min_support=2,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -6316,6 +6490,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_kg": q_text_kg,
         "acronym_alias": q_acronyms,
         "change_rate": q_change_rate,
+        "breadcrumb_taxonomy": q_breadcrumbs,
+        "copula_isa": q_copula,
+        "triple_support": q_triple_support,
     }
 
 
@@ -11946,6 +12123,17 @@ def oracle_sql() -> dict[str, str]:
         "quantity_norm": _quantities_sql(),
         "geo_norm": _geo_sql(),
         "acronym_alias": _acronyms_sql(),
+        "breadcrumb_taxonomy": _breadcrumbs_sql(),
+        "copula_isa": _copula_sql(),
+        "triple_support": f"""
+            WITH h AS ({_hearst_sql()})
+            SELECT hyponym AS subject, pattern AS predicate,
+                   hypernym AS object,
+                   count(DISTINCT doc_id)::BIGINT AS support
+            FROM h
+            GROUP BY 1, 2, 3
+            HAVING count(DISTINCT doc_id) >= 2
+        """,
         "text_kg": f"""
             WITH h AS ({_hearst_sql()}),
             mer AS ({_meronym_sql()}),

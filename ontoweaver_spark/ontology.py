@@ -846,3 +846,42 @@ def characteristic_sets(
         .agg(F.count(F.lit(1)).alias("n_subjects"))
         .select("cs", "n_subjects", F.col("n_preds").cast("long").alias("n_preds"))
     )
+
+
+def triple_support(
+    df: DataFrame,
+    s_col: str = "subject",
+    p_col: str = "predicate",
+    o_col: str = "object",
+    id_col: str = "doc_id",
+    min_support: int = 1,
+) -> DataFrame:
+    """Harvest-confidence rollup -> ``(subject, predicate, object,
+    support)`` where ``support`` is the EXACT count of distinct source
+    documents asserting the triple, filtered to ``support >=
+    min_support``. This is the precision gate every pattern harvester
+    in this engine (hearst/copula/meronym/microdata/JSON-LD) is
+    documented to defer to: at 10^12 pages a noisy frame fires
+    constantly, but independent-document support is the one signal
+    that is cheap (one aggregation), monotone under corpus growth, and
+    engine-exact (no floats). Reference analog: none — the reference
+    trusts its tabular inputs (src/ontoweaver/tabular.py); a web-scale
+    harvest cannot.
+
+    Scale shape: ONE count-distinct aggregation — Spark plans it as
+    two-phase hash aggregation over (s,p,o,doc) partial-deduped
+    map-side, so hub triples ("london is_a city" from millions of
+    pages) never concentrate raw rows on one reducer; the HAVING
+    filter prunes the long singleton tail before any downstream join.
+    """
+    out = (
+        df.groupBy(
+            F.col(s_col).alias("subject"),
+            F.col(p_col).alias("predicate"),
+            F.col(o_col).alias("object"),
+        )
+        .agg(F.countDistinct(F.col(id_col)).alias("support"))
+    )
+    if min_support > 1:
+        out = out.where(F.col("support") >= min_support)
+    return out

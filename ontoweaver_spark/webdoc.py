@@ -680,3 +680,127 @@ def acronym_pairs(
         )
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# Breadcrumb-trail taxonomy harvest: broader-than edges from site navigation
+# --------------------------------------------------------------------------
+
+# the first breadcrumb-classed container; non-greedy to ANY closing tag of
+# the container kinds (no backreference — the pattern must sit in the
+# Java∩RE2 intersection so the DuckDB oracle is byte-identical, and RE2 has
+# no backrefs). Residue, documented not guessed: a NESTED <div> inside the
+# container truncates the trail at that close — real breadcrumb markup is
+# flat <li><a> lists, and truncation only ever drops tail crumbs, never
+# invents pairs.
+BREADCRUMB_CONTAINER = (
+    r'(?is)<(?:nav|ol|ul|div)[^>]*class\s*=\s*["\'][^"\']*breadcrumb'
+    r'[^"\']*["\'][^>]*>(.*?)</(?:nav|ol|ul|div)>'
+)
+BREADCRUMB_ANCHOR = r"(?is)<a[^>]*>([^<]+)</a>"
+
+
+def breadcrumb_trails(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "url",
+) -> DataFrame:
+    """Breadcrumb-navigation harvest -> distinct ``(id, child, parent,
+    child_pos)`` broader-than edges: the site-taxonomy complement of the
+    sentence-level :func:`hearst_hypernyms` — `Home > Electronics >
+    Phones` markup is how 10^12 crawled pages declare their OWN category
+    hierarchy, and consecutive trail items are (narrower, broader)
+    candidate pairs feeding the same ``ontology.graph_from_triples`` /
+    ``onto_closure`` machinery. The reference consumes ontologies as
+    given (src/ontoweaver/ontology handling); mining one from crawl
+    navigation is the web-scale bootstrap.
+
+    Semantics: the FIRST breadcrumb-classed container (nav/ol/ul/div
+    whose ``class`` contains ``breadcrumb``) is taken; its anchor texts
+    in document order form the trail; each consecutive pair emits one
+    row with ``child_pos`` = 1-based trail index of the narrower item.
+    Anchor text is entity-decoded (same ``_ENTITIES`` order as
+    :func:`html_to_text`) and trimmed; whitespace-only crumbs drop the
+    pair. Separator-text breadcrumbs without anchors (`A › B` as plain
+    text) are out of scope — markup-free trails have no deterministic
+    boundary.
+
+    Scale shape: ONE zero-shuffle projection per page (container
+    extract, anchor regexp_extract_all, per-row slice/zip — all
+    in-codegen JVM); the closing ``distinct`` is the only shuffle.
+    Every regex construct is in the Java∩RE2 intersection.
+    """
+    html_expr = (
+        f'decode({html_col}, "utf-8")'
+        if dict(df.dtypes)[html_col] == "binary" else html_col
+    )
+    inner = F.regexp_extract(F.expr(html_expr), BREADCRUMB_CONTAINER, 1)
+
+    def _clean(c: Column) -> Column:
+        for ent, rep in _ENTITIES:
+            c = F.regexp_replace(c, ent, rep)
+        return F.trim(c)
+
+    crumbs = F.transform(
+        F.regexp_extract_all(inner, F.lit(BREADCRUMB_ANCHOR), 1), _clean
+    )
+    # pages with 0 or 1 crumbs must slice length 0, never -1
+    n = F.greatest(F.size(crumbs) - F.lit(1), F.lit(0))
+    pairs = F.zip_with(
+        F.slice(crumbs, F.lit(2), n),
+        F.slice(crumbs, F.lit(1), n),
+        lambda c, p: F.struct(c.alias("child"), p.alias("parent")),
+    )
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(pairs).alias("_pos", "x"),
+    ).select(
+        "id",
+        F.col("x.child").alias("child"),
+        F.col("x.parent").alias("parent"),
+        (F.col("_pos") + F.lit(2)).cast("bigint").alias("child_pos"),
+    ).where((F.col("child") != "") & (F.col("parent") != ""))
+    return out.distinct()
+
+
+# Copula is-a frames: the highest-volume (and noisiest) is-a signal on the
+# web — "X is a Y" / "X is a kind/type/sort of Y". Same (pattern,
+# hypernym_group, list_group) contract as HEARST_PATTERNS so
+# hearst_hypernyms runs them unchanged; the single-member "list" is a
+# degenerate _HEARST_LIST. Precision is deliberately downstream's job
+# (triple_support / claim voting) — the frame fires on auxiliary uses too
+# ("X is a member of ...") and that residue is identical on both engines.
+COPULA_PATTERNS: dict[str, tuple[str, int, int]] = {
+    "is_a": (r"\b([a-z]+) is (?:a|an) ([a-z]+)", 2, 1),
+    "kind_of": (
+        r"\b([a-z]+) is (?:a |an )?(?:kind|type|sort) of ([a-z]+)", 2, 1
+    ),
+}
+
+# auxiliary/grammar words the copula frames must never emit as nouns
+_COPULA_DROP = _HEARST_DROP + [
+    "kind", "type", "sort", "one", "not", "also", "very", "just",
+]
+
+
+def copula_isa(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 3,
+) -> DataFrame:
+    """Copula is-a harvest -> distinct ``(doc_id, hyponym, hypernym,
+    pattern)``: "X is a Y" is an order of magnitude more frequent than
+    any classic Hearst frame on real crawl text — the recall arm of the
+    is-a bootstrap, with :func:`triple_support` as the precision gate.
+    Runs on the exact :func:`hearst_hypernyms` machinery (one
+    zero-shuffle projection, one explode, closing distinct) with the
+    copula frames and a copula-specific stoplist."""
+    out = hearst_hypernyms(
+        df, text_col=text_col, id_col=id_col, min_len=min_len,
+        patterns=COPULA_PATTERNS,
+    )
+    return out.where(
+        ~F.col("hyponym").isin(_COPULA_DROP)
+        & ~F.col("hypernym").isin(_COPULA_DROP)
+    )
