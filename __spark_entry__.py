@@ -6239,6 +6239,301 @@ def q_triple_support(spark, sf_dir):
     )
 
 
+def _entity_clean_sql(x: str) -> str:
+    """DuckDB expression applying webdoc._ENTITIES decode order to x."""
+    from ontoweaver_spark.webdoc import _ENTITIES
+
+    for ent, rep in _ENTITIES:
+        e, r = ent.replace("'", "''"), rep.replace("'", "''")
+        x = f"regexp_replace({x}, '{e}', '{r}', 'g')"
+    return x
+
+
+def q_rdfa(spark, sf_dir):
+    """RDFa-lite harvest (the attribute-based third of the embedded
+    structured-data trio): each doc gets a planted page with one
+    ``typeof`` and two ``property`` tags — one taking its value from
+    ``content=``, one from the immediate text run with an entity to
+    decode — plus the real ``text`` column in the body so both engines
+    process realistic residue identically. Oracle: the byte-identical
+    Java∩RE2 tag/attribute regex chain in DuckDB."""
+    from ontoweaver_spark.webdoc import extract_rdfa
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    words = F.array(*[F.lit(s) for s in _HEARST_WORDS])
+    w = [F.element_at(words, ((F.col("doc_id") + j) % 12 + 1).cast("int"))
+         for j in range(2)]
+    planted = F.concat(
+        F.lit('<html><body vocab="https://schema.org/" typeof="Product">'
+              '<h1 property="name"> '),
+        w[0], F.lit(" &amp; "), w[1],
+        F.lit(' </h1><meta property="sku" content="SKU-'),
+        F.col("doc_id").cast("string"),
+        F.lit('"><p>'), F.col("text"), F.lit("</p></body></html>"),
+    )
+    return extract_rdfa(
+        docs.select("doc_id", planted.alias("html")), url_col="doc_id"
+    )
+
+
+def _rdfa_sql() -> str:
+    """DuckDB mirror of q_rdfa: the SAME planted page and the
+    byte-identical regex chain + entity-decode order, single-sourced
+    from ontoweaver_spark.webdoc."""
+    words = ", ".join(f"'{w}'" for w in _HEARST_WORDS)
+
+    def pick(j: int) -> str:
+        return f"l[1 + (doc_id + {j}) % 12]"
+
+    planted = (
+        "'<html><body vocab=\"https://schema.org/\" typeof=\"Product\">"
+        f"<h1 property=\"name\"> ' || {pick(0)} || ' &amp; ' || {pick(1)} "
+        "|| ' </h1><meta property=\"sku\" content=\"SKU-' || "
+        "doc_id::VARCHAR || '\"><p>' || text || '</p></body></html>'"
+    )
+    val = (
+        "CASE WHEN regexp_extract(tag, "
+        "'(?is)\\bcontent\\s*=\\s*[\"'']([^\"'']*)[\"'']', 1) <> '' "
+        "THEN regexp_extract(tag, "
+        "'(?is)\\bcontent\\s*=\\s*[\"'']([^\"'']*)[\"'']', 1) "
+        "ELSE trim(regexp_extract(tag, '>([^<]*)$', 1)) END"
+    )
+    return f"""
+            WITH w AS (
+              SELECT doc_id, text, [{words}] AS l FROM documents
+            ), h AS (
+              SELECT doc_id AS subject, {planted} AS html FROM w
+            ), typed AS (
+              SELECT subject, 'a' AS predicate,
+                     regexp_extract(html,
+                       '(?is)\\btypeof\\s*=\\s*["'']([^"'']+)["'']', 1)
+                       AS object
+              FROM h
+            ), tags AS (
+              SELECT subject, unnest(regexp_extract_all(html,
+                       '(?is)<[a-z][^>]*\\bproperty\\s*=[^>]*>[^<]*', 0))
+                       AS tag
+              FROM h
+            ), props AS (
+              SELECT subject,
+                     regexp_extract(tag,
+                       '(?is)\\bproperty\\s*=\\s*["'']([^"'']+)["'']', 1)
+                       AS predicate,
+                     {_entity_clean_sql(val)} AS object
+              FROM tags
+            )
+            SELECT * FROM typed WHERE object <> ''
+            UNION ALL
+            SELECT * FROM props WHERE predicate <> '' AND object <> ''
+    """
+
+
+def q_link_rel(spark, sf_dir):
+    """``<link rel>`` page-relation harvest (canonical / hreflang
+    alternates / pagination): each doc gets a planted head with a
+    canonical link carrying an entity-encoded query string, a
+    language-alternate keyed on the doc's real ``lang`` column, and a
+    mixed-case multi-valued ``rel="Alternate AMPHTML"`` that must
+    lowercase and emit one row per token; the real ``text`` column rides
+    in the body. Oracle: the byte-identical regex chain + split in
+    DuckDB."""
+    from ontoweaver_spark.webdoc import link_rel_edges
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.lit('<html><head><link rel="canonical" href="https://ex.com/p/'),
+        F.col("doc_id").cast("string"),
+        F.lit('?a=1&amp;b=2"><link rel="alternate" hreflang="'),
+        F.upper(F.col("lang")),
+        F.lit('" href="https://ex.com/'), F.col("lang"),
+        F.lit('/p/'), F.col("doc_id").cast("string"),
+        F.lit('"><link rel="Alternate AMPHTML" href="https://amp.ex.com/'),
+        F.col("doc_id").cast("string"),
+        F.lit('"></head><body>'), F.col("text"), F.lit("</body></html>"),
+    )
+    return link_rel_edges(
+        docs.select("doc_id", planted.alias("html")), url_col="doc_id"
+    )
+
+
+def _link_rel_sql() -> str:
+    """DuckDB mirror of q_link_rel: the SAME planted head and the
+    byte-identical tag/attribute regex chain, rel tokenized with the
+    same whitespace split."""
+    planted = (
+        "'<html><head><link rel=\"canonical\" href=\"https://ex.com/p/' || "
+        "doc_id::VARCHAR || '?a=1&amp;b=2\"><link rel=\"alternate\" "
+        "hreflang=\"' || upper(lang) || '\" href=\"https://ex.com/' || lang "
+        "|| '/p/' || doc_id::VARCHAR || '\"><link rel=\"Alternate AMPHTML\" "
+        "href=\"https://amp.ex.com/' || doc_id::VARCHAR || "
+        "'\"></head><body>' || text || '</body></html>'"
+    )
+    href = (
+        "regexp_extract(tag, "
+        "'(?is)\\bhref\\s*=\\s*[\"'']([^\"'']+)[\"'']', 1)"
+    )
+    return f"""
+            WITH h AS (
+              SELECT doc_id AS url, {planted} AS html FROM documents
+            ), tags AS (
+              SELECT url, unnest(regexp_extract_all(html,
+                       '(?is)<link\\s[^>]*>', 0)) AS tag
+              FROM h
+            ), parsed AS (
+              SELECT url,
+                     lower(regexp_extract(tag,
+                       '(?is)\\brel\\s*=\\s*["'']([^"'']+)["'']', 1))
+                       AS rel_raw,
+                     trim({_entity_clean_sql(href)}) AS href,
+                     lower(regexp_extract(tag,
+                       '(?is)\\bhreflang\\s*=\\s*["'']([^"'']+)["'']', 1))
+                       AS hreflang
+              FROM tags
+            )
+            SELECT url, unnest(string_split_regex(rel_raw, '\\s+')) AS rel,
+                   href, hreflang
+            FROM parsed
+            WHERE href <> ''
+    """
+
+
+def q_aliases(spark, sf_dir):
+    """Alias-frame harvest ("X, also known as Y" / "X (aka Y)" / "X, or
+    simply Y"): three planted frames per doc over the word rotation —
+    the first with a two-member alias list — with the real ``text``
+    column appended so both engines process realistic residue
+    identically. Oracle: the byte-identical Java∩RE2 regex chain in
+    DuckDB with the same frames, separator and stoplist."""
+    from ontoweaver_spark.webdoc import aka_aliases
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    words = F.array(*[F.lit(s) for s in _HEARST_WORDS])
+    w = [F.element_at(words, ((F.col("doc_id") + j) % 12 + 1).cast("int"))
+         for j in range(5)]
+    planted = F.concat(
+        w[0], F.lit(", also known as "), w[1], F.lit(" or "), w[2],
+        F.lit(". "), w[3], F.lit(" (aka "), w[4], F.lit("). "),
+        F.col("text"),
+    )
+    return aka_aliases(docs.select("doc_id", planted.alias("text")))
+
+
+def _aliases_sql() -> str:
+    """DuckDB mirror of q_aliases: the SAME planted frames and the
+    byte-identical regex chain — patterns/separator/stoplist
+    single-sourced from ontoweaver_spark.webdoc."""
+    from ontoweaver_spark.webdoc import (
+        ALIAS_PATTERNS, _HEARST_DROP, _HEARST_SEP,
+    )
+
+    words = ", ".join(f"'{w}'" for w in _HEARST_WORDS)
+
+    def pick(j: int) -> str:
+        return f"l[1 + (doc_id + {j}) % 12]"
+
+    planted = (
+        f"{pick(0)} || ', also known as ' || {pick(1)} || ' or ' || "
+        f"{pick(2)} || '. ' || {pick(3)} || ' (aka ' || {pick(4)} || "
+        f"'). ' || text"
+    )
+    branches = "\n              UNION ALL\n".join(
+        f"""              SELECT doc_id, '{name}' AS pattern,
+                     regexp_extract_all(tx, '{p.replace("'", "''")}', {hg}) AS gh,
+                     regexp_extract_all(tx, '{p.replace("'", "''")}', {lg}) AS gl
+              FROM t"""
+        for name, (p, hg, lg) in ALIAS_PATTERNS.items()
+    )
+    drop = ", ".join(f"'{d}'" for d in _HEARST_DROP)
+    return f"""
+            WITH w AS (
+              SELECT doc_id, text, [{words}] AS l FROM documents
+            ), t AS (
+              SELECT doc_id,
+                     lower(regexp_replace({planted}, '\\s+', ' ', 'g')) AS tx
+              FROM w
+            ), m AS (
+{branches}
+            ), z AS (
+              SELECT doc_id, pattern, gh[g.i] AS name, gl[g.i] AS lst
+              FROM m, LATERAL unnest(generate_series(1, len(gh))) AS g(i)
+            ), e AS (
+              SELECT doc_id, pattern, name,
+                     unnest(string_split_regex(lst, '{_HEARST_SEP}'))
+                       AS alias
+              FROM z
+            )
+            SELECT DISTINCT doc_id, name, alias, pattern FROM e
+            WHERE length(alias) >= 3 AND length(name) >= 3
+              AND alias <> name
+              AND alias NOT IN ({drop}) AND name NOT IN ({drop})
+    """
+
+
+def q_definitions(spark, sf_dir):
+    """Definition-list spec-sheet harvest: each doc gets a planted
+    ``<dl>`` with two adjacent dt/dd pairs — the first value carrying an
+    entity and padding to decode/trim, the pairs split by whitespace the
+    regex must tolerate — plus the real ``text`` column in the body so
+    both engines process realistic residue identically. Oracle: the
+    byte-identical dt/dd regex chain + index pairing in DuckDB."""
+    from ontoweaver_spark.webdoc import definition_pairs
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    words = F.array(*[F.lit(s) for s in _HEARST_WORDS])
+    w = [F.element_at(words, ((F.col("doc_id") + j) % 12 + 1).cast("int"))
+         for j in range(3)]
+    planted = F.concat(
+        F.lit("<dl><dt>Brand</dt><dd> "), w[0], F.lit(" &amp; "), w[1],
+        F.lit(" </dd><dt>Origin</dt>\n<dd>"), w[2],
+        F.lit("</dd></dl><p>"), F.col("text"), F.lit("</p>"),
+    )
+    return definition_pairs(
+        docs.select("doc_id", planted.alias("html")), url_col="doc_id"
+    )
+
+
+def _definitions_sql() -> str:
+    """DuckDB mirror of q_definitions: the SAME planted list and the
+    byte-identical dt/dd pattern, paired by match index, entity-decode
+    order single-sourced from ontoweaver_spark.webdoc."""
+    from ontoweaver_spark.webdoc import DT_DD_PATTERN
+
+    words = ", ".join(f"'{w}'" for w in _HEARST_WORDS)
+
+    def pick(j: int) -> str:
+        return f"l[1 + (doc_id + {j}) % 12]"
+
+    planted = (
+        f"'<dl><dt>Brand</dt><dd> ' || {pick(0)} || ' &amp; ' || {pick(1)}"
+        f" || ' </dd><dt>Origin</dt>' || chr(10) || '<dd>' || {pick(2)} || "
+        "'</dd></dl><p>' || text || '</p>'"
+    )
+    pat = DT_DD_PATTERN.replace("'", "''")
+    return f"""
+            WITH w AS (
+              SELECT doc_id, text, [{words}] AS l FROM documents
+            ), h AS (
+              SELECT doc_id AS url, {planted} AS html FROM w
+            ), m AS (
+              SELECT url,
+                     regexp_extract_all(html, '{pat}', 1) AS ks,
+                     regexp_extract_all(html, '{pat}', 2) AS vs
+              FROM h
+            )
+            SELECT DISTINCT url,
+                   trim({_entity_clean_sql("ks[g.i]")}) AS key,
+                   trim({_entity_clean_sql("vs[g.i]")}) AS value,
+                   g.i::BIGINT AS pair_pos
+            FROM m, LATERAL unnest(generate_series(1, len(ks))) AS g(i)
+            WHERE trim({_entity_clean_sql("ks[g.i]")}) <> ''
+              AND trim({_entity_clean_sql("vs[g.i]")}) <> ''
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -6493,6 +6788,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "breadcrumb_taxonomy": q_breadcrumbs,
         "copula_isa": q_copula,
         "triple_support": q_triple_support,
+        "rdfa_triples": q_rdfa,
+        "link_rel": q_link_rel,
+        "alias_frames": q_aliases,
+        "definition_pairs": q_definitions,
     }
 
 
@@ -12125,6 +12424,10 @@ def oracle_sql() -> dict[str, str]:
         "acronym_alias": _acronyms_sql(),
         "breadcrumb_taxonomy": _breadcrumbs_sql(),
         "copula_isa": _copula_sql(),
+        "rdfa_triples": _rdfa_sql(),
+        "link_rel": _link_rel_sql(),
+        "alias_frames": _aliases_sql(),
+        "definition_pairs": _definitions_sql(),
         "triple_support": f"""
             WITH h AS ({_hearst_sql()})
             SELECT hyponym AS subject, pattern AS predicate,

@@ -154,7 +154,10 @@ def main() -> None:
                  "kg_partition_quality", "kg_charsets",
                  "er_bcubed", "hearst_isa", "change_rate",
                  "meronym_partof", "date_norm", "temporal_facts",
-                 "quantity_norm", "geo_norm", "text_kg", "acronym_alias"]:
+                 "quantity_norm", "geo_norm", "text_kg", "acronym_alias",
+                 "breadcrumb_taxonomy", "copula_isa", "triple_support",
+                 "rdfa_triples", "link_rel", "alias_frames",
+                 "definition_pairs"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the

@@ -804,3 +804,238 @@ def copula_isa(
         ~F.col("hyponym").isin(_COPULA_DROP)
         & ~F.col("hypernym").isin(_COPULA_DROP)
     )
+
+
+# --------------------------------------------------------------------------
+# RDFa-lite harvest: the attribute-vocabulary third of the embedded-data trio
+# --------------------------------------------------------------------------
+
+
+def extract_rdfa(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """RDFa-lite harvest -> ``(subject, predicate, object)`` triples:
+    the W3C attribute-based sibling of microdata and JSON-LD — the page's
+    first ``typeof="..."`` becomes an ``a`` triple and every
+    ``property="k"`` tag a property triple, value from ``content=`` when
+    present else the tag's immediate text run. Completes the embedded
+    structured-data trio (:func:`extract_embedded_jsonld` /
+    :func:`extract_microdata` / this), so a crawl harvester covers all
+    three schema.org carriers with the same flat-triple output feeding
+    ``ontology.graph_from_triples``. Reference analog: none (the
+    reference maps tabular inputs, src/ontoweaver/tabular.py).
+
+    Flat subset by design, mirroring the microdata bound: ``about=`` /
+    ``resource=`` scoping and ``vocab=``/``prefix=`` CURIE expansion are
+    not resolved — predicates stay verbatim (``schema:name`` or full
+    IRI), nested subjects attach to the page url. OpenGraph ``<meta
+    property=...>`` tags ARE RDFa and intentionally surface here too.
+    Chain is regexp_extract_all + explode + per-tag extracts — JVM-only
+    whole-stage codegen, zero shuffle.
+    """
+    html_expr = (
+        f'decode({html_col}, "utf-8")'
+        if dict(df.dtypes)[html_col] == "binary" else html_col
+    )
+    html_s = F.expr(html_expr)
+    typeof = F.regexp_extract(
+        html_s, r'(?is)\btypeof\s*=\s*["\']([^"\']+)["\']', 1
+    )
+    typed = df.select(
+        F.col(url_col).alias("subject"),
+        F.lit("a").alias("predicate"),
+        typeof.alias("object"),
+    ).where(F.col("object") != "")
+    tags = F.expr(
+        f"regexp_extract_all({html_expr}, "
+        r"'(?is)<[a-z][^>]*\\bproperty\\s*=[^>]*>[^<]*', 0)"
+    )
+    exploded = df.select(
+        F.col(url_col).alias("subject"), F.explode(tags).alias("_tag")
+    )
+    prop = F.regexp_extract(
+        F.col("_tag"), r'(?is)\bproperty\s*=\s*["\']([^"\']+)["\']', 1
+    )
+    content_attr = F.regexp_extract(
+        F.col("_tag"), r'(?is)\bcontent\s*=\s*["\']([^"\']*)["\']', 1
+    )
+    text_run = F.trim(F.regexp_extract(F.col("_tag"), r">([^<]*)$", 1))
+    value = F.when(content_attr != "", content_attr).otherwise(text_run)
+    for ent, rep in _ENTITIES:  # same decode order as html_to_text
+        value = F.regexp_replace(value, ent, rep)
+    props = exploded.select(
+        "subject",
+        prop.alias("predicate"),
+        value.alias("object"),
+    ).where((F.col("predicate") != "") & (F.col("object") != ""))
+    return typed.unionByName(props)
+
+
+# --------------------------------------------------------------------------
+# <link rel=...> page-relation edges: canonical / hreflang alternates / pagination
+# --------------------------------------------------------------------------
+
+
+def link_rel_edges(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """``<link rel=...>`` harvest -> ``(url, rel, href, hreflang)`` page
+    relations: ``rel=canonical`` is the site's own duplicate-cluster
+    declaration (feeds :func:`urls.canonical_url` dedup and the
+    ``owl:sameAs`` canonicalizer as high-precision same-entity edges),
+    ``rel=alternate hreflang=..`` links the page's translations (the
+    cross-language sameAs bootstrap), ``prev``/``next`` stitch paginated
+    listings. Reference analog: none — this is crawl-native signal.
+
+    Semantics: every ``<link ...>`` tag in the page; multi-valued
+    ``rel="alternate amphtml"`` emits one row per whitespace-separated
+    token, rel lowercased (attribute values are case-insensitive per
+    spec); ``href`` entity-decoded (query strings carry ``&amp;``) and
+    trimmed; ``hreflang`` empty string when absent. Tags missing rel or
+    href drop out (loud by absence).
+
+    Scale shape: one regexp_extract_all + explode for the tags, one more
+    explode for rel tokens, per-tag extracts — zero shuffle, JVM-only.
+    """
+    html_expr = (
+        f'decode({html_col}, "utf-8")'
+        if dict(df.dtypes)[html_col] == "binary" else html_col
+    )
+    tags = F.expr(
+        f"regexp_extract_all({html_expr}, "
+        r"'(?is)<link\\s[^>]*>', 0)"
+    )
+    exploded = df.select(
+        F.col(url_col).alias("url"), F.explode(tags).alias("_tag")
+    )
+    rel = F.lower(F.regexp_extract(
+        F.col("_tag"), r'(?is)\brel\s*=\s*["\']([^"\']+)["\']', 1
+    ))
+    href = F.regexp_extract(
+        F.col("_tag"), r'(?is)\bhref\s*=\s*["\']([^"\']+)["\']', 1
+    )
+    for ent, rep in _ENTITIES:  # same decode order as html_to_text
+        href = F.regexp_replace(href, ent, rep)
+    hreflang = F.lower(F.regexp_extract(
+        F.col("_tag"), r'(?is)\bhreflang\s*=\s*["\']([^"\']+)["\']', 1
+    ))
+    return (
+        exploded.select(
+            "url",
+            F.explode(F.split(rel, r"\s+")).alias("rel"),
+            F.trim(href).alias("href"),
+            hreflang.alias("hreflang"),
+        )
+        .where((F.col("rel") != "") & (F.col("href") != ""))
+    )
+
+
+# --------------------------------------------------------------------------
+# "also known as" alias frames: the free-text synonym feed for ER
+# --------------------------------------------------------------------------
+
+# name -> (pattern, name_group, alias_list_group): same contract as
+# HEARST_PATTERNS so hearst_hypernyms runs them unchanged. The alias list
+# reuses the comma-list shape ("x, also known as y, z or w").
+ALIAS_PATTERNS: dict[str, tuple[str, int, int]] = {
+    "aka": (
+        rf"\b([a-z]+), (?:also|better|formerly) known as ({_HEARST_LIST})",
+        1, 2,
+    ),
+    "aka_paren": (r"\b([a-z]+) \(aka ([a-z]+)\)", 1, 2),
+    "or_simply": (rf"\b([a-z]+), or simply ({_HEARST_LIST})", 1, 2),
+}
+
+
+def aka_aliases(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 3,
+) -> DataFrame:
+    """Alias-frame harvest -> distinct ``(doc_id, name, alias, pattern)``:
+    "X, also known as Y" / "X (aka Y)" / "X, or simply Y" — the free-text
+    synonym signal that feeds the same ER alias table as the
+    Schwartz–Hearst :func:`acronym_pairs`, giving entity resolution its
+    surface-form variants without any curated gazetteer. Runs on the
+    exact :func:`hearst_hypernyms` machinery (one zero-shuffle
+    projection, one explode, closing distinct) with the alias frames;
+    output columns renamed to the alias-table vocabulary."""
+    out = hearst_hypernyms(
+        df, text_col=text_col, id_col=id_col, min_len=min_len,
+        patterns=ALIAS_PATTERNS,
+    )
+    return out.select(
+        id_col,
+        F.col("hypernym").alias("name"),
+        F.col("hyponym").alias("alias"),
+        "pattern",
+    )
+
+
+# --------------------------------------------------------------------------
+# Definition-list harvest: <dl><dt>key</dt><dd>value</dd> spec sheets
+# --------------------------------------------------------------------------
+
+# adjacent dt/dd pairs with plain-text contents; inline markup inside
+# either tag is the documented residue (the pair drops — [^<]+ refuses it)
+DT_DD_PATTERN = r"(?is)<dt[^>]*>([^<]+)</dt>\s*<dd[^>]*>([^<]+)</dd>"
+
+
+def definition_pairs(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Definition-list harvest -> distinct ``(url, key, value,
+    pair_pos)``: ``<dl><dt>Brand</dt><dd>Acme</dd>...`` is how product
+    pages, package registries and wikis publish their spec sheets — the
+    page-declared property table that complements the prose harvesters,
+    feeding the same (subject=url, predicate=key, object=value) triple
+    bridge as :func:`extract_meta_tags`. Reference analog: none.
+
+    Semantics: every ADJACENT ``<dt>k</dt><dd>v</dd>`` pair in the page
+    (whitespace between them tolerated), in document order
+    (``pair_pos`` 1-based); keys/values entity-decoded (same
+    ``_ENTITIES`` order as :func:`html_to_text`) and trimmed; pairs
+    where either side has inline child markup drop out — the documented
+    plain-text bound shared with :func:`extract_html_tables`.
+
+    Scale shape: two group-extractions zipped per row (the
+    hearst_hypernyms gh/gl idiom), ONE posexplode, closing distinct —
+    the only shuffle. Java∩RE2-safe regex throughout.
+    """
+    html_expr = (
+        f'decode({html_col}, "utf-8")'
+        if dict(df.dtypes)[html_col] == "binary" else html_col
+    )
+    html_s = F.expr(html_expr)
+
+    def _clean(c: Column) -> Column:
+        for ent, rep in _ENTITIES:
+            c = F.regexp_replace(c, ent, rep)
+        return F.trim(c)
+
+    pairs = F.zip_with(
+        F.transform(
+            F.regexp_extract_all(html_s, F.lit(DT_DD_PATTERN), 1), _clean
+        ),
+        F.transform(
+            F.regexp_extract_all(html_s, F.lit(DT_DD_PATTERN), 2), _clean
+        ),
+        lambda k, v: F.struct(k.alias("key"), v.alias("value")),
+    )
+    out = df.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(pairs).alias("_pos", "x"),
+    ).select(
+        "url",
+        F.col("x.key").alias("key"),
+        F.col("x.value").alias("value"),
+        (F.col("_pos") + F.lit(1)).cast("bigint").alias("pair_pos"),
+    ).where((F.col("key") != "") & (F.col("value") != ""))
+    return out.distinct()

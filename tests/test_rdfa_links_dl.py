@@ -1,0 +1,124 @@
+"""Goldens for the round-out web-harvest quartet: RDFa-lite attribute
+triples (the third embedded-data carrier next to microdata/JSON-LD),
+``<link rel>`` page relations (canonical / hreflang alternates /
+pagination), "also known as" alias frames, and ``<dl>`` definition-pair
+spec sheets. Reference analog: none — the reference maps tabular inputs
+(src/ontoweaver/tabular.py); harvesting structure from crawl markup is
+the web-scale bootstrap."""
+
+import pyspark.sql.functions as F
+
+from ontoweaver_spark.webdoc import (
+    aka_aliases,
+    definition_pairs,
+    extract_rdfa,
+    link_rel_edges,
+)
+
+
+def test_rdfa_typeof_and_properties(spark):
+    html = (
+        '<div vocab="https://schema.org/" typeof="Product">'
+        '<span property="name">Widget &amp; Co</span>'
+        '<meta property="sku" content="W-1">'
+        '<span property="">empty prop dropped</span>'
+        "</div>"
+    )
+    df = spark.createDataFrame([("u1", html)], "url string, html string")
+    got = {(r.subject, r.predicate, r.object)
+           for r in extract_rdfa(df).collect()}
+    assert got == {
+        ("u1", "a", "Product"),
+        ("u1", "name", "Widget & Co"),
+        ("u1", "sku", "W-1"),
+    }
+
+
+def test_rdfa_binary_html_and_content_priority(spark):
+    # content= wins over the immediate text run; binary html decodes
+    html = b'<p typeof="T"><b property="k" content="c">text</b></p>'
+    df = spark.createDataFrame(
+        [("u1", bytearray(html))], "url string, html binary"
+    )
+    got = {(r.predicate, r.object) for r in extract_rdfa(df).collect()}
+    assert got == {("a", "T"), ("k", "c")}
+
+
+def test_link_rel_canonical_hreflang_multivalue(spark):
+    html = (
+        '<link rel="canonical" href="https://ex.com/a?x=1&amp;y=2">'
+        '<link rel="alternate" hreflang="FR" href="https://ex.com/fr/a">'
+        '<link rel="alternate amphtml" href="https://ex.com/amp/a">'
+        '<link rel="stylesheet">'  # no href -> dropped
+        '<a rel="nofollow" href="/x">not a link tag</a>'
+    )
+    df = spark.createDataFrame([("u1", html)], "url string, html string")
+    got = {(r.rel, r.href, r.hreflang)
+           for r in link_rel_edges(df).collect()}
+    assert got == {
+        ("canonical", "https://ex.com/a?x=1&y=2", ""),
+        ("alternate", "https://ex.com/fr/a", "fr"),
+        ("alternate", "https://ex.com/amp/a", ""),
+        ("amphtml", "https://ex.com/amp/a", ""),
+    }
+
+
+def test_aka_alias_frames(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Bucky, also known as barnes and soldier, fought."),
+            (2, "The city of bombay, formerly known as heptanesia."),
+            (3, "acetaminophen (aka paracetamol) reduces fever."),
+            (4, "television, or simply tele."),
+            (5, "nothing here."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.name, r.alias, r.pattern)
+           for r in aka_aliases(docs).collect()}
+    assert got == {
+        (1, "bucky", "barnes", "aka"),
+        (1, "bucky", "soldier", "aka"),
+        (2, "bombay", "heptanesia", "aka"),
+        (3, "acetaminophen", "paracetamol", "aka_paren"),
+        (4, "television", "tele", "or_simply"),
+    }
+
+
+def test_definition_pairs_order_entities_and_markup_bound(spark):
+    html = (
+        "<dl><dt>Brand</dt><dd>Acme &amp; Sons</dd>"
+        "<dt> Weight </dt>\n<dd> 2 kg </dd>"
+        "<dt>Linked</dt><dd><a>markup refuses</a></dd></dl>"
+    )
+    df = spark.createDataFrame([("u1", html)], "url string, html string")
+    got = {(r.url, r.key, r.value, r.pair_pos)
+           for r in definition_pairs(df).collect()}
+    assert got == {
+        ("u1", "Brand", "Acme & Sons", 1),
+        ("u1", "Weight", "2 kg", 2),
+    }
+
+
+def test_definition_pairs_binary_and_empty(spark):
+    df = spark.createDataFrame(
+        [
+            ("u1", bytearray(b"<dl><dt>k</dt><dd>v</dd></dl>")),
+            ("u2", bytearray(b"<p>none</p>")),
+        ],
+        "url string, html binary",
+    )
+    got = {(r.url, r.key, r.value, r.pair_pos)
+           for r in definition_pairs(df).collect()}
+    assert got == {("u1", "k", "v", 1)}
+
+
+def test_plan_shapes_zero_exchange_before_distinct(spark):
+    # every harvester here is a zero-shuffle projection (+ the closing
+    # distinct where present) — pin it so a refactor can't sneak a join in
+    df = spark.createDataFrame([("u", "<p></p>")], "url string, html string")
+    for fn in (extract_rdfa, link_rel_edges):
+        plan = fn(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan and "CartesianProduct" not in plan
+    plan = definition_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
