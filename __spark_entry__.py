@@ -6534,6 +6534,177 @@ def _definitions_sql() -> str:
     """
 
 
+def q_contrast(spark, sf_dir):
+    """Contrast-frame harvest (the negative-evidence arm of entity
+    resolution: "X, unlike Y" asserts NOT-same): three planted frames
+    per doc over the word rotation — the first with a two-member
+    contrast list — plus the real ``text`` column so both engines
+    process realistic residue identically. Oracle: the byte-identical
+    Java∩RE2 regex chain in DuckDB."""
+    from ontoweaver_spark.webdoc import contrast_pairs
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    words = F.array(*[F.lit(s) for s in _HEARST_WORDS])
+    w = [F.element_at(words, ((F.col("doc_id") + j) % 12 + 1).cast("int"))
+         for j in range(5)]
+    planted = F.concat(
+        w[0], F.lit(", unlike "), w[1], F.lit(" or "), w[2],
+        F.lit(". "), w[3], F.lit(" rather than "), w[4], F.lit(". "),
+        F.col("text"),
+    )
+    return contrast_pairs(docs.select("doc_id", planted.alias("text")))
+
+
+def _contrast_sql() -> str:
+    """DuckDB mirror of q_contrast — patterns/separator/stoplist
+    single-sourced from ontoweaver_spark.webdoc."""
+    from ontoweaver_spark.webdoc import (
+        CONTRAST_PATTERNS, _HEARST_DROP, _HEARST_SEP,
+    )
+
+    words = ", ".join(f"'{w}'" for w in _HEARST_WORDS)
+
+    def pick(j: int) -> str:
+        return f"l[1 + (doc_id + {j}) % 12]"
+
+    planted = (
+        f"{pick(0)} || ', unlike ' || {pick(1)} || ' or ' || {pick(2)} || "
+        f"'. ' || {pick(3)} || ' rather than ' || {pick(4)} || '. ' || text"
+    )
+    branches = "\n              UNION ALL\n".join(
+        f"""              SELECT doc_id, '{name}' AS pattern,
+                     regexp_extract_all(tx, '{p.replace("'", "''")}', {hg}) AS gh,
+                     regexp_extract_all(tx, '{p.replace("'", "''")}', {lg}) AS gl
+              FROM t"""
+        for name, (p, hg, lg) in CONTRAST_PATTERNS.items()
+    )
+    drop = ", ".join(f"'{d}'" for d in _HEARST_DROP)
+    return f"""
+            WITH w AS (
+              SELECT doc_id, text, [{words}] AS l FROM documents
+            ), t AS (
+              SELECT doc_id,
+                     lower(regexp_replace({planted}, '\\s+', ' ', 'g')) AS tx
+              FROM w
+            ), m AS (
+{branches}
+            ), z AS (
+              SELECT doc_id, pattern, gh[g.i] AS term, gl[g.i] AS lst
+              FROM m, LATERAL unnest(generate_series(1, len(gh))) AS g(i)
+            ), e AS (
+              SELECT doc_id, pattern, term,
+                     unnest(string_split_regex(lst, '{_HEARST_SEP}'))
+                       AS contrast
+              FROM z
+            )
+            SELECT DISTINCT doc_id, term, contrast, pattern FROM e
+            WHERE length(contrast) >= 3 AND length(term) >= 3
+              AND contrast <> term
+              AND contrast NOT IN ({drop}) AND term NOT IN ({drop})
+    """
+
+
+def q_cohyponyms(spark, sf_dir):
+    """Co-hyponym sibling pairs from the Hearst harvest: members of the
+    same enumeration become lateral taxonomy edges under the shared
+    hypernym. The planted such_as list has three members per doc, so
+    every doc contributes C(3,2) sibling pairs plus whatever the real
+    ``text`` residue adds identically on both engines. Oracle: the same
+    self-join over the single-sourced Hearst SQL chain."""
+    from ontoweaver_spark.webdoc import cohyponym_pairs
+
+    return cohyponym_pairs(q_hearst(spark, sf_dir))
+
+
+def q_hreflang_clusters(spark, sf_dir):
+    """Cross-language translation clusters DISCOVERED from crawl markup:
+    each planted page at url p(r) declares an hreflang alternate to
+    p((r+100) mod 500), chaining the 500 residue urls into 100
+    five-member translation clusters; a rel=canonical link on the same
+    page is the negative control the hreflang filter must exclude. The
+    harvested (url, href) pairs run through the same large-star /
+    small-star connected-components engine as owl:sameAs
+    canonicalization -> ``(vertex, component)`` with component = string
+    min of the cluster. Oracle: the byte-identical link-rel regex chain
+    + recursive-CTE closure with the same least-labeling."""
+    from ontoweaver_spark.dedup import connected_components
+    from ontoweaver_spark.webdoc import link_rel_edges
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    r = F.col("doc_id") % 500
+    url = F.concat(F.lit("https://ex.com/p"), r.cast("string"))
+    alt = F.concat(
+        F.lit("https://ex.com/p"), ((r + 100) % 500).cast("string")
+    )
+    planted = F.concat(
+        F.lit('<html><head><link rel="canonical" href="'), url,
+        F.lit('"><link rel="alternate" hreflang="fr" href="'), alt,
+        F.lit('"></head><body>'), F.col("text"), F.lit("</body></html>"),
+    )
+    pages = docs.select(url.alias("url"), planted.alias("html"))
+    edges = (
+        link_rel_edges(pages)
+        .where((F.col("rel") == "alternate") & (F.col("hreflang") != ""))
+        .select(F.col("url").alias("a"), F.col("href").alias("b"))
+    )
+    return connected_components(edges)
+
+
+def _hreflang_clusters_sql() -> str:
+    """DuckDB mirror of q_hreflang_clusters: the SAME planted head, the
+    byte-identical link-rel chain, and a recursive-CTE reachability
+    closure with the same string-least component labeling."""
+    href = (
+        "regexp_extract(tag, "
+        "'(?is)\\bhref\\s*=\\s*[\"'']([^\"'']+)[\"'']', 1)"
+    )
+    planted = (
+        "'<html><head><link rel=\"canonical\" href=\"https://ex.com/p' || "
+        "(doc_id % 500)::VARCHAR || '\"><link rel=\"alternate\" "
+        "hreflang=\"fr\" href=\"https://ex.com/p' || "
+        "((doc_id % 500 + 100) % 500)::VARCHAR || '\"></head><body>' || "
+        "text || '</body></html>'"
+    )
+    return f"""
+            WITH RECURSIVE h AS MATERIALIZED (
+              SELECT 'https://ex.com/p' || (doc_id % 500)::VARCHAR AS url,
+                     {planted} AS html
+              FROM documents
+            ), tags AS (
+              SELECT url, unnest(regexp_extract_all(html,
+                       '(?is)<link\\s[^>]*>', 0)) AS tag
+              FROM h
+            ), parsed AS (
+              SELECT url,
+                     lower(regexp_extract(tag,
+                       '(?is)\\brel\\s*=\\s*["'']([^"'']+)["'']', 1))
+                       AS rel_raw,
+                     trim({_entity_clean_sql(href)}) AS href,
+                     lower(regexp_extract(tag,
+                       '(?is)\\bhreflang\\s*=\\s*["'']([^"'']+)["'']', 1))
+                       AS hreflang
+              FROM tags
+            ), rels AS (
+              SELECT url, unnest(string_split_regex(rel_raw, '\\s+')) AS rel,
+                     href, hreflang
+              FROM parsed WHERE href <> ''
+            ), sa AS MATERIALIZED (
+              SELECT DISTINCT url AS a, href AS b FROM rels
+              WHERE rel = 'alternate' AND hreflang <> '' AND rel <> ''
+            ), und AS MATERIALIZED (
+              SELECT a AS v, b AS w FROM sa UNION SELECT b, a FROM sa
+            ), reach(v, w) AS (
+              SELECT v, w FROM und
+              UNION
+              SELECT r.v, u.w FROM reach r JOIN und u ON r.w = u.v
+            )
+            SELECT v AS vertex, least(v, min(w)) AS component
+            FROM reach GROUP BY v
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -6792,6 +6963,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_rel": q_link_rel,
         "alias_frames": q_aliases,
         "definition_pairs": q_definitions,
+        "contrast_frames": q_contrast,
+        "cohyponym_pairs": q_cohyponyms,
+        "hreflang_clusters": q_hreflang_clusters,
     }
 
 
@@ -12428,6 +12602,17 @@ def oracle_sql() -> dict[str, str]:
         "link_rel": _link_rel_sql(),
         "alias_frames": _aliases_sql(),
         "definition_pairs": _definitions_sql(),
+        "contrast_frames": _contrast_sql(),
+        "cohyponym_pairs": f"""
+            WITH h AS ({_hearst_sql()})
+            SELECT DISTINCT a.doc_id, a.hyponym AS a, b.hyponym AS b,
+                   a.hypernym, a.pattern
+            FROM h a JOIN h b
+              ON a.doc_id = b.doc_id AND a.hypernym = b.hypernym
+             AND a.pattern = b.pattern
+            WHERE a.hyponym < b.hyponym
+        """,
+        "hreflang_clusters": _hreflang_clusters_sql(),
         "triple_support": f"""
             WITH h AS ({_hearst_sql()})
             SELECT hyponym AS subject, pattern AS predicate,

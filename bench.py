@@ -157,7 +157,8 @@ def main() -> None:
                  "quantity_norm", "geo_norm", "text_kg", "acronym_alias",
                  "breadcrumb_taxonomy", "copula_isa", "triple_support",
                  "rdfa_triples", "link_rel", "alias_frames",
-                 "definition_pairs"]:
+                 "definition_pairs", "contrast_frames", "cohyponym_pairs",
+                 "hreflang_clusters"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the

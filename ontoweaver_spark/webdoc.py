@@ -1039,3 +1039,75 @@ def definition_pairs(
         (F.col("_pos") + F.lit(1)).cast("bigint").alias("pair_pos"),
     ).where((F.col("key") != "") & (F.col("value") != ""))
     return out.distinct()
+
+
+# --------------------------------------------------------------------------
+# Contrast frames and co-hyponym siblings: taxonomy-cleanup signals
+# --------------------------------------------------------------------------
+
+# name -> (pattern, term_group, contrast_list_group): the discriminative
+# complement of the is-a frames — "X, unlike Y" asserts the two are
+# DIFFERENT things, the signal that prunes wrong sameAs/alias merges.
+CONTRAST_PATTERNS: dict[str, tuple[str, int, int]] = {
+    "unlike": (rf"\b([a-z]+), unlike ({_HEARST_LIST})", 1, 2),
+    "rather_than": (r"\b([a-z]+) rather than ([a-z]+)", 1, 2),
+    "as_opposed": (rf"\b([a-z]+),? as opposed to ({_HEARST_LIST})", 1, 2),
+}
+
+
+def contrast_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 3,
+) -> DataFrame:
+    """Contrast-frame harvest -> distinct ``(doc_id, term, contrast,
+    pattern)``: "X, unlike Y" / "X rather than Y" / "X as opposed to Y"
+    assert that two surface forms are NOT the same thing — the negative
+    evidence that vetoes bad ``owl:sameAs`` / alias merges the positive
+    harvesters (:func:`aka_aliases`, :func:`acronym_pairs`) propose.
+    Runs on the exact :func:`hearst_hypernyms` machinery (one
+    zero-shuffle projection, one explode, closing distinct); columns
+    renamed to the contrast vocabulary."""
+    out = hearst_hypernyms(
+        df, text_col=text_col, id_col=id_col, min_len=min_len,
+        patterns=CONTRAST_PATTERNS,
+    )
+    return out.select(
+        id_col,
+        F.col("hypernym").alias("term"),
+        F.col("hyponym").alias("contrast"),
+        "pattern",
+    )
+
+
+def cohyponym_pairs(
+    harvest: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Co-hyponym sibling pairs from a Hearst-style harvest frame ->
+    distinct ``(doc_id, a, b, hypernym, pattern)`` with ``a < b``:
+    members of the same enumeration ("fruits such as apples, pears and
+    quinces") are SIBLINGS under the shared hypernym — the lateral
+    taxonomy edges that let cluster-based taxonomy induction (and ER
+    blocking) see "apples ~ pears" even where no direct frame relates
+    them. Input is :func:`hearst_hypernyms` output (or any frame with
+    ``(id, hyponym, hypernym, pattern)``).
+
+    Scale shape: ONE self-join keyed on ``(doc, hypernym, pattern)`` —
+    per-key cardinality is the sentence's list length (single digits by
+    construction of the frames), so the join output is O(m · k²) with
+    tiny k and no hub keys; the ``a < b`` canonical order halves it and
+    the closing distinct is the only extra shuffle."""
+    left = harvest.select(
+        id_col, "hypernym", "pattern", F.col("hyponym").alias("a")
+    )
+    right = harvest.select(
+        id_col, "hypernym", "pattern", F.col("hyponym").alias("b")
+    )
+    return (
+        left.join(right, [id_col, "hypernym", "pattern"])
+        .where(F.col("a") < F.col("b"))
+        .select(id_col, "a", "b", "hypernym", "pattern")
+        .distinct()
+    )

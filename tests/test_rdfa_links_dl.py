@@ -122,3 +122,73 @@ def test_plan_shapes_zero_exchange_before_distinct(spark):
         assert "Join" not in plan and "CartesianProduct" not in plan
     plan = definition_pairs(df)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_contrast_frames(spark):
+    from ontoweaver_spark.webdoc import contrast_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Rust, unlike python or ruby, compiles."),
+            (2, "She walked rather than drove."),
+            (3, "tea, as opposed to coffee, calms."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.term, r.contrast, r.pattern)
+           for r in contrast_pairs(docs).collect()}
+    assert got == {
+        (1, "rust", "python", "unlike"),
+        (1, "rust", "ruby", "unlike"),
+        (2, "walked", "drove", "rather_than"),
+        (3, "tea", "coffee", "as_opposed"),
+        # the documented greedy comma-list residue shared with the Hearst
+        # frames: the clause after "coffee," is absorbed into the list
+        (3, "tea", "calms", "as_opposed"),
+    }
+
+
+def test_cohyponym_pairs_from_hearst(spark):
+    from ontoweaver_spark.webdoc import cohyponym_pairs, hearst_hypernyms
+
+    docs = spark.createDataFrame(
+        [(1, "fruits such as apples, pears and quinces. metals such as iron.")],
+        "doc_id long, text string",
+    )
+    h = hearst_hypernyms(docs)
+    got = {(r.a, r.b, r.hypernym) for r in cohyponym_pairs(h).collect()}
+    # C(3,2) canonical-order pairs within one list; the singleton list
+    # contributes none; no cross-hypernym pairs
+    assert got == {
+        ("apples", "pears", "fruits"),
+        ("apples", "quinces", "fruits"),
+        ("pears", "quinces", "fruits"),
+    }
+
+
+def test_hreflang_cluster_composition(spark):
+    from ontoweaver_spark.dedup import connected_components
+    from ontoweaver_spark.webdoc import link_rel_edges
+
+    # a 3-page translation ring discovered purely from markup
+    rows = [
+        ("https://ex.com/en",
+         '<link rel="alternate" hreflang="fr" href="https://ex.com/fr">'),
+        ("https://ex.com/fr",
+         '<link rel="alternate" hreflang="de" href="https://ex.com/de">'),
+        ("https://ex.com/solo",
+         '<link rel="canonical" href="https://ex.com/solo2">'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    edges = (
+        link_rel_edges(df)
+        .where((F.col("rel") == "alternate") & (F.col("hreflang") != ""))
+        .select(F.col("url").alias("a"), F.col("href").alias("b"))
+    )
+    comp = {(r.vertex, r.component)
+            for r in connected_components(edges).collect()}
+    assert comp == {
+        ("https://ex.com/en", "https://ex.com/de"),
+        ("https://ex.com/fr", "https://ex.com/de"),
+        ("https://ex.com/de", "https://ex.com/de"),
+    }
