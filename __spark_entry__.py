@@ -6705,6 +6705,186 @@ def _hreflang_clusters_sql() -> str:
     """
 
 
+def q_appositive(spark, sf_dir):
+    """Appositive relational-noun harvest ("X, the Y of Z" -> typed
+    triple): one planted frame per doc over the word rotation plus the
+    real ``text`` column so both engines process realistic residue
+    identically. Oracle: the byte-identical Java∩RE2 three-group chain
+    in DuckDB."""
+    from ontoweaver_spark.webdoc import appositive_relations
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    words = F.array(*[F.lit(s) for s in _HEARST_WORDS])
+    w = [F.element_at(words, ((F.col("doc_id") + j) % 12 + 1).cast("int"))
+         for j in range(3)]
+    planted = F.concat(
+        w[0], F.lit(", the "), w[1], F.lit(" of "), w[2], F.lit(". "),
+        F.col("text"),
+    )
+    return appositive_relations(docs.select("doc_id", planted.alias("text")))
+
+
+def _appositive_sql() -> str:
+    """DuckDB mirror of q_appositive — pattern and stoplist
+    single-sourced from ontoweaver_spark.webdoc."""
+    from ontoweaver_spark.webdoc import APPOSITIVE_PATTERN, _HEARST_DROP
+
+    words = ", ".join(f"'{w}'" for w in _HEARST_WORDS)
+
+    def pick(j: int) -> str:
+        return f"l[1 + (doc_id + {j}) % 12]"
+
+    planted = (
+        f"{pick(0)} || ', the ' || {pick(1)} || ' of ' || {pick(2)} || "
+        "'. ' || text"
+    )
+    drop = ", ".join(f"'{d}'" for d in _HEARST_DROP)
+    p = APPOSITIVE_PATTERN.replace("'", "''")
+    return f"""
+            WITH w AS (
+              SELECT doc_id, text, [{words}] AS l FROM documents
+            ), t AS (
+              SELECT doc_id,
+                     lower(regexp_replace({planted}, '\\s+', ' ', 'g')) AS tx
+              FROM w
+            ), m AS (
+              SELECT doc_id,
+                     regexp_extract_all(tx, '{p}', 1) AS gs,
+                     regexp_extract_all(tx, '{p}', 2) AS gr,
+                     regexp_extract_all(tx, '{p}', 3) AS go
+              FROM t
+            )
+            SELECT DISTINCT doc_id, gs[g.i] AS subject, gr[g.i] AS relation,
+                   go[g.i] AS object
+            FROM m, LATERAL unnest(generate_series(1, len(gs))) AS g(i)
+            WHERE length(gs[g.i]) >= 3 AND length(gr[g.i]) >= 3
+              AND length(go[g.i]) >= 3 AND gs[g.i] <> go[g.i]
+              AND gs[g.i] NOT IN ({drop}) AND gr[g.i] NOT IN ({drop})
+              AND go[g.i] NOT IN ({drop})
+    """
+
+
+def q_quotes(spark, sf_dir):
+    """Quotation-attribution harvest (claim provenance: who said what):
+    both planted frame orders per doc — quote-then-speaker and
+    speaker-then-quote — over the word rotation, case preserved, plus
+    the real ``text`` column so both engines process realistic residue
+    identically. Oracle: the byte-identical two-pattern chain in
+    DuckDB."""
+    from ontoweaver_spark.webdoc import quote_attributions
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    words = F.array(*[F.lit(s) for s in _HEARST_WORDS])
+    w = [F.element_at(words, ((F.col("doc_id") + j) % 12 + 1).cast("int"))
+         for j in range(4)]
+    planted = F.concat(
+        F.lit('"we will ship '), w[0], F.lit('," said '), w[1],
+        F.lit(". "), w[2], F.lit(' says, "'), w[3],
+        F.lit(' is ready." '), F.col("text"),
+    )
+    return quote_attributions(docs.select("doc_id", planted.alias("text")))
+
+
+def _quotes_sql() -> str:
+    """DuckDB mirror of q_quotes — patterns single-sourced from
+    ontoweaver_spark.webdoc, case-preserving whitespace collapse."""
+    from ontoweaver_spark.webdoc import QUOTE_PATTERNS
+
+    words = ", ".join(f"'{w}'" for w in _HEARST_WORDS)
+
+    def pick(j: int) -> str:
+        return f"l[1 + (doc_id + {j}) % 12]"
+
+    planted = (
+        f"'\"we will ship ' || {pick(0)} || ',\" said ' || {pick(1)} || "
+        f"'. ' || {pick(2)} || ' says, \"' || {pick(3)} || "
+        "' is ready.\" ' || text"
+    )
+    branches = "\n              UNION ALL\n".join(
+        f"""              SELECT doc_id, '{name}' AS pattern,
+                     regexp_extract_all(tx, '{p.replace("'", "''")}', {sg}) AS gsp,
+                     regexp_extract_all(tx, '{p.replace("'", "''")}', {qg}) AS gq
+              FROM t"""
+        for name, (p, sg, qg) in QUOTE_PATTERNS.items()
+    )
+    return f"""
+            WITH w AS (
+              SELECT doc_id, text, [{words}] AS l FROM documents
+            ), t AS (
+              SELECT doc_id,
+                     regexp_replace({planted}, '\\s+', ' ', 'g') AS tx
+              FROM w
+            ), m AS (
+{branches}
+            )
+            SELECT DISTINCT doc_id, gsp[g.i] AS speaker, gq[g.i] AS quote,
+                   pattern
+            FROM m, LATERAL unnest(generate_series(1, len(gsp))) AS g(i)
+    """
+
+
+def q_numeric_facts(spark, sf_dir):
+    """Numeric-property harvest ("X has a Y of N" -> exact-BIGINT
+    literal triple): one planted frame per doc whose value carries a
+    comma thousands separator the parse must strip (39,VVV ->
+    39000 + doc-residue), plus the real ``text`` column so both engines
+    process realistic residue identically. Oracle: the byte-identical
+    three-group chain + the same comma-strip BIGINT cast in DuckDB."""
+    from ontoweaver_spark.webdoc import numeric_facts
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir)
+    words = F.array(*[F.lit(s) for s in _HEARST_WORDS])
+    w = [F.element_at(words, ((F.col("doc_id") + j) % 12 + 1).cast("int"))
+         for j in range(2)]
+    planted = F.concat(
+        w[0], F.lit(" has a "), w[1], F.lit(" of 39,"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit(" units. "), F.col("text"),
+    )
+    return numeric_facts(docs.select("doc_id", planted.alias("text")))
+
+
+def _numeric_facts_sql() -> str:
+    """DuckDB mirror of q_numeric_facts — pattern/stoplist
+    single-sourced from ontoweaver_spark.webdoc."""
+    from ontoweaver_spark.webdoc import HAS_OF_PATTERN, _HEARST_DROP
+
+    words = ", ".join(f"'{w}'" for w in _HEARST_WORDS)
+
+    def pick(j: int) -> str:
+        return f"l[1 + (doc_id + {j}) % 12]"
+
+    planted = (
+        f"{pick(0)} || ' has a ' || {pick(1)} || ' of 39,' || "
+        "lpad((doc_id % 1000)::VARCHAR, 3, '0') || ' units. ' || text"
+    )
+    drop = ", ".join(f"'{d}'" for d in _HEARST_DROP)
+    p = HAS_OF_PATTERN.replace("'", "''")
+    return f"""
+            WITH w AS (
+              SELECT doc_id, text, [{words}] AS l FROM documents
+            ), t AS (
+              SELECT doc_id,
+                     lower(regexp_replace({planted}, '\\s+', ' ', 'g')) AS tx
+              FROM w
+            ), m AS (
+              SELECT doc_id,
+                     regexp_extract_all(tx, '{p}', 1) AS gs,
+                     regexp_extract_all(tx, '{p}', 2) AS gr,
+                     regexp_extract_all(tx, '{p}', 3) AS gv
+              FROM t
+            )
+            SELECT DISTINCT doc_id, gs[g.i] AS subject, gr[g.i] AS relation,
+                   regexp_replace(gv[g.i], ',', '', 'g')::BIGINT AS value
+            FROM m, LATERAL unnest(generate_series(1, len(gs))) AS g(i)
+            WHERE length(gs[g.i]) >= 3 AND length(gr[g.i]) >= 3
+              AND gs[g.i] NOT IN ({drop}) AND gr[g.i] NOT IN ({drop})
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -6966,6 +7146,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrast_frames": q_contrast,
         "cohyponym_pairs": q_cohyponyms,
         "hreflang_clusters": q_hreflang_clusters,
+        "appositive_facts": q_appositive,
+        "quote_attrib": q_quotes,
+        "numeric_facts": q_numeric_facts,
     }
 
 
@@ -12613,6 +12796,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.hyponym < b.hyponym
         """,
         "hreflang_clusters": _hreflang_clusters_sql(),
+        "appositive_facts": _appositive_sql(),
+        "quote_attrib": _quotes_sql(),
+        "numeric_facts": _numeric_facts_sql(),
         "triple_support": f"""
             WITH h AS ({_hearst_sql()})
             SELECT hyponym AS subject, pattern AS predicate,

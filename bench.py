@@ -158,7 +158,8 @@ def main() -> None:
                  "breadcrumb_taxonomy", "copula_isa", "triple_support",
                  "rdfa_triples", "link_rel", "alias_frames",
                  "definition_pairs", "contrast_frames", "cohyponym_pairs",
-                 "hreflang_clusters"]:
+                 "hreflang_clusters", "appositive_facts", "quote_attrib",
+                 "numeric_facts"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the

@@ -1111,3 +1111,156 @@ def cohyponym_pairs(
         .select(id_col, "a", "b", "hypernym", "pattern")
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# Appositive relations, quote attribution, numeric has-of facts
+# --------------------------------------------------------------------------
+
+# relational-noun apposition: "paris, the capital of france" — subject,
+# relation noun, object in one frame; the richest single-sentence typed-
+# relation signal after the copula.
+APPOSITIVE_PATTERN = r"\b([a-z]+), the ([a-z]+) of ([a-z]+)"
+
+
+def appositive_relations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 3,
+) -> DataFrame:
+    """Appositive relational-noun harvest -> distinct ``(doc_id,
+    subject, relation, object)``: "X, the Y of Z" yields the typed
+    triple (X, Y, Z) — "paris, the capital of france" -> (paris,
+    capital, france). Unlike the is-a/part-of frames this one carries an
+    OPEN relation vocabulary (whatever relational noun the page used),
+    which is exactly what populates the predicate space of a bootstrapped
+    web KG; :func:`ontoweaver_spark.ontology.triple_support` is the
+    documented precision gate downstream.
+
+    Scale shape: the standard harvest projection — three
+    group-extractions zipped per row, ONE explode, closing ``distinct``
+    as the only shuffle; Java∩RE2-safe regex."""
+    t = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    zipped = F.arrays_zip(
+        F.regexp_extract_all(t, F.lit(APPOSITIVE_PATTERN), 1).alias("s"),
+        F.regexp_extract_all(t, F.lit(APPOSITIVE_PATTERN), 2).alias("r"),
+        F.regexp_extract_all(t, F.lit(APPOSITIVE_PATTERN), 3).alias("o"),
+    )
+    out = df.select(
+        F.col(id_col), F.explode(zipped).alias("x")
+    ).select(
+        id_col,
+        F.col("x.s").alias("subject"),
+        F.col("x.r").alias("relation"),
+        F.col("x.o").alias("object"),
+    ).where(
+        (F.length("subject") >= min_len)
+        & (F.length("relation") >= min_len)
+        & (F.length("object") >= min_len)
+        & (F.col("subject") != F.col("object"))
+        & ~F.col("subject").isin(_HEARST_DROP)
+        & ~F.col("relation").isin(_HEARST_DROP)
+        & ~F.col("object").isin(_HEARST_DROP)
+    )
+    return out.distinct()
+
+
+# quote-then-speaker and speaker-then-quote; quotes bounded to 400 chars
+# (runaway unbalanced quotes must not absorb the document). Case is
+# PRESERVED — speaker surface forms are ER input, lowercasing loses them.
+QUOTE_PATTERNS: dict[str, tuple[str, int, int]] = {
+    "quote_said": (r'"([^"]{2,400})," (?:said|says) ([A-Za-z]+)', 2, 1),
+    "said_quote": (r'\b([A-Za-z]+) (?:said|says), "([^"]{2,400})"', 1, 2),
+}
+
+
+def quote_attributions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quotation-attribution harvest -> distinct ``(doc_id, speaker,
+    quote, pattern)``: '"...," said X' / 'X said, "..."' — the claim
+    PROVENANCE signal: who asserted what, feeding the same claim-voting
+    / truth-finding operators that reconcile conflicting harvested
+    facts. Case-preserving (speaker surface forms are ER input);
+    whitespace inside quotes collapsed with the corpus-wide rule so the
+    oracle is byte-identical.
+
+    Scale shape: two group-extractions zipped per pattern, concatenated,
+    ONE explode; closing ``distinct`` is the only shuffle."""
+    t = F.regexp_replace(F.col(text_col), r"\s+", " ")
+
+    def _tagger(name: str):
+        # factory, not a default arg: pyspark reads the HOF lambda arity
+        return lambda s: F.struct(
+            F.lit(name).alias("pattern"),
+            s["sp"].alias("speaker"),
+            s["q"].alias("quote"),
+        )
+
+    per_pattern = [
+        F.transform(
+            F.arrays_zip(
+                F.regexp_extract_all(t, F.lit(p), sg).alias("sp"),
+                F.regexp_extract_all(t, F.lit(p), qg).alias("q"),
+            ),
+            _tagger(name),
+        )
+        for name, (p, sg, qg) in QUOTE_PATTERNS.items()
+    ]
+    out = df.select(
+        F.col(id_col), F.explode(F.concat(*per_pattern)).alias("x")
+    ).select(
+        id_col,
+        F.col("x.speaker").alias("speaker"),
+        F.col("x.quote").alias("quote"),
+        F.col("x.pattern").alias("pattern"),
+    )
+    return out.distinct()
+
+
+# "X has a Y of N": numeric property assertions with an exact-integer
+# value. Digits+commas capped at 18 chars so the BIGINT cast cannot wrap.
+HAS_OF_PATTERN = r"\b([a-z]+) has an? ([a-z]+) of (\d[\d,]{0,17})\b"
+
+
+def numeric_facts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 3,
+) -> DataFrame:
+    """Numeric-property harvest -> distinct ``(doc_id, subject,
+    relation, value)``: "tokyo has a population of 39,000,000" ->
+    (tokyo, population, 39000000 BIGINT). The free-text complement of
+    :func:`ontoweaver_spark.textops.extract_quantities` — that one
+    finds bare measurements, this one binds the number to a subject and
+    a relational noun, producing a ready (s, p, o-literal) KG triple
+    with an exact integer object (comma thousands separators stripped;
+    the 18-char digit bound makes the BIGINT cast overflow-free by
+    construction).
+
+    Scale shape: three group-extractions zipped, ONE explode, closing
+    ``distinct`` — the standard harvest projection."""
+    t = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    zipped = F.arrays_zip(
+        F.regexp_extract_all(t, F.lit(HAS_OF_PATTERN), 1).alias("s"),
+        F.regexp_extract_all(t, F.lit(HAS_OF_PATTERN), 2).alias("r"),
+        F.regexp_extract_all(t, F.lit(HAS_OF_PATTERN), 3).alias("v"),
+    )
+    out = df.select(
+        F.col(id_col), F.explode(zipped).alias("x")
+    ).select(
+        id_col,
+        F.col("x.s").alias("subject"),
+        F.col("x.r").alias("relation"),
+        F.regexp_replace(F.col("x.v"), ",", "").cast("long").alias("value"),
+    ).where(
+        (F.length("subject") >= min_len)
+        & (F.length("relation") >= min_len)
+        & ~F.col("subject").isin(_HEARST_DROP)
+        & ~F.col("relation").isin(_HEARST_DROP)
+    )
+    return out.distinct()

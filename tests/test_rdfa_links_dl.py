@@ -192,3 +192,60 @@ def test_hreflang_cluster_composition(spark):
         ("https://ex.com/fr", "https://ex.com/de"),
         ("https://ex.com/de", "https://ex.com/de"),
     }
+
+
+def test_appositive_relations(spark):
+    from ontoweaver_spark.webdoc import appositive_relations
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Paris, the capital of France, hosted it."),
+            (2, "He met Ada, the author of notes."),
+            (3, "x, the y of z."),  # min_len drops 1-char terms
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.subject, r.relation, r.object)
+           for r in appositive_relations(docs).collect()}
+    assert got == {
+        (1, "paris", "capital", "france"),
+        (2, "ada", "author", "notes"),
+    }
+
+
+def test_quote_attributions_both_orders_case_preserved(spark):
+    from ontoweaver_spark.webdoc import quote_attributions
+
+    docs = spark.createDataFrame(
+        [
+            (1, '"We will ship it," said Grace.'),
+            (2, 'Linus says, "talk is cheap."'),
+            (3, 'no quotes here, said nobody'),  # unquoted -> no match
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.speaker, r.quote, r.pattern)
+           for r in quote_attributions(docs).collect()}
+    assert got == {
+        (1, "Grace", "We will ship it", "quote_said"),
+        (2, "Linus", "talk is cheap.", "said_quote"),
+    }
+
+
+def test_numeric_facts_exact_bigint(spark):
+    from ontoweaver_spark.webdoc import numeric_facts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Tokyo has a population of 39,000,000 people."),
+            (2, "the engine has an output of 120 kw."),
+            (3, "it has a x of 5."),  # min_len drops the relation
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.subject, r.relation, r.value)
+           for r in numeric_facts(docs).collect()}
+    assert got == {
+        (1, "tokyo", "population", 39000000),
+        (2, "engine", "output", 120),
+    }
