@@ -6885,6 +6885,105 @@ def _numeric_facts_sql() -> str:
     """
 
 
+def q_page_kg(spark, sf_dir):
+    """THE north-rule composition, end to end: every harvester this
+    engine ships — markup carriers (RDFa, definition lists, breadcrumb
+    taxonomy) and sentence frames (Hearst is-a, copula is-a, meronym
+    part-of, appositive relations, numeric has-of facts) — unioned into
+    one (subject, predicate, object) stream and rolled through the
+    :func:`ontoweaver_spark.ontology.triple_support` precision gate at
+    ``min_support=2``. Every input leg is itself an oracle-gated query;
+    this composition is gated too (the union of the single-sourced SQL
+    chains + the same count-distinct HAVING), so the flagship flow
+    "crawl pages -> gated KG triples" is hash-checked as one unit.
+
+    Scale shape: the legs are zero-shuffle projections; the union is
+    plan-level (no exchange); the support gate is ONE two-phase
+    count-distinct aggregation. At 10^12 pages this is exactly the
+    shape that survives: no joins until after the HAVING prune."""
+    from ontoweaver_spark.ontology import triple_support
+
+    def spo(df, s, p, o):
+        # p: a Column picks the per-row predicate, a str is a literal
+        pred = F.lit(p) if isinstance(p, str) else p
+        return df.select(
+            F.col("doc_id"),
+            F.col(s).cast("string").alias("subject"),
+            pred.alias("predicate"),
+            F.col(o).cast("string").alias("object"),
+        )
+
+    legs = [
+        spo(q_hearst(spark, sf_dir), "hyponym", "is_a", "hypernym"),
+        spo(q_copula(spark, sf_dir), "hyponym", "is_a", "hypernym"),
+        spo(q_meronym(spark, sf_dir), "part", "part_of", "whole"),
+        spo(
+            q_appositive(spark, sf_dir).withColumnRenamed("subject", "s_"),
+            "s_", F.col("relation"), "object",
+        ),
+        spo(
+            q_numeric_facts(spark, sf_dir).withColumnRenamed("subject", "s_"),
+            "s_", F.col("relation"), "value",
+        ),
+        spo(
+            q_rdfa(spark, sf_dir).withColumnRenamed("subject", "doc_id"),
+            "doc_id", F.col("predicate"), "object",
+        ),
+        spo(
+            q_definitions(spark, sf_dir).withColumnRenamed("url", "doc_id"),
+            "doc_id", F.col("key"), "value",
+        ),
+        spo(
+            q_breadcrumbs(spark, sf_dir).withColumnRenamed("id", "doc_id"),
+            "child", "subclass_of", "parent",
+        ),
+    ]
+    allt = legs[0]
+    for leg in legs[1:]:
+        allt = allt.unionByName(leg)
+    return triple_support(allt, min_support=2)
+
+
+def _page_kg_sql() -> str:
+    """DuckDB mirror of q_page_kg: the union of the single-sourced
+    harvest SQL chains projected to (doc_id, s, p, o), then the same
+    count-distinct + HAVING gate."""
+    return f"""
+            WITH hearst AS ({_hearst_sql()}),
+            copula AS ({_copula_sql()}),
+            mer AS ({_meronym_sql()}),
+            app AS ({_appositive_sql()}),
+            numf AS ({_numeric_facts_sql()}),
+            rdfa AS ({_rdfa_sql()}),
+            defs AS ({_definitions_sql()}),
+            bc AS ({_breadcrumbs_sql()}),
+            allt AS (
+              SELECT doc_id, hyponym AS s, 'is_a' AS p, hypernym AS o
+              FROM hearst
+              UNION ALL
+              SELECT doc_id, hyponym, 'is_a', hypernym FROM copula
+              UNION ALL
+              SELECT doc_id, part, 'part_of', whole FROM mer
+              UNION ALL
+              SELECT doc_id, subject, relation, object FROM app
+              UNION ALL
+              SELECT doc_id, subject, relation, value::VARCHAR FROM numf
+              UNION ALL
+              SELECT subject AS doc_id, subject::VARCHAR, predicate, object
+              FROM rdfa
+              UNION ALL
+              SELECT url AS doc_id, url::VARCHAR, key, value FROM defs
+              UNION ALL
+              SELECT id AS doc_id, child, 'subclass_of', parent FROM bc
+            )
+            SELECT s AS subject, p AS predicate, o AS object,
+                   count(DISTINCT doc_id)::BIGINT AS support
+            FROM allt
+            GROUP BY 1, 2, 3
+            HAVING count(DISTINCT doc_id) >= 2
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -7149,6 +7248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "appositive_facts": q_appositive,
         "quote_attrib": q_quotes,
         "numeric_facts": q_numeric_facts,
+        "page_kg": q_page_kg,
     }
 
 
@@ -12799,6 +12899,7 @@ def oracle_sql() -> dict[str, str]:
         "appositive_facts": _appositive_sql(),
         "quote_attrib": _quotes_sql(),
         "numeric_facts": _numeric_facts_sql(),
+        "page_kg": _page_kg_sql(),
         "triple_support": f"""
             WITH h AS ({_hearst_sql()})
             SELECT hyponym AS subject, pattern AS predicate,
