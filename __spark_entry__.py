@@ -6984,6 +6984,37 @@ def _page_kg_sql() -> str:
     """
 
 
+def q_breadcrumb_closure(spark, sf_dir):
+    """Mined taxonomy -> transitive closure, end to end: each planted
+    page's breadcrumb declares one (child c_r, parent c_{r div 2}) edge
+    of a 500-node binary-tree category hierarchy; the harvested pairs
+    run through the path-doubling ``subclass_closure`` ->
+    ``(descendant, ancestor, depth)`` with min-path depth. This is the
+    markup-side twin of onto_closure's file-loaded ontology: the
+    hierarchy is DISCOVERED from crawl navigation, then closed. Oracle:
+    INDEPENDENT derivation — the edge set rebuilt arithmetically (not
+    through the regex chain, which breadcrumb_taxonomy already gates)
+    and closed by a recursive CTE, so the harvest+closure composition
+    is checked against a different formulation."""
+    from ontoweaver_spark.ontology import subclass_closure
+    from ontoweaver_spark.webdoc import breadcrumb_trails
+
+    _tune(spark)
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 500 >= 2)
+    r = F.col("doc_id") % 500
+    half = F.expr("(doc_id % 500) div 2")
+    planted = F.concat(
+        F.lit('<nav class="breadcrumb"><a>c'), half.cast("string"),
+        F.lit("</a> &gt; <a>c"), r.cast("string"),
+        F.lit("</a></nav><p>"), F.col("text"), F.lit("</p>"),
+    )
+    trails = breadcrumb_trails(
+        docs.select("doc_id", planted.alias("html")), id_col="doc_id"
+    )
+    edges = trails.select("child", "parent").distinct()
+    return subclass_closure(edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -7249,6 +7280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quote_attrib": q_quotes,
         "numeric_facts": q_numeric_facts,
         "page_kg": q_page_kg,
+        "breadcrumb_closure": q_breadcrumb_closure,
     }
 
 
@@ -12900,6 +12932,20 @@ def oracle_sql() -> dict[str, str]:
         "quote_attrib": _quotes_sql(),
         "numeric_facts": _numeric_facts_sql(),
         "page_kg": _page_kg_sql(),
+        "breadcrumb_closure": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT 'c' || (doc_id % 500)::VARCHAR AS child,
+                     'c' || ((doc_id % 500) // 2)::VARCHAR AS parent
+              FROM documents WHERE doc_id % 500 >= 2
+            ), c(descendant, ancestor, depth) AS (
+              SELECT child, parent, 1 FROM e
+              UNION
+              SELECT c.descendant, e.parent, c.depth + 1
+              FROM c JOIN e ON c.ancestor = e.child
+            )
+            SELECT descendant, ancestor, min(depth)::INTEGER AS depth
+            FROM c GROUP BY 1, 2
+        """,
         "triple_support": f"""
             WITH h AS ({_hearst_sql()})
             SELECT hyponym AS subject, pattern AS predicate,
