@@ -6897,10 +6897,13 @@ def q_page_kg(spark, sf_dir):
     chains + the same count-distinct HAVING), so the flagship flow
     "crawl pages -> gated KG triples" is hash-checked as one unit.
 
-    Scale shape: the legs are zero-shuffle projections; the union is
-    plan-level (no exchange); the support gate is ONE two-phase
-    count-distinct aggregation. At 10^12 pages this is exactly the
-    shape that survives: no joins until after the HAVING prune."""
+    Scale shape: each leg is a zero-shuffle projection plus its
+    contract ``distinct`` (a keyed hash aggregate that pre-shrinks the
+    stream — effectively the support gate's map-side dedup
+    materialized); the union is plan-level (no exchange of its own) and
+    the gate is ONE two-phase count-distinct aggregation. Verified
+    join-free end to end (plan-shape asserted at build time): at 10^12
+    pages nothing joins before the HAVING prune."""
     from ontoweaver_spark.ontology import triple_support
 
     def spo(df, s, p, o):

@@ -100,3 +100,17 @@ def test_triple_support_exact_distinct_docs(spark):
     assert out == {("a", "is_a", "b", 2), ("x", "part_of", "y", 1)}
     gated = triple_support(df, min_support=2)
     assert [tuple(r) for r in gated.collect()] == [("a", "is_a", "b", 2)]
+
+
+def test_page_kg_plan_is_join_free(spark):
+    """The capstone's load-bearing scale claim: nothing joins before the
+    support gate's HAVING prune — pin it so a refactor can't regress the
+    10^12-page shape."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as m
+
+    df = m.q_page_kg(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan
