@@ -7018,6 +7018,19 @@ def q_breadcrumb_closure(spark, sf_dir):
     return subclass_closure(edges)
 
 
+def q_fact_consensus(spark, sf_dir):
+    """Numeric-claim reconciliation over the has-of harvest: conflicting
+    values per (subject, relation) collapse to exact-BIGINT low-median
+    consensus plus claim/value counts and range — the literal-side twin
+    of categorical claim voting. Oracle: INDEPENDENT derivation —
+    per-row ranking (row_number) instead of the value-histogram cumsum,
+    so the no-buffering scale shape is checked against a different
+    formulation."""
+    from ontoweaver_spark.ontology import numeric_consensus
+
+    return numeric_consensus(q_numeric_facts(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -7284,6 +7297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_facts": q_numeric_facts,
         "page_kg": q_page_kg,
         "breadcrumb_closure": q_breadcrumb_closure,
+        "fact_consensus": q_fact_consensus,
     }
 
 
@@ -12934,6 +12948,26 @@ def oracle_sql() -> dict[str, str]:
         "appositive_facts": _appositive_sql(),
         "quote_attrib": _quotes_sql(),
         "numeric_facts": _numeric_facts_sql(),
+        "fact_consensus": f"""
+            WITH nf AS ({_numeric_facts_sql()}),
+            ranked AS (
+              SELECT subject, relation, value,
+                     row_number() OVER (
+                       PARTITION BY subject, relation ORDER BY value
+                     ) AS rn,
+                     count(*) OVER (
+                       PARTITION BY subject, relation
+                     ) AS m
+              FROM nf
+            )
+            SELECT subject, relation,
+                   max(m)::BIGINT AS n_claims,
+                   count(DISTINCT value)::BIGINT AS n_values,
+                   min(value) AS vmin, max(value) AS vmax,
+                   max(CASE WHEN rn = (m - 1) // 2 + 1 THEN value END)
+                     AS median
+            FROM ranked GROUP BY 1, 2
+        """,
         "page_kg": _page_kg_sql(),
         "breadcrumb_closure": """
             WITH RECURSIVE e AS (

@@ -159,7 +159,8 @@ def main() -> None:
                  "rdfa_triples", "link_rel", "alias_frames",
                  "definition_pairs", "contrast_frames", "cohyponym_pairs",
                  "hreflang_clusters", "appositive_facts", "quote_attrib",
-                 "numeric_facts", "page_kg", "breadcrumb_closure"]:
+                 "numeric_facts", "page_kg", "breadcrumb_closure",
+                 "fact_consensus"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the

@@ -885,3 +885,63 @@ def triple_support(
     if min_support > 1:
         out = out.where(F.col("support") >= min_support)
     return out
+
+
+def numeric_consensus(
+    df: DataFrame,
+    s_col: str = "subject",
+    p_col: str = "relation",
+    v_col: str = "value",
+) -> DataFrame:
+    """Numeric-claim reconciliation -> ``(subject, relation, n_claims,
+    n_values, vmin, vmax, median)``, all exact BIGINT: when 10^12 pages
+    assert conflicting values for the same numeric property ("tokyo has
+    a population of ..."), the robust consensus is the LOW MEDIAN (the
+    element at rank ``(n-1) div 2`` of the sorted claims) — outlier-immune
+    where the mean is not, and discrete so the result is one of the
+    actually-asserted values and stays integer-exact across engines.
+    The categorical sibling of claim voting (``linking`` claim_vote);
+    input is :func:`~ontoweaver_spark.webdoc.numeric_facts` output (or
+    any (s, p, integer-v) claim stream).
+
+    Scale shape: claims collapse to a VALUE HISTOGRAM per (s, p) first
+    (one map-side-combinable count — hub facts asserted by millions of
+    pages become ONE histogram row per distinct value, so no reducer
+    ever buffers a group); the median then comes from a window cumsum
+    over the histogram (rows = distinct values per key, independent of
+    corpus size) — the ``length_quantiles`` discipline, discrete
+    variant."""
+    from pyspark.sql import Window
+
+    hist = (
+        df.select(
+            F.col(s_col).alias("subject"),
+            F.col(p_col).alias("relation"),
+            F.col(v_col).cast("long").alias("v"),
+        )
+        .groupBy("subject", "relation", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("subject", "relation").orderBy("v")
+    ranges = hist.select(
+        "subject", "relation", "v", "c",
+        (F.sum("c").over(w) - F.col("c")).alias("s_"),  # first rank of v
+        (F.sum("c").over(w) - F.lit(1)).alias("e_"),    # last rank of v
+    )
+    totals = ranges.groupBy("subject", "relation").agg(
+        F.sum("c").alias("m")
+    )
+    j = ranges.join(totals, ["subject", "relation"])
+    lo = F.expr("(m - 1) div 2")
+    return (
+        j.groupBy("subject", "relation")
+        .agg(
+            F.first("m").alias("n_claims"),
+            F.count("*").alias("n_values"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+            F.max(
+                F.when((F.col("s_") <= lo) & (F.col("e_") >= lo), F.col("v"))
+            ).alias("median"),
+        )
+    )

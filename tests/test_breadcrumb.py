@@ -114,3 +114,27 @@ def test_page_kg_plan_is_join_free(spark):
     df = m.q_page_kg(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_numeric_consensus_low_median(spark):
+    from ontoweaver_spark.ontology import numeric_consensus
+
+    rows = [
+        (1, "a", "pop", 10), (2, "a", "pop", 20),
+        (3, "a", "pop", 20), (4, "a", "pop", 99),
+        (5, "b", "size", 7),
+        (6, "c", "len", 1), (7, "c", "len", 1000000),  # outlier
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, subject string, relation string, value long"
+    )
+    got = {
+        (r.subject, r.relation, r.n_claims, r.n_values, r.vmin, r.vmax,
+         r.median)
+        for r in numeric_consensus(df).collect()
+    }
+    assert got == {
+        ("a", "pop", 4, 3, 10, 99, 20),      # rank (4-1)//2 = 1 -> 20
+        ("b", "size", 1, 1, 7, 7, 7),
+        ("c", "len", 2, 2, 1, 1000000, 1),   # low median ignores outlier
+    }
