@@ -6077,7 +6077,7 @@ def q_breadcrumbs(spark, sf_dir):
     from ontoweaver_spark.webdoc import breadcrumb_trails
 
     _tune(spark)
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir)  # regex-heavy: spread the byte-small scan
     words = F.array(*[F.lit(s) for s in _HEARST_WORDS])
     w = [F.element_at(words, ((F.col("doc_id") + j) % 12 + 1).cast("int"))
          for j in range(3)]
@@ -6154,7 +6154,7 @@ def q_copula(spark, sf_dir):
     from ontoweaver_spark.webdoc import copula_isa
 
     _tune(spark)
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir)  # regex-heavy: spread the byte-small scan
     words = F.array(*[F.lit(s) for s in _HEARST_WORDS])
     w = [F.element_at(words, ((F.col("doc_id") + j) % 12 + 1).cast("int"))
          for j in range(4)]
@@ -6260,7 +6260,7 @@ def q_rdfa(spark, sf_dir):
     from ontoweaver_spark.webdoc import extract_rdfa
 
     _tune(spark)
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir)  # regex-heavy: spread the byte-small scan
     words = F.array(*[F.lit(s) for s in _HEARST_WORDS])
     w = [F.element_at(words, ((F.col("doc_id") + j) % 12 + 1).cast("int"))
          for j in range(2)]
@@ -6341,7 +6341,7 @@ def q_link_rel(spark, sf_dir):
     from ontoweaver_spark.webdoc import link_rel_edges
 
     _tune(spark)
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir)  # regex-heavy: spread the byte-small scan
     planted = F.concat(
         F.lit('<html><head><link rel="canonical" href="https://ex.com/p/'),
         F.col("doc_id").cast("string"),
@@ -6409,7 +6409,7 @@ def q_aliases(spark, sf_dir):
     from ontoweaver_spark.webdoc import aka_aliases
 
     _tune(spark)
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir)  # regex-heavy: spread the byte-small scan
     words = F.array(*[F.lit(s) for s in _HEARST_WORDS])
     w = [F.element_at(words, ((F.col("doc_id") + j) % 12 + 1).cast("int"))
          for j in range(5)]
@@ -6482,7 +6482,7 @@ def q_definitions(spark, sf_dir):
     from ontoweaver_spark.webdoc import definition_pairs
 
     _tune(spark)
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir)  # regex-heavy: spread the byte-small scan
     words = F.array(*[F.lit(s) for s in _HEARST_WORDS])
     w = [F.element_at(words, ((F.col("doc_id") + j) % 12 + 1).cast("int"))
          for j in range(3)]
@@ -6544,7 +6544,7 @@ def q_contrast(spark, sf_dir):
     from ontoweaver_spark.webdoc import contrast_pairs
 
     _tune(spark)
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir)  # regex-heavy: spread the byte-small scan
     words = F.array(*[F.lit(s) for s in _HEARST_WORDS])
     w = [F.element_at(words, ((F.col("doc_id") + j) % 12 + 1).cast("int"))
          for j in range(5)]
@@ -6632,7 +6632,7 @@ def q_hreflang_clusters(spark, sf_dir):
     from ontoweaver_spark.webdoc import link_rel_edges
 
     _tune(spark)
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir)  # regex-heavy: spread the byte-small scan
     r = F.col("doc_id") % 500
     url = F.concat(F.lit("https://ex.com/p"), r.cast("string"))
     alt = F.concat(
@@ -6714,7 +6714,7 @@ def q_appositive(spark, sf_dir):
     from ontoweaver_spark.webdoc import appositive_relations
 
     _tune(spark)
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir)  # regex-heavy: spread the byte-small scan
     words = F.array(*[F.lit(s) for s in _HEARST_WORDS])
     w = [F.element_at(words, ((F.col("doc_id") + j) % 12 + 1).cast("int"))
          for j in range(3)]
@@ -6775,7 +6775,7 @@ def q_quotes(spark, sf_dir):
     from ontoweaver_spark.webdoc import quote_attributions
 
     _tune(spark)
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir)  # regex-heavy: spread the byte-small scan
     words = F.array(*[F.lit(s) for s in _HEARST_WORDS])
     w = [F.element_at(words, ((F.col("doc_id") + j) % 12 + 1).cast("int"))
          for j in range(4)]
@@ -6835,7 +6835,7 @@ def q_numeric_facts(spark, sf_dir):
     from ontoweaver_spark.webdoc import numeric_facts
 
     _tune(spark)
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir)  # regex-heavy: spread the byte-small scan
     words = F.array(*[F.lit(s) for s in _HEARST_WORDS])
     w = [F.element_at(words, ((F.col("doc_id") + j) % 12 + 1).cast("int"))
          for j in range(2)]
