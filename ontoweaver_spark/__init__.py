@@ -94,6 +94,17 @@ from .webdoc import (
     meronym_parts,
     acronym_pairs,
     qualify_with_first_date,
+    breadcrumb_trails,
+    copula_isa,
+    extract_rdfa,
+    link_rel_edges,
+    aka_aliases,
+    definition_pairs,
+    contrast_pairs,
+    cohyponym_pairs,
+    appositive_relations,
+    quote_attributions,
+    numeric_facts,
 )
 from .layout import zorder_key, zorder_layout
 from .nulls import is_not_null
@@ -106,6 +117,8 @@ from .ontology import (
     ifp_sameas_candidates,
     subclass_closure,
     subclass_edges_from_triples,
+    triple_support,
+    numeric_consensus,
 )
 from .sampling import hash_split, skyline, stratified_sample
 from .textops import annotator_agreement, corpus_stats, extract_dates, extract_geo, extract_quantities, rake_keyphrases, readability, script_profile, textrank_keywords
@@ -164,6 +177,10 @@ __all__ = [
     "hearst_hypernyms", "meronym_parts", "extract_dates",
     "extract_quantities", "qualify_with_first_date", "extract_geo",
     "acronym_pairs",
+    "breadcrumb_trails", "copula_isa", "extract_rdfa", "link_rel_edges",
+    "aka_aliases", "definition_pairs", "contrast_pairs", "cohyponym_pairs",
+    "appositive_relations", "quote_attributions", "numeric_facts",
+    "triple_support", "numeric_consensus",
 ]
 
 
