@@ -7031,6 +7031,115 @@ def q_fact_consensus(spark, sf_dir):
     return numeric_consensus(q_numeric_facts(spark, sf_dir))
 
 
+def q_kv_types(spark, sf_dir):
+    """Spec-sheet schema discovery: a planted ``<dl>`` with one string,
+    one integer, one decimal and one date key per doc runs through the
+    dt/dd harvest and the per-key type profile — the majority-type
+    report a mapping author reads before declaring literal types.
+    Oracle: the byte-identical dt/dd chain + the same anchored literal
+    regexes and precedence CASE in DuckDB."""
+    from ontoweaver_spark.webdoc import definition_pairs, kv_type_profile
+
+    _tune(spark)
+    docs = _docs_spread(spark, sf_dir)
+    words = F.array(*[F.lit(s) for s in _HEARST_WORDS])
+    w0 = F.element_at(words, (F.col("doc_id") % 12 + 1).cast("int"))
+    planted = F.concat(
+        F.lit("<dl><dt>Brand</dt><dd>"), w0,
+        F.lit("</dd><dt>Stock</dt><dd>"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit("</dd><dt>Weight</dt><dd>"),
+        (F.col("doc_id") % 9).cast("string"), F.lit(".5"),
+        F.lit("</dd><dt>Since</dt><dd>2021-0"),
+        (F.col("doc_id") % 9 + 1).cast("string"),
+        F.lit("-15</dd></dl><p>"), F.col("text"), F.lit("</p>"),
+    )
+    pairs = definition_pairs(
+        docs.select("doc_id", planted.alias("html")), url_col="doc_id"
+    )
+    return kv_type_profile(pairs)
+
+
+def _kv_types_sql() -> str:
+    """DuckDB mirror of q_kv_types — dt/dd pattern, literal regexes and
+    the precedence CASE single-sourced from ontoweaver_spark.webdoc."""
+    from ontoweaver_spark.webdoc import (
+        DT_DD_PATTERN, _KV_DATE_RE, _KV_DEC_RE, _KV_INT_RE,
+    )
+
+    words = ", ".join(f"'{w}'" for w in _HEARST_WORDS)
+    planted = (
+        "'<dl><dt>Brand</dt><dd>' || l[1 + doc_id % 12] || "
+        "'</dd><dt>Stock</dt><dd>' || (doc_id % 100)::VARCHAR || "
+        "'</dd><dt>Weight</dt><dd>' || (doc_id % 9)::VARCHAR || '.5' || "
+        "'</dd><dt>Since</dt><dd>2021-0' || (doc_id % 9 + 1)::VARCHAR || "
+        "'-15</dd></dl><p>' || text || '</p>'"
+    )
+    pat = DT_DD_PATTERN.replace("'", "''")
+    return f"""
+            WITH w AS (
+              SELECT doc_id, text, [{words}] AS l FROM documents
+            ), h AS (
+              SELECT doc_id AS url, {planted} AS html FROM w
+            ), m AS (
+              SELECT url,
+                     regexp_extract_all(html, '{pat}', 1) AS ks,
+                     regexp_extract_all(html, '{pat}', 2) AS vs
+              FROM h
+            ), pairs AS (
+              SELECT DISTINCT url,
+                     trim({_entity_clean_sql("ks[g.i]")}) AS key,
+                     trim({_entity_clean_sql("vs[g.i]")}) AS value,
+                     g.i::BIGINT AS pair_pos
+              FROM m, LATERAL unnest(generate_series(1, len(ks))) AS g(i)
+              WHERE trim({_entity_clean_sql("ks[g.i]")}) <> ''
+                AND trim({_entity_clean_sql("vs[g.i]")}) <> ''
+            ), cls AS (
+              SELECT key,
+                CASE WHEN regexp_matches(trim(value), '{_KV_INT_RE}')
+                     THEN 1 ELSE 0 END AS i,
+                CASE WHEN regexp_matches(trim(value), '{_KV_DEC_RE}')
+                     THEN 1 ELSE 0 END AS d,
+                CASE WHEN regexp_matches(trim(value), '{_KV_DATE_RE}')
+                     THEN 1 ELSE 0 END AS t
+              FROM pairs
+            ), agg AS (
+              SELECT key, count(*)::BIGINT AS n_values,
+                     sum(i)::BIGINT AS n_int,
+                     sum(d)::BIGINT AS n_decimal,
+                     sum(t)::BIGINT AS n_date
+              FROM cls GROUP BY key
+            )
+            SELECT key, n_values, n_int, n_decimal, n_date,
+                   (n_values - n_int - n_decimal - n_date)::BIGINT
+                     AS n_other,
+                   CASE
+                     WHEN n_int >= n_decimal AND n_int >= n_date
+                          AND n_int >= n_values - n_int - n_decimal - n_date
+                     THEN 'integer'
+                     WHEN n_decimal >= n_date
+                          AND n_decimal >= n_values - n_int - n_decimal - n_date
+                     THEN 'decimal'
+                     WHEN n_date >= n_values - n_int - n_decimal - n_date
+                     THEN 'date'
+                     ELSE 'string'
+                   END AS inferred_type
+            FROM agg
+    """
+
+
+def q_harvest_yield(spark, sf_dir):
+    """Per-source harvest-yield report over the Hearst harvest: which
+    crawl sources produce is-a triples, at what exact-BIGINT
+    per-doc rate — the crawl-budget reallocation signal. Oracle: the
+    single-sourced Hearst chain + the same per-doc-then-join-then-rollup
+    arithmetic."""
+    from ontoweaver_spark.webdoc import harvest_yield
+
+    h = q_hearst(spark, sf_dir)
+    return harvest_yield(h, _docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -7298,6 +7407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_kg": q_page_kg,
         "breadcrumb_closure": q_breadcrumb_closure,
         "fact_consensus": q_fact_consensus,
+        "kv_type_profile": q_kv_types,
+        "harvest_yield": q_harvest_yield,
     }
 
 
@@ -12948,6 +13059,22 @@ def oracle_sql() -> dict[str, str]:
         "appositive_facts": _appositive_sql(),
         "quote_attrib": _quotes_sql(),
         "numeric_facts": _numeric_facts_sql(),
+        "kv_type_profile": _kv_types_sql(),
+        "harvest_yield": f"""
+            WITH h AS ({_hearst_sql()}),
+            per AS (
+              SELECT doc_id, count(*)::BIGINT AS n_t FROM h GROUP BY doc_id
+            ), base AS (
+              SELECT d.doc_id, d.source AS grp, per.n_t
+              FROM documents d LEFT JOIN per USING (doc_id)
+            )
+            SELECT grp AS "group", count(*)::BIGINT AS n_docs,
+                   count(n_t)::BIGINT AS n_docs_with,
+                   coalesce(sum(n_t), 0)::BIGINT AS n_triples,
+                   (coalesce(sum(n_t), 0) * 10000 // count(*))::BIGINT
+                     AS triples_per_doc_e4
+            FROM base GROUP BY 1
+        """,
         "fact_consensus": f"""
             WITH nf AS ({_numeric_facts_sql()}),
             ranked AS (

@@ -1264,3 +1264,114 @@ def numeric_facts(
         & ~F.col("relation").isin(_HEARST_DROP)
     )
     return out.distinct()
+
+
+# --------------------------------------------------------------------------
+# Harvested key/value schema discovery and per-source harvest yield
+# --------------------------------------------------------------------------
+
+# anchored, Java∩RE2-safe literal shapes; 18-digit bound keeps any
+# downstream BIGINT cast overflow-free
+_KV_INT_RE = r"^-?\d{1,18}$"
+_KV_DEC_RE = r"^-?\d{1,18}\.\d{1,9}$"
+_KV_DATE_RE = r"^\d{4}-\d{2}-\d{2}$"
+
+
+def kv_type_profile(
+    df: DataFrame,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Schema discovery over a harvested key/value stream
+    (:func:`definition_pairs`, microdata/RDFa property triples) ->
+    ``(key, n_values, n_int, n_decimal, n_date, n_other,
+    inferred_type)``: the spec-sheet analog of
+    :func:`infer_table_column_types` — per key, how its values parse,
+    and the majority type under a DETERMINISTIC precedence (integer >
+    decimal > date > string on ties), which tells the KG bridge whether
+    ``weight`` is a literal number or free text before any mapping is
+    written.
+
+    Scale shape: per-row anchored-regex classification (in-codegen),
+    ONE map-side-combinable aggregation keyed by the harvested key —
+    hub keys ("brand" on every product page) absorb into partials."""
+    v = F.trim(F.col(value_col))
+    is_int = v.rlike(_KV_INT_RE).cast("long")
+    is_dec = v.rlike(_KV_DEC_RE).cast("long")
+    is_date = v.rlike(_KV_DATE_RE).cast("long")
+    agg = (
+        df.select(
+            F.col(key_col).alias("key"),
+            is_int.alias("i"), is_dec.alias("d"), is_date.alias("t"),
+        )
+        .groupBy("key")
+        .agg(
+            F.count("*").alias("n_values"),
+            F.sum("i").alias("n_int"),
+            F.sum("d").alias("n_decimal"),
+            F.sum("t").alias("n_date"),
+        )
+        .withColumn(
+            "n_other",
+            F.col("n_values") - F.col("n_int") - F.col("n_decimal")
+            - F.col("n_date"),
+        )
+    )
+    inferred = (
+        F.when(
+            (F.col("n_int") >= F.col("n_decimal"))
+            & (F.col("n_int") >= F.col("n_date"))
+            & (F.col("n_int") >= F.col("n_other")),
+            F.lit("integer"),
+        )
+        .when(
+            (F.col("n_decimal") >= F.col("n_date"))
+            & (F.col("n_decimal") >= F.col("n_other")),
+            F.lit("decimal"),
+        )
+        .when(F.col("n_date") >= F.col("n_other"), F.lit("date"))
+        .otherwise(F.lit("string"))
+    )
+    return agg.select(
+        "key", "n_values", "n_int", "n_decimal", "n_date", "n_other",
+        inferred.alias("inferred_type"),
+    )
+
+
+def harvest_yield(
+    harvest: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group harvest-yield report -> ``(group, n_docs, n_docs_with,
+    n_triples, triples_per_doc_e4)``: which crawl sources/hosts actually
+    produce KG triples — the signal a 10^12-page crawl budget reallocates
+    on (re-fetch the high-yield hosts, deprioritize the barren ones;
+    the KG-side complement of ``urls.frontier_plan``). Exact integers
+    throughout: the per-doc rate is BIGINT ten-thousandths
+    (``n_triples * 10000 div n_docs``), never a float.
+
+    Scale shape: the harvest aggregates to per-doc counts FIRST
+    (map-side combinable, doc-cardinality output), then ONE
+    doc-cardinality join to the docs table's group column, then the
+    tiny per-group rollup — the triple stream itself never joins."""
+    per_doc = harvest.groupBy(F.col(id_col)).agg(
+        F.count("*").alias("n_t")
+    )
+    base = docs.select(
+        F.col(id_col), F.col(group_col).alias("group")
+    ).join(per_doc, id_col, "left")
+    return (
+        base.groupBy("group")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("n_t").alias("n_docs_with"),
+            F.coalesce(F.sum("n_t"), F.lit(0)).alias("n_triples"),
+        )
+        .select(
+            "group", "n_docs", "n_docs_with", "n_triples",
+            F.expr("n_triples * 10000 div n_docs")
+            .alias("triples_per_doc_e4"),
+        )
+    )

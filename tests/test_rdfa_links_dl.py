@@ -249,3 +249,48 @@ def test_numeric_facts_exact_bigint(spark):
         (1, "tokyo", "population", 39000000),
         (2, "engine", "output", 120),
     }
+
+
+def test_kv_type_profile_majority_and_tiebreak(spark):
+    from ontoweaver_spark.webdoc import kv_type_profile
+
+    rows = [
+        ("stock", "5"), ("stock", "12"), ("stock", "n/a"),
+        ("weight", "1.5"), ("weight", "2.25"),
+        ("since", "2021-03-15"),
+        ("name", "Acme"), ("name", "7"),  # tie 1-1 -> integer precedence
+    ]
+    df = spark.createDataFrame(rows, "key string, value string")
+    got = {
+        (r.key, r.n_values, r.n_int, r.n_decimal, r.n_date, r.n_other,
+         r.inferred_type)
+        for r in kv_type_profile(df).collect()
+    }
+    assert got == {
+        ("stock", 3, 2, 0, 0, 1, "integer"),
+        ("weight", 2, 0, 2, 0, 0, "decimal"),
+        ("since", 1, 0, 0, 1, 0, "date"),
+        ("name", 2, 1, 0, 0, 1, "integer"),
+    }
+
+
+def test_harvest_yield_exact_rates(spark):
+    from ontoweaver_spark.webdoc import harvest_yield
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b")],
+        "doc_id long, source string",
+    )
+    harvest = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z")],  # doc 3 and 4 barren
+        "doc_id long, t string",
+    )
+    got = {
+        (r.group, r.n_docs, r.n_docs_with, r.n_triples,
+         r.triples_per_doc_e4)
+        for r in harvest_yield(harvest, docs).collect()
+    }
+    assert got == {
+        ("a", 2, 2, 3, 15000),  # 1.5 triples/doc
+        ("b", 2, 0, 0, 0),
+    }
