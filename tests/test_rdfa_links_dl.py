@@ -294,3 +294,39 @@ def test_harvest_yield_exact_rates(spark):
         ("a", 2, 2, 3, 15000),  # 1.5 triples/doc
         ("b", 2, 0, 0, 0),
     }
+
+
+def test_harvesters_partition_invariant(spark):
+    """Distributed-correctness property: every harvester is a row-local
+    projection (+ keyed distinct), so its result set must not depend on
+    how the input is partitioned."""
+    from ontoweaver_spark.webdoc import (
+        aka_aliases, appositive_relations, contrast_pairs,
+        definition_pairs, extract_rdfa, link_rel_edges, numeric_facts,
+        quote_attributions,
+    )
+
+    rows = [
+        (
+            i,
+            f"u{i}",
+            '<div typeof="T"><span property="p">v</span></div>'
+            '<link rel="canonical" href="https://e/c">'
+            "<dl><dt>k</dt><dd>v</dd></dl>",
+            'wombat, also known as vombatus or diprotodon. '
+            'anna, the boss of acme. '
+            f'cats rather than dogs. town has a size of {i},100. '
+            f'"quote number {i}," said grace.',
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, html string, text string"
+    )
+    html_fns = [extract_rdfa, link_rel_edges, definition_pairs]
+    text_fns = [aka_aliases, appositive_relations, contrast_pairs,
+                numeric_facts, quote_attributions]
+    for fn in html_fns + text_fns:
+        a = {tuple(r) for r in fn(df.repartition(1)).collect()}
+        b = {tuple(r) for r in fn(df.repartition(7, "url")).collect()}
+        assert a == b and a, fn.__name__
