@@ -7140,6 +7140,133 @@ def q_harvest_yield(spark, sf_dir):
     return harvest_yield(h, _docs(spark, sf_dir))
 
 
+def q_citations(spark, sf_dir):
+    """Author-year citation harvest: both planted frames per doc — a
+    plain "(Name, 20XX)" and an "(Name et al., 19XX)" — with
+    capitalized rotation names and the real ``text`` column appended so
+    both engines process realistic residue identically. Oracle: the
+    byte-identical case-preserving chain + the same capitalization
+    arithmetic in DuckDB."""
+    from ontoweaver_spark.webdoc import citation_mentions
+
+    _tune(spark)
+    docs = _docs_spread(spark, sf_dir)
+    words = F.array(*[F.lit(s) for s in _HEARST_WORDS])
+    w = [F.element_at(words, ((F.col("doc_id") + j) % 12 + 1).cast("int"))
+         for j in range(2)]
+
+    def cap(c):
+        return F.concat(
+            F.upper(c.substr(1, 1)), c.substr(F.lit(2), F.length(c))
+        )
+
+    yy = F.lpad((F.col("doc_id") % 30).cast("string"), 2, "0")
+    planted = F.concat(
+        F.lit("as shown ("), cap(w[0]), F.lit(", 20"), yy,
+        F.lit(") and ("), cap(w[1]), F.lit(" et al., 19"), yy,
+        F.lit("). "), F.col("text"),
+    )
+    return citation_mentions(docs.select("doc_id", planted.alias("text")))
+
+
+def _citations_sql() -> str:
+    """DuckDB mirror of q_citations — patterns single-sourced from
+    ontoweaver_spark.webdoc, same capitalization arithmetic."""
+    from ontoweaver_spark.webdoc import CITATION_PATTERNS
+
+    words = ", ".join(f"'{w}'" for w in _HEARST_WORDS)
+
+    def pick(j: int) -> str:
+        return f"l[1 + (doc_id + {j}) % 12]"
+
+    def cap(x: str) -> str:
+        return f"upper({x}[1]) || {x}[2:]"
+
+    planted = (
+        f"'as shown (' || {cap(pick(0))} || ', 20' || "
+        "lpad((doc_id % 30)::VARCHAR, 2, '0') || ') and (' || "
+        f"{cap(pick(1))} || ' et al., 19' || "
+        "lpad((doc_id % 30)::VARCHAR, 2, '0') || '). ' || text"
+    )
+    branches = "\n              UNION ALL\n".join(
+        f"""              SELECT doc_id, '{name}' AS pattern,
+                     regexp_extract_all(tx, '{p.replace("'", "''")}', {ag}) AS ga,
+                     regexp_extract_all(tx, '{p.replace("'", "''")}', {yg}) AS gy
+              FROM t"""
+        for name, (p, ag, yg) in CITATION_PATTERNS.items()
+    )
+    return f"""
+            WITH w AS (
+              SELECT doc_id, text, [{words}] AS l FROM documents
+            ), t AS (
+              SELECT doc_id,
+                     regexp_replace({planted}, '\\s+', ' ', 'g') AS tx
+              FROM w
+            ), m AS (
+{branches}
+            )
+            SELECT DISTINCT doc_id, ga[g.i] AS author,
+                   gy[g.i]::BIGINT AS year, pattern
+            FROM m, LATERAL unnest(generate_series(1, len(ga))) AS g(i)
+    """
+
+
+def q_identifiers(spark, sf_dir):
+    """External-identifier harvest: a planted DOI (4-digit registrant,
+    word+digit suffix, trailing sentence period that must NOT stick)
+    and a planted digit-form ISBN-13 per doc, plus the real ``text``
+    column so both engines process realistic residue identically.
+    Oracle: the byte-identical lowercased chain in DuckDB."""
+    from ontoweaver_spark.webdoc import identifier_mentions
+
+    _tune(spark)
+    docs = _docs_spread(spark, sf_dir)
+    words = F.array(*[F.lit(s) for s in _HEARST_WORDS])
+    w0 = F.element_at(words, (F.col("doc_id") % 12 + 1).cast("int"))
+    planted = F.concat(
+        F.lit("see 10."), (F.col("doc_id") % 9000 + 1000).cast("string"),
+        F.lit("/j."), w0, F.lit("-"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit(". isbn 978"),
+        F.lpad((F.col("doc_id") * 7 % 10000000000).cast("string"), 10, "0"),
+        F.lit(". "), F.col("text"),
+    )
+    return identifier_mentions(docs.select("doc_id", planted.alias("text")))
+
+
+def _identifiers_sql() -> str:
+    """DuckDB mirror of q_identifiers — patterns single-sourced from
+    ontoweaver_spark.webdoc."""
+    from ontoweaver_spark.webdoc import IDENTIFIER_PATTERNS
+
+    words = ", ".join(f"'{w}'" for w in _HEARST_WORDS)
+    planted = (
+        "'see 10.' || (doc_id % 9000 + 1000)::VARCHAR || '/j.' || "
+        "l[1 + doc_id % 12] || '-' || (doc_id % 97)::VARCHAR || "
+        "'. isbn 978' || "
+        "lpad((doc_id * 7 % 10000000000)::VARCHAR, 10, '0') || '. ' || text"
+    )
+    branches = "\n              UNION ALL\n".join(
+        f"""              SELECT doc_id, '{name}' AS kind,
+                     unnest(regexp_extract_all(tx,
+                       '{p.replace("'", "''")}', 0)) AS identifier
+              FROM t"""
+        for name, p in IDENTIFIER_PATTERNS.items()
+    )
+    return f"""
+            WITH w AS (
+              SELECT doc_id, text, [{words}] AS l FROM documents
+            ), t AS (
+              SELECT doc_id,
+                     lower(regexp_replace({planted}, '\\s+', ' ', 'g')) AS tx
+              FROM w
+            ), m AS (
+{branches}
+            )
+            SELECT DISTINCT doc_id, kind, identifier FROM m
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -7409,6 +7536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_consensus": q_fact_consensus,
         "kv_type_profile": q_kv_types,
         "harvest_yield": q_harvest_yield,
+        "citation_mentions": q_citations,
+        "identifier_mentions": q_identifiers,
     }
 
 
@@ -13060,6 +13189,8 @@ def oracle_sql() -> dict[str, str]:
         "quote_attrib": _quotes_sql(),
         "numeric_facts": _numeric_facts_sql(),
         "kv_type_profile": _kv_types_sql(),
+        "citation_mentions": _citations_sql(),
+        "identifier_mentions": _identifiers_sql(),
         "harvest_yield": f"""
             WITH h AS ({_hearst_sql()}),
             per AS (

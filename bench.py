@@ -160,7 +160,8 @@ def main() -> None:
                  "definition_pairs", "contrast_frames", "cohyponym_pairs",
                  "hreflang_clusters", "appositive_facts", "quote_attrib",
                  "numeric_facts", "page_kg", "breadcrumb_closure",
-                 "fact_consensus", "kv_type_profile", "harvest_yield"]:
+                 "fact_consensus", "kv_type_profile", "harvest_yield",
+                 "citation_mentions", "identifier_mentions"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the

@@ -1375,3 +1375,110 @@ def harvest_yield(
             .alias("triples_per_doc_e4"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Citation mentions and external-identifier anchors
+# --------------------------------------------------------------------------
+
+# author-year citations, case-preserving (names need caps); the "et al."
+# frame FIRST so the plain frame's residue is the two-author tail only
+CITATION_PATTERNS: dict[str, tuple[str, int, int]] = {
+    "etal": (r"\(([A-Z][a-z]+) et al\., (\d{4})\)", 1, 2),
+    "author_year": (r"\(([A-Z][a-z]+), (\d{4})\)", 1, 2),
+}
+
+
+def citation_mentions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Author-year citation harvest -> distinct ``(doc_id, author,
+    year, pattern)`` with ``year`` exact BIGINT: "(Smith, 2020)" /
+    "(Smith et al., 2020)" — citation density is a strong
+    document-quality prior for training-data curation, and the
+    (author, year) keys anchor documents to a bibliographic registry
+    the same way DOIs do. Case-preserving (names need their capital).
+
+    Scale shape: two 2-group extractions zipped + concatenated, ONE
+    explode, closing ``distinct`` — the standard harvest projection."""
+    t = F.regexp_replace(F.col(text_col), r"\s+", " ")
+
+    def _tagger(name: str):
+        # factory, not a default arg: pyspark reads the HOF lambda arity
+        return lambda s: F.struct(
+            F.lit(name).alias("pattern"),
+            s["a"].alias("author"),
+            s["y"].alias("year"),
+        )
+
+    per_pattern = [
+        F.transform(
+            F.arrays_zip(
+                F.regexp_extract_all(t, F.lit(p), ag).alias("a"),
+                F.regexp_extract_all(t, F.lit(p), yg).alias("y"),
+            ),
+            _tagger(name),
+        )
+        for name, (p, ag, yg) in CITATION_PATTERNS.items()
+    ]
+    out = df.select(
+        F.col(id_col), F.explode(F.concat(*per_pattern)).alias("x")
+    ).select(
+        id_col,
+        F.col("x.author").alias("author"),
+        F.col("x.year").cast("long").alias("year"),
+        F.col("x.pattern").alias("pattern"),
+    )
+    return out.distinct()
+
+
+# DOI (lowercased subset, final char alphanumeric, bounded suffix) and
+# digit-form ISBN-13; both in the Java∩RE2 intersection
+IDENTIFIER_PATTERNS: dict[str, str] = {
+    "doi": r"\b10\.\d{4,9}/[a-z0-9._/-]{1,39}[a-z0-9]",
+    "isbn13": r"\b97[89]\d{10}\b",
+}
+
+
+def identifier_mentions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """External-identifier harvest -> distinct ``(doc_id, kind,
+    identifier)``: DOIs and digit-form ISBN-13s are REGISTRY anchors —
+    two pages citing the same DOI talk about the same work with
+    certainty no string similarity gives, so these become the
+    highest-precision ``owl:sameAs`` / entity-linking edges in the
+    harvested KG. Text is lowercased (DOIs are case-insensitive by
+    spec; the digit ISBN is unaffected); the DOI suffix subset is the
+    deterministic ``[a-z0-9._/-]`` core with a bounded length and an
+    alphanumeric final char so trailing sentence punctuation never
+    sticks to the identifier.
+
+    Scale shape: one extraction per pattern, concatenated, ONE explode,
+    closing ``distinct`` — the standard harvest projection."""
+    t = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+
+    def _tagger(name: str):
+        # factory, not a default arg: pyspark reads the HOF lambda arity
+        return lambda v: F.struct(
+            F.lit(name).alias("kind"), v.alias("identifier")
+        )
+
+    per_pattern = [
+        F.transform(
+            F.regexp_extract_all(t, F.lit(p), 0), _tagger(name)
+        )
+        for name, p in IDENTIFIER_PATTERNS.items()
+    ]
+    out = df.select(
+        F.col(id_col), F.explode(F.concat(*per_pattern)).alias("x")
+    ).select(
+        id_col,
+        F.col("x.kind").alias("kind"),
+        F.col("x.identifier").alias("identifier"),
+    )
+    return out.distinct()

@@ -330,3 +330,41 @@ def test_harvesters_partition_invariant(spark):
         a = {tuple(r) for r in fn(df.repartition(1)).collect()}
         b = {tuple(r) for r in fn(df.repartition(7, "url")).collect()}
         assert a == b and a, fn.__name__
+
+
+def test_citation_mentions(spark):
+    from ontoweaver_spark.webdoc import citation_mentions
+
+    docs = spark.createDataFrame(
+        [
+            (1, "As shown (Smith, 2020) and (Jones et al., 1999)."),
+            (2, "No citations (lowercase, 2020) or (Smith 2020) here."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.author, r.year, r.pattern)
+           for r in citation_mentions(docs).collect()}
+    assert got == {
+        (1, "Smith", 2020, "author_year"),
+        (1, "Jones", 1999, "etal"),
+    }
+
+
+def test_identifier_mentions_doi_isbn(spark):
+    from ontoweaver_spark.webdoc import identifier_mentions
+
+    docs = spark.createDataFrame(
+        [
+            (1, "See DOI 10.1038/s41586-020-2649-2. for details"),
+            (2, "ISBN 9780262046305 and junk 9770262046305."),
+            (3, "not a doi: 10.12/x (registrant too short)"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.kind, r.identifier)
+           for r in identifier_mentions(docs).collect()}
+    # trailing sentence period NOT part of the DOI; 977 prefix rejected
+    assert got == {
+        (1, "doi", "10.1038/s41586-020-2649-2"),
+        (2, "isbn13", "9780262046305"),
+    }
