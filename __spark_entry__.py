@@ -7267,6 +7267,78 @@ def _identifiers_sql() -> str:
     """
 
 
+def q_md_sections(spark, sf_dir):
+    """Markdown heading-hierarchy harvest: four planted ATX headings per
+    doc (H1 > H2 > H3, then a sibling H2 that must re-attach to the H1)
+    with the real ``text`` column as the body so both engines process
+    realistic residue identically. The parent link is computed
+    JOIN-FREE (per-doc window carrying each level's running last
+    position). Oracle: INDEPENDENT derivation — a LEFT self-join
+    max(pos) over preceding strictly-shallower headings, a different
+    formulation than the window."""
+    from ontoweaver_spark.webdoc import markdown_sections
+
+    _tune(spark)
+    docs = _docs_spread(spark, sf_dir)
+    words = F.array(*[F.lit(s) for s in _HEARST_WORDS])
+    w = [F.element_at(words, ((F.col("doc_id") + j) % 12 + 1).cast("int"))
+         for j in range(4)]
+    nl = F.lit("\n")
+    planted = F.concat(
+        F.lit("# "), w[0], nl, F.lit("## "), w[1], nl,
+        F.lit("### "), w[2], nl, F.lit("## "), w[3], nl, F.col("text"),
+    )
+    return markdown_sections(docs.select("doc_id", planted.alias("text")))
+
+
+def _md_sections_sql() -> str:
+    """DuckDB mirror of q_md_sections — heading regex single-sourced;
+    the parent computed by a self-join instead of the window."""
+    from ontoweaver_spark.webdoc import _MD_HEADING_RE
+
+    words = ", ".join(f"'{w}'" for w in _HEARST_WORDS)
+
+    def pick(j: int) -> str:
+        return f"l[1 + (doc_id + {j}) % 12]"
+
+    planted = (
+        f"'# ' || {pick(0)} || chr(10) || '## ' || {pick(1)} || chr(10) || "
+        f"'### ' || {pick(2)} || chr(10) || '## ' || {pick(3)} || chr(10) "
+        "|| text"
+    )
+    p = _MD_HEADING_RE.replace("'", "''")
+    return f"""
+            WITH w AS (
+              SELECT doc_id, text, [{words}] AS l FROM documents
+            ), t AS (
+              SELECT doc_id, string_split({planted}, chr(10)) AS parts
+              FROM w
+            ), ln AS (
+              SELECT doc_id, parts[g.i] AS line, g.i AS lno
+              FROM t, LATERAL unnest(generate_series(1, len(parts)))
+                AS g(i)
+            ), heads AS (
+              SELECT doc_id, lno,
+                     length(regexp_extract(line, '{p}', 1)) AS level,
+                     trim(regexp_extract(line, '{p}', 2)) AS title,
+                     row_number() OVER (
+                       PARTITION BY doc_id ORDER BY lno
+                     ) AS pos
+              FROM ln
+              WHERE length(regexp_extract(line, '{p}', 1)) > 0
+                AND trim(regexp_extract(line, '{p}', 2)) <> ''
+            )
+            SELECT h.doc_id, h.pos::BIGINT AS pos,
+                   h.level::BIGINT AS level, h.title,
+                   max(par.pos)::BIGINT AS parent_pos
+            FROM heads h
+            LEFT JOIN heads par
+              ON par.doc_id = h.doc_id AND par.lno < h.lno
+             AND par.level < h.level
+            GROUP BY h.doc_id, h.pos, h.level, h.title
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -7538,6 +7610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harvest_yield": q_harvest_yield,
         "citation_mentions": q_citations,
         "identifier_mentions": q_identifiers,
+        "md_sections": q_md_sections,
     }
 
 
@@ -13191,6 +13264,7 @@ def oracle_sql() -> dict[str, str]:
         "kv_type_profile": _kv_types_sql(),
         "citation_mentions": _citations_sql(),
         "identifier_mentions": _identifiers_sql(),
+        "md_sections": _md_sections_sql(),
         "harvest_yield": f"""
             WITH h AS ({_hearst_sql()}),
             per AS (

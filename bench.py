@@ -161,7 +161,8 @@ def main() -> None:
                  "hreflang_clusters", "appositive_facts", "quote_attrib",
                  "numeric_facts", "page_kg", "breadcrumb_closure",
                  "fact_consensus", "kv_type_profile", "harvest_yield",
-                 "citation_mentions", "identifier_mentions"]:
+                 "citation_mentions", "identifier_mentions",
+                 "md_sections"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the

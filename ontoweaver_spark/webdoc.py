@@ -1482,3 +1482,72 @@ def identifier_mentions(
         F.col("x.identifier").alias("identifier"),
     )
     return out.distinct()
+
+
+# --------------------------------------------------------------------------
+# Markdown heading hierarchy: document structure for section-aware chunking
+# --------------------------------------------------------------------------
+
+_MD_HEADING_RE = r"^(#{1,6}) +(.+?) *#* *$"
+
+
+def markdown_sections(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Markdown heading-hierarchy harvest -> ``(doc_id, pos, level,
+    title, parent_pos)``: ATX headings (``#`` .. ``######``, optional
+    closing hashes) in line order, each linked to its nearest preceding
+    STRICTLY-SHALLOWER heading — the document's own section taxonomy.
+    Crawl-derived training corpora are full of markdown (converted docs,
+    READMEs, forum posts); section structure is what section-aware
+    chunking and "heading breadcrumb" context prompts need, the in-doc
+    analog of :func:`breadcrumb_trails`. ``parent_pos`` is NULL for
+    top-of-tree headings; ``pos`` is the 1-based heading index within
+    the doc (stable tie-free order).
+
+    Scale shape: lines via one ``split``+``posexplode`` (row-local);
+    the parent link is JOIN-FREE — one window per doc carries the
+    running last position of each heading level (six ``last(...,
+    ignorenulls=True)`` columns over a single window spec) and the
+    parent is the greatest of the shallower levels' positions. One
+    shuffle total (the per-doc window sort), no self-join, no
+    quadratic anything."""
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("_ln", "_line"),
+    )
+    level = F.length(F.regexp_extract(F.col("_line"), _MD_HEADING_RE, 1))
+    title = F.trim(F.regexp_extract(F.col("_line"), _MD_HEADING_RE, 2))
+    heads = (
+        lines.select(
+            id_col, "_ln", level.alias("level"), title.alias("title")
+        )
+        .where((F.col("level") > 0) & (F.col("title") != ""))
+    )
+    w_pos = Window.partitionBy(id_col).orderBy("_ln")
+    heads = heads.withColumn("pos", F.row_number().over(w_pos))
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("_ln")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_at = [
+        F.last(
+            F.when(F.col("level") == lvl, F.col("pos")), ignorenulls=True
+        ).over(w_run)
+        for lvl in range(1, 7)
+    ]
+    parent = F.greatest(*[
+        F.when(F.col("level") > lvl, last_at[lvl - 1]) for lvl in range(1, 6)
+    ] + [F.lit(None).cast("int")])
+    return heads.select(
+        id_col,
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("level").cast("bigint").alias("level"),
+        "title",
+        parent.cast("bigint").alias("parent_pos"),
+    )

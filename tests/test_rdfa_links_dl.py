@@ -368,3 +368,33 @@ def test_identifier_mentions_doi_isbn(spark):
         (1, "doi", "10.1038/s41586-020-2649-2"),
         (2, "isbn13", "9780262046305"),
     }
+
+
+def test_markdown_sections_hierarchy(spark):
+    from ontoweaver_spark.webdoc import markdown_sections
+
+    md = "\n".join([
+        "# alpha",
+        "intro text",
+        "## beta",
+        "### gamma",
+        "body",
+        "## delta ##",       # closing hashes stripped
+        "#nospace",          # not a heading (no space)
+        "####### seven",     # not a heading (>6 hashes)
+        "# omega",
+        "### eps",           # level jump: parent is the H1, not an H2
+    ])
+    df = spark.createDataFrame([(1, md)], "doc_id long, text string")
+    got = {
+        (r.pos, r.level, r.title, r.parent_pos)
+        for r in markdown_sections(df).collect()
+    }
+    assert got == {
+        (1, 1, "alpha", None),
+        (2, 2, "beta", 1),
+        (3, 3, "gamma", 2),
+        (4, 2, "delta", 1),
+        (5, 1, "omega", None),
+        (6, 3, "eps", 5),
+    }
