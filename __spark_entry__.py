@@ -7339,6 +7339,29 @@ def _md_sections_sql() -> str:
     """
 
 
+def q_section_paths(spark, sf_dir):
+    """Heading-breadcrumb paths over the same planted markdown as
+    q_md_sections (H1 > H2 > H3 plus a sibling H2): the window-cascade
+    chain assembly vs an INDEPENDENT recursive-CTE oracle that walks
+    the self-join parent links from the root — two different
+    formulations of the ancestor chain must agree on every path."""
+    from ontoweaver_spark.webdoc import markdown_section_paths
+
+    _tune(spark)
+    docs = _docs_spread(spark, sf_dir)
+    words = F.array(*[F.lit(s) for s in _HEARST_WORDS])
+    w = [F.element_at(words, ((F.col("doc_id") + j) % 12 + 1).cast("int"))
+         for j in range(4)]
+    nl = F.lit("\n")
+    planted = F.concat(
+        F.lit("# "), w[0], nl, F.lit("## "), w[1], nl,
+        F.lit("### "), w[2], nl, F.lit("## "), w[3], nl, F.col("text"),
+    )
+    return markdown_section_paths(
+        docs.select("doc_id", planted.alias("text"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -7611,6 +7634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "citation_mentions": q_citations,
         "identifier_mentions": q_identifiers,
         "md_sections": q_md_sections,
+        "section_paths": q_section_paths,
     }
 
 
@@ -13265,6 +13289,18 @@ def oracle_sql() -> dict[str, str]:
         "citation_mentions": _citations_sql(),
         "identifier_mentions": _identifiers_sql(),
         "md_sections": _md_sections_sql(),
+        "section_paths": f"""
+            WITH RECURSIVE ms AS (
+              {_md_sections_sql()}
+            ), paths(doc_id, pos, path) AS (
+              SELECT doc_id, pos, title FROM ms WHERE parent_pos IS NULL
+              UNION ALL
+              SELECT h.doc_id, h.pos, p.path || ' > ' || h.title
+              FROM ms h JOIN paths p
+                ON h.doc_id = p.doc_id AND h.parent_pos = p.pos
+            )
+            SELECT doc_id, pos, path FROM paths
+        """,
         "harvest_yield": f"""
             WITH h AS ({_hearst_sql()}),
             per AS (

@@ -1551,3 +1551,73 @@ def markdown_sections(
         "title",
         parent.cast("bigint").alias("parent_pos"),
     )
+
+
+def markdown_section_paths(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " > ",
+) -> DataFrame:
+    """Heading-breadcrumb paths -> ``(doc_id, pos, path)``: each ATX
+    heading with its full ancestor chain rendered root-first ("alpha >
+    beta > gamma") — the context string section-aware chunkers prepend
+    to every chunk so a model sees where in the document a passage
+    lives. Ancestors follow :func:`markdown_sections` semantics
+    (nearest preceding strictly-shallower heading, transitively).
+
+    JOIN-FREE chain assembly: the same per-doc window carries each
+    level's running last (position, title); a level-ascending cascade
+    keeps a shallower level's entry only when its position is LATER
+    than every already-accepted ancestor (a stale H2 from a previous
+    H1 section is thereby excluded — the positional-validity guard),
+    and the path is one ``array_join``. One shuffle (the per-doc window
+    sort), no self-join, no recursion."""
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("_ln", "_line"),
+    )
+    level = F.length(F.regexp_extract(F.col("_line"), _MD_HEADING_RE, 1))
+    title = F.trim(F.regexp_extract(F.col("_line"), _MD_HEADING_RE, 2))
+    heads = (
+        lines.select(
+            id_col, "_ln", level.alias("level"), title.alias("title")
+        )
+        .where((F.col("level") > 0) & (F.col("title") != ""))
+    )
+    w_pos = Window.partitionBy(id_col).orderBy("_ln")
+    heads = heads.withColumn("pos", F.row_number().over(w_pos))
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("_ln")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lastp = {
+        lvl: F.last(
+            F.when(F.col("level") == lvl, F.col("pos")), ignorenulls=True
+        ).over(w_run)
+        for lvl in range(1, 7)
+    }
+    lastt = {
+        lvl: F.last(
+            F.when(F.col("level") == lvl, F.col("title")), ignorenulls=True
+        ).over(w_run)
+        for lvl in range(1, 7)
+    }
+    parts = F.array().cast("array<string>")
+    chain_pos = F.lit(None).cast("int")
+    for lvl in range(1, 6):
+        ok = (
+            (F.col("level") > lvl)
+            & lastp[lvl].isNotNull()
+            & (chain_pos.isNull() | (lastp[lvl] > chain_pos))
+        )
+        parts = F.when(ok, F.concat(parts, F.array(lastt[lvl]))).otherwise(parts)
+        chain_pos = F.when(ok, lastp[lvl]).otherwise(chain_pos)
+    path = F.array_join(F.concat(parts, F.array(F.col("title"))), sep)
+    return heads.select(
+        id_col, F.col("pos").cast("bigint").alias("pos"),
+        path.alias("path"),
+    )

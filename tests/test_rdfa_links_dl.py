@@ -398,3 +398,27 @@ def test_markdown_sections_hierarchy(spark):
         (5, 1, "omega", None),
         (6, 3, "eps", 5),
     }
+
+
+def test_markdown_section_paths_with_stale_guard(spark):
+    from ontoweaver_spark.webdoc import markdown_section_paths
+
+    md = "\n".join([
+        "## orphan",          # H2 with no H1 -> path is itself
+        "# alpha",
+        "## beta",
+        "### gamma",
+        "# omega",
+        "### eps",            # stale '## beta' must NOT appear in path
+    ])
+    df = spark.createDataFrame([(1, md)], "doc_id long, text string")
+    got = {(r.pos, r.path)
+           for r in markdown_section_paths(df).collect()}
+    assert got == {
+        (1, "orphan"),
+        (2, "alpha"),
+        (3, "alpha > beta"),
+        (4, "alpha > beta > gamma"),
+        (5, "omega"),
+        (6, "omega > eps"),
+    }
