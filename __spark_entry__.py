@@ -7362,6 +7362,79 @@ def q_section_paths(spark, sf_dir):
     )
 
 
+def q_section_text(spark, sf_dir):
+    """Section-grouped body text over planted markdown: a preamble-free
+    doc with bodies under the H1 and the first H2, two body-less
+    headings, and the real ``text`` column as the last section's body —
+    both engines must attribute every line to the same governing
+    heading and join bodies in the same order. Oracle: the running
+    heading count + ordered string_agg in DuckDB."""
+    from ontoweaver_spark.webdoc import markdown_section_text
+
+    _tune(spark)
+    docs = _docs_spread(spark, sf_dir)
+    words = F.array(*[F.lit(s) for s in _HEARST_WORDS])
+    w = [F.element_at(words, ((F.col("doc_id") + j) % 12 + 1).cast("int"))
+         for j in range(4)]
+    nl = F.lit("\n")
+    planted = F.concat(
+        F.lit("# "), w[0], nl,
+        F.lit("intro "), F.col("doc_id").cast("string"), nl,
+        F.lit("## "), w[1], nl, F.lit("mid"), nl,
+        F.lit("### "), w[2], nl, F.lit("## "), w[3], nl, F.col("text"),
+    )
+    return markdown_section_text(docs.select("doc_id", planted.alias("text")))
+
+
+def _section_text_sql() -> str:
+    """DuckDB mirror of q_section_text — heading regex single-sourced,
+    governing section via the same running heading count, bodies via
+    ordered string_agg."""
+    from ontoweaver_spark.webdoc import _MD_HEADING_RE
+
+    words = ", ".join(f"'{w}'" for w in _HEARST_WORDS)
+
+    def pick(j: int) -> str:
+        return f"l[1 + (doc_id + {j}) % 12]"
+
+    planted = (
+        f"'# ' || {pick(0)} || chr(10) || 'intro ' || doc_id::VARCHAR || "
+        f"chr(10) || '## ' || {pick(1)} || chr(10) || 'mid' || chr(10) || "
+        f"'### ' || {pick(2)} || chr(10) || '## ' || {pick(3)} || chr(10) "
+        "|| text"
+    )
+    p = _MD_HEADING_RE.replace("'", "''")
+    return f"""
+            WITH w AS (
+              SELECT doc_id, text, [{words}] AS l FROM documents
+            ), t AS (
+              SELECT doc_id, string_split({planted}, chr(10)) AS parts
+              FROM w
+            ), ln AS (
+              SELECT doc_id, parts[g.i] AS line, g.i AS lno
+              FROM t, LATERAL unnest(generate_series(1, len(parts)))
+                AS g(i)
+            ), tagged AS (
+              SELECT doc_id, lno, line,
+                     CASE WHEN length(regexp_extract(line, '{p}', 1)) > 0
+                           AND trim(regexp_extract(line, '{p}', 2)) <> ''
+                          THEN 1 ELSE 0 END AS h,
+                     sum(CASE WHEN length(regexp_extract(line, '{p}', 1)) > 0
+                               AND trim(regexp_extract(line, '{p}', 2)) <> ''
+                              THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY doc_id ORDER BY lno
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS hpos
+              FROM ln
+            )
+            SELECT doc_id, hpos::BIGINT AS sect_pos,
+                   string_agg(line, chr(10) ORDER BY lno) AS body
+            FROM tagged
+            WHERE h = 0 AND trim(line) <> ''
+            GROUP BY doc_id, hpos
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_nodes": q_kg_nodes,
@@ -7635,6 +7708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "identifier_mentions": q_identifiers,
         "md_sections": q_md_sections,
         "section_paths": q_section_paths,
+        "section_text": q_section_text,
     }
 
 
@@ -13289,6 +13363,7 @@ def oracle_sql() -> dict[str, str]:
         "citation_mentions": _citations_sql(),
         "identifier_mentions": _identifiers_sql(),
         "md_sections": _md_sections_sql(),
+        "section_text": _section_text_sql(),
         "section_paths": f"""
             WITH RECURSIVE ms AS (
               {_md_sections_sql()}

@@ -162,7 +162,7 @@ def main() -> None:
                  "numeric_facts", "page_kg", "breadcrumb_closure",
                  "fact_consensus", "kv_type_profile", "harvest_yield",
                  "citation_mentions", "identifier_mentions",
-                 "md_sections", "section_paths"]:
+                 "md_sections", "section_paths", "section_text"]:
         bench(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # triples/sec: raw extracted edges from the pages KG per second of the

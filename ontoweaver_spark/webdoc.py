@@ -1621,3 +1621,58 @@ def markdown_section_paths(
         id_col, F.col("pos").cast("bigint").alias("pos"),
         path.alias("path"),
     )
+
+
+def markdown_section_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Section-grouped body text -> ``(doc_id, sect_pos, body)``: every
+    non-heading line attributed to its governing heading (the nearest
+    preceding one; ``sect_pos`` is that heading's
+    :func:`markdown_sections` position, 0 for preamble text before the
+    first heading), bodies newline-joined in line order, empty lines
+    dropped. Joined with :func:`markdown_section_paths` on (doc_id,
+    sect_pos) this IS the section-aware chunker: passage + its heading
+    breadcrumb.
+
+    Scale shape: one per-doc window (the governing heading position is
+    a running ``max`` — heading positions increase with line number, so
+    max == last), ONE keyed aggregation whose per-key buffer is one
+    section's lines (document-bounded by construction — a document fits
+    in a row to begin with)."""
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("_ln", "_line"),
+    )
+    level = F.length(F.regexp_extract(F.col("_line"), _MD_HEADING_RE, 1))
+    title = F.trim(F.regexp_extract(F.col("_line"), _MD_HEADING_RE, 2))
+    is_head = (level > 0) & (title != "")
+    w_pos = Window.partitionBy(id_col).orderBy("_ln")
+    tagged = lines.select(
+        id_col, "_ln", "_line", is_head.alias("_h")
+    ).withColumn(
+        "_hpos",
+        F.sum(F.col("_h").cast("int")).over(
+            w_pos.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    body = (
+        tagged.where(~F.col("_h") & (F.trim("_line") != ""))
+        .groupBy(id_col, F.col("_hpos").alias("sect_pos"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_ln", "_line"))),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("body")
+        )
+    )
+    return body.select(
+        id_col, F.col("sect_pos").cast("bigint").alias("sect_pos"), "body"
+    )

@@ -422,3 +422,27 @@ def test_markdown_section_paths_with_stale_guard(spark):
         (5, "omega"),
         (6, "omega > eps"),
     }
+
+
+def test_markdown_section_text_grouping(spark):
+    from ontoweaver_spark.webdoc import markdown_section_text
+
+    md = "\n".join([
+        "preamble line",
+        "# alpha",
+        "alpha body one",
+        "",
+        "alpha body two",
+        "## beta",
+        "beta body",
+        "# omega",
+    ])
+    df = spark.createDataFrame([(1, md)], "doc_id long, text string")
+    got = {(r.sect_pos, r.body)
+           for r in markdown_section_text(df).collect()}
+    # omega has no body -> no row; empty line dropped
+    assert got == {
+        (0, "preamble line"),
+        (1, "alpha body one\nalpha body two"),
+        (2, "beta body"),
+    }
