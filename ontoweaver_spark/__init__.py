@@ -105,6 +105,13 @@ from .webdoc import (
     appositive_relations,
     quote_attributions,
     numeric_facts,
+    kv_type_profile,
+    harvest_yield,
+    citation_mentions,
+    identifier_mentions,
+    markdown_sections,
+    markdown_section_paths,
+    markdown_section_text,
 )
 from .layout import zorder_key, zorder_layout
 from .nulls import is_not_null
@@ -181,6 +188,9 @@ __all__ = [
     "aka_aliases", "definition_pairs", "contrast_pairs", "cohyponym_pairs",
     "appositive_relations", "quote_attributions", "numeric_facts",
     "triple_support", "numeric_consensus",
+    "kv_type_profile", "harvest_yield", "citation_mentions",
+    "identifier_mentions", "markdown_sections", "markdown_section_paths",
+    "markdown_section_text",
 ]
 
 
