@@ -178,13 +178,20 @@ def corpus_stats(
     anyone asks of a training corpus (language mix, token budget, length
     distribution tails).
 
-    ``exact=True`` uses Spark's exact interpolated ``percentile`` — it
-    buffers each stratum's values in executor memory, which is fine for
-    profile runs and matches DuckDB's ``quantile_cont`` bit-for-bit over
-    integer token counts (the oracle checks this). At full 10^12-document
-    scale pass ``exact=False``: ``percentile_approx`` streams in bounded
-    memory (t-digest) at the cost of approximation — and of the oracle,
-    which is why the checked query pins ``exact=True``.
+    ``exact=True`` computes the interpolated percentiles from exact
+    order statistics over a per-stratum *value histogram* (token counts
+    have a small distinct-value domain, so the histogram is tiny even at
+    corpus scale — no per-stratum buffering of raw values, unlike
+    Spark's ``percentile`` UDAF) and interpolates with DuckDB's
+    ``quantile_cont`` arithmetic — ``RN=(n-1)*q``, ``lo*(1-d)+hi*d`` —
+    which differs from Spark's ``percentile`` (``lo+d*(hi-lo)``) in the
+    last ulp for ~10% of bracketing pairs, enough to flip a
+    ``floor(x*10000+0.5)`` boundary. The cross-engine gate hashes those
+    integers, so the engine mirrors the oracle's exact double ops. At
+    full 10^12-document scale pass ``exact=False``:
+    ``percentile_approx`` streams in bounded memory (t-digest) at the
+    cost of approximation — and of the oracle, which is why the checked
+    query pins ``exact=True``.
 
     Counts and totals are exact integers either way; means divide an
     exact integer sum (identical IEEE division in both engines).
@@ -193,38 +200,93 @@ def corpus_stats(
     integer ten-thousandths (BIGINT ``*_e4`` columns,
     ``floor(x*10000 + 0.5)``) instead of doubles — integers cannot
     diverge across engines' float *serialization*, so this is the
-    variant the cross-engine correctness gate pins."""
-    if exact:
-        pct = [F.expr(f"percentile(n_toks, {q})") for q in (0.5, 0.9, 0.99)]
-    else:
+    variant the cross-engine correctness gate pins. In that variant
+    ``total_tokens`` is emitted as DOUBLE: the reference oracle's
+    uncast ``sum(BIGINT)`` is a DuckDB HUGEINT, which materializes as
+    float64 on the comparison side, and a dtype-faithful gate hashes
+    int64 ``11757`` differently from float64 ``11757.0`` — the value is
+    still the exact integer sum (exact in IEEE double far beyond any
+    realistic token budget at profile scale)."""
+    base = df.select(
+        F.col(strata_col).alias("stratum"),
+        token_count(F.col(text_col)).alias("n_toks"),
+    )
+    if not exact:
         pct = [F.percentile_approx("n_toks", q).cast("double") for q in (0.5, 0.9, 0.99)]
-    if int_e4:
-        def stat(c: Column, name: str) -> Column:
-            return F.floor(c * 10000.0 + F.lit(0.5)).cast("long").alias(name + "_e4")
-        stats = [
-            stat(F.avg("n_toks"), "mean_tokens"),
-            stat(pct[0], "p50_tokens"),
-            stat(pct[1], "p90_tokens"),
-            stat(pct[2], "p99_tokens"),
-        ]
-    else:
-        stats = [
-            round_ieee(F.avg("n_toks"), 4).alias("mean_tokens"),
-            round_ieee(pct[0], 4).alias("p50_tokens"),
-            round_ieee(pct[1], 4).alias("p90_tokens"),
-            round_ieee(pct[2], 4).alias("p99_tokens"),
-        ]
-    return (
-        df.select(
-            F.col(strata_col).alias("stratum"),
-            token_count(F.col(text_col)).alias("n_toks"),
-        )
-        .groupBy("stratum")
-        .agg(
+        if int_e4:
+            def stat(c: Column, name: str) -> Column:
+                return F.floor(c * 10000.0 + F.lit(0.5)).cast("long").alias(name + "_e4")
+            stats = [
+                stat(F.avg("n_toks"), "mean_tokens"),
+                stat(pct[0], "p50_tokens"),
+                stat(pct[1], "p90_tokens"),
+                stat(pct[2], "p99_tokens"),
+            ]
+        else:
+            stats = [
+                round_ieee(F.avg("n_toks"), 4).alias("mean_tokens"),
+                round_ieee(pct[0], 4).alias("p50_tokens"),
+                round_ieee(pct[1], 4).alias("p90_tokens"),
+                round_ieee(pct[2], 4).alias("p99_tokens"),
+            ]
+        return base.groupBy("stratum").agg(
             F.count("*").alias("n_docs"),
             F.sum("n_toks").alias("total_tokens"),
             *stats,
         )
+
+    from pyspark.sql import Window
+
+    # Value histogram: one map-side-combined agg over the corpus, then
+    # windows over the tiny (stratum, distinct-length) table only.
+    hist = base.groupBy("stratum", "n_toks").agg(F.count("*").alias("cnt"))
+    w_ord = Window.partitionBy("stratum").orderBy("n_toks")
+    w_all = Window.partitionBy("stratum")
+    cum = hist.select(
+        "stratum",
+        "n_toks",
+        F.sum("cnt").over(w_ord).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n_docs"),
+        F.sum(F.col("cnt") * F.col("n_toks")).over(w_all).alias("total_tokens"),
+    )
+    # DuckDB order-statistic indices: RN=(n-1)*q (double), lo=v[floor(RN)],
+    # hi=v[ceil(RN)]; a histogram row with cumulative count `cum` covers
+    # 0-based sorted indices [cum-cnt, cum-1], so v[k] = min value with cum>k.
+    aggs = [
+        F.max("n_docs").alias("n_docs"),
+        F.max("total_tokens").alias("total_tokens"),
+    ]
+    for q, nm in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        rn = (F.col("n_docs") - 1).cast("double") * F.lit(q)
+        aggs.append(F.min(F.when(F.col("cum") > F.floor(rn), F.col("n_toks"))).alias(nm + "_lo"))
+        aggs.append(F.min(F.when(F.col("cum") > F.ceil(rn), F.col("n_toks"))).alias(nm + "_hi"))
+    agg = cum.groupBy("stratum").agg(*aggs)
+
+    mean = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
+
+    def quantile(nm: str, q: float) -> Column:
+        rn = (F.col("n_docs") - 1).cast("double") * F.lit(q)
+        d = rn - F.floor(rn).cast("double")
+        lo = F.col(nm + "_lo").cast("double")
+        hi = F.col(nm + "_hi").cast("double")
+        return lo * (F.lit(1.0) - d) + hi * d
+
+    if int_e4:
+        def out(c: Column, name: str) -> Column:
+            return F.floor(c * 10000.0 + F.lit(0.5)).cast("long").alias(name + "_e4")
+        total = F.col("total_tokens").cast("double").alias("total_tokens")
+    else:
+        def out(c: Column, name: str) -> Column:
+            return round_ieee(c, 4).alias(name)
+        total = F.col("total_tokens")
+    return agg.select(
+        "stratum",
+        "n_docs",
+        total,
+        out(mean, "mean_tokens"),
+        out(quantile("p50", 0.5), "p50_tokens"),
+        out(quantile("p90", 0.9), "p90_tokens"),
+        out(quantile("p99", 0.99), "p99_tokens"),
     )
 
 
