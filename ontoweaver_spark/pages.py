@@ -193,14 +193,17 @@ def pattern_triples(
     currently fuse them; for dozens of patterns prefer one alternation
     regex with tagged relations).
     """
+    from .textops import regex_match_structs
+
     outs = []
     for relation, regex in patterns:
-        subs = F.regexp_extract_all(F.col(text_col), F.lit(regex), 1)
-        objs = F.regexp_extract_all(F.col(text_col), F.lit(regex), 2)
+        matches = regex_match_structs(
+            F.col(text_col), regex, [("s", 1), ("o", 2)]
+        )
         outs.append(
             df.select(
                 F.col(id_col).alias("doc"),
-                F.explode(F.arrays_zip(subs.alias("s"), objs.alias("o"))).alias("_m"),
+                F.explode(matches).alias("_m"),
             ).select(
                 "doc",
                 F.col("_m.s").alias("subj"),

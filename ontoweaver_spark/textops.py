@@ -49,6 +49,48 @@ def token_count(c: Column) -> Column:
     return F.size(tokens(c))
 
 
+def regex_match_structs(
+    t: Column,
+    pattern: str,
+    fields: list,
+    consts: tuple = (),
+) -> Column:
+    """Array of structs of capture groups for every match of ``pattern``
+    in ``t``, scanning the full text ONCE.
+
+    The naive idiom — one ``regexp_extract_all(t, p, g)`` per capture
+    group, zipped — re-scans the ENTIRE text per group: a 3-group
+    pattern costs three full regex passes over every document (measured
+    as the dominant cost of the harvest family). Here group 0 (the full
+    match) is extracted in a single pass and each group is re-extracted
+    from the short match string only.
+
+    Equivalence (why the per-match re-extraction reproduces the exact
+    groups): Java regex returns the first successful parse in a
+    deterministic backtracking order from the leftmost position. On the
+    isolated match string every candidate parse sees the identical
+    characters; candidates that previously failed against trailing
+    context now fail at end-of-input instead, and no candidate can
+    newly succeed because a parse over the substring is also a valid
+    parse over the original text. This holds for patterns with NO
+    lookaround and NO ``$`` anchor — every pattern in this family is
+    Java∩RE2∩DuckDB by contract, which excludes lookaround already, and
+    a trailing ``\\b`` is satisfied at end-of-string exactly when it was
+    satisfied at the original match end. Non-participating optional
+    groups yield ``''`` from ``regexp_extract`` just as they do from
+    ``regexp_extract_all``.
+
+    ``fields``: list of ``(name, group_index)``; ``consts``: list of
+    ``(name, literal)`` prepended to each struct (pattern tags).
+    """
+    def _mk(s: Column) -> Column:
+        cols = [F.lit(v).alias(n) for n, v in consts]
+        cols += [F.regexp_extract(s, pattern, g).alias(n) for n, g in fields]
+        return F.struct(*cols)
+
+    return F.transform(F.regexp_extract_all(t, F.lit(pattern), 0), _mk)
+
+
 def bpe_ish_token_count(c: Column) -> Column:
     """Sub-word-ish token count: split on whitespace AND punctuation/digit
     boundaries (a cheap BPE stand-in for budget estimation)."""
@@ -2218,23 +2260,13 @@ def extract_dates(
     months = F.array(*[F.lit(s) for s in _DATE_MONTHS])
     t = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
 
-    def _tagger(name: str):
-        # factory, not a default arg: pyspark reads the HOF lambda's
-        # arity, and a 2-param lambda becomes the (value, index) form
-        return lambda s: F.struct(
-            F.lit(name).alias("fmt"),
-            s["ys"].alias("ys"),
-            s["ms"].alias("ms"),
-            s["ds"].alias("ds"),
+    per_pattern = [
+        regex_match_structs(
+            t, pat, [("ys", yg), ("ms", mg), ("ds", dg)],
+            consts=(("fmt", name),),
         )
-
-    per_pattern = []
-    for name, (pat, yg, mg, dg) in DATE_PATTERNS.items():
-        ys = F.regexp_extract_all(t, F.lit(pat), yg)
-        ms = F.regexp_extract_all(t, F.lit(pat), mg)
-        ds = F.regexp_extract_all(t, F.lit(pat), dg)
-        zipped = F.arrays_zip(ys.alias("ys"), ms.alias("ms"), ds.alias("ds"))
-        per_pattern.append(F.transform(zipped, _tagger(name)))
+        for name, (pat, yg, mg, dg) in DATE_PATTERNS.items()
+    ]
     mentions = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.concat(*per_pattern)).alias("x"),
@@ -2341,22 +2373,13 @@ def extract_quantities(
     """
     t = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
 
-    def _tagger(name: str):
-        # factory, not a default arg (pyspark HOF lambdas must be 1-ary)
-        return lambda s: F.struct(
-            F.lit(name).alias("kind"),
-            s["ip"].alias("ip"),
-            s["fp"].alias("fp"),
-            s["wd"].alias("wd"),
+    per_pattern = [
+        regex_match_structs(
+            t, pat, [("ip", ig), ("fp", fg), ("wd", wg)],
+            consts=(("kind", name),),
         )
-
-    per_pattern = []
-    for name, (pat, ig, fg, wg) in QUANTITY_PATTERNS.items():
-        ip = F.regexp_extract_all(t, F.lit(pat), ig)
-        fp = F.regexp_extract_all(t, F.lit(pat), fg)
-        wd = F.regexp_extract_all(t, F.lit(pat), wg)
-        zipped = F.arrays_zip(ip.alias("ip"), fp.alias("fp"), wd.alias("wd"))
-        per_pattern.append(F.transform(zipped, _tagger(name)))
+        for name, (pat, ig, fg, wg) in QUANTITY_PATTERNS.items()
+    ]
     mentions = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.concat(*per_pattern)).alias("x"),
@@ -2430,11 +2453,9 @@ def extract_geo(
     zipped, one explode); the closing ``distinct`` is the only shuffle.
     """
     t = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    parts = [
-        F.regexp_extract_all(t, F.lit(GEO_PATTERN), g).alias(f"g{g}")
-        for g in range(1, 7)
-    ]
-    zipped = F.arrays_zip(*parts)
+    zipped = regex_match_structs(
+        t, GEO_PATTERN, [(f"g{g}", g) for g in range(1, 7)]
+    )
     mentions = df.select(
         F.col(id_col).alias("doc_id"), F.explode(zipped).alias("x")
     )

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .textops import regex_match_structs
+
 # (entity, replacement) in DECODE ORDER: &amp; must decode LAST or it
 # would re-activate other entities ("&amp;lt;" means the literal "&lt;")
 _ENTITIES = [
@@ -507,17 +509,9 @@ def hearst_hypernyms(
     pats = patterns or HEARST_PATTERNS
     t = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
 
-    def _zipper(name: str):
-        # factory, not a default arg: pyspark reads the lambda's arity
-        return lambda h, l: F.struct(
-            F.lit(name).alias("pattern"), h.alias("head"), l.alias("lst")
-        )
-
     per_pattern = [
-        F.zip_with(
-            F.regexp_extract_all(t, F.lit(p), hg),
-            F.regexp_extract_all(t, F.lit(p), lg),
-            _zipper(name),
+        regex_match_structs(
+            t, p, [("head", hg), ("lst", lg)], consts=(("pattern", name),)
         )
         for name, (p, hg, lg) in pats.items()
     ]
@@ -655,9 +649,8 @@ def acronym_pairs(
     — all in-codegen); the closing ``distinct`` is the only shuffle.
     """
     t = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    zipped = F.arrays_zip(
-        F.regexp_extract_all(t, F.lit(ACRONYM_PATTERN), 1).alias("lf"),
-        F.regexp_extract_all(t, F.lit(ACRONYM_PATTERN), 2).alias("sf"),
+    zipped = regex_match_structs(
+        t, ACRONYM_PATTERN, [("lf", 1), ("sf", 2)]
     )
     m = df.select(
         F.col(id_col).alias("doc_id"), F.explode(zipped).alias("x")
@@ -1020,14 +1013,11 @@ def definition_pairs(
             c = F.regexp_replace(c, ent, rep)
         return F.trim(c)
 
-    pairs = F.zip_with(
-        F.transform(
-            F.regexp_extract_all(html_s, F.lit(DT_DD_PATTERN), 1), _clean
+    pairs = F.transform(
+        regex_match_structs(html_s, DT_DD_PATTERN, [("k", 1), ("v", 2)]),
+        lambda x: F.struct(
+            _clean(x["k"]).alias("key"), _clean(x["v"]).alias("value")
         ),
-        F.transform(
-            F.regexp_extract_all(html_s, F.lit(DT_DD_PATTERN), 2), _clean
-        ),
-        lambda k, v: F.struct(k.alias("key"), v.alias("value")),
     )
     out = df.select(
         F.col(url_col).alias("url"),
@@ -1142,10 +1132,8 @@ def appositive_relations(
     group-extractions zipped per row, ONE explode, closing ``distinct``
     as the only shuffle; Java∩RE2-safe regex."""
     t = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    zipped = F.arrays_zip(
-        F.regexp_extract_all(t, F.lit(APPOSITIVE_PATTERN), 1).alias("s"),
-        F.regexp_extract_all(t, F.lit(APPOSITIVE_PATTERN), 2).alias("r"),
-        F.regexp_extract_all(t, F.lit(APPOSITIVE_PATTERN), 3).alias("o"),
+    zipped = regex_match_structs(
+        t, APPOSITIVE_PATTERN, [("s", 1), ("r", 2), ("o", 3)]
     )
     out = df.select(
         F.col(id_col), F.explode(zipped).alias("x")
@@ -1192,21 +1180,10 @@ def quote_attributions(
     ONE explode; closing ``distinct`` is the only shuffle."""
     t = F.regexp_replace(F.col(text_col), r"\s+", " ")
 
-    def _tagger(name: str):
-        # factory, not a default arg: pyspark reads the HOF lambda arity
-        return lambda s: F.struct(
-            F.lit(name).alias("pattern"),
-            s["sp"].alias("speaker"),
-            s["q"].alias("quote"),
-        )
-
     per_pattern = [
-        F.transform(
-            F.arrays_zip(
-                F.regexp_extract_all(t, F.lit(p), sg).alias("sp"),
-                F.regexp_extract_all(t, F.lit(p), qg).alias("q"),
-            ),
-            _tagger(name),
+        regex_match_structs(
+            t, p, [("speaker", sg), ("quote", qg)],
+            consts=(("pattern", name),),
         )
         for name, (p, sg, qg) in QUOTE_PATTERNS.items()
     ]
@@ -1245,10 +1222,8 @@ def numeric_facts(
     Scale shape: three group-extractions zipped, ONE explode, closing
     ``distinct`` — the standard harvest projection."""
     t = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    zipped = F.arrays_zip(
-        F.regexp_extract_all(t, F.lit(HAS_OF_PATTERN), 1).alias("s"),
-        F.regexp_extract_all(t, F.lit(HAS_OF_PATTERN), 2).alias("r"),
-        F.regexp_extract_all(t, F.lit(HAS_OF_PATTERN), 3).alias("v"),
+    zipped = regex_match_structs(
+        t, HAS_OF_PATTERN, [("s", 1), ("r", 2), ("v", 3)]
     )
     out = df.select(
         F.col(id_col), F.explode(zipped).alias("x")
@@ -1405,21 +1380,10 @@ def citation_mentions(
     explode, closing ``distinct`` — the standard harvest projection."""
     t = F.regexp_replace(F.col(text_col), r"\s+", " ")
 
-    def _tagger(name: str):
-        # factory, not a default arg: pyspark reads the HOF lambda arity
-        return lambda s: F.struct(
-            F.lit(name).alias("pattern"),
-            s["a"].alias("author"),
-            s["y"].alias("year"),
-        )
-
     per_pattern = [
-        F.transform(
-            F.arrays_zip(
-                F.regexp_extract_all(t, F.lit(p), ag).alias("a"),
-                F.regexp_extract_all(t, F.lit(p), yg).alias("y"),
-            ),
-            _tagger(name),
+        regex_match_structs(
+            t, p, [("author", ag), ("year", yg)],
+            consts=(("pattern", name),),
         )
         for name, (p, ag, yg) in CITATION_PATTERNS.items()
     ]
