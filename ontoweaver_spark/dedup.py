@@ -20,11 +20,23 @@ exactly (see textops.md5_int).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textops import md5_int, round_ieee, tokens
 from .session import stats_reset_checkpoint
+
+
+def _verify_bcast_rows() -> int:
+    """Row-count gate for broadcasting a verify-side build table (per-doc
+    shingle/tf vectors): under the bound the candidate-verification joins
+    run as broadcast hash joins with zero wide exchange; over it (the
+    100-TB regime) the shuffle-join path stands. The gate counts the
+    actually-materialized table — a data-size decision, not a local-mode
+    constant."""
+    return int(os.environ.get("OW_VERIFY_BCAST_ROWS", "8000000"))
 
 
 def shingles(c: Column, k: int = 3) -> Column:
@@ -1181,23 +1193,60 @@ def jaccard_pairs_prefix(
     )
     prefix = stats_reset_checkpoint(
         positioned.where(F.col("_pos") <= F.col("_prefix_len")).select(
-            id_col, "shingle"
+            id_col, "_rank", "_pos", "n_sh"
         ),
         eager=False,
     )
+    # Candidate generation joins on the INT rank (the shingle<->rank map
+    # is a bijection), with two further LOSSLESS PPJoin prunes evaluated
+    # in exact BIGINT arithmetic (t_sc = t_eff * 10^4):
+    #  - LENGTH filter: J >= t forces min(|A|,|B|) >= t*max(|A|,|B|).
+    #  - POSITIONAL filter (Xiao et al.): every shared shingle has rank
+    #    >= the pair's minimum shared rank, hence position > that row's
+    #    on both sides, so I <= 1 + min(na-pa, nb-pb); J >= t needs
+    #    I >= t/(1+t) * (na+nb).  The minimum-shared-rank row carries
+    #    the LARGEST position slack, so a qualifying pair always passes
+    #    through it — other collision rows may be pruned, which only
+    #    thins the duplicate rows feeding the distinct.
+    t_sc = int(round(threshold * 10_000)) - 1
+    ub = F.lit(1) + F.least(
+        F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")
+    )
     cand = (
-        prefix.select(F.col(id_col).alias("a"), "shingle")
-        .join(prefix.select(F.col(id_col).alias("b"), "shingle"), "shingle")
-        .where(F.col("a") < F.col("b"))
+        prefix.select(
+            F.col(id_col).alias("a"), "_rank",
+            F.col("_pos").alias("pa"), F.col("n_sh").alias("na"),
+        )
+        .join(
+            prefix.select(
+                F.col(id_col).alias("b"), "_rank",
+                F.col("_pos").alias("pb"), F.col("n_sh").alias("nb"),
+            ),
+            "_rank",
+        )
+        .where(
+            (F.col("a") < F.col("b"))
+            & (F.least("na", "nb") * 10_000 >= F.lit(t_sc) * F.greatest("na", "nb"))
+            & (ub * F.lit(10_000 + t_sc) >= F.lit(t_sc) * (F.col("na") + F.col("nb")))
+        )
         .select("a", "b")
         .distinct()
     )
-    # joined twice (a-side and b-side) — same single-computation rule as
-    # _candidate_sets' shingle frame
-    sets_ = stats_reset_checkpoint(
-        df.select(F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")),
-        eager=False,
+    # Exact verify over per-doc sorted RANK arrays — same cardinalities
+    # as the shingle sets (bijection) but integer compares instead of
+    # multi-byte string compares in the intersect.  Size-gated broadcast
+    # (the l2ap/decontam pattern): at profile scale the whole array
+    # table is a few tens of MB, so both attachments become broadcast
+    # hash joins and the verify never shuffles the candidate pairs; at
+    # 100-TB scale the gate fails and the shuffle joins stand.
+    sets_ = counted.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("_rank")).alias("sh")
     )
+    if counted.count() <= _verify_bcast_rows():
+        sets_ = F.broadcast(sets_)
+        cand = cand.repartition(
+            cand.sparkSession.sparkContext.defaultParallelism * 2, "a", "b"
+        )
     inter = F.size(F.array_intersect("sa", "sb"))
     return (
         cand.join(sets_.select(F.col(id_col).alias("a"), F.col("sh").alias("sa")), "a")
@@ -1286,23 +1335,39 @@ def containment_pairs_prefix(
     )
     prefix = stats_reset_checkpoint(
         positioned.where(F.col("_pos") <= F.col("_prefix_len")).select(
-            F.col(id_col).alias("_qid"), F.col("n_sh").alias("_qn"), "shingle"
+            F.col(id_col).alias("_qid"), F.col("n_sh").alias("_qn"),
+            F.col("_pos").alias("_qp"), "_rank"
         ),
         eager=False,
     )
-    index = counted.join(n_sh, id_col).select(
-        F.col(id_col).alias("_iid"), F.col("n_sh").alias("_in"), "shingle", "_df"
+    # the index side needs its own positions for the positional filter
+    index = positioned.select(
+        F.col(id_col).alias("_iid"), F.col("n_sh").alias("_in"),
+        F.col("_pos").alias("_ip"), "_rank", "_df"
     )
     if max_index_df is not None:
         index = index.where(F.col("_df") <= max_index_df)
+    # Candidate join on the INT rank (bijective with the shingle), plus
+    # the POSITIONAL filter in exact BIGINT arithmetic: every shared
+    # shingle has rank >= the pair's minimum shared rank, hence position
+    # > that row's on both sides, so I <= 1 + min(qn-qp, in-ip); the
+    # shorter side's containment C_q >= t needs I >= t_eff*qn. The
+    # minimum-shared-rank row has the largest slack, so a qualifying
+    # pair always survives through it — LOSSLESS, same argument as
+    # jaccard_pairs_prefix.
+    t_sc = int(round(threshold * 10_000)) - 1
+    ub = F.lit(1) + F.least(
+        F.col("_qn") - F.col("_qp"), F.col("_in") - F.col("_ip")
+    )
     cand = (
-        prefix.join(index.drop("_df"), "shingle")
+        prefix.join(index.drop("_df"), "_rank")
         .where(
             (F.col("_qid") != F.col("_iid"))
             & (
                 (F.col("_qn") < F.col("_in"))
                 | ((F.col("_qn") == F.col("_in")) & (F.col("_qid") < F.col("_iid")))
             )
+            & (ub * 10_000 >= F.lit(t_sc) * F.col("_qn"))
         )
         .select(
             F.least("_qid", "_iid").alias("a"),
@@ -1310,12 +1375,17 @@ def containment_pairs_prefix(
         )
         .distinct()
     )
-    # joined twice (a-side and b-side) — same single-computation rule as
-    # _candidate_sets' shingle frame
-    sets_ = stats_reset_checkpoint(
-        df.select(F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")),
-        eager=False,
+    # Exact verify over per-doc sorted RANK arrays (bijection-preserving)
+    # with the size-gated broadcast of the array table — see
+    # jaccard_pairs_prefix; at 100-TB scale the shuffle joins stand.
+    sets_ = counted.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("_rank")).alias("sh")
     )
+    if counted.count() <= _verify_bcast_rows():
+        sets_ = F.broadcast(sets_)
+        cand = cand.repartition(
+            cand.sparkSession.sparkContext.defaultParallelism * 2, "a", "b"
+        )
     inter = F.size(F.array_intersect("sa", "sb"))
     return (
         cand.join(sets_.select(F.col(id_col).alias("a"), F.col("sh").alias("sa")), "a")
@@ -1474,7 +1544,10 @@ def cosine_pairs_l2ap(
         .select("tok", "_rank")
         .localCheckpoint(eager=False)
     )
-    counted = tf.join(ranked, "tok")
+    # counted feeds the suffix window and both verify sides (the verify
+    # joins key on the INT _rank, not the string tok — narrower shuffle,
+    # cheaper hash) — checkpoint once
+    counted = stats_reset_checkpoint(tf.join(ranked, "tok"), eager=False)
     norms = stats_reset_checkpoint(
         tf.groupBy(id_col).agg(F.sum(F.col("tf") * F.col("tf")).alias("nsq")),
         eager=False,
@@ -1489,7 +1562,7 @@ def cosine_pairs_l2ap(
     prefix = stats_reset_checkpoint(
         positioned.where(
             F.col("_sfx") * F.lit(100_000_000) >= F.lit(t2_sc) * F.col("nsq")
-        ).select(id_col, "tok", "_sfx", "nsq"),
+        ).select(id_col, "_rank", "tf", "_sfx", "nsq"),
         eager=False,
     )
     # pairwise product bound (see docstring): double-evaluated with
@@ -1500,29 +1573,129 @@ def cosine_pairs_l2ap(
         * F.col("na").cast("double")
         * F.col("nb").cast("double")
     )
+    # Per-PAIR partial-dot bound (the L2AP "pscore" family, sharpened with
+    # the enumerated shared-prefix mass): every shared term has global
+    # rank >= k, the pair's minimum shared rank — a term rarer than every
+    # enumerated one would sit in BOTH prefixes (the prefix is a
+    # rank-minimal set) and hence be enumerated itself, so k is exactly
+    # the minimum ENUMERATED rank and `max(_sfx)` is each side's squared
+    # suffix mass at k.  Splitting the dot product into the enumerated
+    # shared-prefix part (exact BIGINT `dotp`) and the rest — whose
+    # per-side squared mass is at most `sfx(k) - (enumerated tf^2)` —
+    # Cauchy-Schwarz gives
+    #   dot <= dotp + sqrt((sfx_a(k)-pa2) * (sfx_b(k)-pb2)).
+    # A candidate whose bound is below (t-1e-4)*|a||b| cannot reach the
+    # emitted threshold: pruning it is LOSSLESS (the 1e-9 relative slack
+    # keeps the double evaluation false-positive-only; the exact verify
+    # still decides membership).  At the synthetic corpus' shape this
+    # collapses the verify input by ~200x — spurious pairs share only a
+    # few tf~1 prefix terms, so their dotp is far below (t-t^2)|a||b|.
     cand = (
         prefix.select(
-            F.col(id_col).alias("a"), "tok",
+            F.col(id_col).alias("a"), "_rank", F.col("tf").alias("tfa"),
             F.col("_sfx").alias("sa"), F.col("nsq").alias("na"),
         )
         .join(
             prefix.select(
-                F.col(id_col).alias("b"), "tok",
+                F.col(id_col).alias("b"), "_rank", F.col("tf").alias("tfb"),
                 F.col("_sfx").alias("sb"), F.col("nsq").alias("nb"),
             ),
-            "tok",
+            "_rank",
         )
         .where((F.col("a") < F.col("b")) & product_ok)
+        .groupBy("a", "b")
+        .agg(
+            F.sum(F.col("tfa") * F.col("tfb")).alias("_dotp"),
+            F.sum(F.col("tfa") * F.col("tfa")).alias("_pa2"),
+            F.sum(F.col("tfb") * F.col("tfb")).alias("_pb2"),
+            F.max("sa").alias("_ka"),
+            F.max("sb").alias("_kb"),
+            F.first("na").alias("_bna"),
+            F.first("nb").alias("_bnb"),
+        )
+        .where(
+            F.col("_dotp").cast("double")
+            + F.sqrt(
+                F.greatest(F.col("_ka") - F.col("_pa2"), F.lit(0)).cast("double")
+                * F.greatest(F.col("_kb") - F.col("_pb2"), F.lit(0)).cast("double")
+            )
+            >= F.lit(t_sc / 10_000.0 * (1.0 - 1e-9))
+            * F.sqrt((F.col("_bna") * F.col("_bnb")).cast("double"))
+        )
         .select("a", "b")
-        .distinct()
     )
+    # Verify-side strategy, size-gated (the decontam broadcast pattern).
+    # The shuffle-join verify explodes candidates against both full tf
+    # vectors: |cand| x avg-terms (~700M at 50k docs) rows through two
+    # exchanges — measured as ~50 of 66 s of the whole operator.  When
+    # the per-doc VECTOR table (one row per doc: rank->tf map + squared
+    # norm) is small enough, broadcast IT instead: two broadcast hash
+    # joins attach both maps to each candidate pair inside one stage
+    # (no wide exchange anywhere) and the exact BIGINT dot product is a
+    # per-row map-lookup fold.  The build side is |docs| rows (50k,
+    # ~45 MB) — cheap to collect, unlike broadcasting the 2.6M-entry
+    # (id, rank, tf) table, whose driver-side relation build was
+    # measured to cost more than the shuffle it saved.  At 100-TB scale
+    # the entry count exceeds the bound and the shuffle path stands
+    # (the gate counts the actual materialized table, not a local-mode
+    # constant; override via OW_VERIFY_BCAST_ROWS).
+    if counted.count() <= _verify_bcast_rows():
+        vecs = F.broadcast(
+            counted.groupBy(id_col)
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("_rank", "tf"))
+                ).alias("m")
+            )
+            .join(norms, id_col)
+        )
+        # AQE coalesces the candidate agg to advisory-size partitions
+        # (~3 at 10M pairs); with both probes broadcast the whole
+        # verify stage would then pipeline on those few cores.  Re-spread
+        # candidates to full parallelism first — a ~tens-of-MB hash
+        # exchange that buys the wide stage its fan-out.
+        cand = cand.repartition(
+            cand.sparkSession.sparkContext.defaultParallelism * 2, "a", "b"
+        )
+        dot = F.aggregate(
+            F.map_entries("ma"),
+            F.lit(0).cast("bigint"),
+            lambda acc, e: acc
+            + e["value"] * F.coalesce(F.element_at(F.col("mb"), e["key"]), F.lit(0)),
+        )
+        return (
+            cand.join(
+                vecs.select(
+                    F.col(id_col).alias("a"), F.col("m").alias("ma"),
+                    F.col("nsq").alias("_na"),
+                ),
+                "a",
+            )
+            .join(
+                vecs.select(
+                    F.col(id_col).alias("b"), F.col("m").alias("mb"),
+                    F.col("nsq").alias("_nb"),
+                ),
+                "b",
+            )
+            .select(
+                "a",
+                "b",
+                round_ieee(
+                    dot / F.sqrt((F.col("_na") * F.col("_nb")).cast("double")), 4
+                ).alias("cosine"),
+            )
+            .where(F.col("cosine") >= threshold)
+        )
+    tfr = counted.select(id_col, "_rank", "tf")
     dots = (
         cand.join(
-            tf.select(F.col(id_col).alias("a"), "tok", F.col("tf").alias("tfa")), "a"
+            tfr.select(F.col(id_col).alias("a"), "_rank", F.col("tf").alias("tfa")),
+            "a",
         )
         .join(
-            tf.select(F.col(id_col).alias("b"), "tok", F.col("tf").alias("tfb")),
-            ["b", "tok"],
+            tfr.select(F.col(id_col).alias("b"), "_rank", F.col("tf").alias("tfb")),
+            ["b", "_rank"],
         )
         .groupBy("a", "b")
         .agg(F.sum(F.col("tfa") * F.col("tfb")).alias("_dot"))

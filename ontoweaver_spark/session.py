@@ -20,6 +20,16 @@ ENGINE_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # Let the planner pick shuffled-hash over sort-merge when its size
+    # conditions hold, and let AQE rewrite SMJ->SHJ at runtime when every
+    # post-shuffle partition is under 64 MB: the engine's joins are
+    # overwhelmingly id-keyed with bounded per-key fan-in (fusion groups,
+    # graph adjacency, candidate pairs), where the sort adds nothing and
+    # the hash build fits task memory. Both settings are size-gated by
+    # Spark itself, so they scale: an over-threshold partition falls back
+    # to sort-merge exactly as before.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "67108864",
     # InferFiltersFromGenerate turns our explode(_edges) into a
     # size(_edges)>0 predicate that predicate-pushdown then substitutes all
     # the way to the scan — duplicating the entire extraction expression
