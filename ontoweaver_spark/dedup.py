@@ -1161,10 +1161,12 @@ def jaccard_pairs_prefix(
     # boundary pair could evade the prefix (same closure as
     # containment_pairs_prefix)
     t_eff = threshold - 1e-4
+    # shingles() is array_distinct per row, so the exploded (id, shingle)
+    # pairs are distinct by construction — no dedup exchange needed
     sh = df.select(
         F.col(id_col),
         F.explode(shingles(F.col(text_col), shingle_k)).alias("shingle"),
-    ).distinct()
+    )
     # global rarest-first order (rank via the lazy distributed zip-index
     # over one range-partitioned sort — never a single-task window)
     from .compiler import with_row_index
@@ -1306,10 +1308,12 @@ def containment_pairs_prefix(
     if not 0 < threshold <= 1:
         raise ValueError("prefix filtering needs a threshold in (0, 1]")
     t_eff = threshold - 1e-4
+    # shingles() is array_distinct per row, so the exploded (id, shingle)
+    # pairs are distinct by construction — no dedup exchange needed
     sh = df.select(
         F.col(id_col),
         F.explode(shingles(F.col(text_col), shingle_k)).alias("shingle"),
-    ).distinct()
+    )
     from .compiler import with_row_index
 
     ranked_sh = with_row_index(
@@ -1529,11 +1533,41 @@ def cosine_pairs_l2ap(
         idx = F.sequence(F.lit(1), F.greatest(F.size(toks_) - (shingle_k - 1), F.lit(1)))
         unit = F.transform(idx, lambda i: F.array_join(F.slice(toks_, i, shingle_k), " "))
     # tf feeds the rank build, the suffix window AND both verify sides —
-    # checkpoint once (same single-computation rule as _candidate_sets)
+    # checkpoint once (same single-computation rule as _candidate_sets).
+    # Term counts are computed IN-ROW from the sorted gram array (run
+    # lengths over equal neighbors) instead of explode + groupBy: the
+    # counts are per-document facts, so the 15M-row (id, gram) exchange
+    # the groupBy paid bought nothing — the exploded rows were already
+    # co-located.  `F.get` is 0-based and NULL-safe, so the first-run
+    # guard needs no array-bounds case split.
+    # s and starts are materialized as COLUMNS between projections: a
+    # subexpression referenced inside an HOF lambda is re-evaluated per
+    # array element (see shingles()), so inlining sort_array/filter here
+    # would turn O(L) run detection into O(L^2 log L) per row.
+    s_col = F.col("_s")
+    starts_col = F.col("_starts")
+    runs = F.transform(
+        starts_col,
+        lambda st, j: F.struct(
+            F.element_at(s_col, st).alias("tok"),
+            (
+                F.coalesce(F.get(starts_col, j + 1), F.size(s_col) + 1) - st
+            ).cast("bigint").alias("tf"),
+        ),
+    )
     tf = stats_reset_checkpoint(
-        df.select(F.col(id_col), F.explode(unit).alias("tok"))
-        .groupBy(id_col, "tok")
-        .agg(F.count("*").cast("bigint").alias("tf")),
+        df.select(F.col(id_col), F.sort_array(unit).alias("_s"))
+        .select(
+            id_col,
+            "_s",
+            F.filter(
+                F.sequence(F.lit(1), F.size("_s")),
+                lambda i: (i == 1)
+                | ~F.get(s_col, i - 2).eqNullSafe(F.element_at(s_col, i)),
+            ).alias("_starts"),
+        )
+        .select(F.col(id_col), F.explode(runs).alias("r"))
+        .select(id_col, F.col("r.tok").alias("tok"), F.col("r.tf").alias("tf")),
         eager=False,
     )
     ranked = (
@@ -1562,7 +1596,7 @@ def cosine_pairs_l2ap(
     prefix = stats_reset_checkpoint(
         positioned.where(
             F.col("_sfx") * F.lit(100_000_000) >= F.lit(t2_sc) * F.col("nsq")
-        ).select(id_col, "_rank", "tf", "_sfx", "nsq"),
+        ).select(id_col, "_rank", "_sfx", "nsq"),
         eager=False,
     )
     # pairwise product bound (see docstring): double-evaluated with
@@ -1573,56 +1607,29 @@ def cosine_pairs_l2ap(
         * F.col("na").cast("double")
         * F.col("nb").cast("double")
     )
-    # Per-PAIR partial-dot bound (the L2AP "pscore" family, sharpened with
-    # the enumerated shared-prefix mass): every shared term has global
-    # rank >= k, the pair's minimum shared rank — a term rarer than every
-    # enumerated one would sit in BOTH prefixes (the prefix is a
-    # rank-minimal set) and hence be enumerated itself, so k is exactly
-    # the minimum ENUMERATED rank and `max(_sfx)` is each side's squared
-    # suffix mass at k.  Splitting the dot product into the enumerated
-    # shared-prefix part (exact BIGINT `dotp`) and the rest — whose
-    # per-side squared mass is at most `sfx(k) - (enumerated tf^2)` —
-    # Cauchy-Schwarz gives
-    #   dot <= dotp + sqrt((sfx_a(k)-pa2) * (sfx_b(k)-pb2)).
-    # A candidate whose bound is below (t-1e-4)*|a||b| cannot reach the
-    # emitted threshold: pruning it is LOSSLESS (the 1e-9 relative slack
-    # keeps the double evaluation false-positive-only; the exact verify
-    # still decides membership).  At the synthetic corpus' shape this
-    # collapses the verify input by ~200x — spurious pairs share only a
-    # few tf~1 prefix terms, so their dotp is far below (t-t^2)|a||b|.
+    # Candidate join on the INT rank (bijective with the term string —
+    # narrower shuffle, cheaper hash than the 3-gram text).  A per-pair
+    # partial-dot Cauchy-Schwarz bound was tried here and REMOVED: at
+    # this corpus' shape it pruned ~2% of candidates (the minimum shared
+    # rank is typically the pair's rarest term, where the suffix mass is
+    # still ~the whole norm, so the bound collapses to the product bound
+    # already applied per row) while widening the candidate exchange
+    # 3.5x with the tf/suffix columns it needed — a measured net loss.
     cand = (
         prefix.select(
-            F.col(id_col).alias("a"), "_rank", F.col("tf").alias("tfa"),
+            F.col(id_col).alias("a"), "_rank",
             F.col("_sfx").alias("sa"), F.col("nsq").alias("na"),
         )
         .join(
             prefix.select(
-                F.col(id_col).alias("b"), "_rank", F.col("tf").alias("tfb"),
+                F.col(id_col).alias("b"), "_rank",
                 F.col("_sfx").alias("sb"), F.col("nsq").alias("nb"),
             ),
             "_rank",
         )
         .where((F.col("a") < F.col("b")) & product_ok)
-        .groupBy("a", "b")
-        .agg(
-            F.sum(F.col("tfa") * F.col("tfb")).alias("_dotp"),
-            F.sum(F.col("tfa") * F.col("tfa")).alias("_pa2"),
-            F.sum(F.col("tfb") * F.col("tfb")).alias("_pb2"),
-            F.max("sa").alias("_ka"),
-            F.max("sb").alias("_kb"),
-            F.first("na").alias("_bna"),
-            F.first("nb").alias("_bnb"),
-        )
-        .where(
-            F.col("_dotp").cast("double")
-            + F.sqrt(
-                F.greatest(F.col("_ka") - F.col("_pa2"), F.lit(0)).cast("double")
-                * F.greatest(F.col("_kb") - F.col("_pb2"), F.lit(0)).cast("double")
-            )
-            >= F.lit(t_sc / 10_000.0 * (1.0 - 1e-9))
-            * F.sqrt((F.col("_bna") * F.col("_bnb")).cast("double"))
-        )
         .select("a", "b")
+        .distinct()
     )
     # Verify-side strategy, size-gated (the decontam broadcast pattern).
     # The shuffle-join verify explodes candidates against both full tf
