@@ -317,18 +317,24 @@ def connected_components(
         .distinct()
     )
 
+    from pyspark.sql import Window as _W
+
     prev, rounds, converged = (-1, -1), 0, False
     for _ in range(max_iterations):
         rounds += 1
+        # Each star pass needs every row of a u-group plus that group's
+        # min — a WINDOW over partitionBy(u), ONE exchange, instead of
+        # the groupBy+join formulation's two (the aggregate and the join
+        # probe both repartitioned the symmetrized frame by u).
         # large-star
         sym = e.selectExpr("u", "v").unionAll(e.selectExpr("v AS u", "u AS v"))
-        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        w_u = _W.partitionBy("u")
         # lazy: ls is consumed only by the small-star pass below, so an
         # eager materialization here would add one job per round; the
         # checkpoint still pins it so the small-star self-reference does
         # not recompute the large-star subtree twice
         ls = stats_reset_checkpoint(
-            sym.join(mins, "u")
+            sym.withColumn("m", F.least(F.min("v").over(w_u), F.col("u")))
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .where(F.col("a") != F.col("b"))
@@ -340,7 +346,7 @@ def connected_components(
         small = ls.selectExpr("u", "v").unionAll(
             ls.selectExpr("v AS u", "u AS v")
         ).where(F.col("v") < F.col("u"))
-        attached = small.join(small.groupBy("u").agg(F.min("v").alias("m")), "u")
+        attached = small.withColumn("m", F.min("v").over(w_u))
         # lazy too: the convergence agg right below is the materializing
         # action (computes AND persists in one job); the next round then
         # reads the persisted partitions
@@ -414,6 +420,14 @@ def _candidate_sets(
         sets_df.select(F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")),
         eager=False,
     )
+    # Size-gated broadcast of the shingle-array table (the l2ap/decontam
+    # pattern): under the gate both verify joins become broadcast hash
+    # joins and candidates never shuffle; over it (100-TB corpus) the
+    # shuffle joins stand. Gate on total shingle ENTRIES — that is what
+    # bounds the broadcast bytes, not the row count.
+    entries = sets_.agg(F.sum(F.size("sh"))).first()[0] or 0
+    if entries <= _verify_bcast_rows():
+        sets_ = F.broadcast(sets_)
     return cand, sets_, star
 
 

@@ -222,6 +222,10 @@ def pagerank_fixed_point(
     outd = e.groupBy("s").agg(
         (F.count("*") if weight_col is None else F.sum("w")).alias("od")
     )
+    # out-degrees are loop-invariant: attach them to the edge list ONCE
+    # and checkpoint, instead of re-paying an edge-list-sized join every
+    # iteration (the edge frame is the big side of the loop)
+    e = e.join(outd, "s").localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionAll(e.select(F.col("d").alias("node")))
@@ -232,8 +236,7 @@ def pagerank_fixed_point(
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
     for _ in range(iterations):
         contribs = (
-            e.join(outd, "s")
-            .join(ranks.select(F.col("node").alias("s"), "rank"), "s")
+            e.join(ranks.select(F.col("node").alias("s"), "rank"), "s")
             .select(F.col("d").alias("node"), F.expr(contrib).alias("c"))
         )
         inbound = contribs.groupBy("node").agg(F.sum("c").alias("inb"))
@@ -974,6 +977,8 @@ def personalized_pagerank(
         .unionAll(e.select(F.col("d").alias("node")))
         .distinct()
     )
+    # out-degrees are loop-invariant: attach once (pagerank_fixed_point)
+    e = e.join(outd, "s").localCheckpoint(eager=False)
     seed_nodes = seeds.select(F.col(node_col).alias("node")).distinct()
     flagged = (
         nodes.join(seed_nodes.withColumn("_s", F.lit(1)), "node", "left")
@@ -986,8 +991,7 @@ def personalized_pagerank(
     )
     for _ in range(iterations):
         contribs = (
-            e.join(outd, "s")
-            .join(ranks.select(F.col("node").alias("s"), "rank"), "s")
+            e.join(ranks.select(F.col("node").alias("s"), "rank"), "s")
             .select(F.col("d").alias("node"), F.expr("rank DIV od").alias("c"))
         )
         inbound = contribs.groupBy("node").agg(F.sum("c").alias("inb"))
@@ -2456,24 +2460,34 @@ def greedy_coloring(
     # form.
     converged = False
     for i in range(1, rounds + 1):
-        nbr_min = (
-            e.join(act.select(F.col("node").alias("b"), F.col("k").alias("bk")), "b")
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("bk").alias("mk"))
+        # ONE neighbor pass per round: the state frame carries uncolored
+        # neighbors' keys AND colored neighbors' colors (a plan-level
+        # union), so readiness (min uncolored key) and the mex input
+        # (sorted colored-color set) come out of a single e-join +
+        # aggregation instead of the former two joins + semi-join chain
+        # (~8 exchanges per round down to ~5; min/collect_set both
+        # ignore the other leg's NULLs, preserving the exact semantics).
+        state = act.select(
+            F.col("node").alias("b"), F.col("k").alias("bk"),
+            F.lit(None).cast("int").alias("bc"),
+        ).unionByName(
+            colored.select(
+                F.col("node").alias("b"),
+                F.lit(None).cast("string").alias("bk"),
+                F.col("color").alias("bc"),
+            )
         )
-        ready = (
-            act.join(nbr_min, "node", "left")
-            .where(F.col("mk").isNull() | (F.col("k") < F.col("mk")))
-            .select("node")
-        )
-        used = (
-            e.join(ready.select(F.col("node").alias("a")), "a", "left_semi")
-            .join(colored.select(F.col("node").alias("b"), "color"), "b")
+        nbr = (
+            e.join(state, "b")
             .groupBy(F.col("a").alias("node"))
-            .agg(F.array_sort(F.collect_set("color")).alias("_used"))
+            .agg(
+                F.min("bk").alias("mk"),
+                F.array_sort(F.collect_set("bc")).alias("_used"),
+            )
         )
         newly = (
-            ready.join(used, "node", "left")
+            act.join(nbr, "node", "left")
+            .where(F.col("mk").isNull() | (F.col("k") < F.col("mk")))
             .select(
                 "node",
                 F.coalesce(mex, F.lit(1)).cast("int").alias("color"),
