@@ -73,6 +73,63 @@ def subclass_closure(
         .localCheckpoint()
     )
 
+    if depth_agg != "max":
+        # SEMI-NAIVE doubling for the min-depth mode: only pairs that
+        # entered last round can mint new pairs.  A pair first reachable
+        # within 2^(k+1) edges splits at its shortest path's midpoint
+        # into two halves of length in (2^(k-1), 2^k] — both halves are
+        # themselves NEW in round k (a pair enters exactly at
+        # ceil(log2 dist), with its exact min depth, because subpaths of
+        # shortest paths are shortest) — so delta∘reach ∪ reach∘delta
+        # covers everything the full reach∘reach self-join covered,
+        # while the join input shrinks to the frontier.  The existing
+        # reach frame is never re-aggregated: new pairs are min-grouped
+        # among themselves and anti-joined against reach.
+        # (The "max" mode below cannot do this: longest-path depths keep
+        # improving after insertion, so deltas are not just new pairs.)
+        delta = reach
+        for _ in range(max_rounds):
+            dm = delta.select(
+                F.col("d").alias("m"), F.col("a").alias("a2"),
+                F.col("depth").alias("dep2"),
+            )
+            rm = reach.select(
+                F.col("d").alias("m"), F.col("a").alias("a2"),
+                F.col("depth").alias("dep2"),
+            )
+            cand = (
+                delta.join(rm, delta["a"] == rm["m"])
+                .select(
+                    "d", F.col("a2").alias("a"),
+                    (F.col("depth") + F.col("dep2")).alias("depth"),
+                )
+                .unionByName(
+                    reach.join(dm, reach["a"] == dm["m"]).select(
+                        "d", F.col("a2").alias("a"),
+                        (F.col("depth") + F.col("dep2")).alias("depth"),
+                    )
+                )
+            )
+            delta = (
+                cand.groupBy("d", "a")
+                .agg(F.min("depth").alias("depth"))
+                .join(reach.select("d", "a"), ["d", "a"], "left_anti")
+                .transform(stats_reset_checkpoint)
+            )
+            if delta.isEmpty():
+                return reach.select(
+                    F.col("d").alias("descendant"),
+                    F.col("a").alias("ancestor"),
+                    F.col("depth").cast("int").alias("depth"),
+                )
+            reach = reach.unionByName(delta).transform(
+                lambda _d: stats_reset_checkpoint(_d, eager=False)
+            )
+        raise RuntimeError(
+            f"subclass_closure still growing after {max_rounds} doubling rounds "
+            f"(covers depth {2 ** max_rounds}); raise max_rounds"
+        )
+
     prev_rows, prev_depth_sum = -1, -1
     for _ in range(max_rounds):
         mid = reach.select(
@@ -81,11 +138,10 @@ def subclass_closure(
         doubled = reach.join(mid, reach["a"] == mid["m"]).select(
             "d", F.col("a2").alias("a"), (F.col("depth") + F.col("dep2")).alias("depth")
         )
-        agg_fn = F.max if depth_agg == "max" else F.min
         reach = (
             reach.unionByName(doubled)
             .groupBy("d", "a")
-            .agg(agg_fn("depth").alias("depth"))
+            .agg(F.max("depth").alias("depth"))
             .transform(stats_reset_checkpoint)
         )
         stats = reach.agg(
