@@ -755,7 +755,15 @@ def spot_mentions(
         r"\s+",
     )
     grams = None
-    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+    # one tokenize pass shared by all max_len gram legs (the union
+    # duplicates its child subtree in-plan — without the checkpoint the
+    # regex tokenization runs once per leg)
+    from .session import stats_reset_checkpoint
+
+    base = stats_reset_checkpoint(
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_t")),
+        eager=False,
+    )
     for n in range(1, max_len + 1):
         g = base.select(
             "doc_id",
