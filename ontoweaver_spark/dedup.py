@@ -420,14 +420,13 @@ def _candidate_sets(
         sets_df.select(F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")),
         eager=False,
     )
-    # Size-gated broadcast of the shingle-array table (the l2ap/decontam
-    # pattern): under the gate both verify joins become broadcast hash
-    # joins and candidates never shuffle; over it (100-TB corpus) the
-    # shuffle joins stand. Gate on total shingle ENTRIES — that is what
-    # bounds the broadcast bytes, not the row count.
-    entries = sets_.agg(F.sum(F.size("sh"))).first()[0] or 0
-    if entries <= _verify_bcast_rows():
-        sets_ = F.broadcast(sets_)
+    # NOTE: a size-gated broadcast of sets_ (the jaccard_pairs_prefix
+    # verify pattern) was tried here and measured as a consistent small
+    # net LOSS (same-session A/B: dedup_verified 9.8 vs 10.9 s, keep
+    # 11.3 vs 11.7 s) — the LSH band join admits only thousands of
+    # candidates, so the driver-side broadcast build costs more than
+    # the two tiny shuffles it replaces. The prefix-join verifiers keep
+    # the broadcast because their candidate sets are millions of rows.
     return cand, sets_, star
 
 
